@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Session + table-loading helpers for the graft engine.
+  *
+  * The reference (legate-dataframe) distributes tables across ranks and sizes its
+  * launch domain from the machine scope; on Spark the analogous knobs are the
+  * shuffle-partition count and AQE. We default shuffle partitions to the local
+  * parallelism (not Spark's 200) and enable AQE so skewed joins / small partitions
+  * re-plan at runtime — the behaviour we want on a real multi-executor cluster.
+  */
+object Engine {
+
+  /** Apply graft's standard config to any builder (shared with Verify/Bench).
+    *
+    * Scale notes (100 TB design): AQE on (runtime coalescing + skew-join
+    * splitting), broadcast threshold left at default (dims like region/nation/
+    * supplier always broadcast), shuffle partitions sized to the local core
+    * count for tests — on a real cluster this would be ~2-3x total cores and
+    * AQE coalesces down.
+    */
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // The reference's Arrow/cudf kernels use unchecked (wrapping) integer
+      // arithmetic; ANSI mode (Spark 4 default) would instead throw on
+      // overflow / bad casts. Match the reference's semantics.
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet stores timestamp[ns], which Spark's parquet reader
+      // rejects natively; read as long nanos (converted in Engine.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Build a local session configured the way every graft entry point expects. */
+  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.Registry.register(s)
+    s
+  }
+
+  /** Load one star-schema table from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.functions.Registry.register(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** The events table with `ts` converted from raw int64 nanoseconds (see
+    * `nanosAsLong` above) to a microsecond TimestampType via integer division
+    * — `div` keeps the math in int64 (a double round-trip would lose precision
+    * on epoch-nanos magnitudes).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+}

@@ -1,13 +1,686 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Ops, Registry, StringFns, TimeFns}
+import graft.llm.{Dedup, Multimodal, Similarity, TextFns}
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the beyond-reference LLM-pipeline operators), each with a
+  * DuckDB oracle where the semantics are SQL-expressible.
+  *
+  * Determinism rules shared by every query/oracle pair:
+  *  - every output is fully ordered (ORDER BY a unique column set, nulls
+  *    first) so row order matches across engines;
+  *  - money-ish double sums go through DECIMAL(18,4) (exact, order-
+  *    independent) and are cast back to double;
+  *  - inexact float outputs (trig, variance, cosine) are rounded well above
+  *    the accumulated-error scale.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** ascending, nulls-first total order (DuckDB: ORDER BY ... NULLS FIRST). */
+  private def ord(df: DataFrame, keys: String*): DataFrame =
+    df.orderBy(keys.map(k => col(k).asc_nulls_first): _*)
+
+  /** Order by EVERY output column (DuckDB: ORDER BY ALL — nulls last).
+    * Row-level outputs have no guaranteed unique key, so this is the only
+    * ordering under which tie rows are bit-identical and hence interchangeable.
+    */
+  private def ordAll(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(k => col(k).asc_nulls_last).toSeq: _*)
+
+  /** Exact, order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Exact, order-independent sum of a *computed* double expression: quantize
+    * to 1e-4 units with floor (floor/+/× are deterministic IEEE ops, identical
+    * in every engine — unlike double→decimal conversion), sum as int64, then
+    * scale back.
+    */
+  private def msum(c: Column): Column =
+    (sum(floor(c * 10000 + 0.5).cast("long")) / 10000.0).as("msum")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg
+    * (partial+final) → range-partitioned sort.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q16_groupby_q1")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ───────────────────────── scans / row ops ─────────────────────────
+    "q01_scan_project" -> ((s, dir) => {
+      val li = sources.IO.parquetRead(s, Seq(s"$dir/lineitem.parquet"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+      ordAll(li)
+    }),
+    "q02_filter_mask" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val masked = RowOps.applyBooleanMask(li, col("l_quantity") > 45 && col("l_discount") > 0.05)
+      ordAll(masked.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"))
+    }),
+    "q03_binaryops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Ops.binary(col("l_extendedprice"),
+          Ops.binary(lit(1.0), col("l_discount"), "subtract"), "multiply").as("revenue"),
+        Ops.binary(col("l_quantity"), lit(1.0), "add").as("qplus"),
+        Ops.binary(col("l_linenumber"), lit(3), "mod").as("ln_mod3"),
+        Ops.binary(col("l_quantity"), lit(2.0), "power").as("q_sq"),
+        Ops.binary(col("l_quantity"), col("l_extendedprice"), "less").as("lt_flag")))
+    }),
+    "q04_unaryops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(Ops.unary(col("l_discount"), "sin"), 6).as("sin_disc"),
+        round(Ops.unary(col("l_quantity"), "sqrt"), 6).as("sqrt_qty"),
+        round(Ops.unary(col("l_quantity") + 1, "ln"), 6).as("ln_qty"),
+        // Spark floor/ceil return long; Arrow keeps float — match Arrow
+        Ops.unary(col("l_extendedprice"), "floor").cast("double").as("floor_price"),
+        Ops.unary(col("l_extendedprice"), "ceil").cast("double").as("ceil_price"),
+        Ops.unary(Ops.unary(col("l_quantity"), "negate"), "abs").as("abs_neg_qty"),
+        Ops.unary(col("l_discount"), "is_valid").as("disc_valid")))
+    }),
+    "q05_cast_round" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Ops.cast(col("l_linenumber"), org.apache.spark.sql.types.LongType).as("ln_long"),
+        Ops.cast(col("l_linenumber"), org.apache.spark.sql.types.DoubleType).as("ln_dbl"),
+        Ops.cast(Ops.cast(col("l_quantity"), org.apache.spark.sql.types.DecimalType(10, 2)),
+          org.apache.spark.sql.types.DoubleType).as("qty_dec"),
+        Ops.roundHalfUp(col("l_quantity") / 2.0, 0).as("half_up"),
+        Ops.roundHalfToEven(col("l_quantity") / 2.0, 0).as("half_even"),
+        Ops.roundHalfUp(col("l_extendedprice"), -2).as("price_hundreds")))
+    }),
+    "q06_ifelse" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        RowOps.ifElse(col("l_discount") > 0.05,
+          col("l_extendedprice") * 0.9, col("l_extendedprice")).as("adj_price"),
+        RowOps.ifElse(col("l_returnflag") === "R", lit("returned"), lit("kept")).as("status")))
+    }),
+    "q07_replace_nulls" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // manufacture nulls deterministically, then fill them
+      val withNulls = li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_returnflag"), lit("N")).as("rf_null"),
+        nullif(col("l_quantity"), lit(30.0)).as("qty_null"))
+      ordAll(withNulls.select(
+        col("l_orderkey"), col("l_linenumber"),
+        RowOps.replaceNulls(col("rf_null"), "filled").as("rf_filled"),
+        RowOps.replaceNulls(col("qty_null"), -1.0).as("qty_filled")))
+    }),
+    "q08_isin" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        RowOps.isInLiterals(col("l_returnflag"), Seq("A", "R")).as("is_ar"))
+        .filter(RowOps.isInLiterals(col("l_linenumber"), Seq(1, 2, 3))))
+    }),
+    "q09_sequence" -> ((s, dir) => {
+      val seq = RowOps.sequence(s, 1000, 0)
+      ord(seq.select(col("id"),
+        (col("id") * 2).as("id2"),
+        (col("id") % 7).as("mod7")), "id")
+    }),
+    // ───────────────────────── set-like ops ─────────────────────────
+    "q10_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ord(SetOps.distinct(li.select("l_returnflag", "l_linestatus"), Seq("l_returnflag", "l_linestatus")),
+        "l_returnflag", "l_linestatus")
+    }),
+    "q11_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 100000).select("o_orderkey", "o_orderstatus")
+      val lo = o.filter(col("o_totalprice") < 50000).select("o_orderkey", "o_orderstatus")
+      ord(SetOps.union(Seq(hi, lo)), "o_orderkey", "o_orderstatus")
+    }),
+    "q12_slice" -> ((s, dir) => {
+      val o = ord(t(s, dir, "orders").select("o_orderkey", "o_totalprice"), "o_orderkey")
+      SetOps.slice(o, 50, 100)
+    }),
+    // ───────────────────────── sort / top-k / tail ─────────────────────────
+    "q13_sort_multikey" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      Sorts.sort(li,
+        Seq("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        Seq(true, false, true, true))
+    }),
+    "q14_topk" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_extendedprice", "l_orderkey", "l_linenumber")
+      Sorts.sort(li, Seq("l_extendedprice", "l_orderkey", "l_linenumber"),
+        Seq(false, true, true), limit = Some(100))
+    }),
+    "q15_tail" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      Sorts.sort(o, Seq("o_orderkey"), Seq(true), limit = Some(-100))
+    }),
+    // ───────────────────────── aggregation ─────────────────────────
+    "q16_groupby_q1" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      ord(li.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order")),
+        "l_returnflag", "l_linestatus")
+    }),
+    "q17_groupby_requests" -> ((s, dir) => {
+      import Aggregates.AggRequest
+      val li = t(s, dir, "lineitem")
+      ord(Aggregates.groupby(li, Seq("l_returnflag"), Seq(
+        AggRequest("l_extendedprice", "min", "min_price"),
+        AggRequest("l_extendedprice", "max", "max_price"),
+        AggRequest("l_orderkey", "count_distinct", "n_orders"),
+        AggRequest("l_quantity", "count", "n_qty"),
+        AggRequest("l_quantity", "count_all", "n_rows"))),
+        "l_returnflag")
+    }),
+    "q18_groupby_var" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ord(li.groupBy("l_returnflag").agg(
+        round(var_pop(col("l_quantity")), 2).as("var_qty"),
+        round(stddev_pop(col("l_quantity")), 2).as("std_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc")),
+        "l_returnflag")
+    }),
+    "q20_groupby_product" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ord(li.groupBy("l_orderkey").agg(
+        round(Registry.product(lit(1.0) + col("l_discount")), 6).as("disc_product"),
+        count(lit(1)).as("n_items")),
+        "l_orderkey")
+    }),
+    "q21_reduce_global" -> ((s, dir) => {
+      import Aggregates.AggRequest
+      val li = t(s, dir, "lineitem")
+      Aggregates.reduceAll(li, Seq(
+        AggRequest("l_quantity", "sum", "sum_qty"),
+        AggRequest("l_quantity", "min", "min_qty"),
+        AggRequest("l_quantity", "max", "max_qty"),
+        AggRequest("l_orderkey", "count", "n_rows")))
+        .withColumn("sum_qty", col("sum_qty").cast("double"))
+    }),
+    // ───────────────────────── joins ─────────────────────────
+    "q22_join_inner" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      ordAll(Joins.join(li, o, Seq("l_orderkey"), "inner"))
+    }),
+    "q23_join_left" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+      ord(Joins.join(o, li, Seq("o_orderkey"), "left"), "o_orderkey", "l_linenumber")
+    }),
+    "q24_join_full" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k"), lit(true).as("from_cust"))
+      val o = t(s, dir, "orders").filter(col("o_custkey") % 3 === 0)
+        .select(col("o_custkey").as("k"), lit(true).as("from_ord")).distinct()
+      ord(Joins.join(c, o, Seq("k"), "full"), "k")
+    }),
+    "q25_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey"))
+      ord(Joins.join(c, o, Seq("c_custkey"), "semi")
+        .select("c_custkey", "c_name", "c_acctbal"), "c_custkey")
+    }),
+    "q26_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("c_custkey"))
+      ord(Joins.join(c, o, Seq("c_custkey"), "anti")
+        .select("c_custkey", "c_name", "c_acctbal"), "c_custkey")
+    }),
+    "q27_join_nullsafe" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(
+        nullif(col("c_nationkey"), lit(3)).as("nk"), col("c_custkey"))
+      val sup = t(s, dir, "supplier").select(
+        nullif(col("s_nationkey"), lit(3)).as("nk"), col("s_suppkey"))
+      ord(Joins.join(c, sup, Seq("nk"), "inner", nullsEqual = true)
+        .select("c_custkey", "s_suppkey"), "c_custkey", "s_suppkey")
+    }),
+    "q28_join_multikey" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val agg = li.groupBy("l_orderkey", "l_returnflag")
+        .agg(count(lit(1)).as("n_in_group"))
+      ordAll(Joins.join(
+        li.select("l_orderkey", "l_returnflag", "l_linenumber"),
+        agg, Seq("l_orderkey", "l_returnflag"), "inner"))
+    }),
+    "q29_join_broadcast_star" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      val joined = Joins.joinOn(
+        Joins.joinOn(
+          Joins.joinOn(o, c, col("o_custkey") === col("c_custkey"), "inner", Joins.BroadcastRight),
+          n, col("c_nationkey") === col("n_nationkey"), "inner", Joins.BroadcastRight),
+        r, col("n_regionkey") === col("r_regionkey"), "inner", Joins.BroadcastRight)
+      ord(joined.groupBy("r_name", "n_name").agg(
+        dsum(col("o_totalprice")).as("total_price"),
+        count(lit(1)).as("n_orders")),
+        "r_name", "n_name")
+    }),
+    // ───────────────────────── strings / timestamps ─────────────────────────
+    "q30_strings" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      ord(p.select(
+        col("p_partkey"),
+        StringFns.startsWith(col("p_name"), "b").as("starts_b"),
+        StringFns.endsWith(col("p_name"), "e").as("ends_e"),
+        StringFns.containsSubstring(col("p_name"), "an").as("has_an"),
+        StringFns.matchSubstringRegex(col("p_type"), "[A-Z]{2,}").as("re_upper")),
+        "p_partkey")
+    }),
+    "q31_ts_extract" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        TimeFns.extractComponent(col("l_shipdate"), "year").as("y"),
+        TimeFns.extractComponent(col("l_shipdate"), "month").as("m"),
+        TimeFns.extractComponent(col("l_shipdate"), "day").as("d"),
+        TimeFns.extractComponent(col("l_shipdate"), "day_of_week").as("dow"),
+        TimeFns.extractComponent(col("l_shipdate"), "quarter").as("q")))
+    }),
+    "q32_ts_parse" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val strs = li.select(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("s")).distinct()
+      ord(strs.select(TimeFns.toTimestamps(col("s"), "%Y-%m-%d %H:%M:%S").as("parsed")), "parsed")
+    }),
+    // ───────────────────────── windows (beyond-reference) ─────────────────────────
+    "q33_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata; break window
+      // ties on the remaining columns so rn/run_qty are deterministic.
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        sum(col("l_quantity")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_qty")))
+    }),
+    "q34_events_hourly" -> ((s, dir) => {
+      val ev = Engine.events(s, dir)
+      ord(ev.groupBy(
+        date_trunc("hour", col("ts")).as("wstart"), col("event_type")).agg(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("total_value")),
+        "wstart", "event_type")
+    }),
+    // ───────────────────────── I/O roundtrips ─────────────────────────
+    "q35_csv_roundtrip" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      sources.IO.csvWrite(r, tmp)
+      val back = sources.IO.csvRead(s, Seq(tmp), r.schema)
+      ord(back, "r_regionkey")
+    }),
+    "q36_ndjson_roundtrip" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+      sources.IO.ndjsonWrite(n, tmp)
+      val back = sources.IO.ndjsonRead(s, Seq(tmp), Some(n.schema))
+      ord(back, "n_nationkey")
+    }),
+    // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
+    "q40_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ord(Dedup.exact(d, Seq("text"), "doc_id").select("keep_id", "dup_count"), "keep_id")
+    }),
+    "q41_token_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ord(d.select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens")), "doc_id")
+    }),
+    "q42_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ord(d.select(
+        col("doc_id"),
+        TextFns.punctCount(col("text")).as("n_punct"),
+        TextFns.stopwordCount(col("text"), TextFns.EnglishStopwords).as("n_stop"),
+        TextFns.qualityScore(col("text")).as("quality")),
+        "doc_id")
+    }),
+    "q43_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ord(d.select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred")), "doc_id")
+    }),
+    "q44_fingerprint" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ord(d.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")), "doc_id")
+    }),
+    "q45_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ord(Dedup.simhashPairs(d, "doc_id", "text", maxDist = 10), "id_a", "id_b")
+    }),
+    "q46_minhash_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ord(Dedup.nearDuplicates(d, "doc_id", "text", threshold = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 4)), "id_a", "id_b")
+    }),
+    "q47_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ord(Dedup.bruteForcePairs(d, "doc_id", "text", threshold = 0.3)
+        .withColumn("jaccard", round(col("jaccard"), 4)), "id_a", "id_b")
+    }),
+    "q48_embedding_norms" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ord(e.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(Similarity.l2Norm(col("embedding")), 4).as("l2")),
+        "vec_id")
+    }),
+    "q49_cosine_top1" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ord(Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 1)
+        .withColumn("cosine", round(col("cosine"), 4)), "query_id")
+    }),
+    "q50_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ord(Similarity.lshTopK(e, e, "vec_id", "embedding", k = 1)
+        .withColumn("cosine", round(col("cosine"), 4)), "query_id")
+    }),
+    "q51_multimodal" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val media = Multimodal.fromDocuments(d)
+      ord(Multimodal.payloadStats(media)
+        .select("media_id", "mime", "byte_len", "digest"), "media_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q02_filter_mask" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount > 0.05
+        |ORDER BY ALL""".stripMargin,
+    "q03_binaryops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  l_quantity + 1.0 AS qplus,
+        |  l_linenumber % 3 AS ln_mod3,
+        |  power(l_quantity, 2.0) AS q_sq,
+        |  l_quantity < l_extendedprice AS lt_flag
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q04_unaryops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sin(l_discount), 6) AS sin_disc,
+        |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+        |  round(ln(l_quantity + 1), 6) AS ln_qty,
+        |  CAST(floor(l_extendedprice) AS DOUBLE) AS floor_price,
+        |  CAST(ceil(l_extendedprice) AS DOUBLE) AS ceil_price,
+        |  abs(-l_quantity) AS abs_neg_qty,
+        |  l_discount IS NOT NULL AS disc_valid
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q05_cast_round" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_linenumber AS BIGINT) AS ln_long,
+        |  CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+        |  CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DOUBLE) AS qty_dec,
+        |  round(l_quantity / 2.0, 0) AS half_up,
+        |  round_even(l_quantity / 2.0, 0) AS half_even,
+        |  round(l_extendedprice, -2) AS price_hundreds
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q06_ifelse" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount > 0.05 THEN l_extendedprice * 0.9
+        |       ELSE l_extendedprice END AS adj_price,
+        |  CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS status
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q07_replace_nulls" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(nullif(l_returnflag, 'N'), 'filled') AS rf_filled,
+        |  coalesce(nullif(l_quantity, 30.0), -1.0) AS qty_filled
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q08_isin" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_returnflag IN ('A','R') AS is_ar
+        |FROM lineitem WHERE l_linenumber IN (1,2,3)
+        |ORDER BY ALL""".stripMargin,
+    "q09_sequence" ->
+      """SELECT r AS id, r*2 AS id2, r%7 AS mod7
+        |FROM range(0, 1000) t(r) ORDER BY id""".stripMargin,
+    "q10_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q11_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 100000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice < 50000
+        |) ORDER BY o_orderkey, o_orderstatus""".stripMargin,
+    "q12_slice" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin,
+    "q13_sort_multikey" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY l_returnflag ASC, l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "q14_topk" ->
+      """SELECT l_extendedprice, l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+    "q15_tail" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 100
+        |) ORDER BY o_orderkey ASC""".stripMargin,
+    "q16_groupby_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q17_groupby_requests" ->
+      """SELECT l_returnflag,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(l_quantity) AS n_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18_groupby_var" ->
+      """SELECT l_returnflag,
+        |  round(var_pop(l_quantity), 2) AS var_qty,
+        |  round(stddev_pop(l_quantity), 2) AS std_qty,
+        |  round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q20_groupby_product" ->
+      """SELECT l_orderkey,
+        |  round(product(1.0 + l_discount), 6) AS disc_product,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q21_reduce_global" ->
+      """SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  count(l_orderkey) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q22_join_inner" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+        |  o.o_totalprice, o.o_orderstatus
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |ORDER BY ALL""".stripMargin,
+    "q23_join_left" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber, l.l_quantity
+        |FROM orders o LEFT JOIN (
+        |  SELECT * FROM lineitem WHERE l_quantity >= 48
+        |) l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o_orderkey, l_linenumber NULLS FIRST""".stripMargin,
+    "q24_join_full" ->
+      """SELECT coalesce(c.k, o.k) AS k, c.from_cust, o.from_ord FROM
+        |  (SELECT c_custkey AS k, true AS from_cust FROM customer WHERE c_custkey % 2 = 0) c
+        |FULL JOIN
+        |  (SELECT DISTINCT o_custkey AS k, true AS from_ord FROM orders WHERE o_custkey % 3 = 0) o
+        |ON c.k = o.k
+        |ORDER BY k NULLS FIRST""".stripMargin,
+    "q25_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q26_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q27_join_nullsafe" ->
+      """SELECT c.c_custkey, s.s_suppkey FROM
+        |  (SELECT nullif(c_nationkey, 3) AS nk, c_custkey FROM customer) c
+        |JOIN
+        |  (SELECT nullif(s_nationkey, 3) AS nk, s_suppkey FROM supplier) s
+        |ON c.nk IS NOT DISTINCT FROM s.nk
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "q28_join_multikey" ->
+      """WITH agg AS (
+        |  SELECT l_orderkey, l_returnflag, count(*) AS n_in_group
+        |  FROM lineitem GROUP BY l_orderkey, l_returnflag
+        |)
+        |SELECT l.l_orderkey, l.l_returnflag, l.l_linenumber, a.n_in_group
+        |FROM lineitem l JOIN agg a
+        |  ON l.l_orderkey = a.l_orderkey AND l.l_returnflag = a.l_returnflag
+        |ORDER BY ALL""".stripMargin,
+    "q29_join_broadcast_star" ->
+      """SELECT r.r_name, n.n_name,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |  count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q30_strings" ->
+      """SELECT p_partkey,
+        |  starts_with(p_name, 'b') AS starts_b,
+        |  ends_with(p_name, 'e') AS ends_e,
+        |  contains(p_name, 'an') AS has_an,
+        |  regexp_matches(p_type, '[A-Z]{2,}') AS re_upper
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q31_ts_extract" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(extract(year FROM l_shipdate) AS INT) AS y,
+        |  CAST(extract(month FROM l_shipdate) AS INT) AS m,
+        |  CAST(extract(day FROM l_shipdate) AS INT) AS d,
+        |  CAST(isodow(l_shipdate) - 1 AS INT) AS dow,
+        |  CAST(extract(quarter FROM l_shipdate) AS INT) AS q
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q32_ts_parse" ->
+      """SELECT DISTINCT strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+        |  '%Y-%m-%d %H:%M:%S') AS parsed
+        |FROM lineitem ORDER BY parsed""".stripMargin,
+    "q33_window_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  sum(l_quantity) OVER w AS run_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_quantity, l_extendedprice
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY ALL""".stripMargin,
+    "q34_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "q35_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q36_ndjson_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q40_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q41_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_split_to_array(trim(lower(text)), '\s+')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q42_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INT) AS n_punct
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, n_punct,
+        |    CAST(length(list_filter(toks, t -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that','for',
+        |       'on','with','as','was','at','by','be','this'], t))) AS INT) AS n_stop,
+        |    greatest(length(toks), 1) AS n_tok,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+        |    greatest(length(text), 1) AS n_chars
+        |  FROM base
+        |)
+        |SELECT doc_id, n_punct, n_stop,
+        |  round((
+        |    (CASE WHEN CAST(n_nonspace AS DOUBLE)/n_tok BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) +
+        |    (CASE WHEN CAST(n_punct AS DOUBLE)/n_chars <= 0.2 THEN 1.0 ELSE 0.0 END) +
+        |    least(CAST(n_stop AS DOUBLE)/n_tok * 5.0, 1.0)
+        |  ) / 3.0, 4) AS quality
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q48_embedding_norms" ->
+      """SELECT vec_id,
+        |  CAST(length(embedding) AS INT) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q49_cosine_top1" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), sims AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM sims
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+    "q51_multimodal" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS digest
+        |FROM documents ORDER BY media_id""".stripMargin
+    // q43_lang_id, q44_fingerprint, q45_simhash, q46_minhash_lsh,
+    // q47_ngram_jaccard, q50_ann_lsh: not SQL-expressible 1:1 (custom hashing)
+    // → driver records rows-only checks; ScalaTest covers their semantics.
+  )
 }

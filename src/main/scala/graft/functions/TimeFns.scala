@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Temporal functions (SURVEY §2.7):
+  * `to_timestamps(col, type, strptime_format)` and
+  * `extract_timestamp_component(col, component)`
+  * (timestamps.hpp:49-99,112; component set dsl/expressions/datetime.py:90-101).
+  *
+  * Spark's `to_timestamp` takes Java `DateTimeFormatter` patterns, so we
+  * translate the reference's strptime-style specifiers (timestamps.hpp:53-74).
+  */
+object TimeFns {
+
+  /** strptime → java.time.format.DateTimeFormatter pattern translation. */
+  def strptimeToJava(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => out.append("yyyy")
+          case 'y' => out.append("yy")
+          case 'm' => out.append("MM")
+          case 'd' => out.append("dd")
+          case 'H' => out.append("HH")
+          case 'I' => out.append("hh")
+          case 'M' => out.append("mm")
+          case 'S' => out.append("ss")
+          case 'f' => out.append("SSSSSS")
+          case 'p' => out.append("a")
+          case 'j' => out.append("DDD")
+          case 'b' => out.append("MMM")
+          case 'B' => out.append("MMMM")
+          case 'a' => out.append("EEE")
+          case 'A' => out.append("EEEE")
+          case 'Z' => out.append("zzz")
+          case 'z' => out.append("xx")
+          case '%' => out.append('%')
+          case other => throw new IllegalArgumentException(s"unsupported strptime specifier: %$other")
+        }
+        i += 2
+      } else {
+        // escape letters that are pattern-significant in Java formats
+        if (c.isLetter) out.append('\'').append(c).append('\'') else out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** `to_timestamps`: parse strings with a strptime format. */
+  def toTimestamps(c: Column, strptimeFmt: String): Column =
+    to_timestamp(c, strptimeToJava(strptimeFmt))
+
+  /** `extract_timestamp_component` — Arrow temporal component names
+    * (year, month, day, day_of_week, hour, minute, second, millisecond,
+    * microsecond, nanosecond). day_of_week follows Arrow/cudf numbering
+    * (Monday=0..Sunday=6), translated from Spark's dayofweek (Sunday=1..Saturday=7).
+    */
+  def extractComponent(c: Column, component: String): Column = component match {
+    case "year" => year(c)
+    case "month" => month(c)
+    case "day" => dayofmonth(c)
+    case "day_of_week" => ((dayofweek(c) + 5) % 7) // Mon=0 .. Sun=6
+    case "day_of_year" => dayofyear(c)
+    case "week" => weekofyear(c)
+    case "quarter" => quarter(c)
+    case "hour" => hour(c)
+    case "minute" => minute(c)
+    case "second" => second(c)
+    case "millisecond" => (date_part(lit("MICROSECONDS"), c) / 1000).cast("int") % 1000
+    case "microsecond" => date_part(lit("MICROSECONDS"), c).cast("int") % 1000
+    case "nanosecond" => lit(0) // Spark timestamps are microsecond precision
+    case other => throw new IllegalArgumentException(s"unsupported component: $other")
+  }
+}

@@ -1,0 +1,185 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash-aggregate (partial+final, no data movement beyond
+  *    one shuffle of group keys);
+  *  - MinHash signatures and SimHash are row-local columnar expressions
+  *    (no UDFs, whole-stage codegen);
+  *  - LSH candidate generation shuffles only (band_idx, band_hash, id) triples
+  *    — a tiny fraction of the corpus — and caps pathological buckets
+  *    (boilerplate/empty docs produce huge buckets; real pipelines drop them);
+  *  - exact Jaccard verification touches only candidate pairs, joining the
+  *    shingle sets back by id.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative row id per distinct value of `cols`,
+    * plus the duplicate count. `groupBy(...).agg(min(id))` — the partial/final
+    * aggregate shape the reference hand-codes for distinct
+    * (stream_compaction.cpp:44-96).
+    */
+  def exact(df: DataFrame, cols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(cols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature: k independent minimum hashes over the doc's word
+    * n-gram shingle set. hash_j(s) = xxhash64(s, j) — seeding via an extra
+    * hashed column, all codegen'd built-ins.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
+    val shingles = array_distinct(TextFns.wordShingles(text, shingleSize))
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles, s => xxhash64(s, lit(j))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs from MinHash signatures.
+    *
+    * Bands the signature into `bands` groups of `rowsPerBand`, hashes each
+    * band, and self-joins ids that share any (band_idx, band_hash) bucket.
+    * Buckets larger than `maxBucket` are dropped (skew guard: at corpus scale
+    * a few degenerate buckets would otherwise produce O(n²) pairs).
+    *
+    * Returns distinct (id_a, id_b) with id_a < id_b.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .toDF("id", "band_idx", "band_hash")
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = capped.as("a")
+    val b = capped.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard for given pairs: joins the shingle sets back
+    * by id and computes |∩| / |∪| with array built-ins.
+    */
+  def jaccardVerify(
+      pairs: DataFrame, // (id_a, id_b)
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val sets = df.select(
+      col(idCol).as("id"),
+      array_distinct(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
+    pairs
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .select(
+        col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact Jaccard confirmation. */
+  def nearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, bands, rowsPerBand, shingleSize)
+    jaccardVerify(cands, df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Brute-force all-pairs Jaccard (testing oracle; O(n²) — small inputs only). */
+  def bruteForcePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    val ids = df.select(col(idCol).as("id_a"))
+    val ids2 = df.select(col(idCol).as("id_b"))
+    val pairs = ids.crossJoin(ids2).filter(col("id_a") < col("id_b"))
+    jaccardVerify(pairs, df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** One literal mask per bit (1L << i); lets the per-bit logic use
+    * `bitwiseAND` with `zip_with` instead of a column-valued shift.
+    */
+  private def bitMasks: Column = array((0 until 64).map(i => lit(1L << i)): _*)
+
+  /** 64-bit SimHash over whitespace tokens: bit i of the signature is set iff
+    * the majority of token hashes have bit i set (per-bit ±1 vote). Built with
+    * transform/aggregate/zip_with over bit-mask literals — no UDF, codegen'd.
+    * Hamming-close simhashes ⇒ near-duplicate texts.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(TextFns.tokens(text), t => xxhash64(t))
+    val counters = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) =>
+        zip_with(acc, bitMasks,
+          (a, m) => a + when(h.bitwiseAND(m) =!= 0L, lit(1)).otherwise(lit(-1))))
+    aggregate(
+      zip_with(counters, bitMasks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on high 16 bits of the simhash (cheap LSH
+    * for hamming distance), then verify full hamming distance ≤ maxDist within
+    * blocks. Four rotated blockings guarantee recall for maxDist ≤ 3 when
+    * distance bits fall in one 16-bit quarter; standard "simhash chunks" trick.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val chunked = withSig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until 4).map(q =>
+        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "sig", "chunk_idx", "chunk")
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query set, scan the
+  * corpus once — embarrassingly parallel, exact). Scale path: random-
+  * hyperplane LSH bucketing, which turns the O(n·q) scan into a bucket join
+  * touching only colliding candidates; multiple tables trade recall for cost.
+  *
+  * All vector math is `zip_with` + `aggregate` over array columns (codegen'd
+  * built-ins; accumulation in double).
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact brute-force top-k nearest neighbours by cosine.
+    *
+    * `queries` is broadcast (the usual shape: small probe set against a huge
+    * corpus). Self-matches (same id) are excluded. Returns
+    * (query_id, neighbor_id, cosine, rank).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `numTables` tables × `bits` planes of
+    * dimension `dim`, seeded — same planes on every executor/run.
+    */
+  private[llm] def hyperplanes(dim: Int, bits: Int, numTables: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numTables, bits, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-random-projection bucket id for one table: bit j = sign(v · plane_j). */
+  private def bucketId(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed approximate top-k nearest neighbours by cosine.
+    *
+    * Both sides are hashed into `numTables` independent sign-projection
+    * buckets; candidates are pairs colliding in any table; exact cosine is
+    * computed only for candidates and ranked per query. Recall grows with
+    * numTables, cost shrinks with bits.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 12,
+      numTables: Int = 6,
+      dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, bits, numTables, seed)
+
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
+      val base = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      val buckets = array((0 until numTables).map { t =>
+        struct(lit(t).as("table_id"), bucketId(col(vecAs), planes(t)).as("bucket"))
+      }: _*)
+      base.select(col(idAs), col(vecAs), explode(buckets).as("tb"))
+        .select(col(idAs), col(vecAs), col("tb.table_id"), col("tb.bucket"))
+    }
+
+    val c = bucketed(corpus, "neighbor_id", "cvec")
+    val q = bucketed(queries, "query_id", "qvec")
+    val cands = c.join(q, Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qvec", "cvec")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,111 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything here is built from codegen'd Spark built-ins (split/transform/
+  * aggregate/xxhash64) — no UDFs — so the operators stay inside whole-stage
+  * codegen and scale linearly with no shuffle (they are row-local).
+  */
+object TextFns {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-boundary pieces + punctuation, the
+    * usual regex-pretokenizer shape (letters run | digits run | single other).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(t) > 0))
+
+  /** Word n-gram shingles (space-joined), e.g. n=3 for near-dup detection. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - lit(n)),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(length(text) - lit(n), lit(0))),
+      i => text.substr(i + lit(1), lit(n)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  /** Ratio helpers for quality scoring. */
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Stopword hit count (duplicates counted) against a literal stopword set. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "be", "this")
+
+  /** Composite quality score in [0,1]: mean-word-length sanity, punctuation
+    * density, stopword density. A simple, deterministic heuristic — the point
+    * is the columnar shape, not linguistic accuracy.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = greatest(tokenCount(text), lit(1)).cast("double")
+    val meanWordLen = length(regexp_replace(text, "\\s+", "")).cast("double") / nTok
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text), lit(1))
+    val punctScore = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    val stopRatio = stopwordCount(text, EnglishStopwords).cast("double") / nTok
+    val stopScore = least(stopRatio * lit(5.0), lit(1.0))
+    round((wordLenScore + punctScore + stopScore) / lit(3.0), 4)
+  }
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID heuristic. */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "un", "una", "es", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "von", "zu", "mit"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中", "大"))
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts; ties
+    * and all-zero scores fall back to "und". Implemented as a `greatest` over
+    * (score, lang) structs — fully columnar, no UDF.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(words))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit document fingerprint: order-sensitive polynomial rolling hash over
+    * per-token xxhash64 values (ANSI off → wrapping int64 math, as intended).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(1469598103934665603L),
+      (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.broadcast
+
+/** Distributed joins with the reference's surface: 5 join types, multi-key equi
+  * joins, null-safe key matching, and explicit broadcast control.
+  *
+  * Reference semantics (cpp/include/legate_dataframe/join.hpp:25-46,
+  * cpp/src/join.cpp:33-53,111-228): INNER/LEFT/FULL/SEMI/ANTI, hash-repartition
+  * both sides by key unless one side is broadcast, `nulls_equal` flag makes null
+  * keys compare equal.
+  *
+  * Spark-first design: we declare the join and let Catalyst pick
+  * broadcast-hash / shuffled-hash / sort-merge; `BroadcastSide` maps to the
+  * `broadcast()` hint (the reference's `BroadcastInput::{LEFT,RIGHT}`), AUTO maps
+  * to no hint (Catalyst's `autoBroadcastJoinThreshold` + AQE demotion decide).
+  * `nullsEqual=true` maps to `<=>` (`Column.eqNullSafe`) — Catalyst still plans
+  * hash joins for null-safe equality, so the scale path is unchanged.
+  */
+object Joins {
+
+  sealed trait BroadcastSide
+  case object Auto extends BroadcastSide
+  case object BroadcastLeft extends BroadcastSide
+  case object BroadcastRight extends BroadcastSide
+
+  /** Valid Spark join type strings for the reference's five join types. */
+  val JoinTypes: Set[String] = Set("inner", "left", "full", "semi", "anti")
+
+  /** Equi-join on equally-named key columns (output keeps one copy of the keys).
+    *
+    * With `nullsEqual=false` this is plain `join(..., keys, how)`. With
+    * `nullsEqual=true` we build `l.k <=> r.k` conditions and coalesce the key
+    * columns afterwards so the output shape matches the same-name join
+    * (mirrors the reference's coalesced-key output, cpp/src/join.cpp:111-228).
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      how: String = "inner",
+      nullsEqual: Boolean = false,
+      bcast: BroadcastSide = Auto): DataFrame = {
+    require(JoinTypes.contains(how), s"unsupported join type: $how")
+    val (l, r) = bcast match {
+      case Auto => (left, right)
+      case BroadcastLeft => (broadcast(left), right)
+      case BroadcastRight => (left, broadcast(right))
+    }
+    if (!nullsEqual) l.join(r, keys, sparkHow(how))
+    else {
+      val cond = keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+      val joined = l.join(r, cond, sparkHow(how))
+      how match {
+        case "semi" | "anti" => joined // right columns are not in the output
+        case _ =>
+          // keep a single, coalesced copy of each key column, like the
+          // same-name join path does
+          import org.apache.spark.sql.functions.coalesce
+          val keyCols = keys.map(k => coalesce(l(k), r(k)).as(k))
+          val lRest = left.columns.filterNot(keys.contains).map(l(_))
+          val rRest = right.columns.filterNot(keys.contains).map(r(_))
+          joined.select(keyCols ++ lRest ++ rRest: _*)
+      }
+    }
+  }
+
+  /** General-condition join for unequal key names / expressions. */
+  def joinOn(
+      left: DataFrame,
+      right: DataFrame,
+      cond: Column,
+      how: String = "inner",
+      bcast: BroadcastSide = Auto): DataFrame = {
+    require(JoinTypes.contains(how), s"unsupported join type: $how")
+    val (l, r) = bcast match {
+      case Auto => (left, right)
+      case BroadcastLeft => (broadcast(left), right)
+      case BroadcastRight => (left, broadcast(right))
+    }
+    l.join(r, cond, sparkHow(how))
+  }
+
+  private def sparkHow(how: String): String = how match {
+    case "full" => "full_outer"
+    case "semi" => "left_semi"
+    case "anti" => "left_anti"
+    case other => other
+  }
+}

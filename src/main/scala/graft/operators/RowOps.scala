@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-identity operators (SURVEY §2.2): filter, ternary, null-fill, set
+  * membership, sequence. All embarrassingly parallel — no shuffle, and all
+  * stay inside whole-stage codegen.
+  */
+object RowOps {
+
+  /** `apply_boolean_mask(tbl, mask)` — null mask values drop the row
+    * (stream_compaction.hpp:59: null → false). Spark's `filter` already treats
+    * null predicates as false, so this is a direct mapping.
+    */
+  def applyBooleanMask(df: DataFrame, mask: Column): DataFrame = df.filter(mask)
+
+  /** `copy_if_else(cond, lhs, rhs)` with scalar broadcast on either side
+    * (copying.hpp:74) — `when/otherwise`; literals broadcast implicitly.
+    */
+  def ifElse(cond: Column, lhs: Column, rhs: Column): Column =
+    when(cond, lhs).otherwise(rhs)
+
+  /** `replace_nulls(col, scalar)` (replace.hpp:46) — Arrow `coalesce`. */
+  def replaceNulls(c: Column, value: Any): Column = coalesce(c, lit(value))
+
+  /** `contains(haystack, needles)` (search.hpp:47): membership of each needle in
+    * the haystack *column*. The reference broadcasts the haystack to every rank
+    * (search.cpp:78); at scale the Spark analogue of a non-literal haystack is a
+    * (broadcast) left-semi join, which Catalyst picks automatically when the
+    * haystack side is small.
+    */
+  def isInLiterals(c: Column, values: Seq[Any]): Column = c.isin(values: _*)
+
+  /** Column-vs-column membership as a broadcast semi-join marker column. */
+  def isInColumn(df: DataFrame, needle: String, haystack: DataFrame, hayCol: String): DataFrame = {
+    val hay = haystack.select(col(hayCol).as("__graft_hay")).distinct()
+    df.join(broadcast(hay), col(needle) === col("__graft_hay"), "left")
+      .withColumn(s"${needle}_in", col("__graft_hay").isNotNull)
+      .drop("__graft_hay")
+  }
+
+  /** `sequence(size, init)` (filling.hpp:56) — `spark.range`, which already
+    * computes each partition's slice from its offset exactly like
+    * `evenly_partition_work` (utils.cpp:243).
+    */
+  def sequence(spark: SparkSession, size: Long, init: Long = 0): DataFrame =
+    spark.range(init, init + size).toDF("id")
+}

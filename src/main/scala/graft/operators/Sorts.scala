@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+
+/** Distributed sort with the reference's surface:
+  * `sort(tbl, keys, sort_ascending[], nulls_at_end, stable, limit)`
+  * (sort.hpp:76-81).
+  *
+  * The reference implements a sample sort (local sort → split candidates →
+  * all-to-all → local merge, cpp/src/sort.cpp:106-294); Spark's
+  * `RangePartitioning` + `SortExec` is the same algorithm (reservoir-sampled
+  * range partitioner), and `sort+limit` is rewritten by Catalyst to a top-k
+  * `TakeOrderedAndProjectExec` — the local-limit-before-shuffle optimization the
+  * reference applies by hand (sort.cpp:296-308).
+  *
+  * Limit semantics follow the reference: positive = head, negative = tail
+  * (sort.cpp:425-432). Tail is computed by sorting in reverse, taking |limit|,
+  * and re-sorting the (now tiny) result — both sorts are top-k plans.
+  */
+object Sorts {
+
+  def sort(
+      df: DataFrame,
+      keys: Seq[String],
+      ascending: Seq[Boolean],
+      nullsAtEnd: Boolean = true,
+      limit: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty && keys.length == ascending.length, "keys/ascending mismatch")
+    val order = orderCols(keys, ascending, nullsAtEnd)
+    limit match {
+      case None => df.orderBy(order: _*)
+      case Some(n) if n >= 0 => df.orderBy(order: _*).limit(n.toInt)
+      case Some(n) => // tail: reverse order, take |n|, restore order
+        val rev = orderCols(keys, ascending.map(!_), !nullsAtEnd)
+        df.orderBy(rev: _*).limit((-n).toInt).orderBy(order: _*)
+    }
+  }
+
+  private def orderCols(
+      keys: Seq[String],
+      ascending: Seq[Boolean],
+      nullsAtEnd: Boolean): Seq[Column] =
+    keys.zip(ascending).map { case (k, asc) =>
+      (asc, nullsAtEnd) match {
+        case (true, true) => col(k).asc_nulls_last
+        case (true, false) => col(k).asc_nulls_first
+        case (false, true) => col(k).desc_nulls_last
+        case (false, false) => col(k).desc_nulls_first
+      }
+    }
+}
