@@ -401,7 +401,8 @@ object SparkEntry {
     }),
     "q50_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      ord(Similarity.lshTopK(e, e, "vec_id", "embedding", k = 1)
+      // 500 near-random vectors: short codes + more tables (see LlmSpec)
+      ord(Similarity.lshTopK(e, e, "vec_id", "embedding", k = 1, bits = 6, numTables = 8)
         .withColumn("cosine", round(col("cosine"), 4)), "query_id")
     }),
     "q51_multimodal" -> ((s, dir) => {

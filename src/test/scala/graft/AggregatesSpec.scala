@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Aggregates
+import graft.operators.Aggregates.AggRequest
+import graft.functions.Registry
+
+/** Grouped aggregation + reductions per reference groupby_aggregation.cu:46-88
+  * and reduction.cpp:153-161; ddof=0 variance semantics; null keys form a group.
+  */
+class AggregatesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+    ("b", Some(4.0)), ("b", Some(4.0)), (null, Some(7.0)))
+    .toDF("k", "v")
+
+  test("groupby request surface: sum/count/count_all/mean/min/max") {
+    val out = Aggregates.groupby(df, Seq("k"), Seq(
+      AggRequest("v", "sum", "s"),
+      AggRequest("v", "count", "c"),      // valid only
+      AggRequest("v", "count_all", "ca"), // rows incl. nulls
+      AggRequest("v", "mean", "m"),
+      AggRequest("v", "min", "mn"),
+      AggRequest("v", "max", "mx")))
+    assertSameRows(out, Seq(
+      Seq("a", 3.0, 2L, 3L, 1.5, 1.0, 2.0),
+      Seq("b", 8.0, 2L, 2L, 4.0, 4.0, 4.0),
+      Seq(null, 7.0, 1L, 1L, 7.0, 7.0, 7.0))) // null key = its own group
+  }
+
+  test("variance/stddev are population (ddof=0, Arrow semantics)") {
+    val out = Aggregates.groupby(df.filter($"k" === "a"), Seq("k"), Seq(
+      AggRequest("v", "variance", "var"),
+      AggRequest("v", "stddev", "sd")))
+    val r = out.collect()(0)
+    assert(math.abs(r.getDouble(1) - 0.25) < 1e-12) // var_pop of {1,2} = 0.25
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-12)
+  }
+
+  test("custom product aggregate (DeclarativeAggregate) with partial/final split") {
+    val out = Aggregates.groupby(df, Seq("k"), Seq(AggRequest("v", "product", "p")))
+    assertSameRows(out, Seq(Seq("a", 2.0), Seq("b", 16.0), Seq(null, 7.0)))
+    // empty-over-nulls group yields null, matching Arrow skip_nulls
+    val allNull = Seq(("x", Option.empty[Double])).toDF("k", "v")
+    assert(Aggregates.groupby(allNull, Seq("k"),
+      Seq(AggRequest("v", "product", "p"))).collect()(0).isNullAt(1))
+  }
+
+  test("product works in SQL via registry") {
+    df.createOrReplaceTempView("agg_in")
+    val out = spark.sql("SELECT k, graft_product(v) AS p FROM agg_in GROUP BY k")
+    assert(out.filter($"k" === "b").collect()(0).getDouble(1) == 16.0)
+  }
+
+  test("scalar reduce: two-phase partial/final shape") {
+    val out = Aggregates.reduceAll(df, Seq(
+      AggRequest("v", "sum", "s"),
+      AggRequest("v", "count", "c"),
+      AggRequest("v", "mean", "m")))
+    assertSameRows(out, Seq(Seq(18.0, 5L, 3.6)))
+    // plan must contain partial + final aggregation
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+
+  test("count_distinct and median kinds") {
+    val d = Seq(("a", 1.0), ("a", 1.0), ("a", 3.0), ("a", 5.0)).toDF("k", "v")
+    val out = Aggregates.groupby(d, Seq("k"), Seq(
+      AggRequest("v", "count_distinct", "nd"),
+      AggRequest("v", "median", "med")))
+    val r = out.collect()(0)
+    assert(r.getLong(1) == 3L)
+    assert(r.getDouble(2) >= 1.0 && r.getDouble(2) <= 3.0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.{Ops, StringFns, TimeFns}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (SURVEY §2.7): binary/unary ops, both round modes,
+  * strptime translation, timestamp component extraction, string matches.
+  */
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("binary op null semantics: validity = AND of operands") {
+    val d = Seq((Some(1.0), Some(2.0)), (Some(1.0), None), (None, None))
+      .toDF("a", "b")
+    val out = d.select(Ops.binary($"a", $"b", "add").as("s"))
+    assert(rows(out).map(_(0)) == Seq(3.0, null, null))
+  }
+
+  test("kleene boolean logic (3-valued)") {
+    val d = Seq((Some(true), Option.empty[Boolean]), (Some(false), None))
+      .toDF("a", "b")
+    val out = d.select(
+      Ops.binary($"a", $"b", "and_kleene").as("and"),
+      Ops.binary($"a", $"b", "or_kleene").as("or"))
+    // true AND null = null; false AND null = false; true OR null = true
+    assert(rows(out) == Seq(Seq(null, true), Seq(false, null)))
+  }
+
+  test("round modes: half_up vs half_to_even (unaryop.hpp:69)") {
+    val d = Seq(0.5, 1.5, 2.5, -0.5).toDF("x")
+    val out = d.select(
+      Ops.roundHalfUp($"x", 0).as("up"),
+      Ops.roundHalfToEven($"x", 0).as("even"))
+    assert(rows(out) == Seq(
+      Seq(1.0, 0.0), Seq(2.0, 2.0), Seq(3.0, 2.0), Seq(-1.0, -0.0)))
+  }
+
+  test("strptime → java format translation") {
+    assert(TimeFns.strptimeToJava("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
+    assert(TimeFns.strptimeToJava("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss")
+    assert(TimeFns.strptimeToJava("%d/%b/%Y") == "dd/MMM/yyyy")
+    intercept[IllegalArgumentException](TimeFns.strptimeToJava("%Q"))
+  }
+
+  test("to_timestamps parses strptime-formatted strings") {
+    val d = Seq("2024-03-01 12:34:56").toDF("s")
+    val out = d.select(TimeFns.toTimestamps($"s", "%Y-%m-%d %H:%M:%S").as("ts"))
+    assert(out.collect()(0).getTimestamp(0).toString == "2024-03-01 12:34:56.0")
+  }
+
+  test("timestamp component extraction incl. Arrow day_of_week (Mon=0)") {
+    val d = Seq("2024-03-04 01:02:03").toDF("s") // a Monday
+      .select(to_timestamp($"s").as("ts"))
+    val out = d.select(
+      TimeFns.extractComponent($"ts", "year").as("y"),
+      TimeFns.extractComponent($"ts", "month").as("m"),
+      TimeFns.extractComponent($"ts", "day").as("d"),
+      TimeFns.extractComponent($"ts", "day_of_week").as("dow"),
+      TimeFns.extractComponent($"ts", "hour").as("h"),
+      TimeFns.extractComponent($"ts", "minute").as("mi"),
+      TimeFns.extractComponent($"ts", "second").as("sec"))
+    assert(rows(out) == Seq(Seq(2024, 3, 4, 0, 1, 2, 3)))
+    // Sunday → 6
+    val sun = Seq("2024-03-03").toDF("s").select(to_timestamp($"s").as("ts"))
+    assert(rows(sun.select(TimeFns.extractComponent($"ts", "day_of_week")))
+      .head.head == 6)
+  }
+
+  test("string match functions (strings.hpp:49-51)") {
+    val d = Seq("hello world", "say hell no", "HELLO").toDF("s")
+    val out = d.select(
+      StringFns.matches("starts_with", $"s", "hell").as("sw"),
+      StringFns.matches("ends_with", $"s", "world").as("ew"),
+      StringFns.matches("match_substring", $"s", "hell").as("ms"),
+      StringFns.matches("match_substring_regex", $"s", "^h.*d$").as("re"))
+    assert(rows(out) == Seq(
+      Seq(true, true, true, true),
+      Seq(false, false, true, false),
+      Seq(false, false, false, false)))
+  }
+
+  test("cast surface") {
+    val d = Seq((1.9, "42")).toDF("d", "s")
+    val out = d.select(
+      Ops.cast($"d", org.apache.spark.sql.types.IntegerType).as("i"),
+      Ops.cast($"s", org.apache.spark.sql.types.LongType).as("l"))
+    assert(rows(out) == Seq(Seq(1, 42L))) // truncation toward zero, ANSI off
+  }
+}

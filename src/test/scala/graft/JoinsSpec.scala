@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+
+/** Join semantics per reference join.hpp:25-46: 5 types, nulls_equal,
+  * broadcast variants. Fixtures mirror FIXTURES.md §3 (J1/J3 shapes).
+  */
+class JoinsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // J3: duplicate keys on build side + an unmatched key each side
+  private lazy val lhs = Seq(
+    (1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "a4"), (5L, "a5"))
+    .toDF("k", "payload_a")
+  private lazy val rhs = Seq(
+    (1L, "b1"), (1L, "b1x"), (2L, "b2"), (5L, "b5"), (6L, "b6"))
+    .toDF("k", "payload_b")
+
+  test("inner join with duplicate build keys") {
+    assertSameRows(
+      Joins.join(lhs, rhs, Seq("k"), "inner"),
+      Seq(
+        Seq(1L, "a1", "b1"), Seq(1L, "a1", "b1x"),
+        Seq(2L, "a2", "b2"), Seq(5L, "a5", "b5")))
+  }
+
+  test("left join keeps unmatched probe rows with nulls") {
+    assertSameRows(
+      Joins.join(lhs, rhs, Seq("k"), "left"),
+      Seq(
+        Seq(1L, "a1", "b1"), Seq(1L, "a1", "b1x"), Seq(2L, "a2", "b2"),
+        Seq(3L, "a3", null), Seq(4L, "a4", null), Seq(5L, "a5", "b5")))
+  }
+
+  test("full join keeps both unmatched sides") {
+    val full = Joins.join(lhs, rhs, Seq("k"), "full")
+    assert(full.count() == 7) // 4 matches + lhs {3,4} + rhs {6}
+    assert(full.filter(col("payload_a").isNull).count() == 1)
+    assert(full.filter(col("payload_b").isNull).count() == 2)
+  }
+
+  test("semi and anti partition the probe side") {
+    assertSameRows(
+      Joins.join(lhs, rhs, Seq("k"), "semi"),
+      Seq(Seq(1L, "a1"), Seq(2L, "a2"), Seq(5L, "a5")))
+    assertSameRows(
+      Joins.join(lhs, rhs, Seq("k"), "anti"),
+      Seq(Seq(3L, "a3"), Seq(4L, "a4")))
+  }
+
+  test("nulls_equal=true matches null keys (reference default, join.hpp:85)") {
+    val l = Seq((Some(1L), "a1"), (None, "aN")).toDF("k", "payload_a")
+    val r = Seq((Some(1L), "b1"), (None, "bN")).toDF("k", "payload_b")
+    // plain equality: null keys never match
+    assert(Joins.join(l, r, Seq("k"), "inner").count() == 1)
+    // null-safe: null keys match each other
+    assertSameRows(
+      Joins.join(l, r, Seq("k"), "inner", nullsEqual = true),
+      Seq(Seq(1L, "a1", "b1"), Seq(null, "aN", "bN")))
+  }
+
+  test("broadcast hint changes the physical plan, not the result") {
+    val auto = Joins.join(lhs, rhs, Seq("k"), "inner")
+    val bc = Joins.join(lhs, rhs, Seq("k"), "inner", bcast = Joins.BroadcastRight)
+    assert(rows(bc).map(_.toString).sorted == rows(auto).map(_.toString).sorted)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast in plan:\n$plan")
+  }
+
+  test("multi-key join, key order != column order (J4 regression)") {
+    val l = Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("a_a", "b_a", "p")
+    val r = Seq((10L, 1L, "u"), (20L, 99L, "v")).toDF("a_b", "b_b", "q")
+    val j = Joins.joinOn(l, r, col("a_a") === col("b_b") && col("b_a") === col("a_b"))
+    assertSameRows(j.select("p", "q"), Seq(Seq("x", "u")))
+  }
+}

@@ -1,0 +1,132 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextFns}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operators: dedup recall vs exact Jaccard, simhash invariants,
+  * similarity-search recall vs brute force, text analysis, multimodal plumbing.
+  */
+class LlmSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Engine.table(spark, sfDir, "documents")
+  private lazy val emb = Engine.table(spark, sfDir, "embeddings")
+
+  test("token count matches whitespace splitting") {
+    val d = Seq("one two  three", " lead trail ", "single").toDF("text")
+    assert(rows(d.select(TextFns.tokenCount($"text"))).map(_(0)) == Seq(3, 2, 1))
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val d = Seq("a b c", "a b c", "c b a").toDF("text")
+    val fps = rows(d.select(TextFns.fingerprint($"text"))).map(_(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val d = Seq(
+      "the cat sat on the mat and it was good",
+      "le chat est sur la table et il est un chat",
+      "el perro es un animal y la casa es grande",
+      "xyzzy qwerty plugh").toDF("text")
+    assert(rows(d.select(TextFns.langId($"text"))).map(_(0))
+      == Seq("en", "fr", "es", "und"))
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    assertSameRows(Dedup.exact(d, Seq("text"), "doc_id").select("keep_id", "dup_count"),
+      Seq(Seq(1L, 2L), Seq(3L, 1L)))
+  }
+
+  test("simhash: identical texts collide, disjoint texts differ") {
+    val d = Seq("spark engine columnar data", "spark engine columnar data",
+      "totally unrelated words here now").toDF("text")
+    val sigs = rows(d.select(Dedup.simhash64($"text"))).map(_(0).asInstanceOf[Long])
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("minhash-LSH finds planted near-duplicates (recall vs brute force)") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val nearDup = base.replace("today", "tonight")
+    val planted = Seq((9001L, base), (9002L, nearDup))
+      .toDF("doc_id", "text")
+    val corpus = docs.select("doc_id", "text").unionAll(planted)
+    val exact = Dedup.bruteForcePairs(corpus, "doc_id", "text", threshold = 0.6)
+    val lsh = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.6)
+    val exactPairs = rows(exact.select("id_a", "id_b")).toSet
+    val lshPairs = rows(lsh.select("id_a", "id_b")).toSet
+    assert(exactPairs.contains(Seq(9001L, 9002L)), "planted pair must be a true near-dup")
+    // LSH must recover a large fraction of true pairs (probabilistic bound)
+    assert(exactPairs.nonEmpty)
+    val recall = lshPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"LSH recall $recall too low; found ${lshPairs.size} of ${exactPairs.size}")
+    // and every reported pair must truly pass the threshold (verified exact)
+    assert(lshPairs.subsetOf(exactPairs))
+  }
+
+  test("cosine matches hand computation") {
+    val d = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val sims = rows(d.select(Similarity.cosine($"a", $"b"))).map(_(0).asInstanceOf[Double])
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k is exact and ranked") {
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(tiny, tiny.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+    assert(rows(out.select("neighbor_id", "rank"))
+      == Seq(Seq(2L, 1), Seq(3L, 2)))
+  }
+
+  test("LSH ANN recall@1 vs brute force on real embeddings") {
+    val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
+      .select($"query_id", $"neighbor_id".as("true_nn"))
+    // the synthetic embeddings are near-random (top-1 cosine ≈ 0.37), the
+    // hardest case for sign-LSH — short codes + many tables for recall
+    val ann = Similarity.lshTopK(emb, emb, "vec_id", "embedding", 1,
+      bits = 4, numTables = 16)
+      .select($"query_id", $"neighbor_id".as("ann_nn"))
+    val joined = bf.join(ann, "query_id")
+    val n = joined.count().toDouble
+    val hits = joined.filter($"true_nn" === $"ann_nn").count().toDouble
+    assert(n > 400, s"ANN returned too few results: $n")
+    val recall = hits / n
+    assert(recall >= 0.7, s"ANN recall@1 $recall below 0.7")
+  }
+
+  test("multimodal decode stage: schema + deterministic stub features") {
+    val media = Multimodal.fromDocuments(docs.limit(20))
+    val decoded = Multimodal.decodeStage(media)
+    assert(decoded.columns.toSeq ==
+      Seq("media_id", "payload", "meta", "width", "height", "channels", "features"))
+    val twice = Multimodal.decodeStage(media)
+    assert(rows(decoded.select("media_id", "features")).toSet
+      == rows(twice.select("media_id", "features")).toSet)
+    assert(decoded.count() == 20)
+  }
+
+  test("payload stats digest matches sha2 of the text") {
+    val d = Seq((7L, "hello")).toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(5L))
+    val media = Multimodal.fromDocuments(d)
+    val digest = Multimodal.payloadStats(media).select("digest").collect()(0).getString(0)
+    val expected = d.select(sha2($"text", 256)).collect()(0).getString(0)
+    assert(digest == expected)
+  }
+
+  test("quality score is in [0,1] and penalizes garbage") {
+    val d = Seq(
+      "the cat sat on the mat and it was a good day for all of us",
+      "!!!! ???? #### $$$$ %%%%").toDF("text")
+    val scores = rows(d.select(TextFns.qualityScore($"text"))).map(_(0).asInstanceOf[Double])
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+}

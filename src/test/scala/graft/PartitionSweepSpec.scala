@@ -1,0 +1,24 @@
+package graft
+
+/** Scale-out sweep mirroring the reference's multi-rank parametrization
+  * (testing.py:321-339): the same query must produce identical results at
+  * shuffle-partition counts 1, 2, 4, 8.
+  */
+class PartitionSweepSpec extends SparkSuite {
+
+  private val sweepQueries = Seq(
+    "q16_groupby_q1", "q22_join_inner", "q13_sort_multikey",
+    "q10_distinct", "q27_join_nullsafe", "q40_dedup_exact")
+
+  test("results are partition-count invariant") {
+    for (q <- sweepQueries) {
+      val results = Seq(1, 2, 4, 8).map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        try rows(SparkEntry.queries(q)(spark, sfDir)).map(_.toString)
+        finally spark.conf.set("spark.sql.shuffle.partitions", 4)
+      }
+      assert(results.distinct.size == 1,
+        s"$q differs across partition counts: sizes=${results.map(_.size)}")
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{SetOps, Sorts, RowOps}
+import org.apache.spark.sql.functions._
+
+/** Sort surface per reference sort.hpp:76-81 (multi-key, per-key ascending,
+  * nulls placement, positive/negative limit) + set-like ops (SURVEY §2.6).
+  */
+class SortsSetOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Some(3L), "c"), (Some(1L), "a"), (None, "n"), (Some(2L), "b"), (Some(5L), "e"))
+    .toDF("k", "v")
+
+  test("sort ascending, nulls at end") {
+    assert(rows(Sorts.sort(df, Seq("k"), Seq(true), nullsAtEnd = true))
+      .map(_(1)) == Seq("a", "b", "c", "e", "n"))
+  }
+
+  test("sort descending, nulls first") {
+    assert(rows(Sorts.sort(df, Seq("k"), Seq(false), nullsAtEnd = false))
+      .map(_(1)) == Seq("n", "e", "c", "b", "a"))
+  }
+
+  test("positive limit = head (top-k plan)") {
+    val topk = Sorts.sort(df, Seq("k"), Seq(true), limit = Some(2))
+    assert(rows(topk).map(_(1)) == Seq("a", "b"))
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
+  test("negative limit = tail, order restored (sort.cpp:425-432)") {
+    assert(rows(Sorts.sort(df, Seq("k"), Seq(true), limit = Some(-2)))
+      .map(_(1)) == Seq("e", "n"))
+  }
+
+  test("multi-key with mixed directions") {
+    val d = Seq((1, 9), (1, 3), (2, 5), (2, 7)).toDF("a", "b")
+    assert(rows(Sorts.sort(d, Seq("a", "b"), Seq(true, false)))
+      == Seq(Seq(1, 9), Seq(1, 3), Seq(2, 7), Seq(2, 5)))
+  }
+
+  test("distinct keeps one arbitrary row per key (hash_one semantics)") {
+    val d = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
+    val out = SetOps.distinct(d, Seq("k"))
+    assert(out.count() == 2)
+    assert(out.select("k").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
+  test("union + slice") {
+    val a = Seq(1, 2).toDF("x")
+    val b = Seq(3, 4, 5).toDF("x")
+    val u = SetOps.union(Seq(a, b))
+    assert(u.count() == 5)
+    val s = SetOps.slice(u.orderBy("x"), 1, 2)
+    assert(rows(s).map(_(0)) == Seq(2, 3))
+  }
+
+  test("intersect / exceptAll") {
+    val a = Seq(1, 2, 2, 3).toDF("x")
+    val b = Seq(2, 3, 4).toDF("x")
+    assert(rows(SetOps.intersect(a, b).orderBy("x")).map(_(0)) == Seq(2, 3))
+    assert(rows(SetOps.exceptAll(a, b).orderBy("x")).map(_(0)) == Seq(1, 2))
+  }
+
+  test("sequence matches spark.range semantics") {
+    val s = RowOps.sequence(spark, 5, 10)
+    assert(rows(s).map(_(0)) == Seq(10L, 11L, 12L, 13L, 14L))
+  }
+
+  test("isInColumn = broadcast semi-join membership") {
+    val needles = Seq(1, 2, 5).toDF("n")
+    val hay = Seq(2, 5, 9).toDF("h")
+    val out = RowOps.isInColumn(needles, "n", hay, "h").orderBy("n")
+    assert(rows(out) == Seq(Seq(1, false), Seq(2, true), Seq(5, true)))
+  }
+}
