@@ -1,24 +1,88 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: times every SparkEntry query at the given scale factor and
+  * reproduces the reference's inner-join throughput metric
+  * (python/benchmarks/join.py:131-170): GiB/s = (bytes_in + bytes_out) /
+  * elapsed, bytes = rows × 4 float64 cols × 8 B, op-only timing with inputs
+  * materialized beforehand (the Spark analogue of the reference's blocking
+  * execution fences around the measured operator).
+  *
+  * Queries are materialized through the `noop` sink so the full plan executes
+  * (a bare `count()` would let Catalyst prune columns and skip work).
+  */
 object Bench {
+
+  private def materialize(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Reference join benchmark: nrows float64 rows per side, 2 cols each,
+    * unique shuffled keys (unique-factor 1.0), inner join.
+    */
+  private def joinThroughputGiBs(spark: SparkSession, nrows: Long): Double = {
+    import spark.implicits._
+    def side(payloadName: String): DataFrame =
+      spark.range(nrows).select(
+        // bijective key shuffle: odd multiplier mod power-of-two nrows
+        pmod(col("id") * 2654435761L, lit(nrows)).cast("double").as("key"),
+        (col("id") % 97).cast("double").as(payloadName))
+    val lhs = side("payload_a").cache()
+    val rhs = side("payload_b").cache()
+    materialize(lhs); materialize(rhs) // inputs resident before timing
+    val joined = lhs.join(rhs, "key")
+    // warmup + measured run, like the reference's warmup_rounds
+    materialize(joined)
+    val outRows = joined.count()
+    val secs = time(materialize(joined))
+    val bytesIn = (nrows * 2 + nrows * 2) * 8.0
+    val bytesOut = outRows * 3 * 8.0
+    lhs.unpersist(); rhs.unpersist()
+    (bytesIn + bytesOut) / secs / math.pow(2, 30)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      // single-node bench settings: shuffle compression trades CPU for
+      // network, which doesn't exist here; spill/shuffle to tmpfs. On a real
+      // cluster both stay at Spark defaults (compression on).
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    graft.functions.Registry.register(spark)
+
+    // JVM/codegen warmup on the flagship query
+    try materialize(SparkEntry.queries("q16_groupby_q1")(spark, sfDir))
+    catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val secs =
+        try time(materialize(fn(spark, sfDir)))
+        catch { case _: Throwable => -1.0 }
+      name -> secs
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val joinNrows = sys.env.getOrElse("SPARK_GRAFT_JOIN_NROWS", (1L << 22).toString).toLong
+    val joinGiBs =
+      try joinThroughputGiBs(spark, joinNrows)
+      catch { case _: Throwable => -1.0 }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","join_throughput_gibs":$joinGiBs,"join_nrows":$joinNrows}""")
     spark.stop()
   }
 }

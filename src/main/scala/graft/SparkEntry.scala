@@ -200,6 +200,13 @@ object SparkEntry {
         round(avg(col("l_discount")), 6).as("avg_disc")),
         "l_returnflag")
     }),
+    "q19_groupby_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ord(li.groupBy("l_returnflag").agg(
+        round(median(col("l_quantity")), 4).as("med_qty"),
+        round(median(col("l_extendedprice")), 4).as("med_price")),
+        "l_returnflag")
+    }),
     "q20_groupby_product" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       ord(li.groupBy("l_orderkey").agg(
@@ -283,6 +290,33 @@ object SparkEntry {
         count(lit(1)).as("n_orders")),
         "r_name", "n_name")
     }),
+    "q37_isin_column" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+      ord(RowOps.isInColumn(c, "c_custkey", o, "o_custkey"), "c_custkey")
+    }),
+    "q38_setops" -> ((s, dir) => {
+      val evens = t(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k"))
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val i = SetOps.intersect(evens, withOrders).withColumn("op", lit("intersect"))
+      val e = evens.distinct().exceptAll(withOrders.distinct()).withColumn("op", lit("except"))
+      ord(SetOps.union(Seq(i, e)), "op", "k")
+    }),
+    "q39_cumulative" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      // cum_min/cum_max/cum_sum — declared-but-unimplemented in the reference
+      // (dsl/expressions/unary.py:110-117); windows make them free on Spark
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        min(col("l_quantity")).over(w).as("cum_min_qty"),
+        max(col("l_extendedprice")).over(w).as("cum_max_price"),
+        sum(col("l_quantity")).over(w).as("cum_sum_qty")))
+    }),
     // ───────────────────────── strings / timestamps ─────────────────────────
     "q30_strings" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -346,6 +380,22 @@ object SparkEntry {
       val back = sources.IO.ndjsonRead(s, Seq(tmp), Some(n.schema))
       ord(back, "n_nationkey")
     }),
+    "q54_any_all" -> ((s, dir) => {
+      import Aggregates.AggRequest
+      val li = t(s, dir, "lineitem")
+        .withColumn("big", col("l_quantity") > 49)
+        .withColumn("pos", col("l_quantity") > 0)
+      ord(Aggregates.groupby(li, Seq("l_returnflag"), Seq(
+        AggRequest("big", "any", "any_big"),
+        AggRequest("pos", "all", "all_pos"))),
+        "l_returnflag")
+    }),
+    "q55_parquet_roundtrip" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pq").toString
+      sources.IO.parquetWrite(sup, tmp)
+      ord(sources.IO.parquetRead(s, Seq(tmp)), "s_suppkey")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -382,7 +432,9 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 4)), "id_a", "id_b")
     }),
     "q47_ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      // brute force is the O(n²) verification oracle, not the scale path
+      // (that's q46's LSH) — bound it to a fixed 500-doc slice at every SF
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
       ord(Dedup.bruteForcePairs(d, "doc_id", "text", threshold = 0.3)
         .withColumn("jaccard", round(col("jaccard"), 4)), "id_a", "id_b")
     }),
@@ -517,6 +569,11 @@ object SparkEntry {
         |  round(stddev_pop(l_quantity), 2) AS std_qty,
         |  round(avg(l_discount), 6) AS avg_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q19_groupby_median" ->
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 4) AS med_qty,
+        |  round(median(l_extendedprice), 4) AS med_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q20_groupby_product" ->
       """SELECT l_orderkey,
         |  round(product(1.0 + l_discount), 6) AS disc_product,
@@ -619,6 +676,41 @@ object SparkEntry {
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q36_ndjson_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q37_isin_column" ->
+      """SELECT c_custkey,
+        |  c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |    AS c_custkey_in
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q38_setops" ->
+      """SELECT * FROM (
+        |  SELECT k, 'intersect' AS op FROM (
+        |    SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0
+        |    INTERSECT
+        |    SELECT o_custkey AS k FROM orders)
+        |  UNION ALL
+        |  SELECT k, 'except' AS op FROM (
+        |    SELECT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0
+        |    EXCEPT
+        |    SELECT o_custkey AS k FROM orders)
+        |) ORDER BY op, k""".stripMargin,
+    "q39_cumulative" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  min(l_quantity) OVER w AS cum_min_qty,
+        |  max(l_extendedprice) OVER w AS cum_max_price,
+        |  sum(l_quantity) OVER w AS cum_sum_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_quantity, l_extendedprice
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY ALL""".stripMargin,
+    "q54_any_all" ->
+      """SELECT l_returnflag,
+        |  bool_or(l_quantity > 49) AS any_big,
+        |  bool_and(l_quantity > 0) AS all_pos
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q55_parquet_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

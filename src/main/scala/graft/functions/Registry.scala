@@ -15,7 +15,14 @@ object Registry {
         GraftProduct(org.apache.spark.sql.catalyst.expressions.Cast(
           exprs.head, org.apache.spark.sql.types.DoubleType)).toAggregateExpression(),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)),
+      "built-in")
   }
+
+  /** Codegen'd vector dot product (requires [[register]] on the session). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Multiplicative aggregate (requires [[register]] on the session). */
   def product(c: Column): Column = call_function("graft_product", c)

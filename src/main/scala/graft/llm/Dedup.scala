@@ -32,12 +32,26 @@ object Dedup {
     * n-gram shingle set. hash_j(s) = xxhash64(s, j) — seeding via an extra
     * hashed column, all codegen'd built-ins.
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column = {
-    val shingles = array_distinct(TextFns.wordShingles(text, shingleSize))
+  def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column =
+    signatureOfShingles(array_distinct(TextFns.wordShingles(text, shingleSize)), numHashes)
+
+  /** Signature from an already-materialized shingle-set column. Keeping the
+    * shingle set in its own (persisted) projection matters: inlined, Catalyst's
+    * CollapseProject would rebuild the shingle array once per hash function.
+    */
+  private def signatureOfShingles(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map { j =>
       array_min(transform(shingles, s => xxhash64(s, lit(j))))
     }: _*)
-  }
+
+  /** (id, shingle-set) frame, persisted — shared by signature computation and
+    * exact-Jaccard verification so shingling runs once per document.
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      array_distinct(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .persist()
 
   /** LSH candidate pairs from MinHash signatures.
     *
@@ -55,17 +69,25 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    candidatesFromShingles(shingleSets(df, idCol, textCol, shingleSize),
+      bands, rowsPerBand, maxBucket)
+
+  private def candidatesFromShingles(
+      sh: DataFrame, bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val sig = sh.select(
+      col("id"),
+      signatureOfShingles(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
       col("id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .toDF("id", "band_idx", "band_hash")
+      // persisted: referenced twice by the self-join, and banding is the
+      // expensive part of the pipeline (signatures over every shingle)
+      .persist()
     val capped = banded
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
@@ -89,10 +111,10 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 3): DataFrame = {
-    val sets = df.select(
-      col(idCol).as("id"),
-      array_distinct(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
+      shingleSize: Int = 3): DataFrame =
+    jaccardOfPairs(pairs, shingleSets(df, idCol, textCol, shingleSize))
+
+  private def jaccardOfPairs(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
       .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
@@ -101,7 +123,6 @@ object Dedup {
       .select(
         col("id_a"), col("id_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
-  }
 
   /** MinHash-LSH near-duplicate pairs with exact Jaccard confirmation. */
   def nearDuplicates(
@@ -112,9 +133,10 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4,
       shingleSize: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, bands, rowsPerBand, shingleSize)
-    jaccardVerify(cands, df, idCol, textCol, shingleSize)
-      .filter(col("jaccard") >= threshold)
+    // one shingling pass shared by candidate generation AND verification
+    val sh = shingleSets(df, idCol, textCol, shingleSize)
+    val cands = candidatesFromShingles(sh, bands, rowsPerBand, maxBucket = 1000)
+    jaccardOfPairs(cands, sh).filter(col("jaccard") >= threshold)
   }
 
   /** Brute-force all-pairs Jaccard (testing oracle; O(n²) — small inputs only). */
@@ -124,11 +146,11 @@ object Dedup {
       textCol: String,
       threshold: Double,
       shingleSize: Int = 3): DataFrame = {
-    val ids = df.select(col(idCol).as("id_a"))
-    val ids2 = df.select(col(idCol).as("id_b"))
-    val pairs = ids.crossJoin(ids2).filter(col("id_a") < col("id_b"))
-    jaccardVerify(pairs, df, idCol, textCol, shingleSize)
-      .filter(col("jaccard") >= threshold)
+    val sh = shingleSets(df, idCol, textCol, shingleSize)
+    val pairs = sh.select(col("id").as("id_a"))
+      .crossJoin(sh.select(col("id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    jaccardOfPairs(pairs, sh).filter(col("jaccard") >= threshold)
   }
 
   /** One literal mask per bit (1L << i); lets the per-bit logic use

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Registry
+
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Baseline: brute-force cosine top-k (broadcast the query set, scan the
@@ -11,28 +13,30 @@ import org.apache.spark.sql.functions._
   * hyperplane LSH bucketing, which turns the O(n·q) scan into a bucket join
   * touching only colliding candidates; multiple tables trade recall for cost.
   *
-  * All vector math is `zip_with` + `aggregate` over array columns (codegen'd
-  * built-ins; accumulation in double).
+  * Hot-path vector math uses the native `graft_dot` Catalyst expression (a
+  * codegen'd primitive loop — see functions.DotProduct); norms are computed
+  * ONCE per vector in a projection, never per pair.
   */
 object Similarity {
 
-  /** Dot product of two array<float|double> columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product (native expression; falls back to zip_with-free codegen). */
+  def dot(a: Column, b: Column): Column = Registry.dot(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
+  /** Cosine similarity. Prefer the topK entry points, which hoist the norm
+    * computation out of the pair loop.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Exact brute-force top-k nearest neighbours by cosine.
     *
     * `queries` is broadcast (the usual shape: small probe set against a huge
-    * corpus). Self-matches (same id) are excluded. Returns
-    * (query_id, neighbor_id, cosine, rank).
+    * corpus); each side's norm is computed once in a projection, so the pair
+    * loop is a single dot product. Self-matches (same id) are excluded.
+    * Returns (query_id, neighbor_id, cosine, rank).
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -40,11 +44,15 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      l2Norm(col(vecCol)).as("qnorm")))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      l2Norm(col(vecCol)).as("cnorm"))
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -72,7 +80,8 @@ object Similarity {
     * Both sides are hashed into `numTables` independent sign-projection
     * buckets; candidates are pairs colliding in any table; exact cosine is
     * computed only for candidates and ranked per query. Recall grows with
-    * numTables, cost shrinks with bits.
+    * numTables, cost shrinks with bits. Norms ride along with the buckets so
+    * the candidate loop is one dot product per pair.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -86,24 +95,25 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(dim, bits, numTables, seed)
 
-    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame = {
-      val base = df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+    def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame = {
+      val base = df.select(
+        col(idCol).as(idAs), col(vecCol).as(vecAs), l2Norm(col(vecCol)).as(normAs))
       val buckets = array((0 until numTables).map { t =>
         struct(lit(t).as("table_id"), bucketId(col(vecAs), planes(t)).as("bucket"))
       }: _*)
-      base.select(col(idAs), col(vecAs), explode(buckets).as("tb"))
-        .select(col(idAs), col(vecAs), col("tb.table_id"), col("tb.bucket"))
+      base.select(col(idAs), col(vecAs), col(normAs), explode(buckets).as("tb"))
+        .select(col(idAs), col(vecAs), col(normAs), col("tb.table_id"), col("tb.bucket"))
     }
 
-    val c = bucketed(corpus, "neighbor_id", "cvec")
-    val q = bucketed(queries, "query_id", "qvec")
+    val c = bucketed(corpus, "neighbor_id", "cvec", "cnorm")
+    val q = bucketed(queries, "query_id", "qvec", "qnorm")
     val cands = c.join(q, Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qvec", "cvec")
+      .select("query_id", "neighbor_id", "qvec", "cvec", "qnorm", "cnorm")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands
-      .withColumn("cosine", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
