@@ -365,6 +365,11 @@ object SparkEntry {
         dsum(col("value")).as("total_value")),
         "wstart", "event_type")
     }),
+    "q52_sessionize" -> ((s, dir) => {
+      val ev = Engine.events(s, dir)
+      ord(graft.streaming.Events.sessionizeBatch(ev, gapMinutes = 30),
+        "user_id", "session_id")
+    }),
     // ───────────────────────── I/O roundtrips ─────────────────────────
     "q35_csv_roundtrip" -> ((s, dir) => {
       val r = t(s, dir, "region")
@@ -672,6 +677,24 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "q52_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |           - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q35_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q36_ndjson_roundtrip" ->

@@ -4,6 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Row type for stateful sessionization (top-level: Catalyst's encoder
+  * codegen needs public access). Instant keeps the full microsecond
+  * precision of TimestampType (j.sql.Timestamp.getTime truncates to ms).
+  */
+case class SessEvent(user_id: Long, ts: java.time.Instant, event_id: Long)
+
+/** Per-user session state: (start, end, firstEvent, count) per open session. */
+case class SessState(sessions: List[(Long, Long, Long, Int)])
+
 /** Structured Streaming over the `events` table shape (beyond-reference: the
   * reference has no streaming surface, SURVEY §2.9).
   *
@@ -60,6 +69,66 @@ object Events {
       .select(
         col("window.start").as("wstart"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Batch sessionization: gap-based sessions per user (gap > `gapMinutes`
+    * starts a new session). lag + cumulative-sum windows — the standard
+    * columnar sessionize, one shuffle on user_id.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val newSess = when(
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+        > gapMinutes * 60000000L, 1).otherwise(0)
+    events
+      .withColumn("new_sess", coalesce(newSess, lit(0)))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"))
+  }
+
+
+  /** Streaming sessionization with explicit state
+    * (`flatMapGroupsWithState`) — the custom-state path of SURVEY §2.9.
+    * With a static input and one micro-batch this matches sessionizeBatch.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("ts"), col("event_id")).as[SessEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) => {
+          def micros(i: java.time.Instant): Long =
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val gapUs = gapMinutes * 60000000L
+          var sessions = List.empty[(Long, Long, Long, Int)]
+          for (e <- sorted) {
+            val t = micros(e.ts)
+            sessions match {
+              case (s, end, first, n) :: rest if t - end <= gapUs =>
+                sessions = (s, t, first, n + 1) :: rest
+              case _ =>
+                sessions = (t, t, t, 1) :: sessions
+            }
+          }
+          def inst(us: Long): java.time.Instant =
+            java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+          sessions.reverse.zipWithIndex.iterator.map { case ((s, e2, _, n), i) =>
+            (userId, i.toLong, n.toLong, inst(s), inst(e2))
+          }
+        })
+      .toDF("user_id", "session_id", "n_events", "sess_start", "sess_end")
+  }
 
   /** Run a streaming query over the static events dir to completion via the
     * memory sink; returns the materialized result (test harness helper).

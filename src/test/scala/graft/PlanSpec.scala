@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-quality assertions — the properties that matter at 100 TB:
+  * predicate pushdown into the parquet scan, column pruning, broadcast of
+  * dimension tables, partial aggregation, whole-stage codegen coverage.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+  }
+
+  test("filter is pushed down to the parquet scan") {
+    val li = Engine.table(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val scan = li.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"no pushed filter in scan:\n$scan")
+  }
+
+  test("column pruning reaches the scan (ReadSchema)") {
+    val li = Engine.table(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val scan = li.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection:\n$scan")
+  }
+
+  test("star join broadcasts every dimension") {
+    val plan = planOf("q29_join_broadcast_star")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts == 3, s"expected 3 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "star join must not shuffle-sort")
+  }
+
+  test("aggregation is partial+final (map-side combine)") {
+    val plan = planOf("q16_groupby_q1")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q14_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+  }
+
+  test("row-local pipelines stay inside whole-stage codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // '*(n)' prefixes mark whole-stage-codegen'd operators in simple mode
+      val plan = planOf("q03_binaryops")
+      assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("native dot-product expression participates in codegen") {
+    val e = Engine.table(spark, sfDir, "embeddings")
+    val df = e.select(graft.functions.Registry.dot(col("embedding"), col("embedding")).as("d"))
+    val cg = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    // one codegen subtree, and the generated code contains our loop
+    assert(cg.contains("WholeStageCodegen"), cg.take(500))
+    assert(df.collect().forall(_.getDouble(0) > 0.0))
+  }
+
+  test("exact dedup plans as partial+final aggregate (no raw shuffle of rows)") {
+    val d = Engine.table(spark, sfDir, "documents")
+    val plan = graft.llm.Dedup.exact(d, Seq("text"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+}

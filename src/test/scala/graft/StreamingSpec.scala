@@ -26,6 +26,17 @@ class StreamingSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("stateful streaming sessionization == batch sessionization") {
+    val batch = Events.sessionizeBatch(Engine.events(spark, sfDir))
+    val streamed = Events.sessionizeStream(Events.readStream(spark, eventsDir))
+    val q = streamed.writeStream.format("memory")
+      .queryName("graft_sessions").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_sessions")
+    assert(rows(got).map(_.toString).sorted == rows(batch).map(_.toString).sorted)
+    assert(got.count() > 0)
+  }
+
   test("sliding window produces more buckets than tumbling") {
     val slid = Events.runToMemory(spark,
       Events.slidingAgg(Events.readStream(spark, eventsDir)),
