@@ -365,6 +365,48 @@ object SparkEntry {
         dsum(col("value")).as("total_value")),
         "wstart", "event_type")
     }),
+    "q58_hstack" -> ((s, dir) => {
+      // polars HStack / with_columns (dsl/ir.py:834-878): add + replace
+      val o = t(s, dir, "orders")
+      ordAll(o
+        .withColumns(Map(
+          "price_k" -> col("o_totalprice") / 1000.0,
+          "o_orderstatus" -> lower(col("o_orderstatus")), // replace existing
+          "is_big" -> (col("o_totalprice") > 200000)))
+        .select("o_orderkey", "o_orderstatus", "price_k", "is_big"))
+    }),
+    "q56_bitops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ln = col("l_linenumber").cast("long")
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Ops.binary(col("l_orderkey"), ln, "bit_wise_xor").as("xor_kl"),
+        Ops.binary(col("l_orderkey"), lit(255L), "bit_wise_and").as("and_255"),
+        Ops.binary(col("l_orderkey"), lit(7L), "bit_wise_or").as("or_7"),
+        Ops.binary(ln, lit(2), "shift_left").as("shl_2"),
+        Ops.binary(col("l_orderkey"), lit(3), "shift_right").as("shr_3"),
+        Ops.unary(col("l_orderkey"), "bit_wise_not").as("not_k"),
+        bit_count(col("l_orderkey")).as("bits_k")))
+    }),
+    "q57_math_more" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val maybeNaN = RowOps.ifElse(col("l_linenumber") === 1,
+        lit(Double.NaN), col("l_discount"))
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(Ops.unary(col("l_discount"), "tan"), 6).as("tan_d"),
+        round(Ops.unary(col("l_discount"), "asin"), 6).as("asin_d"),
+        round(Ops.unary(col("l_discount"), "acos"), 6).as("acos_d"),
+        round(Ops.unary(col("l_discount"), "atan"), 6).as("atan_d"),
+        round(Ops.binary(col("l_discount") + 1.0, col("l_tax") + 2.0, "atan2"), 6).as("atan2_dt"),
+        round(Ops.binary(lit(2.0), col("l_quantity") + 1.0, "logb"), 6).as("log2b_q"),
+        round(Ops.unary(col("l_quantity"), "cbrt"), 6).as("cbrt_q"),
+        round(Ops.unary(col("l_quantity") + 1.0, "log2"), 6).as("log2_q"),
+        round(Ops.unary(col("l_quantity") + 1.0, "log10"), 6).as("log10_q"),
+        round(Ops.unary(col("l_discount"), "exp"), 6).as("exp_d"),
+        signum(col("l_quantity") - 25.0).as("sign_q"),
+        Ops.unary(maybeNaN, "is_nan").as("nan_flag")))
+    }),
     "q52_sessionize" -> ((s, dir) => {
       val ev = Engine.events(s, dir)
       ord(graft.streaming.Events.sessionizeBatch(ev, gapMinutes = 30),
@@ -677,6 +719,36 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    "q58_hstack" ->
+      """SELECT o_orderkey, lower(o_orderstatus) AS o_orderstatus,
+        |  o_totalprice / 1000.0 AS price_k,
+        |  o_totalprice > 200000 AS is_big
+        |FROM orders ORDER BY ALL""".stripMargin,
+    "q56_bitops" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xor_kl,
+        |  l_orderkey & 255 AS and_255,
+        |  l_orderkey | 7 AS or_7,
+        |  CAST(l_linenumber AS BIGINT) << 2 AS shl_2,
+        |  l_orderkey >> 3 AS shr_3,
+        |  ~l_orderkey AS not_k,
+        |  CAST(bit_count(l_orderkey) AS INT) AS bits_k
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q57_math_more" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(tan(l_discount), 6) AS tan_d,
+        |  round(asin(l_discount), 6) AS asin_d,
+        |  round(acos(l_discount), 6) AS acos_d,
+        |  round(atan(l_discount), 6) AS atan_d,
+        |  round(atan2(l_discount + 1.0, l_tax + 2.0), 6) AS atan2_dt,
+        |  round(log(2.0, l_quantity + 1.0), 6) AS log2b_q,
+        |  round(cbrt(l_quantity), 6) AS cbrt_q,
+        |  round(log2(l_quantity + 1.0), 6) AS log2_q,
+        |  round(log10(l_quantity + 1.0), 6) AS log10_q,
+        |  round(exp(l_discount), 6) AS exp_d,
+        |  CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sign_q,
+        |  isnan(CASE WHEN l_linenumber = 1 THEN 'NaN'::DOUBLE ELSE l_discount END) AS nan_flag
+        |FROM lineitem ORDER BY ALL""".stripMargin,
     "q52_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

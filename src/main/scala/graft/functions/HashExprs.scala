@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hashing expressions for the dedup hot paths.
+  *
+  * The composable forms (`aggregate(zip_with(...))` per bit, or k×
+  * `array_min(transform(...))`) evaluate interpreted lambdas per element with
+  * boxing — at corpus scale that's the whole cost of signature computation.
+  * These expressions make one primitive pass over the token/shingle array.
+  * They're row-local leaf computations feeding shuffles, so CodegenFallback
+  * (no WSCG fusion) costs little; the inner loops are primitive Java.
+  */
+object HashExprs {
+  /** xxhash64 of a UTF8String with a seed. */
+  @inline private[functions] def hashStr(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+}
+
+/** 64-bit SimHash over an array<string> token column: bit i of the result is
+  * set iff the majority of token hashes have bit i set (±1 vote per token).
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashExprs.hashStr(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle-set column — array<string> or
+  * array<long> (pre-hashed shingles): k minimum values of
+  * h_j(s) = h1(s) + j·h2(s) (two-base universal hashing — one hash pair per
+  * shingle instead of k full hashes). For pre-hashed input, h1 is the value
+  * and h2 a finalizer-mixed variant, so shingle strings are hashed exactly
+  * once in the whole dedup pipeline.
+  */
+case class MinHashSignatureExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val elemIsLong: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case ArrayType(StringType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash expects array<string|bigint>, got $other")
+  }
+
+  /** splitmix64 finalizer — decorrelates h2 from h1 for pre-hashed input. */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        var h1 = 0L
+        var h2 = 0L
+        if (elemIsLong) {
+          h1 = arr.getLong(i)
+          h2 = mix(h1) | 1L // odd → full-period stride
+        } else {
+          val s = arr.getUTF8String(i)
+          h1 = HashExprs.hashStr(s, 0L)
+          h2 = HashExprs.hashStr(s, 1L) | 1L
+        }
+        var j = 0
+        var h = h1
+        while (j < numHashes) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
+    copy(child = newChild)
+}

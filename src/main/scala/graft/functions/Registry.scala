@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 
 /** Registers graft's custom Catalyst expressions with a session's function
   * registry so they are usable from both the Column API and SQL.
@@ -19,7 +19,23 @@ object Registry {
       "graft_dot",
       exprs => DotProduct(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64",
+      exprs => SimHash64Expr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSignatureExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
   }
+
+  /** Native simhash over an array<string> token column. */
+  def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+
+  /** Native minhash signature over an array<string> shingle column. */
+  def minhash(shingles: Column, numHashes: Int): Column =
+    call_function("graft_minhash", shingles, lit(numHashes))
 
   /** Codegen'd vector dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

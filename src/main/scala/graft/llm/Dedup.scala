@@ -35,22 +35,26 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int, shingleSize: Int = 3): Column =
     signatureOfShingles(array_distinct(TextFns.wordShingles(text, shingleSize)), numHashes)
 
-  /** Signature from an already-materialized shingle-set column. Keeping the
-    * shingle set in its own (persisted) projection matters: inlined, Catalyst's
-    * CollapseProject would rebuild the shingle array once per hash function.
+  /** Signature from an already-materialized shingle-set column, via the
+    * native one-pass MinHashSignatureExpr (see functions.HashExprs — the k×
+    * array_min(transform(...)) form re-walks the shingle array per hash
+    * function with interpreted lambdas).
     */
   private def signatureOfShingles(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(shingles, s => xxhash64(s, lit(j))))
-    }: _*)
+    graft.functions.Registry.minhash(shingles, numHashes)
 
-  /** (id, shingle-set) frame, persisted — shared by signature computation and
-    * exact-Jaccard verification so shingling runs once per document.
+  /** (id, hashed-shingle-set) frame, persisted — shared by signature
+    * computation and exact-Jaccard verification so each document is shingled
+    * and hashed exactly once. Shingles are stored as sorted distinct xxhash64
+    * values: set cardinalities (and hence Jaccard) are preserved modulo
+    * 64-bit collisions, and every downstream op works on primitive longs.
     */
   private def shingleSets(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame =
     df.select(
       col(idCol).as("id"),
-      array_distinct(TextFns.wordShingles(col(textCol), shingleSize)).as("sh"))
+      sort_array(array_distinct(
+        transform(TextFns.wordShingles(col(textCol), shingleSize), s => xxhash64(s))))
+        .as("sh"))
       .persist()
 
   /** LSH candidate pairs from MinHash signatures.
@@ -153,29 +157,14 @@ object Dedup {
     jaccardOfPairs(pairs, sh).filter(col("jaccard") >= threshold)
   }
 
-  /** One literal mask per bit (1L << i); lets the per-bit logic use
-    * `bitwiseAND` with `zip_with` instead of a column-valued shift.
-    */
-  private def bitMasks: Column = array((0 until 64).map(i => lit(1L << i)): _*)
-
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is set iff
-    * the majority of token hashes have bit i set (per-bit ±1 vote). Built with
-    * transform/aggregate/zip_with over bit-mask literals — no UDF, codegen'd.
+    * the majority of token hashes have bit i set (per-bit ±1 vote). One
+    * native pass over the token array (functions.SimHash64Expr); token hashes
+    * are bit-compatible with Spark's `xxhash64` (seed 42).
     * Hamming-close simhashes ⇒ near-duplicate texts.
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextFns.tokens(text), t => xxhash64(t))
-    val counters = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) =>
-        zip_with(acc, bitMasks,
-          (a, m) => a + when(h.bitwiseAND(m) =!= 0L, lit(1)).otherwise(lit(-1))))
-    aggregate(
-      zip_with(counters, bitMasks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => acc.bitwiseOR(bit))
-  }
+  def simhash64(text: Column): Column =
+    graft.functions.Registry.simhash64(TextFns.tokens(text))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column =

@@ -107,12 +107,20 @@ object Similarity {
 
     val c = bucketed(corpus, "neighbor_id", "cvec", "cnorm")
     val q = bucketed(queries, "query_id", "qvec", "qnorm")
-    val cands = c.join(q, Seq("table_id", "bucket"))
+    // dedupe candidate ID PAIRS first (16-byte rows), then join the vectors
+    // back — shuffling vectors through dropDuplicates would move ~30× more
+    // bytes per row
+    val candIds = c.select("neighbor_id", "table_id", "bucket")
+      .join(q.select("query_id", "table_id", "bucket"), Seq("table_id", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qvec", "cvec", "qnorm", "cnorm")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    val cVecs = c.select("neighbor_id", "cvec", "cnorm").dropDuplicates("neighbor_id")
+    val qVecs = q.select("query_id", "qvec", "qnorm").dropDuplicates("query_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands
+    candIds
+      .join(qVecs, "query_id")
+      .join(cVecs, "neighbor_id")
       .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

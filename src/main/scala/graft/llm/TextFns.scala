@@ -20,11 +20,14 @@ object TextFns {
   def tokenCount(text: Column): Column =
     size(tokens(text))
 
-  /** BPE-ish subword count estimate: word-boundary pieces + punctuation, the
-    * usual regex-pretokenizer shape (letters run | digits run | single other).
+  /** BPE-ish subword count estimate: regex-pretokenizer pieces — letter runs,
+    * digit runs, single punctuation — whitespace dropped.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(t) > 0))
+    size(filter(
+      split(text,
+        "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
+      t => length(trim(t)) > 0))
 
   /** Word n-gram shingles (space-joined), e.g. n=3 for near-dup detection. */
   def wordShingles(text: Column, n: Int): Column = {

@@ -129,4 +129,24 @@ class LlmSpec extends SparkSuite {
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
     assert(scores(0) > scores(1))
   }
+
+  test("subword count and char shingles") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(("hello, world42", "abcd")).toDF("a", "b")
+    val sw = rows(d.select(TextFns.subwordCount(col("a")))).head.head
+    assert(sw == 4, s"hello / , / world / 42 -> got $sw") // whitespace dropped
+    val cs = rows(d.select(TextFns.charShingles(col("b"), 2))).head.head
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(cs.toSeq == Seq("ab", "bc", "cd"))
+  }
+
+  test("cache/CSE: reused subplan is computed from the cached relation") {
+    val d = docs.select("doc_id", "n_chars").cache()
+    try {
+      d.count()
+      val joined = d.filter(d("n_chars") > 200).join(d, "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), plan)
+    } finally d.unpersist()
+  }
 }
