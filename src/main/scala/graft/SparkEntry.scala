@@ -504,6 +504,11 @@ object SparkEntry {
       ord(Similarity.lshTopK(e, e, "vec_id", "embedding", k = 1, bits = 6, numTables = 8)
         .withColumn("cosine", round(col("cosine"), 4)), "query_id")
     }),
+    "q59_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      ord(Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.42)
+        .withColumn("cosine", round(col("cosine"), 4)), "id_a", "id_b")
+    }),
     "q51_multimodal" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val media = Multimodal.fromDocuments(d)
@@ -862,6 +867,22 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+    "q59_embedding_neardup" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (a.nrm * b.nrm), 4) AS cosine
+        |FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (a.nrm * b.nrm) >= 0.42
+        |ORDER BY id_a, id_b""".stripMargin,
     "q51_multimodal" ->
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

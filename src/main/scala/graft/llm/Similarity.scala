@@ -60,6 +60,104 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a<b) pairs with
+    * cosine ≥ threshold. Exact all-pairs form — the verification oracle and
+    * the right tool up to ~10⁴ vectors; at corpus scale, generate candidates
+    * with [[lshTopK]]'s bucketing instead and verify exactly.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      l2Norm(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** IVF (inverted-file) approximate top-k: k-means-lite centroids (Lloyd
+    * iterations over the corpus, deterministic init = first `nlist` vectors
+    * by id), corpus partitioned by nearest centroid, queries probe the
+    * `nprobe` nearest lists. The index build collects only the centroid
+    * matrix (nlist × dim doubles) to the driver — the corpus itself never
+    * moves. Scale path: recall comes from nprobe, cost from nlist.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v")).persist()
+
+    // deterministic init: first nlist vectors by id
+    var centroids: Array[Array[Double]] = base.orderBy("id").limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+    def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        val cc = array(c.map(lit): _*)
+        struct((dot(vec, cc) / lit(math.sqrt(c.map(x => x * x).sum).max(1e-12)))
+          .as("score"), lit(i).as("cid"))
+      }
+      greatest(scored: _*).getField("cid")
+    }
+
+    for (_ <- 0 until lloydIters) {
+      val assigned = base.withColumn("cid", nearestCentroid(col("v"), centroids))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+        .collect()
+      means.foreach { r =>
+        centroids(r.getInt(0)) = r.getSeq[Double](1).toArray
+      }
+    }
+
+    val cAssigned = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      l2Norm(col(vecCol)).as("cnorm"))
+      .withColumn("cid", nearestCentroid(transform(col("cvec"), x => x.cast("double")), centroids))
+
+    // queries probe the nprobe nearest lists
+    def probeLists(vec: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val cc = array(c.map(lit): _*)
+        struct((dot(vec, cc) / lit(math.sqrt(c.map(x => x * x).sum).max(1e-12)))
+          .as("score"), lit(i).as("cid"))
+      }
+      slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
+    }
+    val qProbed = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      l2Norm(col(vecCol)).as("qnorm"))
+      .withColumn("probe", explode(probeLists(
+        transform(col("qvec"), x => x.cast("double")))))
+      .withColumn("cid", col("probe.cid"))
+      .drop("probe")
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    qProbed.join(cAssigned, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Deterministic random hyperplanes: `numTables` tables × `bits` planes of
     * dimension `dim`, seeded — same planes on every executor/run.
     */

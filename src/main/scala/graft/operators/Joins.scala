@@ -82,6 +82,30 @@ object Joins {
     l.join(r, cond, sparkHow(how))
   }
 
+  /** Salted join for skewed keys: the big (probe) side gets a deterministic
+    * salt in [0, saltBuckets) derived from its non-key columns; the small
+    * (build) side is replicated once per salt value. A hot key's rows then
+    * spread over `saltBuckets` reducers instead of one. Use when AQE's
+    * skew-join splitting isn't available (e.g. forced shuffled-hash) or the
+    * skew is extreme; result is identical to `join`.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      how: String = "inner",
+      saltBuckets: Int = 16): DataFrame = {
+    require(how == "inner" || how == "left", "salted join preserves the big side only")
+    import org.apache.spark.sql.functions.{col => c, explode, lit, pmod, sequence, xxhash64}
+    val nonKey = big.columns.filterNot(keys.contains)
+    val saltSrc = if (nonKey.nonEmpty) nonKey.map(c).toSeq else keys.map(c)
+    val bigS = big.withColumn("__graft_salt",
+      pmod(xxhash64(saltSrc: _*), lit(saltBuckets.toLong)).cast("int"))
+    val smallS = small.withColumn("__graft_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    bigS.join(smallS, keys :+ "__graft_salt", sparkHow(how)).drop("__graft_salt")
+  }
+
   private def sparkHow(how: String): String = how match {
     case "full" => "full_outer"
     case "semi" => "left_semi"

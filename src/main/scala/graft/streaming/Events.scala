@@ -130,6 +130,13 @@ object Events {
       .toDF("user_id", "session_id", "n_events", "sess_start", "sess_end")
   }
 
+  /** Streaming exact dedup on event_id with watermark-bounded state — the
+    * streaming face of the dedup operator family (drops replayed events).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming query over the static events dir to completion via the
     * memory sink; returns the materialized result (test harness helper).
     */

@@ -75,4 +75,16 @@ class JoinsSpec extends SparkSuite {
     val j = Joins.joinOn(l, r, col("a_a") === col("b_b") && col("b_a") === col("a_b"))
     assertSameRows(j.select("p", "q"), Seq(Seq("x", "u")))
   }
+
+  test("salted join equals plain join on skewed keys") {
+    import spark.implicits._
+    val skewed = (Seq.fill(500)((1L, "hot")) ++ Seq((2L, "a"), (3L, "b")))
+      .zipWithIndex.map { case ((k, v), i) => (k, v + i) }.toDF("k", "payload_a")
+    val dim = Seq((1L, "one"), (2L, "two"), (4L, "four")).toDF("k", "payload_b")
+    val plain = Joins.join(skewed, dim, Seq("k"), "inner")
+    val salted = Joins.saltedJoin(skewed, dim, Seq("k"), "inner", saltBuckets = 8)
+    assert(rows(salted).map(_.toString).sorted == rows(plain).map(_.toString).sorted)
+    val left = Joins.saltedJoin(skewed, dim, Seq("k"), "left", saltBuckets = 8)
+    assert(left.count() == skewed.count())
+  }
 }

@@ -149,4 +149,25 @@ class LlmSpec extends SparkSuite {
       assert(plan.contains("InMemoryTableScan"), plan)
     } finally d.unpersist()
   }
+
+  test("IVF ANN recall@1 vs brute force") {
+    val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
+      .select($"query_id", $"neighbor_id".as("true_nn"))
+    val ivf = Similarity.ivfTopK(emb, emb, "vec_id", "embedding", 1,
+      nlist = 8, nprobe = 4)
+      .select($"query_id", $"neighbor_id".as("ivf_nn"))
+    val joined = bf.join(ivf, "query_id")
+    val n = joined.count().toDouble
+    assert(n > 450, s"IVF returned too few results: $n")
+    val recall = joined.filter($"true_nn" === $"ivf_nn").count().toDouble / n
+    assert(recall >= 0.6, s"IVF recall@1 $recall below 0.6")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and thresholded") {
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.40)
+    val got = rows(pairs)
+    assert(got.nonEmpty)
+    assert(got.forall(r => r(0).asInstanceOf[Long] < r(1).asInstanceOf[Long]))
+    assert(got.forall(_(2).asInstanceOf[Double] >= 0.40))
+  }
 }

@@ -44,4 +44,14 @@ class StreamingSpec extends SparkSuite {
     val tumb = Events.tumblingAggBatch(Engine.events(spark, sfDir))
     assert(slid.count() > tumb.count())
   }
+
+  test("streaming dedup drops replayed event_ids") {
+    val dup = Events.dedupStream(Events.readStream(spark, eventsDir))
+    val q = dup.writeStream.format("memory")
+      .queryName("graft_dedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_dedup")
+    val expected = Engine.events(spark, sfDir).dropDuplicates("event_id").count()
+    assert(got.count() == expected)
+  }
 }
