@@ -504,6 +504,25 @@ object SparkEntry {
       ord(Similarity.lshTopK(e, e, "vec_id", "embedding", k = 1, bits = 6, numTables = 8)
         .withColumn("cosine", round(col("cosine"), 4)), "query_id")
     }),
+    "q60_argminmax" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      ord(o.groupBy("o_custkey").agg(
+        min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+        max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price")),
+        "o_custkey")
+    }),
+    "q61_ts_events" -> ((s, dir) => {
+      val ev = Engine.events(s, dir)
+      ordAll(ev.select(
+        col("event_id"),
+        TimeFns.extractComponent(col("ts"), "hour").as("h"),
+        TimeFns.extractComponent(col("ts"), "minute").as("mi"),
+        TimeFns.extractComponent(col("ts"), "second").as("sec"),
+        TimeFns.extractComponent(col("ts"), "millisecond").as("ms"),
+        TimeFns.extractComponent(col("ts"), "microsecond").as("us")))
+    }),
     "q59_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       ord(Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.42)
@@ -867,6 +886,40 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+    "q43_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, list_max([
+        |    {'score': CAST(length(list_filter(toks, t -> list_contains(
+        |      ['der','die','das','und','ist','ein','eine','von','zu','mit'], t))) AS INT), 'lang': 'de'},
+        |    {'score': CAST(length(list_filter(toks, t -> list_contains(
+        |      ['the','and','of','to','in','is','that','it','was','for'], t))) AS INT), 'lang': 'en'},
+        |    {'score': CAST(length(list_filter(toks, t -> list_contains(
+        |      ['el','la','los','las','de','y','un','una','es','que'], t))) AS INT), 'lang': 'es'},
+        |    {'score': CAST(length(list_filter(toks, t -> list_contains(
+        |      ['le','la','les','de','des','et','un','une','est','que'], t))) AS INT), 'lang': 'fr'},
+        |    {'score': CAST(length(list_filter(toks, t -> list_contains(
+        |      ['的','是','了','在','我','有','他','这','中','大'], t))) AS INT), 'lang': 'zh'}
+        |  ]) AS best
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |) ORDER BY doc_id""".stripMargin,
+    "q60_argminmax" ->
+      """SELECT o_custkey,
+        |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+        |  arg_max(o_orderkey, o_totalprice) AS priciest_order,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q61_ts_events" ->
+      """SELECT event_id,
+        |  CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS h,
+        |  CAST(extract(minute FROM CAST(ts AS TIMESTAMP)) AS INT) AS mi,
+        |  CAST(extract(second FROM CAST(ts AS TIMESTAMP)) AS INT) AS sec,
+        |  CAST(extract(millisecond FROM CAST(ts AS TIMESTAMP)) % 1000 AS INT) AS ms,
+        |  CAST(extract(microsecond FROM CAST(ts AS TIMESTAMP)) % 1000 AS INT) AS us
+        |FROM events ORDER BY ALL""".stripMargin,
     "q59_embedding_neardup" ->
       """WITH norms AS (
         |  SELECT vec_id, embedding,

@@ -71,8 +71,10 @@ object TimeFns {
     case "hour" => hour(c)
     case "minute" => minute(c)
     case "second" => second(c)
-    case "millisecond" => (date_part(lit("MICROSECONDS"), c) / 1000).cast("int") % 1000
-    case "microsecond" => date_part(lit("MICROSECONDS"), c).cast("int") % 1000
+    case "millisecond" =>
+      (pmod(unix_micros(c), lit(1000000L)) / 1000).cast("int")
+    case "microsecond" =>
+      pmod(unix_micros(c), lit(1000L)).cast("int")
     case "nanosecond" => lit(0) // Spark timestamps are microsecond precision
     case other => throw new IllegalArgumentException(s"unsupported component: $other")
   }

@@ -70,6 +70,32 @@ class PlanSpec extends SparkSuite {
     assert(df.collect().forall(_.getDouble(0) > 0.0))
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // the 100 TB pattern: bucket fact + dim by the join key at write time,
+    // then repeated joins need no Exchange at all
+    // warehouse.dir is static — default ./spark-warehouse is fine for the test
+    val li = Engine.table(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Engine.table(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bkt")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_bkt")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bkt")
+        .join(spark.table("o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      joined.count() // force final AQE plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Engine.table(spark, sfDir, "lineitem").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS o_bkt")
+    }
+  }
+
   test("exact dedup plans as partial+final aggregate (no raw shuffle of rows)") {
     val d = Engine.table(spark, sfDir, "documents")
     val plan = graft.llm.Dedup.exact(d, Seq("text"), "doc_id")
