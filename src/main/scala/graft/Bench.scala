@@ -38,10 +38,11 @@ object Bench {
     val rhs = side("payload_b").cache()
     materialize(lhs); materialize(rhs) // inputs resident before timing
     val joined = lhs.join(rhs, "key")
-    // warmup + measured run, like the reference's warmup_rounds
+    // warmup + best-of-3 measured runs, like the reference's warmup_rounds /
+    // runs flags (shared-machine noise makes single runs swing 5×)
     materialize(joined)
     val outRows = joined.count()
-    val secs = time(materialize(joined))
+    val secs = (1 to 3).map(_ => time(materialize(joined))).min
     val bytesIn = (nrows * 2 + nrows * 2) * 8.0
     val bytesOut = outRows * 3 * 8.0
     lhs.unpersist(); rhs.unpersist()

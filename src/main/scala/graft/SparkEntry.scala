@@ -317,6 +317,38 @@ object SparkEntry {
         max(col("l_extendedprice")).over(w).as("cum_max_price"),
         sum(col("l_quantity")).over(w).as("cum_sum_qty")))
     }),
+    "q63_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 shape: 3-way join, pushed filters, agg, top-k by revenue
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val li = t(s, dir, "lineitem")
+      val joined = li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      joined.groupBy("l_orderkey")
+        .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    "q64_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5 shape: 5-way star join, revenue by nation, broadcast dims
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val joined = li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      ord(joined.groupBy("n_name")
+        .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items")),
+        "n_name")
+    }),
     // ───────────────────────── strings / timestamps ─────────────────────────
     "q30_strings" -> ((s, dir) => {
       val p = t(s, dir, "part")
@@ -341,7 +373,10 @@ object SparkEntry {
     "q32_ts_parse" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val strs = li.select(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("s")).distinct()
-      ord(strs.select(TimeFns.toTimestamps(col("s"), "%Y-%m-%d %H:%M:%S").as("parsed")), "parsed")
+      // output as epoch micros: engines agree on the instant, but timestamp
+      // physical types (ns vs us) may normalize differently in the comparer
+      ord(strs.select(unix_micros(
+        TimeFns.toTimestamps(col("s"), "%Y-%m-%d %H:%M:%S")).as("parsed_us")), "parsed_us")
     }),
     // ───────────────────────── windows (beyond-reference) ─────────────────────────
     "q33_window_funcs" -> ((s, dir) => {
@@ -409,7 +444,9 @@ object SparkEntry {
     }),
     "q52_sessionize" -> ((s, dir) => {
       val ev = Engine.events(s, dir)
-      ord(graft.streaming.Events.sessionizeBatch(ev, gapMinutes = 30),
+      ord(graft.streaming.Events.sessionizeBatch(ev, gapMinutes = 30)
+        .withColumn("sess_start", unix_micros(col("sess_start")))
+        .withColumn("sess_end", unix_micros(col("sess_end"))),
         "user_id", "session_id")
     }),
     // ───────────────────────── I/O roundtrips ─────────────────────────
@@ -503,6 +540,15 @@ object SparkEntry {
       // 500 near-random vectors: short codes + more tables (see LlmSpec)
       ord(Similarity.lshTopK(e, e, "vec_id", "embedding", k = 1, bits = 6, numTables = 8)
         .withColumn("cosine", round(col("cosine"), 4)), "query_id")
+    }),
+    "q62_json_props" -> ((s, dir) => {
+      // events.props is a JSON string — beyond-reference, but every real
+      // event pipeline needs JSON extraction
+      val ev = Engine.events(s, dir)
+      ord(ev.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")),
+        "event_id")
     }),
     "q60_argminmax" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -725,10 +771,35 @@ object SparkEntry {
         |  CAST(isodow(l_shipdate) - 1 AS INT) AS dow,
         |  CAST(extract(quarter FROM l_shipdate) AS INT) AS q
         |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q63_tpch_q3" ->
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l.l_orderkey
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q64_tpch_q5" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 10000 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY n_name""".stripMargin,
     "q32_ts_parse" ->
-      """SELECT DISTINCT strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
-        |  '%Y-%m-%d %H:%M:%S') AS parsed
-        |FROM lineitem ORDER BY parsed""".stripMargin,
+      """SELECT DISTINCT epoch_us(strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
+        |  '%Y-%m-%d %H:%M:%S')) AS parsed_us
+        |FROM lineitem ORDER BY parsed_us""".stripMargin,
     "q33_window_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(row_number() OVER w AS INT) AS rn,
@@ -788,7 +859,7 @@ object SparkEntry {
         |  FROM marked
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(ts) AS sess_start, max(ts) AS sess_end
+        |  epoch_us(min(ts)) AS sess_start, epoch_us(max(ts)) AS sess_end
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "q35_csv_roundtrip" ->
@@ -905,6 +976,10 @@ object SparkEntry {
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |        FROM documents)
         |) ORDER BY doc_id""".stripMargin,
+    "q62_json_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
     "q60_argminmax" ->
       """SELECT o_custkey,
         |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,

@@ -60,6 +60,40 @@ case class SimHash64Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** |A ∩ B| / |A ∪ B| of two SORTED array<long> columns (hashed shingle sets)
+  * via a single merge pass — no per-pair hash-set allocation, which is what
+  * `array_intersect`/`array_union` cost on millions of candidate pairs.
+  */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_jaccard_sorted"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(inter.toDouble / union)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSortedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature over a shingle-set column — array<string> or
   * array<long> (pre-hashed shingles): k minimum values of
   * h_j(s) = h1(s) + j·h2(s) (two-base universal hashing — one hash pair per

@@ -24,11 +24,19 @@ object Registry {
       exprs => SimHash64Expr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaccard_sorted",
+      exprs => JaccardSortedExpr(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
       exprs => MinHashSignatureExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]),
       "built-in")
   }
+
+  /** Merge-pass Jaccard of two sorted array<long> columns. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    call_function("graft_jaccard_sorted", a, b)
 
   /** Native simhash over an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)

@@ -122,11 +122,10 @@ object Dedup {
     pairs
       .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .select(
         col("id_a"), col("id_b"),
-        (col("inter").cast("double") / col("uni")).as("jaccard"))
+        // sets are sorted long arrays → single merge pass per pair
+        graft.functions.Registry.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
 
   /** MinHash-LSH near-duplicate pairs with exact Jaccard confirmation. */
   def nearDuplicates(

@@ -53,11 +53,25 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    if (k == 1) {
+      // top-1 as a hash aggregate: partial max per map task (map-side
+      // combine), no global sort of all n·q scored pairs. Tie-break on the
+      // smaller neighbor_id via the negated id in the max-struct.
+      scored
+        .groupBy("query_id")
+        .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("neg_id"))).as("best"))
+        .select(
+          col("query_id"),
+          (-col("best.neg_id")).as("neighbor_id"),
+          col("best.cosine").as("cosine"),
+          lit(1).as("rank"))
+    } else {
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a<b) pairs with
