@@ -214,6 +214,16 @@ object SparkEntry {
         count(lit(1)).as("n_items")),
         "l_orderkey")
     }),
+    "q65_groupby_floatkey" -> ((s, dir) => {
+      // float + nullable group keys (G1 fixture shape): null keys form their
+      // own group (null_policy::INCLUDE), float keys group by exact equality
+      val li = t(s, dir, "lineitem")
+        .withColumn("rf_null", nullif(col("l_returnflag"), lit("N")))
+      ord(li.groupBy("rf_null", "l_discount").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty")),
+        "rf_null", "l_discount")
+    }),
     "q21_reduce_global" -> ((s, dir) => {
       import Aggregates.AggRequest
       val li = t(s, dir, "lineitem")
@@ -696,6 +706,11 @@ object SparkEntry {
         |  round(product(1.0 + l_discount), 6) AS disc_product,
         |  count(*) AS n_items
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q65_groupby_floatkey" ->
+      """SELECT nullif(l_returnflag, 'N') AS rf_null, l_discount,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY rf_null NULLS FIRST, l_discount NULLS FIRST""".stripMargin,
     "q21_reduce_global" ->
       """SELECT CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
         |  min(l_quantity) AS min_qty,
@@ -957,6 +972,38 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+    "q46_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, length(toks)-2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS tri
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(length(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |    length(list_distinct(list_concat(a.tri, b.tri))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(length(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |  length(list_distinct(list_concat(a.tri, b.tri))) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q47_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, length(toks)-2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS tri
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 500)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(length(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |    length(list_distinct(list_concat(a.tri, b.tri))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(length(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |  length(list_distinct(list_concat(a.tri, b.tri))) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q43_lang_id" ->
       """SELECT doc_id,
         |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred

@@ -86,4 +86,19 @@ class FunctionsSpec extends SparkSuite {
       Ops.cast($"s", org.apache.spark.sql.types.LongType).as("l"))
     assert(rows(out) == Seq(Seq(1, 42L))) // truncation toward zero, ANSI off
   }
+
+  test("invalid operator arguments fail fast with clear errors") {
+    import graft.operators.{Aggregates, Joins, Sorts}
+    val d = Seq((1, 2)).toDF("a", "b")
+    intercept[IllegalArgumentException](Joins.join(d, d, Seq("a"), "outer_left"))
+    intercept[IllegalArgumentException](
+      Aggregates.groupby(d, Seq("a"), Seq(Aggregates.AggRequest("b", "frobnicate", "x"))))
+    intercept[IllegalArgumentException](Aggregates.groupby(d, Nil,
+      Seq(Aggregates.AggRequest("b", "sum", "x"))))
+    intercept[IllegalArgumentException](Sorts.sort(d, Seq("a"), Seq(true, false)))
+    intercept[IllegalArgumentException](Ops.unary($"a", "no_such_op"))
+    intercept[IllegalArgumentException](Ops.binary($"a", $"b", "no_such_op"))
+    intercept[IllegalArgumentException](StringFns.matches("glob", $"a", "x"))
+    intercept[IllegalArgumentException](TimeFns.extractComponent($"a", "fortnight"))
+  }
 }
