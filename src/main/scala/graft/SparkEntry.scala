@@ -129,6 +129,33 @@ object SparkEntry {
         RowOps.isInLiterals(col("l_returnflag"), Seq("A", "R")).as("is_ar"))
         .filter(RowOps.isInLiterals(col("l_linenumber"), Seq(1, 2, 3))))
     }),
+    "q66_kleene" -> ((s, dir) => {
+      // 3-valued boolean logic with manufactured nulls: Spark's &&/|| ARE
+      // Kleene (binaryop.hpp and/or_kleene semantics)
+      val li = t(s, dir, "lineitem")
+      val a = nullif(col("l_returnflag") === "R", lit(false)) // true or null
+      val b = col("l_quantity") > 25
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Ops.binary(a, b, "and_kleene").as("a_and_b"),
+        Ops.binary(a, b, "or_kleene").as("a_or_b"),
+        Ops.unary(a, "invert").as("not_a"),
+        Ops.unary(a, "is_null").as("a_null")))
+    }),
+    "q67_round_sweep" -> ((s, dir) => {
+      // digits sweep ±, both modes (unaryop.hpp:69 round fixture shape);
+      // half-boundaries exercised via l_quantity/2 (exact .5 on doubles)
+      val li = t(s, dir, "lineitem")
+      val x = col("l_quantity") / lit(8.0) // exact binary fractions
+      ordAll(li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        Ops.roundHalfUp(x, 2).as("up2"),
+        Ops.roundHalfToEven(x, 2).as("even2"),
+        Ops.roundHalfUp(x, 1).as("up1"),
+        Ops.roundHalfToEven(x, 1).as("even1"),
+        Ops.roundHalfUp(col("l_extendedprice"), -3).as("up_m3"),
+        Ops.roundHalfToEven(col("l_extendedprice"), -1).as("even_m1")))
+    }),
     "q09_sequence" -> ((s, dir) => {
       val seq = RowOps.sequence(s, 1000, 0)
       ord(seq.select(col("id"),
@@ -643,6 +670,22 @@ object SparkEntry {
         |  l_returnflag IN ('A','R') AS is_ar
         |FROM lineitem WHERE l_linenumber IN (1,2,3)
         |ORDER BY ALL""".stripMargin,
+    "q66_kleene" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (nullif(l_returnflag = 'R', false) AND (l_quantity > 25)) AS a_and_b,
+        |  (nullif(l_returnflag = 'R', false) OR (l_quantity > 25)) AS a_or_b,
+        |  NOT nullif(l_returnflag = 'R', false) AS not_a,
+        |  nullif(l_returnflag = 'R', false) IS NULL AS a_null
+        |FROM lineitem ORDER BY ALL""".stripMargin,
+    "q67_round_sweep" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_quantity / 8.0, 2) AS up2,
+        |  round_even(l_quantity / 8.0, 2) AS even2,
+        |  round(l_quantity / 8.0, 1) AS up1,
+        |  round_even(l_quantity / 8.0, 1) AS even1,
+        |  round(l_extendedprice, -3) AS up_m3,
+        |  round_even(l_extendedprice, -1) AS even_m1
+        |FROM lineitem ORDER BY ALL""".stripMargin,
     "q09_sequence" ->
       """SELECT r AS id, r*2 AS id2, r%7 AS mod7
         |FROM range(0, 1000) t(r) ORDER BY id""".stripMargin,
