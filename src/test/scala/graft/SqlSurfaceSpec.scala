@@ -1,0 +1,47 @@
+package graft
+
+/** The SQL face of the engine: the reference's query-engine surface
+  * (ldf_polars: polars plan → operators) corresponds to Catalyst; here we
+  * prove the same queries run as raw SQL text against registered views,
+  * including graft's custom functions.
+  */
+class SqlSurfaceSpec extends SparkSuite {
+
+  private def registerViews(): Unit =
+    Seq("lineitem", "orders", "customer", "nation", "region", "supplier",
+      "documents", "embeddings").foreach { t =>
+      Engine.table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
+  test("TPC-H Q1 as SQL text matches the DataFrame form") {
+    registerViews()
+    val sql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    val df = SparkEntry.queries("q16_groupby_q1")(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+    assert(rows(sql) == rows(df))
+  }
+
+  test("custom expressions are callable from SQL") {
+    registerViews()
+    val prod = spark.sql(
+      "SELECT graft_product(1.0 + l_discount) AS p FROM lineitem WHERE l_orderkey = 1")
+    assert(prod.collect()(0).getDouble(0) > 0.0)
+    val dotted = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS sq FROM embeddings LIMIT 5")
+    assert(dotted.collect().forall(_.getDouble(1) > 0.0))
+    val sim = spark.sql(
+      "SELECT graft_simhash64(split(lower(text), '\\\\s+')) AS sig FROM documents LIMIT 3")
+    assert(sim.count() == 3)
+    val mh = spark.sql(
+      "SELECT graft_minhash(transform(split(lower(text), '\\\\s+'), t -> xxhash64(t)), 16) AS sig " +
+        "FROM documents LIMIT 3")
+    assert(mh.collect().forall(_.getSeq[Long](0).length == 16))
+  }
+}
