@@ -74,4 +74,18 @@ class AggregatesSpec extends SparkSuite {
     assert(r.getLong(1) == 3L)
     assert(r.getDouble(2) >= 1.0 && r.getDouble(2) <= 3.0)
   }
+
+  test("approximate aggregates track exact values (approximate_median parity)") {
+    import org.apache.spark.sql.functions._
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val r = li.agg(
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_nd"),
+      countDistinct(col("l_orderkey")).as("exact_nd"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_med"),
+      median(col("l_extendedprice")).as("exact_med")).collect()(0)
+    val (and_, end_) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(and_ - end_) / end_ < 0.05, s"approx_count_distinct off: $and_ vs $end_")
+    val (amed, emed) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(amed - emed) / emed < 0.02, s"approx median off: $amed vs $emed")
+  }
 }
