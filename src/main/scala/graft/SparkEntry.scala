@@ -606,6 +606,14 @@ object SparkEntry {
         TimeFns.extractComponent(col("ts"), "millisecond").as("ms"),
         TimeFns.extractComponent(col("ts"), "microsecond").as("us")))
     }),
+    "q68_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      val frames = Multimodal.frameSampleStage(media, frameBytes = 32, everyN = 2, maxFrames = 4)
+      ord(frames.select(
+        col("media_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len")),
+        "media_id", "frame_idx")
+    }),
     "q59_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       ord(Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.42)
@@ -1085,6 +1093,18 @@ object SparkEntry {
         |  CAST(extract(millisecond FROM CAST(ts AS TIMESTAMP)) % 1000 AS INT) AS ms,
         |  CAST(extract(microsecond FROM CAST(ts AS TIMESTAMP)) % 1000 AS INT) AS us
         |FROM events ORDER BY ALL""".stripMargin,
+    "q68_frame_sample" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents
+        |), f AS (
+        |  SELECT media_id, n,
+        |    unnest(list_filter(generate_series(0, CAST(ceil(n/32.0) AS INT)-1),
+        |      i -> i % 2 = 0)[1:4]) AS frame_idx
+        |  FROM base
+        |)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(least(32, n - frame_idx*32) AS INT) AS frame_len
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "q59_embedding_neardup" ->
       """WITH norms AS (
         |  SELECT vec_id, embedding,

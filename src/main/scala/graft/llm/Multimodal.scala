@@ -84,6 +84,70 @@ object Multimodal {
     }(enc)
   }
 
+  /** Pluggable resize step (stub: no codecs in this container). */
+  trait Resizer extends Serializable {
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** STUB resizer: deterministic byte subsampling to w*h bytes — a real
+    * implementation would decode, scale, re-encode. The plan shape (row-local
+    * map, payload size change, meta update) is what downstream code sees.
+    */
+  object FakeResizer extends Resizer {
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = if (payload == null) 0 else payload.length
+      val target = math.max(1, w * h)
+      if (n == 0) new Array[Byte](0)
+      else Array.tabulate(math.min(target, n))(i => payload((i.toLong * n / target).toInt))
+    }
+  }
+
+  /** Resize stage: row-local mapPartitions, payload replaced, meta.n_bytes
+    * updated. No shuffle; scales with input splits.
+    */
+  def resizeStage(media: DataFrame, w: Int, h: Int, resizer: Resizer = FakeResizer): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val out = resizer.resize(payload, w, h)
+        val meta = r.getAs[Row]("meta")
+        Row(r.getAs[Long]("media_id"), out,
+          Row(meta.getAs[String]("mime"), meta.getAs[String]("source"), out.length.toLong))
+      }
+    }(enc)
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** Frame-sampling stage: one input row (video payload) → N frame rows —
+    * the cardinality-changing flatMap of a video pipeline. STUB: frames are
+    * fixed-size payload chunks; a real decoder would demux + decode. Emits
+    * every `everyN`-th frame up to `maxFrames`.
+    */
+  def frameSampleStage(
+      media: DataFrame,
+      frameBytes: Int = 64,
+      everyN: Int = 2,
+      maxFrames: Int = 8): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("media_id")
+        val payload = r.getAs[Array[Byte]]("payload")
+        val n = if (payload == null) 0 else payload.length
+        val total = (n + frameBytes - 1) / frameBytes
+        (0 until total by everyN).take(maxFrames).map { f =>
+          val from = f * frameBytes
+          Row(id, f, java.util.Arrays.copyOfRange(payload, from, math.min(from + frameBytes, n)))
+        }
+      }
+    }(enc)
+  }
+
   /** Cheap columnar metadata pass (no decode): sizes + content digest —
     * the kind of stats pass a media pipeline runs before heavy decode.
     */

@@ -170,4 +170,21 @@ class LlmSpec extends SparkSuite {
     assert(got.forall(r => r(0).asInstanceOf[Long] < r(1).asInstanceOf[Long]))
     assert(got.forall(_(2).asInstanceOf[Double] >= 0.40))
   }
+
+  test("multimodal resize and frame-sample stages") {
+    import org.apache.spark.sql.functions.col
+    val media = Multimodal.fromDocuments(docs.limit(10))
+    val resized = Multimodal.resizeStage(media, 8, 8)
+    assert(resized.columns.toSeq == Seq("media_id", "payload", "meta"))
+    val lens = rows(resized.select(col("meta.n_bytes"))).map(_(0).asInstanceOf[Long])
+    assert(lens.forall(_ <= 64))
+    // frame sampling: 1 row in -> up to maxFrames rows out, deterministic
+    val frames = Multimodal.frameSampleStage(media, frameBytes = 32, everyN = 2, maxFrames = 4)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
+    assert(frames.count() > 10, "frame sampling must expand cardinality")
+    val perDoc = frames.groupBy("media_id").count()
+    assert(rows(perDoc).forall(_(1).asInstanceOf[Long] <= 4))
+    val twice = Multimodal.frameSampleStage(media, frameBytes = 32, everyN = 2, maxFrames = 4)
+    assert(frames.count() == twice.count())
+  }
 }
