@@ -415,6 +415,47 @@ object SparkEntry {
       ord(strs.select(unix_micros(
         TimeFns.toTimestamps(col("s"), "%Y-%m-%d %H:%M:%S")).as("parsed_us")), "parsed_us")
     }),
+    "q69_string_funcs" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      ordAll(p.select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        length(col("p_name")).as("len"),
+        substring(col("p_name"), 1, 5).as("head5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        trim(lit("  pad  ")).as("trimmed"),
+        lpad(col("p_brand"), 12, "0").as("padded"),
+        reverse(col("p_brand")).as("rev")))
+    }),
+    "q70_date_arith" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      ordAll(o.select(
+        col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), col("o_orderdate")).as("age_days"),
+        round(months_between(lit(java.sql.Timestamp.valueOf("2002-01-01 00:00:00")),
+          col("o_orderdate")), 4).as("age_months"),
+        // as string: date physical types (date32 vs object) normalize
+        // differently in pandas-side comparers
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end")))
+    }),
+    "q71_rollup" -> ((s, dir) => {
+      // grouping sets: absent from the reference, free on Spark (SURVEY §2.4)
+      val li = t(s, dir, "lineitem")
+      ord(li.rollup("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty")),
+        "l_returnflag", "l_linestatus")
+    }),
+    "q72_explode_tokens" -> ((s, dir) => {
+      // Generator / unnest surface (posexplode — rejected by the reference)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 50)
+      ord(d.select(col("doc_id"),
+          posexplode(graft.llm.TextFns.tokens(col("text"))).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("token")),
+        "doc_id", "pos")
+    }),
     // ───────────────────────── windows (beyond-reference) ─────────────────────────
     "q33_window_funcs" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -866,6 +907,38 @@ object SparkEntry {
       """SELECT DISTINCT epoch_us(strptime(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'),
         |  '%Y-%m-%d %H:%M:%S')) AS parsed_us
         |FROM lineitem ORDER BY parsed_us""".stripMargin,
+    "q69_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  substring(p_name, 1, 5) AS head5,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  trim('  pad  ') AS trimmed,
+        |  lpad(p_brand, 12, '0') AS padded,
+        |  reverse(p_brand) AS rev
+        |FROM part ORDER BY ALL""".stripMargin,
+    "q70_date_arith" ->
+      """SELECT o_orderkey,
+        |  o_orderdate + INTERVAL 30 DAY AS due,
+        |  CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INT) AS age_days,
+        |  round(
+        |    (extract(year FROM TIMESTAMP '2002-01-01') - extract(year FROM o_orderdate)) * 12
+        |    + (extract(month FROM TIMESTAMP '2002-01-01') - extract(month FROM o_orderdate))
+        |    + (1 - extract(day FROM o_orderdate)) / 31.0, 4) AS age_months,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+        |FROM orders ORDER BY ALL""".stripMargin,
+    "q71_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q72_explode_tokens" ->
+      """SELECT doc_id, CAST(u.pos AS INT) AS pos, u.token AS token FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(toks)),
+        |    i -> {'pos': i - 1, 'token': toks[i]})) AS u
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents WHERE doc_id < 50)
+        |) ORDER BY doc_id, pos""".stripMargin,
     "q33_window_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(row_number() OVER w AS INT) AS rn,
