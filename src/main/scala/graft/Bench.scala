@@ -69,7 +69,11 @@ object Bench {
     try materialize(SparkEntry.queries("q16_groupby_q1")(spark, sfDir))
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=q57_math_more,q43_lang_id
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val secs =
         try time(materialize(fn(spark, sfDir)))
         catch { case _: Throwable => -1.0 }

@@ -590,7 +590,12 @@ object SparkEntry {
     }),
     "q46_minhash_lsh" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      ord(Dedup.nearDuplicates(d, "doc_id", "text", threshold = 0.3)
+      // High-threshold near-dup regime, where banding recall is ~1 and the
+      // exact-Jaccard oracle is therefore sound: with 16 bands × 2 rows the
+      // miss probability of a pair at j=0.8 is (1-0.8²)^16 ≈ 8e-8 (and the
+      // signatures are deterministic, so the gate is stable for fixed data).
+      ord(Dedup.nearDuplicates(d, "doc_id", "text", threshold = 0.8,
+          bands = 16, rowsPerBand = 2)
         .withColumn("jaccard", round(col("jaccard"), 4)), "id_a", "id_b")
     }),
     "q47_ngram_jaccard" -> ((s, dir) => {
@@ -1110,7 +1115,7 @@ object SparkEntry {
         |    length(list_distinct(list_concat(a.tri, b.tri))), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(length(list_intersect(a.tri, b.tri)) AS DOUBLE) /
-        |  length(list_distinct(list_concat(a.tri, b.tri))) >= 0.3
+        |  length(list_distinct(list_concat(a.tri, b.tri))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "q47_ngram_jaccard" ->
       """WITH sh AS (
@@ -1199,8 +1204,8 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS digest
         |FROM documents ORDER BY media_id""".stripMargin
-    // q43_lang_id, q44_fingerprint, q45_simhash, q46_minhash_lsh,
-    // q47_ngram_jaccard, q50_ann_lsh: not SQL-expressible 1:1 (custom hashing)
-    // → driver records rows-only checks; ScalaTest covers their semantics.
+    // q44_fingerprint, q45_simhash, q50_ann_lsh: not SQL-expressible 1:1
+    // (custom hashing) → driver records rows-only checks; ScalaTest covers
+    // their semantics.
   )
 }

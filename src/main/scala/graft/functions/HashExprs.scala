@@ -155,3 +155,83 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
     copy(child = newChild)
 }
+
+/** Fraction of positions where two equal-length array<long> columns agree —
+  * the MinHash estimate of Jaccard similarity between the underlying sets.
+  * Used as a cheap candidate pre-filter between LSH banding and exact
+  * verification: signatures are tens of longs, shingle sets hundreds.
+  */
+case class MatchFractionExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def prettyName: String = "graft_match_frac"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(b.numElements() == n, s"graft_match_frac: length mismatch $n vs ${b.numElements()}")
+    if (n == 0) return java.lang.Double.valueOf(0.0)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    java.lang.Double.valueOf(m.toDouble / n)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MatchFractionExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Per-list hit counts (duplicates counted) of an array<string> token column
+  * against several literal word lists, in ONE pass: token → bitmask of the
+  * lists containing it via a single hash lookup. Replaces k×
+  * `filter(toks, t => t.isInCollection(words))` — interpreted lambdas with a
+  * linear scan of the word list per token — as the language-ID hot path.
+  */
+case class StopwordHitsExpr(child: Expression, wordLists: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(wordLists.nonEmpty && wordLists.size <= 32, "1..32 word lists")
+
+  override def prettyName: String = "graft_stopword_hits"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  @transient private lazy val masks: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    for ((ws, i) <- wordLists.zipWithIndex; w <- ws)
+      m.merge(UTF8String.fromString(w), Integer.valueOf(1 << i), (a, b) =>
+        Integer.valueOf(a.intValue | b.intValue))
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = wordLists.size
+    val counts = new Array[Int](k)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val m = masks.get(arr.getUTF8String(i))
+        if (m != null) {
+          val mv = m.intValue
+          var j = 0
+          while (j < k) {
+            counts(j) += (mv >>> j) & 1
+            j += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
+    copy(child = newChild)
+}

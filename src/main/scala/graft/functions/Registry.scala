@@ -32,11 +32,33 @@ object Registry {
       exprs => MinHashSignatureExpr(exprs(0),
         exprs(1).eval().asInstanceOf[Int]),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_match_frac",
+      exprs => MatchFractionExpr(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stopword_hits",
+      exprs => {
+        val ad = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val lists = (0 until ad.numElements()).map { i =>
+          val inner = ad.getArray(i)
+          (0 until inner.numElements()).map(j => inner.getUTF8String(j).toString)
+        }
+        StopwordHitsExpr(exprs(0), lists)
+      },
+      "built-in")
   }
 
   /** Merge-pass Jaccard of two sorted array<long> columns. */
   def jaccardSorted(a: Column, b: Column): Column =
     call_function("graft_jaccard_sorted", a, b)
+
+  /** Positional match fraction of two equal-length array<long> columns
+    * (MinHash Jaccard estimator).
+    */
+  def matchFraction(a: Column, b: Column): Column =
+    call_function("graft_match_frac", a, b)
 
   /** Native simhash over an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
@@ -44,6 +66,13 @@ object Registry {
   /** Native minhash signature over an array<string> shingle column. */
   def minhash(shingles: Column, numHashes: Int): Column =
     call_function("graft_minhash", shingles, lit(numHashes))
+
+  /** Per-word-list hit counts of a token array in one native pass
+    * (requires [[register]] on the session).
+    */
+  def stopwordHits(tokens: Column, lists: Seq[Seq[String]]): Column =
+    call_function("graft_stopword_hits", tokens,
+      org.apache.spark.sql.functions.typedlit(lists))
 
   /** Codegen'd vector dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

@@ -56,6 +56,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val s = ctx.freshName("s")
       s"""
          |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: length mismatch " + $n + " vs " + $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));

@@ -73,16 +73,16 @@ object Dedup {
       bands: Int = 8,
       rowsPerBand: Int = 4,
       shingleSize: Int = 3,
-      maxBucket: Int = 1000): DataFrame =
-    candidatesFromShingles(shingleSets(df, idCol, textCol, shingleSize),
+      maxBucket: Int = 1000): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, shingleSize)
+    candidatesFromSignatures(
+      sh.select(col("id"), signatureOfShingles(col("sh"), bands * rowsPerBand).as("sig")),
       bands, rowsPerBand, maxBucket)
+  }
 
-  private def candidatesFromShingles(
-      sh: DataFrame, bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = sh.select(
-      col("id"),
-      signatureOfShingles(col("sh"), numHashes).as("sig"))
+  /** Candidate pairs from a persisted (id, sig) frame. */
+  private def candidatesFromSignatures(
+      sig: DataFrame, bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
     val banded = sig.select(
       col("id"),
       posexplode(transform(
@@ -127,7 +127,14 @@ object Dedup {
         // sets are sorted long arrays → single merge pass per pair
         graft.functions.Registry.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
 
-  /** MinHash-LSH near-duplicate pairs with exact Jaccard confirmation. */
+  /** MinHash-LSH near-duplicate pairs with exact Jaccard confirmation.
+    *
+    * Precision is exact (candidates are verified); recall at similarity j is
+    * 1-(1-j^rowsPerBand)^bands — pick (bands, rowsPerBand) so the S-curve
+    * midpoint (1/bands)^(1/rowsPerBand) sits WELL BELOW `threshold`, e.g.
+    * 16×2 gives midpoint 0.25 and recall ≥ 1-8e-8 for j ≥ 0.8. The defaults
+    * (8×4, midpoint 0.59) suit thresholds ≥ 0.85.
+    */
   def nearDuplicates(
       df: DataFrame,
       idCol: String,
@@ -138,8 +145,24 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     // one shingling pass shared by candidate generation AND verification
     val sh = shingleSets(df, idCol, textCol, shingleSize)
-    val cands = candidatesFromShingles(sh, bands, rowsPerBand, maxBucket = 1000)
-    jaccardOfPairs(cands, sh).filter(col("jaccard") >= threshold)
+    val numHashes = bands * rowsPerBand
+    val sig = sh.select(
+      col("id"), signatureOfShingles(col("sh"), numHashes).as("sig")).persist()
+    val cands = candidatesFromSignatures(sig, bands, rowsPerBand, maxBucket = 1000)
+    // Signature pre-filter: the positional match fraction of two signatures
+    // estimates Jaccard, and the signatures (numHashes longs) are already
+    // computed — far cheaper to join back than the shingle sets (hundreds of
+    // longs). A cutoff 0.4 below the threshold keeps the false-drop
+    // probability at j=threshold around binomial-tail(z≈0.4·√numHashes/σ)
+    // ~1e-8 for 32 hashes, while dropping essentially every low-similarity
+    // bucket collision before the expensive exact-verification rejoin.
+    val estCutoff = math.max(0.0, threshold - 0.4)
+    val prefiltered = cands
+      .join(sig.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a")), "id_a")
+      .join(sig.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b")), "id_b")
+      .filter(graft.functions.Registry.matchFraction(col("sig_a"), col("sig_b")) >= estCutoff)
+      .select("id_a", "id_b")
+    jaccardOfPairs(prefiltered, sh).filter(col("jaccard") >= threshold)
   }
 
   /** Brute-force all-pairs Jaccard (testing oracle; O(n²) — small inputs only). */

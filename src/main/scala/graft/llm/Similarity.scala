@@ -203,8 +203,13 @@ object Similarity {
       k: Int,
       bits: Int = 12,
       numTables: Int = 6,
-      dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    // plane dimension comes from the data — a hardcoded default would silently
+    // hash only a prefix of (or read past) each vector
+    val dim = corpus.select(size(col(vecCol)).as("d")).head(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalArgumentException("lshTopK: empty corpus")
+    }
     val planes = hyperplanes(dim, bits, numTables, seed)
 
     def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame = {

@@ -59,7 +59,7 @@ object TextFns {
 
   /** Stopword hit count (duplicates counted) against a literal stopword set. */
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+    graft.functions.Registry.stopwordHits(tokens(text), Seq(stopwords)).getItem(0)
 
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for",
@@ -89,15 +89,16 @@ object TextFns {
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这", "中", "大"))
 
   /** Heuristic language ID: argmax of per-language stopword hit counts; ties
-    * and all-zero scores fall back to "und". Implemented as a `greatest` over
-    * (score, lang) structs — fully columnar, no UDF.
+    * and all-zero scores fall back to "und". All per-language counts come from
+    * ONE native pass over the token array (token → bitmask-of-languages hash
+    * lookup, functions.StopwordHitsExpr) — the k× `filter(toks, isin)` form
+    * walks the array per language with interpreted lambdas.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(
-        size(filter(toks, t => t.isInCollection(words))).as("score"),
-        lit(lang).as("lang"))
+    val langs = LangStopwords.toSeq.sortBy(_._1)
+    val counts = graft.functions.Registry.stopwordHits(tokens(text), langs.map(_._2))
+    val scored = langs.zipWithIndex.map { case ((lang, _), i) =>
+      struct(counts.getItem(i).as("score"), lit(lang).as("lang"))
     }
     val best = greatest(scored: _*)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))

@@ -33,7 +33,11 @@ object Aggregates {
     case "mean" => avg(in)
     case "variance" => var_pop(in) // ddof=0, Arrow semantics
     case "stddev" => stddev_pop(in) // ddof=0
-    case "median" => percentile_approx(in, lit(0.5), lit(10000))
+    // the reference's median is exact and interpolates even-sized groups
+    // (cudf semantics) — Spark's median() matches; the approximate variant
+    // stays available under its own kind
+    case "median" => median(in)
+    case "approx_median" => percentile_approx(in, lit(0.5), lit(10000))
     case "count_distinct" => countDistinct(in)
     case "any" => max(in.cast("boolean"))
     case "all" => min(in.cast("boolean"))

@@ -10,8 +10,10 @@ import org.apache.spark.sql.types._
   */
 case class SessEvent(user_id: Long, ts: java.time.Instant, event_id: Long)
 
-/** Per-user session state: (start, end, firstEvent, count) per open session. */
-case class SessState(sessions: List[(Long, Long, Long, Int)])
+/** Per-user open-session state carried across micro-batches: the one session
+  * that may still grow (micros), plus the id the NEXT closed session gets.
+  */
+case class SessState(start: Long, end: Long, n: Long, nextId: Long)
 
 /** Structured Streaming over the `events` table shape (beyond-reference: the
   * reference has no streaming surface, SURVEY §2.9).
@@ -39,8 +41,12 @@ object Events {
   /** Open the events directory as a stream (file source discovers new files —
     * the local stand-in for a Kafka-style source).
     */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    withTs(spark.readStream.schema(rawSchema).parquet(dir))
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(rawSchema)
+    val r2 = maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+    withTs(r2.parquet(dir))
+  }
 
   /** Watermarked tumbling-window aggregation (streaming). */
   def tumblingAgg(events: DataFrame, window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
@@ -94,37 +100,76 @@ object Events {
 
   /** Streaming sessionization with explicit state
     * (`flatMapGroupsWithState`) — the custom-state path of SURVEY §2.9.
-    * With a static input and one micro-batch this matches sessionizeBatch.
+    *
+    * The open (possibly still growing) session per user lives in GroupState
+    * across micro-batches; a session is EMITTED only once closed — either a
+    * newer event opened the next session, or the event-time watermark passed
+    * `sess_end + gap` (event-time timeout). Session ids are therefore stable
+    * across any micro-batch slicing of the input, matching sessionizeBatch on
+    * the emitted (closed) prefix. Late events below the watermark are dropped
+    * by the watermark filter — the standard streaming approximation; keep
+    * `watermark >= gap` so a timeout can never close a session that an
+    * admissible late event could still extend.
     */
-  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events.select(col("user_id"), col("ts"), col("event_id")).as[SessEvent]
+    val gapUs = gapMinutes * 60000000L
+    val gapMs = gapMinutes * 60000L
+    def micros(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    def inst(us: Long): java.time.Instant =
+      java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id")).as[SessEvent]
     typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) => {
-          def micros(i: java.time.Instant): Long =
-            i.getEpochSecond * 1000000L + i.getNano / 1000L
-          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          val gapUs = gapMinutes * 60000000L
-          var sessions = List.empty[(Long, Long, Long, Int)]
-          for (e <- sorted) {
-            val t = micros(e.ts)
-            sessions match {
-              case (s, end, first, n) :: rest if t - end <= gapUs =>
-                sessions = (s, t, first, n + 1) :: rest
-              case _ =>
-                sessions = (t, t, t, 1) :: sessions
+          def emit(id: Long, s: (Long, Long, Long)) =
+            (userId, id, s._3, inst(s._1), inst(s._2))
+          if (state.hasTimedOut) {
+            // watermark passed open.end + gap: the open session can no longer
+            // grow — close and emit it
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(s.nextId, (s.start, s.end, s.n)))
+          } else {
+            // seed the merge with the open session carried from prior batches
+            var sessions: List[(Long, Long, Long)] =
+              state.getOption.map(s => (s.start, s.end, s.n)).toList
+            val firstId = state.getOption.map(_.nextId).getOrElse(0L)
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            for (e <- sorted) {
+              val t = micros(e.ts)
+              sessions match {
+                case (s, end, n) :: rest if t - end <= gapUs =>
+                  sessions = (s, math.max(end, t), n + 1) :: rest
+                case _ =>
+                  sessions = (t, t, 1L) :: sessions
+              }
             }
-          }
-          def inst(us: Long): java.time.Instant =
-            java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
-          sessions.reverse.zipWithIndex.iterator.map { case ((s, e2, _, n), i) =>
-            (userId, i.toLong, n.toLong, inst(s), inst(e2))
+            val ordered = sessions.reverse // oldest first
+            val closed = ordered.dropRight(1)
+            val open @ (_, openEnd, _) = ordered.last
+            val timeoutMs = openEnd / 1000L + gapMs
+            val wm = state.getCurrentWatermarkMs()
+            if (timeoutMs <= wm) {
+              // the "open" session is already unreachable by admissible events
+              state.remove()
+              (closed :+ open).zipWithIndex.iterator
+                .map { case (s, i) => emit(firstId + i, s) }
+            } else {
+              state.update(SessState(open._1, open._2, open._3,
+                firstId + closed.length))
+              state.setTimeoutTimestamp(timeoutMs)
+              closed.zipWithIndex.iterator
+                .map { case (s, i) => emit(firstId + i, s) }
+            }
           }
         })
       .toDF("user_id", "session_id", "n_events", "sess_start", "sess_end")

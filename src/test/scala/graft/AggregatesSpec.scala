@@ -69,10 +69,13 @@ class AggregatesSpec extends SparkSuite {
     val d = Seq(("a", 1.0), ("a", 1.0), ("a", 3.0), ("a", 5.0)).toDF("k", "v")
     val out = Aggregates.groupby(d, Seq("k"), Seq(
       AggRequest("v", "count_distinct", "nd"),
-      AggRequest("v", "median", "med")))
+      AggRequest("v", "median", "med"),
+      AggRequest("v", "approx_median", "amed")))
     val r = out.collect()(0)
     assert(r.getLong(1) == 3L)
-    assert(r.getDouble(2) >= 1.0 && r.getDouble(2) <= 3.0)
+    // exact median interpolates the even-sized group: (1+3)/2 (cudf semantics)
+    assert(r.getDouble(2) == 2.0)
+    assert(r.getDouble(3) >= 1.0 && r.getDouble(3) <= 3.0)
   }
 
   test("approximate aggregates track exact values (approximate_median parity)") {

@@ -26,14 +26,47 @@ class StreamingSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
-  test("stateful streaming sessionization == batch sessionization") {
+  test("stateful streaming sessionization == batch sessionization across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     val batch = Events.sessionizeBatch(Engine.events(spark, sfDir))
-    val streamed = Events.sessionizeStream(Events.readStream(spark, eventsDir))
+
+    // split the raw events in event-time order into two files => two
+    // micro-batches; sessions spanning the cut must merge via GroupState
+    val raw = spark.read.schema(Events.rawSchema).parquet(s"$sfDir/events.parquet")
+    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_stream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, modTimeMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sess_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTimeMs) // file source orders batches by mod time
+    }
+    val now = System.currentTimeMillis()
+    stage(raw.filter(col("ts") <= cut), "half1.parquet", now - 60000)
+    stage(raw.filter(col("ts") > cut), "half2.parquet", now)
+
+    // watermark 0s: after the final (no-data) batch the watermark reaches
+    // max(ts), closing every session except those ending within `gap` of it
+    val streamed = Events.sessionizeStream(
+      Events.readStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)),
+      watermark = "0 seconds")
     val q = streamed.writeStream.format("memory")
       .queryName("graft_sessions").outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val got = spark.table("graft_sessions")
-    assert(rows(got).map(_.toString).sorted == rows(batch).map(_.toString).sorted)
+
+    val maxTsMs = raw.agg(max(col("ts"))).head().getLong(0) / 1000000L // ns → ms
+    val gapMs = 30 * 60000L
+    val lastPerUser = Window.partitionBy("user_id").orderBy(col("session_id").desc)
+    val expected = batch
+      .withColumn("rn", row_number().over(lastPerUser))
+      .filter(col("rn") > 1 ||
+        (expr("unix_micros(sess_end) div 1000") + gapMs) < maxTsMs)
+      .drop("rn")
+    assert(rows(got).map(_.toString).sorted == rows(expected).map(_.toString).sorted)
     assert(got.count() > 0)
   }
 
