@@ -69,14 +69,35 @@ object Bench {
     try materialize(SparkEntry.queries("q16_groupby_q1")(spark, sfDir))
     catch { case _: Throwable => }
 
+    // Input pre-materialization (reference excludes input creation from
+    // timing, python/benchmarks/join.py:96-116): one noop-write pass over
+    // every sf table warms the OS page cache and parquet footers, so the
+    // measured runs time operators, not first-touch disk reads. Disable
+    // with SPARK_GRAFT_PREWARM=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_PREWARM", "1") != "0") {
+      val tables = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      tables.foreach { t =>
+        try materialize(spark.read.parquet(s"$sfDir/$t.parquet"))
+        catch { case _: Throwable => }
+      }
+    }
+
+    // Per-query timing: 1 warmup + best-of-N measured runs (N via
+    // SPARK_GRAFT_RUNS, default 3). Single-run timing on a shared machine
+    // produced phantom 5x regressions round-over-round; best-of-N matches
+    // the join metric's protocol below.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     // local-iteration filter: SPARK_GRAFT_ONLY=q57_math_more,q43_lang_id
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val secs =
-        try time(materialize(fn(spark, sfDir)))
-        catch { case _: Throwable => -1.0 }
+        try {
+          materialize(fn(spark, sfDir)) // warmup: codegen compile + page cache
+          (1 to runs).map(_ => time(materialize(fn(spark, sfDir)))).min
+        } catch { case _: Throwable => -1.0 }
       name -> secs
     }
     val joinNrows = sys.env.getOrElse("SPARK_GRAFT_JOIN_NROWS", (1L << 22).toString).toLong
@@ -84,10 +105,13 @@ object Bench {
       try joinThroughputGiBs(spark, joinNrows)
       catch { case _: Throwable => -1.0 }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact fixed-precision values: full-precision doubles made the JSON
+    // line long enough that downstream capture truncated the leading queries.
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","join_throughput_gibs":$joinGiBs,"join_nrows":$joinNrows}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","join_throughput_gibs":${f(joinGiBs)},"join_nrows":$joinNrows,"runs":$runs}""")
     spark.stop()
   }
 }

@@ -505,18 +505,24 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val maybeNaN = RowOps.ifElse(col("l_linenumber") === 1,
         lit(Double.NaN), col("l_discount"))
+      // floor-quantize (×1e6 + 0.5, floor → bigint) instead of round(x, 6):
+      // floor/×/+ are IEEE-identical across engines (oracle-parity rule),
+      // and Spark's Round on double allocates a BigDecimal per value —
+      // 12 rounds over the table cost ~1.5 s/600k rows, doubled again by the
+      // range-partition sampling pass of the final sort.
+      def q6(c: Column): Column = floor(c * 1e6 + 0.5)
       ordAll(li.select(
         col("l_orderkey"), col("l_linenumber"),
-        round(Ops.unary(col("l_discount"), "tan"), 6).as("tan_d"),
-        round(Ops.unary(col("l_discount"), "asin"), 6).as("asin_d"),
-        round(Ops.unary(col("l_discount"), "acos"), 6).as("acos_d"),
-        round(Ops.unary(col("l_discount"), "atan"), 6).as("atan_d"),
-        round(Ops.binary(col("l_discount") + 1.0, col("l_tax") + 2.0, "atan2"), 6).as("atan2_dt"),
-        round(Ops.binary(lit(2.0), col("l_quantity") + 1.0, "logb"), 6).as("log2b_q"),
-        round(Ops.unary(col("l_quantity"), "cbrt"), 6).as("cbrt_q"),
-        round(Ops.unary(col("l_quantity") + 1.0, "log2"), 6).as("log2_q"),
-        round(Ops.unary(col("l_quantity") + 1.0, "log10"), 6).as("log10_q"),
-        round(Ops.unary(col("l_discount"), "exp"), 6).as("exp_d"),
+        q6(Ops.unary(col("l_discount"), "tan")).as("tan_d"),
+        q6(Ops.unary(col("l_discount"), "asin")).as("asin_d"),
+        q6(Ops.unary(col("l_discount"), "acos")).as("acos_d"),
+        q6(Ops.unary(col("l_discount"), "atan")).as("atan_d"),
+        q6(Ops.binary(col("l_discount") + 1.0, col("l_tax") + 2.0, "atan2")).as("atan2_dt"),
+        q6(Ops.binary(lit(2.0), col("l_quantity") + 1.0, "logb")).as("log2b_q"),
+        q6(Ops.unary(col("l_quantity"), "cbrt")).as("cbrt_q"),
+        q6(Ops.unary(col("l_quantity") + 1.0, "log2")).as("log2_q"),
+        q6(Ops.unary(col("l_quantity") + 1.0, "log10")).as("log10_q"),
+        q6(Ops.unary(col("l_discount"), "exp")).as("exp_d"),
         signum(col("l_quantity") - 25.0).as("sign_q"),
         Ops.unary(maybeNaN, "is_nan").as("nan_flag")))
     }),
@@ -975,16 +981,16 @@ object SparkEntry {
         |FROM lineitem ORDER BY ALL""".stripMargin,
     "q57_math_more" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(tan(l_discount), 6) AS tan_d,
-        |  round(asin(l_discount), 6) AS asin_d,
-        |  round(acos(l_discount), 6) AS acos_d,
-        |  round(atan(l_discount), 6) AS atan_d,
-        |  round(atan2(l_discount + 1.0, l_tax + 2.0), 6) AS atan2_dt,
-        |  round(log(2.0, l_quantity + 1.0), 6) AS log2b_q,
-        |  round(cbrt(l_quantity), 6) AS cbrt_q,
-        |  round(log2(l_quantity + 1.0), 6) AS log2_q,
-        |  round(log10(l_quantity + 1.0), 6) AS log10_q,
-        |  round(exp(l_discount), 6) AS exp_d,
+        |  CAST(floor(tan(l_discount) * 1000000 + 0.5) AS BIGINT) AS tan_d,
+        |  CAST(floor(asin(l_discount) * 1000000 + 0.5) AS BIGINT) AS asin_d,
+        |  CAST(floor(acos(l_discount) * 1000000 + 0.5) AS BIGINT) AS acos_d,
+        |  CAST(floor(atan(l_discount) * 1000000 + 0.5) AS BIGINT) AS atan_d,
+        |  CAST(floor(atan2(l_discount + 1.0, l_tax + 2.0) * 1000000 + 0.5) AS BIGINT) AS atan2_dt,
+        |  CAST(floor(log(2.0, l_quantity + 1.0) * 1000000 + 0.5) AS BIGINT) AS log2b_q,
+        |  CAST(floor(cbrt(l_quantity) * 1000000 + 0.5) AS BIGINT) AS cbrt_q,
+        |  CAST(floor(log2(l_quantity + 1.0) * 1000000 + 0.5) AS BIGINT) AS log2_q,
+        |  CAST(floor(log10(l_quantity + 1.0) * 1000000 + 0.5) AS BIGINT) AS log10_q,
+        |  CAST(floor(exp(l_discount) * 1000000 + 0.5) AS BIGINT) AS exp_d,
         |  CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sign_q,
         |  isnan(CASE WHEN l_linenumber = 1 THEN 'NaN'::DOUBLE ELSE l_discount END) AS nan_flag
         |FROM lineitem ORDER BY ALL""".stripMargin,
