@@ -43,13 +43,54 @@ object Ops {
     case other => throw new IllegalArgumentException(s"unsupported binary op: $other")
   }
 
+  /** Typed shift overloads — Spark's shiftleft/shiftright take the amount as
+    * Int. `binary` reaches these by extracting the literal from the Column
+    * via Catalyst (works for aliased/cast literals too, unlike string
+    * parsing).
+    */
+  def shiftLeft(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.shiftleft(c, n)
+  def shiftRight(c: Column, n: Int): Column =
+    org.apache.spark.sql.functions.shiftright(c, n)
+
+  private def literalInt(n: Column, op: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Literal}
+    // Column → resolved Expression via the public API: analyze a one-row
+    // projection (plan-time only, nothing executes). Spark 4 removed
+    // Column.expr from the public surface.
+    // (a real column reference fails to resolve against range(1) — that's
+    // exactly the non-literal case)
+    val nExpr = scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.range(1).select(n)
+        .queryExecution.analyzed.expressions.head
+    ).getOrElse(throw new IllegalArgumentException(
+      s"$op amount must be a literal int; or use Ops.shiftLeft/shiftRight(col, n: Int)"))
+    def unwrap(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Int] = e match {
+      case Literal(v: Int, _) => Some(v)
+      case Literal(v: Long, _) => Some(v.toInt)
+      case Literal(v: Short, _) => Some(v.toInt)
+      case Literal(v: Byte, _) => Some(v.toInt)
+      case Alias(child, _) => unwrap(child)
+      case c: Cast => unwrap(c.child)
+      // unresolved non-literal trees can throw from foldable/eval — treat as
+      // non-literal rather than erroring here
+      case e => scala.util.Try(e.foldable).toOption.filter(identity)
+        .flatMap(_ => scala.util.Try(e.eval()).toOption)
+        .flatMap(Option(_)).collect {
+          case v: Int => v
+          case v: Long => v.toInt
+        }
+    }
+    unwrap(nExpr).getOrElse(throw new IllegalArgumentException(
+      s"$op amount must be a literal int (got ${nExpr.sql}); " +
+        "or use Ops.shiftLeft/shiftRight(col, n: Int)"))
+  }
+
   private def shiftleft(c: Column, n: Column): Column =
-    org.apache.spark.sql.functions.shiftleft(c, n.toString.toIntOption.getOrElse(
-      throw new IllegalArgumentException("shift amount must be a literal")))
+    shiftLeft(c, literalInt(n, "shift_left"))
 
   private def shiftright(c: Column, n: Column): Column =
-    org.apache.spark.sql.functions.shiftright(c, n.toString.toIntOption.getOrElse(
-      throw new IllegalArgumentException("shift amount must be a literal")))
+    shiftRight(c, literalInt(n, "shift_right"))
 
   /** `unary_operation(col, op)` (unaryop.hpp:81; op map cpp/src/unaryop.cu:85-113). */
   def unary(c: Column, op: String): Column = op match {

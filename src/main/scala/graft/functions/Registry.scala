@@ -29,8 +29,10 @@ object Registry {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
-      exprs => MinHashSignatureExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]),
+      exprs => {
+        requireFoldable(exprs(1), "graft_minhash", "num_hashes must be a literal int")
+        MinHashSignatureExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])
+      },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_match_frac",
@@ -39,6 +41,8 @@ object Registry {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_stopword_hits",
       exprs => {
+        requireFoldable(exprs(1), "graft_stopword_hits",
+          "word lists must be a literal array<array<string>>")
         val ad = exprs(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val lists = (0 until ad.numElements()).map { i =>
@@ -49,6 +53,18 @@ object Registry {
       },
       "built-in")
   }
+
+  /** SQL-surface guard: these builders eval() an argument at resolution time,
+    * which only works for foldable (literal/constant-folded) expressions — a
+    * column argument would otherwise die in an opaque ClassCastException.
+    */
+  private def requireFoldable(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, what: String): Unit =
+    if (!e.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" -> s"$fn: $what (got non-foldable: ${e.sql})"))
 
   /** Merge-pass Jaccard of two sorted array<long> columns. */
   def jaccardSorted(a: Column, b: Column): Column =

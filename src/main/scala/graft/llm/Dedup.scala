@@ -75,14 +75,30 @@ object Dedup {
       shingleSize: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     val sh = shingleSets(df, idCol, textCol, shingleSize)
-    candidatesFromSignatures(
+    val (cands, banded) = candidatesFromSignatures(
       sh.select(col("id"), signatureOfShingles(col("sh"), bands * rowsPerBand).as("sig")),
       bands, rowsPerBand, maxBucket)
+    finishAndRelease(cands, banded, sh)
   }
 
-  /** Candidate pairs from a persisted (id, sig) frame. */
+  /** Materialize `result` (localCheckpoint: computed once, lineage cut), then
+    * unpersist the cached intermediates it depended on. Without this, each
+    * call leaked its persisted frames until LRU eviction / session end
+    * (round-2 advice). The checkpointed result itself is released by the
+    * ContextCleaner when the returned DataFrame is garbage-collected.
+    */
+  private def finishAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    cached.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Candidate pairs from a persisted (id, sig) frame. Returns the candidate
+    * pairs plus the internally-persisted banded frame, which the caller must
+    * unpersist once the candidates are materialized.
+    */
   private def candidatesFromSignatures(
-      sig: DataFrame, bands: Int, rowsPerBand: Int, maxBucket: Int): DataFrame = {
+      sig: DataFrame, bands: Int, rowsPerBand: Int, maxBucket: Int): (DataFrame, DataFrame) = {
     val banded = sig.select(
       col("id"),
       posexplode(transform(
@@ -99,12 +115,12 @@ object Dedup {
       .drop("bucket_n")
     val a = capped.as("a")
     val b = capped.as("b")
-    a.join(b,
+    (a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .distinct(), banded)
   }
 
   /** Exact word-shingle Jaccard for given pairs: joins the shingle sets back
@@ -115,8 +131,10 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleSize: Int = 3): DataFrame =
-    jaccardOfPairs(pairs, shingleSets(df, idCol, textCol, shingleSize))
+      shingleSize: Int = 3): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, shingleSize)
+    finishAndRelease(jaccardOfPairs(pairs, sh), sh)
+  }
 
   private def jaccardOfPairs(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
@@ -133,7 +151,11 @@ object Dedup {
     * 1-(1-j^rowsPerBand)^bands — pick (bands, rowsPerBand) so the S-curve
     * midpoint (1/bands)^(1/rowsPerBand) sits WELL BELOW `threshold`, e.g.
     * 16×2 gives midpoint 0.25 and recall ≥ 1-8e-8 for j ≥ 0.8. The defaults
-    * (8×4, midpoint 0.59) suit thresholds ≥ 0.85.
+    * (8×4, midpoint 0.59) suit thresholds ≥ 0.85. A signature pre-filter
+    * (see below) additionally drops candidates whose estimated Jaccard is
+    * more than max(0.4, 2.5/√numHashes) below `threshold`; its false-drop
+    * probability at j ≥ threshold is ≲ 1e-6 and it is skipped entirely when
+    * numHashes < 16.
     */
   def nearDuplicates(
       df: DataFrame,
@@ -148,21 +170,29 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val sig = sh.select(
       col("id"), signatureOfShingles(col("sh"), numHashes).as("sig")).persist()
-    val cands = candidatesFromSignatures(sig, bands, rowsPerBand, maxBucket = 1000)
+    val (cands, banded) = candidatesFromSignatures(sig, bands, rowsPerBand, maxBucket = 1000)
     // Signature pre-filter: the positional match fraction of two signatures
     // estimates Jaccard, and the signatures (numHashes longs) are already
     // computed — far cheaper to join back than the shingle sets (hundreds of
-    // longs). A cutoff 0.4 below the threshold keeps the false-drop
-    // probability at j=threshold around binomial-tail(z≈0.4·√numHashes/σ)
-    // ~1e-8 for 32 hashes, while dropping essentially every low-similarity
-    // bucket collision before the expensive exact-verification rejoin.
-    val estCutoff = math.max(0.0, threshold - 0.4)
-    val prefiltered = cands
-      .join(sig.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a")), "id_a")
-      .join(sig.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b")), "id_b")
-      .filter(graft.functions.Registry.matchFraction(col("sig_a"), col("sig_b")) >= estCutoff)
-      .select("id_a", "id_b")
-    jaccardOfPairs(prefiltered, sh).filter(col("jaccard") >= threshold)
+    // longs). The margin below the threshold scales with signature length:
+    // the estimator's std at j=threshold is ≤ 0.5/√numHashes, so a margin of
+    // max(0.4, 2.5/√numHashes) keeps the false-drop probability ≲ 1e-6 at
+    // ANY numHashes (a fixed 0.4 margin is only a ~1e-8 bound for ≥32
+    // hashes). Below 16 hashes the estimator is too coarse (granularity
+    // 1/numHashes) to drop anything safely — skip the pre-filter entirely
+    // and let exact verification do the work.
+    val margin = math.max(0.4, 2.5 / math.sqrt(numHashes.toDouble))
+    val estCutoff = math.max(0.0, threshold - margin)
+    val prefiltered =
+      if (numHashes < 16 || estCutoff == 0.0) cands
+      else cands
+        .join(sig.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a")), "id_a")
+        .join(sig.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b")), "id_b")
+        .filter(graft.functions.Registry.matchFraction(col("sig_a"), col("sig_b")) >= estCutoff)
+        .select("id_a", "id_b")
+    finishAndRelease(
+      jaccardOfPairs(prefiltered, sh).filter(col("jaccard") >= threshold),
+      banded, sig, sh)
   }
 
   /** Brute-force all-pairs Jaccard (testing oracle; O(n²) — small inputs only). */
@@ -176,7 +206,7 @@ object Dedup {
     val pairs = sh.select(col("id").as("id_a"))
       .crossJoin(sh.select(col("id").as("id_b")))
       .filter(col("id_a") < col("id_b"))
-    jaccardOfPairs(pairs, sh).filter(col("jaccard") >= threshold)
+    finishAndRelease(jaccardOfPairs(pairs, sh).filter(col("jaccard") >= threshold), sh)
   }
 
   /** 64-bit SimHash over whitespace tokens: bit i of the signature is set iff
@@ -192,20 +222,53 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on high 16 bits of the simhash (cheap LSH
-    * for hamming distance), then verify full hamming distance ≤ maxDist within
-    * blocks. Four rotated blockings guarantee recall for maxDist ≤ 3 when
-    * distance bits fall in one 16-bit quarter; standard "simhash chunks" trick.
+  /** SimHash near-dup pairs via pigeonhole chunk blocking (Manku, Jain &
+    * Sarma, WWW'07 §3): the 64-bit signature is split into `maxDist + 1`
+    * near-equal chunks — two signatures within hamming distance `maxDist`
+    * differ in at most `maxDist` chunks, so AT LEAST ONE chunk matches
+    * exactly. Ids sharing any (chunk_idx, chunk) bucket are joined and the
+    * full hamming distance verified, giving exact recall for any `maxDist`
+    * (maxDist=3 reproduces the classic 4×16-bit blocking).
+    *
+    * Buckets larger than `maxBucket` are dropped — same skew guard as the
+    * MinHash path: degenerate simhashes (empty/boilerplate docs) share
+    * chunks and would otherwise go O(n²). Recall is exact only while no
+    * true pair's every matching chunk sits in an over-cap bucket.
+    *
+    * Scale note: chunk width is 64/(maxDist+1) bits, so blocking selectivity
+    * decays as maxDist grows (maxDist=10 → ~6-bit chunks → ~n/57 ids per
+    * bucket on uniform signatures). For loose thresholds over very large
+    * corpora prefer `nearDuplicates` (MinHash-LSH keeps selectivity by
+    * adding hashes instead of shrinking chunks).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64): $maxDist")
+    val numChunks = maxDist + 1
+    // distribute 64 bits as evenly as possible: the first (64 % numChunks)
+    // chunks get one extra bit
+    val widths = Array.tabulate(numChunks)(i =>
+      64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkCols = (0 until numChunks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      shiftrightunsigned(col("sig"), offsets(i)).bitwiseAND(lit(mask))
+    }
     val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val chunked = withSig.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until 4).map(q =>
-        shiftrightunsigned(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      col("id"), col("sig"), posexplode(array(chunkCols: _*)))
       .toDF("id", "sig", "chunk_idx", "chunk")
-    val a = chunked.as("a")
-    val b = chunked.as("b")
+    val capped = chunked
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("chunk_idx", "chunk")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b,
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk") === col("b.chunk") &&

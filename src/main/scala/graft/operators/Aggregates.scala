@@ -35,7 +35,12 @@ object Aggregates {
     case "stddev" => stddev_pop(in) // ddof=0
     // the reference's median is exact and interpolates even-sized groups
     // (cudf semantics) — Spark's median() matches; the approximate variant
-    // stays available under its own kind
+    // stays available under its own kind. Scale note: exact median is a
+    // sort-based aggregate (per-group buffer sort, no partial aggregation),
+    // a real cost at 100 TB — route to "approx_median" (t-digest, map-side
+    // combinable, bounded memory) unless exact parity is required. (The
+    // reference's own CPU path is approximate: groupby_aggregation.cpp:79-93
+    // maps MEDIAN to Arrow approximate_median.)
     case "median" => median(in)
     case "approx_median" => percentile_approx(in, lit(0.5), lit(10000))
     case "count_distinct" => countDistinct(in)

@@ -106,8 +106,13 @@ object Events {
     * newer event opened the next session, or the event-time watermark passed
     * `sess_end + gap` (event-time timeout). Session ids are therefore stable
     * across any micro-batch slicing of the input, matching sessionizeBatch on
-    * the emitted (closed) prefix. Late events below the watermark are dropped
-    * by the watermark filter — the standard streaming approximation; keep
+    * the emitted (closed) prefix. Admissible late events (above the
+    * watermark but out of arrival order) are interval-merged against the
+    * open session: one within gap of the open session extends it (lowering
+    * `sess_start` if it precedes it), one more than gap earlier forms its
+    * own earlier session. Events below the watermark are dropped by the
+    * watermark filter, and a session already emitted as closed cannot be
+    * reopened by a late event — the standard streaming approximations; keep
     * `watermark >= gap` so a timeout can never close a session that an
     * admissible late event could still extend.
     */
@@ -139,26 +144,43 @@ object Events {
             state.remove()
             Iterator.single(emit(s.nextId, (s.start, s.end, s.n)))
           } else {
-            // seed the merge with the open session carried from prior batches
-            var sessions: List[(Long, Long, Long)] =
-              state.getOption.map(s => (s.start, s.end, s.n)).toList
-            val firstId = state.getOption.map(_.nextId).getOrElse(0L)
+            // fold this batch's events (sorted by event time) into sessions
+            var batch: List[(Long, Long, Long)] = Nil
             val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             for (e <- sorted) {
               val t = micros(e.ts)
-              sessions match {
+              batch match {
                 case (s, end, n) :: rest if t - end <= gapUs =>
-                  sessions = (s, math.max(end, t), n + 1) :: rest
+                  batch = (s, math.max(end, t), n + 1) :: rest
                 case _ =>
-                  sessions = (t, t, 1L) :: sessions
+                  batch = (t, t, 1L) :: batch
               }
             }
-            val ordered = sessions.reverse // oldest first
+            // Merge with the open session carried from prior batches as an
+            // INTERVAL merge on start-sorted sessions (chain when the gap
+            // between neighbours is <= gap). An admissible late event that
+            // precedes the open session therefore forms/extends its own
+            // earlier session instead of being folded into the open one, and
+            // an event landing within gap BEFORE the open session's start
+            // lowers sess_start — matching what sessionizeBatch would do
+            // with the same events.
+            val seeded = state.getOption.map(s => (s.start, s.end, s.n)).toList
+            val firstId = state.getOption.map(_.nextId).getOrElse(0L)
+            val ordered = (seeded ++ batch.reverse).sortBy(_._1)
+              .foldLeft(List.empty[(Long, Long, Long)]) {
+                case ((s, e, n) :: acc, (s2, e2, n2)) if s2 - e <= gapUs =>
+                  (math.min(s, s2), math.max(e, e2), n + n2) :: acc
+                case (acc, sess) => sess :: acc
+              }
+              .reverse // oldest first
             val closed = ordered.dropRight(1)
             val open @ (_, openEnd, _) = ordered.last
             val timeoutMs = openEnd / 1000L + gapMs
             val wm = state.getCurrentWatermarkMs()
-            if (timeoutMs <= wm) {
+            // strict <: Spark's own event-time timeout fires only when the
+            // watermark has strictly passed the timestamp, and an event AT
+            // the watermark is still admissible (could extend the session)
+            if (timeoutMs < wm) {
               // the "open" session is already unreachable by admissible events
               state.remove()
               (closed :+ open).zipWithIndex.iterator

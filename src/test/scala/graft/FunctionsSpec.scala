@@ -101,4 +101,18 @@ class FunctionsSpec extends SparkSuite {
     intercept[IllegalArgumentException](StringFns.matches("glob", $"a", "x"))
     intercept[IllegalArgumentException](TimeFns.extractComponent($"a", "fortnight"))
   }
+
+  test("shift ops accept aliased/cast literal amounts and the Int overloads") {
+    val d = Seq((8L, 1L)).toDF("a", "b")
+    def one(c: org.apache.spark.sql.Column): Long =
+      rows(d.select(c)).head.head.asInstanceOf[Long]
+    assert(one(Ops.binary($"a", lit(2), "shift_left")) == 32L)
+    assert(one(Ops.binary($"a", lit(2).as("n"), "shift_left")) == 32L)
+    assert(one(Ops.binary($"a", lit(2L).cast("int"), "shift_right")) == 2L)
+    assert(one(Ops.shiftLeft($"a", 3)) == 64L)
+    assert(one(Ops.shiftRight($"a", 3)) == 1L)
+    // a genuine column amount is still rejected with a clear error
+    val e = intercept[IllegalArgumentException](Ops.binary($"a", $"b", "shift_left"))
+    assert(e.getMessage.contains("literal int"))
+  }
 }

@@ -49,6 +49,44 @@ class LlmSpec extends SparkSuite {
     assert(sigs(0) != sigs(2))
   }
 
+  test("simhashPairs: exact recall vs brute-force hamming at maxDist=10 on 5k docs") {
+    // 5k synthetic docs with planted near-dups: pigeonhole blocking on
+    // maxDist+1 chunks must find EXACTLY the brute-force hamming pairs
+    // (recall and precision both exact when no bucket is capped).
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(500)(i => s"w$i")
+    def doc(): String = Array.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = Seq.tabulate(2450)(i => (i.toLong, doc()))
+    // planted: copy of a base with one word appended (small hamming delta)
+    val dups = bases.take(100).map { case (i, t) => (10000L + i, t + " extra") }
+    val corpus = (bases ++ dups ++ Seq.tabulate(2450)(i => (20000L + i, doc())))
+      .toDF("doc_id", "text")
+    assert(corpus.count() >= 5000)
+    val sigs = corpus.select($"doc_id", Dedup.simhash64($"text").as("sig")).persist()
+    val truth = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        Dedup.hamming($"a.sig", $"b.sig").as("dist"))
+      .filter($"dist" <= 10)
+    val truthPairs = rows(truth.select("id_a", "id_b")).map(_.toList).toSet
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 10,
+      maxBucket = Int.MaxValue)
+    val gotPairs = rows(got.select("id_a", "id_b")).map(_.toList).toSet
+    sigs.unpersist()
+    assert(truthPairs.nonEmpty, "test corpus must contain true near-dup pairs")
+    assert(gotPairs == truthPairs,
+      s"missed: ${(truthPairs -- gotPairs).take(5)}; spurious: ${(gotPairs -- truthPairs).take(5)}")
+  }
+
+  test("simhashPairs: maxBucket cap drops degenerate buckets instead of exploding") {
+    // 500 identical docs share every chunk: without the cap this is 124,750
+    // pairs; with a small cap the degenerate bucket is dropped entirely.
+    val degenerate = Seq.tabulate(500)(i => (i.toLong, "same text every time"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(degenerate, "doc_id", "text", maxDist = 3,
+      maxBucket = 100)
+    assert(capped.count() == 0)
+  }
+
   test("minhash-LSH finds planted near-duplicates (recall vs brute force)") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
     val nearDup = base.replace("today", "tonight")

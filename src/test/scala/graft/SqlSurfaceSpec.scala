@@ -44,4 +44,15 @@ class SqlSurfaceSpec extends SparkSuite {
         "FROM documents LIMIT 3")
     assert(mh.collect().forall(_.getSeq[Long](0).length == 16))
   }
+
+  test("literal-argument builders reject non-foldable arguments with a clear error") {
+    registerViews()
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_minhash(array(xxhash64(text)), doc_id) FROM documents LIMIT 1")
+        .collect()
+    }
+    assert(e.getMessage.contains("num_hashes must be a literal"),
+      s"unhelpful error: ${e.getMessage}")
+  }
 }

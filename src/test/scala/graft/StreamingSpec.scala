@@ -70,6 +70,51 @@ class StreamingSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("sessionization handles out-of-order events across micro-batches within the watermark") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // user 1: batch 1 delivers t=100min; batch 2 delivers LATE events t=10min
+    // (own earlier session: 90min before the open one) and t=95min (extends
+    // the open session backward: within gap of its start). Batch 3 is a far-
+    // future event for user 2 that pushes the watermark past everything and
+    // times user 1's sessions out. Watermark 2h keeps the late events
+    // admissible.
+    val base = 1577836800L * 1000000000L // 2020-01-01 in nanos
+    def ns(min: Long): Long = base + min * 60L * 1000000000L
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ooo_stream")
+    def stage(rows: Seq[(Long, Long, Long)], name: String, modTimeMs: Long): Unit = {
+      val df = rows.toDF("event_id", "ts", "user_id")
+        .withColumn("event_type", lit("click"))
+        .withColumn("value", lit(1.0))
+        .withColumn("props", lit("{}"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ooo_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTimeMs)
+    }
+    val now = System.currentTimeMillis()
+    stage(Seq((1L, ns(100), 1L)), "b1.parquet", now - 120000)
+    stage(Seq((2L, ns(10), 1L), (3L, ns(95), 1L)), "b2.parquet", now - 60000)
+    stage(Seq((4L, ns(10000), 2L)), "b3.parquet", now)
+
+    val streamed = Events.sessionizeStream(
+      Events.readStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)),
+      gapMinutes = 30, watermark = "2 hours")
+    val q = streamed.writeStream.format("memory")
+      .queryName("graft_ooo_sessions").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_ooo_sessions")
+      .filter(col("user_id") === 1L)
+      .select(col("session_id"), col("n_events"),
+        unix_micros(col("sess_start")).as("s"), unix_micros(col("sess_end")).as("e"))
+    def us(min: Long): Long = base / 1000L + min * 60L * 1000000L
+    assertSameRows(got,
+      Seq(Seq(0L, 1L, us(10), us(10)),   // late lone event: own session
+          Seq(1L, 2L, us(95), us(100)))) // open session extended backward
+  }
+
   test("sliding window produces more buckets than tumbling") {
     val slid = Events.runToMemory(spark,
       Events.slidingAgg(Events.readStream(spark, eventsDir)),
