@@ -456,6 +456,45 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("int").as("pos"), col("token")),
         "doc_id", "pos")
     }),
+    "q73_first_last" -> ((s, dir) => {
+      // grouped first/last agg kinds (ldf_polars aggregation.py:77-81,
+      // slice(0,1)/slice(-1) semantics — order-dependent in the reference).
+      // Deterministic face: pin the traversal order (single sorted
+      // partition) for the REAL first/last kinds, and the min_by/max_by
+      // struct form alongside as the scale path (map-side combinable,
+      // no global order needed — what a 100 TB pipeline should use).
+      import Aggregates.AggRequest
+      val o = t(s, dir, "orders")
+      val pinned = o.repartition(1).sortWithinPartitions("o_orderpriority", "o_orderkey")
+      val firstLast = Aggregates.groupby(pinned, Seq("o_orderpriority"), Seq(
+        AggRequest("o_totalprice", "first", "first_price"),
+        AggRequest("o_totalprice", "last", "last_price")))
+      val byKey = o.groupBy("o_orderpriority").agg(
+        min_by(col("o_totalprice"), col("o_orderkey")).as("by_first"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("by_last"))
+      ord(firstLast.join(byKey, "o_orderpriority"), "o_orderpriority")
+    }),
+    "q74_parquet_array" -> ((s, dir) => {
+      // parquet_read_array (parquet.hpp:138-141): numeric columns as one
+      // packed array<double> column. The oracle comparator can't hash list
+      // columns, so the packed array is re-indexed into scalars — the values
+      // still flow through the array (size + element access prove the
+      // packing).
+      val arr = sources.IO.parquetReadArray(s, Seq(s"$dir/lineitem.parquet"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      ordAll(arr.select(
+        size(col("vals")).cast("int").as("n"),
+        col("vals")(0).as("v0"), col("vals")(1).as("v1"),
+        col("vals")(2).as("v2"), col("vals")(3).as("v3")))
+    }),
+    "q75_ann_ivf" -> ((s, dir) => {
+      // IVF ANN path under the driver gate (rows-only, like q50): recall
+      // semantics are ScalaTest-covered in LlmSpec
+      val e = t(s, dir, "embeddings")
+      ord(graft.llm.Similarity.ivfTopK(e, e.limit(200), "vec_id", "embedding",
+          k = 1, nlist = 8, nprobe = 8)
+        .withColumn("cosine", round(col("cosine"), 4)), "query_id")
+    }),
     // ───────────────────────── windows (beyond-reference) ─────────────────────────
     "q33_window_funcs" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -535,11 +574,14 @@ object SparkEntry {
     }),
     // ───────────────────────── I/O roundtrips ─────────────────────────
     "q35_csv_roundtrip" -> ((s, dir) => {
+      // roundtrip + the usecols/names read surface (csv.hpp:96-101): keep a
+      // column subset and rename it at read time
       val r = t(s, dir, "region")
       val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
       sources.IO.csvWrite(r, tmp)
-      val back = sources.IO.csvRead(s, Seq(tmp), r.schema)
-      ord(back, "r_regionkey")
+      val back = sources.IO.csvRead(s, Seq(tmp), r.schema,
+        usecols = Seq("r_regionkey", "r_name"), names = Seq("key", "name"))
+      ord(back, "key")
     }),
     "q36_ndjson_roundtrip" -> ((s, dir) => {
       val n = t(s, dir, "nation")
@@ -950,6 +992,19 @@ object SparkEntry {
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |        FROM documents WHERE doc_id < 50)
         |) ORDER BY doc_id, pos""".stripMargin,
+    "q73_first_last" ->
+      """SELECT o_orderpriority,
+        |  first(o_totalprice ORDER BY o_orderkey) AS first_price,
+        |  last(o_totalprice ORDER BY o_orderkey) AS last_price,
+        |  min_by(o_totalprice, o_orderkey) AS by_first,
+        |  max_by(o_totalprice, o_orderkey) AS by_last
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q74_parquet_array" ->
+      """SELECT CAST(len(vals) AS INT) AS n,
+        |  vals[1] AS v0, vals[2] AS v1, vals[3] AS v2, vals[4] AS v3
+        |FROM (SELECT [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
+        |              CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)] AS vals
+        |      FROM lineitem) ORDER BY ALL""".stripMargin,
     "q33_window_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(row_number() OVER w AS INT) AS rn,
@@ -1013,7 +1068,7 @@ object SparkEntry {
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "q35_csv_roundtrip" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+      "SELECT r_regionkey AS key, r_name AS name FROM region ORDER BY key",
     "q36_ndjson_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q37_isin_column" ->

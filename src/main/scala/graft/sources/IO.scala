@@ -34,11 +34,14 @@ object IO {
   def parquetReadArray(spark: SparkSession, paths: Seq[String], columns: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{array, col}
     spark.read.parquet(paths: _*)
-      .select(array(columns.map(c => col(c).cast("double")): _*).as("values"))
+      .select(array(columns.map(c => col(c).cast("double")): _*).as("vals"))
   }
 
   /** `csv_read(glob, dtypes, delimiter, usecols, names, na_filter)`
     * (csv.hpp:96-101). Explicit schema required, as in the reference.
+    * `usecols` keeps only the named schema columns (in the given order) —
+    * the projection reaches the CSV scan, so unused columns are never
+    * fully parsed; `names` renames the kept columns positionally.
     */
   def csvRead(
       spark: SparkSession,
@@ -46,14 +49,22 @@ object IO {
       schema: StructType,
       delimiter: String = ",",
       header: Boolean = true,
-      naFilter: Boolean = true): DataFrame = {
+      naFilter: Boolean = true,
+      usecols: Seq[String] = Nil,
+      names: Seq[String] = Nil): DataFrame = {
+    require(
+      names.isEmpty ||
+        names.length == (if (usecols.isEmpty) schema.length else usecols.length),
+      s"names (${names.length}) must match the selected column count")
     val r = spark.read
       .schema(schema)
       .option("sep", delimiter)
       .option("header", header.toString)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
     val r2 = if (naFilter) r.option("nullValue", "") else r.option("nullValue", "\u0000")
-    r2.csv(paths: _*)
+    val df = r2.csv(paths: _*)
+    val selected = if (usecols.isEmpty) df else df.select(usecols.map(df.col): _*)
+    if (names.isEmpty) selected else selected.toDF(names: _*)
   }
 
   def csvWrite(df: DataFrame, dir: String, delimiter: String = ",", header: Boolean = true): Unit =

@@ -37,6 +37,24 @@ class IOSpec extends SparkSuite {
     assert(rows(back.select("b")).map(_(0)) == Seq("x", "y"))
   }
 
+  test("csv usecols selects+reorders a subset and names renames it (csv.hpp:96-101)") {
+    val dir = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"), "1,x,1.5\n2,y,2.5\n")
+    val back = IO.csvRead(spark, Seq(s"$dir/data.csv"), schema, header = false,
+      usecols = Seq("c", "a"), names = Seq("score", "id"))
+    assert(back.columns.toSeq == Seq("score", "id"))
+    assertSameRows(back, Seq(Seq(1.5, 1), Seq(2.5, 2)))
+    // names without usecols renames the full row
+    val renamed = IO.csvRead(spark, Seq(s"$dir/data.csv"), schema, header = false,
+      names = Seq("x1", "x2", "x3"))
+    assert(renamed.columns.toSeq == Seq("x1", "x2", "x3"))
+    // mismatched names length fails fast
+    intercept[IllegalArgumentException](
+      IO.csvRead(spark, Seq(s"$dir/data.csv"), schema, header = false,
+        usecols = Seq("a"), names = Seq("p", "q")))
+  }
+
   test("na_filter: empty fields become nulls (or not)") {
     val dir = tmp()
     java.nio.file.Files.writeString(
@@ -77,7 +95,7 @@ class IOSpec extends SparkSuite {
     val arr = IO.parquetReadArray(spark,
       Seq(s"$sfDir/lineitem.parquet"),
       Seq("l_quantity", "l_discount", "l_tax"))
-    assert(arr.columns.toSeq == Seq("values"))
+    assert(arr.columns.toSeq == Seq("vals"))
     val first = arr.limit(1).collect()(0).getSeq[Double](0)
     assert(first.length == 3)
   }
