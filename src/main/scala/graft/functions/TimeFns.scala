@@ -75,7 +75,26 @@ object TimeFns {
       (pmod(unix_micros(c), lit(1000000L)) / 1000).cast("int")
     case "microsecond" =>
       pmod(unix_micros(c), lit(1000L)).cast("int")
-    case "nanosecond" => lit(0) // Spark timestamps are microsecond precision
+    // Spark timestamps are microsecond precision, so the ns-within-µs
+    // component of a TimestampType column is always 0. NOTE: the events
+    // table is STORED as timestamp[ns] and Engine.events truncates to µs —
+    // for true nanosecond components read the raw int64 column and use
+    // `extractComponentNs` below.
+    case "nanosecond" => lit(0)
     case other => throw new IllegalArgumentException(s"unsupported component: $other")
+  }
+
+  /** Component extraction from a raw int64 epoch-nanoseconds column (the
+    * physical type of ns-precision parquet like the events table, read with
+    * `nanosAsLong`): full ns fidelity, unlike TimestampType (µs) which
+    * truncates. "nanosecond" is the ns-within-µs remainder (Arrow
+    * semantics); everything else converts to µs and delegates.
+    */
+  def extractComponentNs(rawNanos: Column, component: String): Column = component match {
+    case "nanosecond" => pmod(rawNanos, lit(1000L)).cast("int")
+    case other =>
+      // integer `div`, not `/`: double division loses precision above 2^53
+      // and epoch-nanos magnitudes exceed it (same reason as Engine.events)
+      extractComponent(timestamp_micros(call_function("div", rawNanos, lit(1000L))), other)
   }
 }

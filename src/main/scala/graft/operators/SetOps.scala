@@ -21,6 +21,20 @@ object SetOps {
   def distinct(df: DataFrame, keys: Seq[String]): DataFrame =
     if (keys.isEmpty) df.dropDuplicates() else df.dropDuplicates(keys)
 
+  /** Explicit plan-level cache node (ldf_polars/dsl/ir.py:632-669): the
+    * reference's `Cache(key, value)` evaluates a shared subplan once per
+    * query via a cache map — plan-level CSE. Spark's analogue is
+    * `persist()`: every consumer of the returned frame reads the
+    * materialized blocks instead of recomputing the subtree (Catalyst's
+    * CollapseProject would otherwise re-inline shared projections — see the
+    * dedup pipelines, which use exactly this). Callers own the lifecycle:
+    * `unpersist()` when the consumers are done, as the reference's cache map
+    * is dropped at query end.
+    */
+  def cache(df: DataFrame): DataFrame = df.persist()
+
+  def uncache(df: DataFrame): DataFrame = df.unpersist()
+
   def union(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionAll _)
 

@@ -1,38 +1,49 @@
 package graft.tools
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc profiling main used during bench iteration (not part of the library
-  * surface): times plan variants with warmup + best-of-3 like Bench.
+  * surface): times join-benchmark variants with warmup + best-of-N.
   */
 object Prof {
-  def mat(df: DataFrame): Double = {
-    val t0 = System.nanoTime(); df.write.mode("overwrite").format("noop").save(); (System.nanoTime()-t0)/1e9
+  def mat(df: DataFrame): Unit = df.write.mode("overwrite").format("noop").save()
+  def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
-  def best(df: => DataFrame): Double = { mat(df); (1 to 3).map(_ => mat(df)).min }
 
   def main(args: Array[String]): Unit = {
-    val spark = graft.Engine.session(32)
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val li = graft.Engine.table(spark, dir, "lineitem")
-    val noRound = li.select(col("l_orderkey"), col("l_linenumber"),
-      tan(col("l_discount")).as("a"), asin(col("l_discount")).as("b"), acos(col("l_discount")).as("c"),
-      atan(col("l_discount")).as("d"), atan2(col("l_discount")+1.0, col("l_tax")+2.0).as("e"),
-      (log(col("l_quantity")+1.0)/log(lit(2.0))).as("f"), cbrt(col("l_quantity")).as("g"),
-      log2(col("l_quantity")+1.0).as("h"), log10(col("l_quantity")+1.0).as("i"),
-      exp(col("l_discount")).as("j"), signum(col("l_quantity")-25.0).as("k"))
-    val withRound = li.select(col("l_orderkey"), col("l_linenumber"),
-      round(tan(col("l_discount")),6).as("a"), round(asin(col("l_discount")),6).as("b"), round(acos(col("l_discount")),6).as("c"),
-      round(atan(col("l_discount")),6).as("d"), round(atan2(col("l_discount")+1.0, col("l_tax")+2.0),6).as("e"),
-      round(log(col("l_quantity")+1.0)/log(lit(2.0)),6).as("f"), round(cbrt(col("l_quantity")),6).as("g"),
-      round(log2(col("l_quantity")+1.0),6).as("h"), round(log10(col("l_quantity")+1.0),6).as("i"),
-      round(exp(col("l_discount")),6).as("j"), signum(col("l_quantity")-25.0).as("k"))
-    println(f"noRound proj only: ${best(noRound)}%.3f")
-    println(f"withRound proj only: ${best(withRound)}%.3f")
-    println(f"noRound + sortAll: ${best(noRound.orderBy(noRound.columns.map(c => col(c).asc_nulls_last):_*))}%.3f")
-    println(f"withRound + sortAll: ${best(withRound.orderBy(withRound.columns.map(c => col(c).asc_nulls_last):_*))}%.3f")
-    println(f"full q57: ${best(graft.SparkEntry.queries("q57_math_more")(spark, dir))}%.3f")
-    spark.stop()
+    val nrows = 1L << 22
+    def run(label: String, extra: Map[String, String]): Unit = {
+      val b = graft.Engine.configure(
+        SparkSession.builder().master("local[32]"), 32)
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.local.dir",
+          if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp")
+      val spark = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      def side(p: String): DataFrame =
+        spark.range(nrows).select(
+          pmod(col("id") * 2654435761L, lit(nrows)).cast("double").as("key"),
+          (col("id") % 97).cast("double").as(p))
+      val lhs = side("payload_a").cache(); val rhs = side("payload_b").cache()
+      mat(lhs); mat(rhs)
+      val joined = lhs.join(rhs, "key")
+      mat(joined)
+      val outRows = joined.count()
+      val secs = (1 to 5).map(_ => time(mat(joined))).min
+      val gibs = ((nrows * 4 + outRows * 3) * 8.0) / secs / math.pow(2, 30)
+      println(f"JOINVAR $label: best=$secs%.3f s, $gibs%.3f GiB/s")
+      spark.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+    run("baseline-smj-32p", Map.empty)
+    run("shj", Map("spark.sql.join.preferSortMergeJoin" -> "false"))
+    run("64-partitions", Map("spark.sql.shuffle.partitions" -> "64"))
+    run("no-aqe", Map("spark.sql.adaptive.enabled" -> "false"))
+    run("radix-off-shj", Map(
+      "spark.sql.join.preferSortMergeJoin" -> "false",
+      "spark.sql.shuffle.partitions" -> "64"))
   }
 }

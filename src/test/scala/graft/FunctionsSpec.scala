@@ -66,6 +66,20 @@ class FunctionsSpec extends SparkSuite {
       .head.head == 6)
   }
 
+  test("ns-component extraction from raw epoch-nanos longs keeps full precision") {
+    // 2024-03-04 01:02:03.123456789 UTC as epoch nanos — beyond double's
+    // 2^53 exact-integer range, so this also guards the integer-div path
+    val nanos = 1709514123L * 1000000000L + 123456789L
+    val d = Seq(nanos).toDF("raw")
+    val out = d.select(
+      TimeFns.extractComponentNs($"raw", "year").as("y"),
+      TimeFns.extractComponentNs($"raw", "second").as("sec"),
+      TimeFns.extractComponentNs($"raw", "millisecond").as("ms"),
+      TimeFns.extractComponentNs($"raw", "microsecond").as("us"),
+      TimeFns.extractComponentNs($"raw", "nanosecond").as("ns"))
+    assert(rows(out) == Seq(Seq(2024, 3, 123, 456, 789)))
+  }
+
   test("string match functions (strings.hpp:49-51)") {
     val d = Seq("hello world", "say hell no", "HELLO").toDF("s")
     val out = d.select(
