@@ -495,6 +495,28 @@ object SparkEntry {
           k = 1, nlist = 8, nprobe = 8)
         .withColumn("cosine", round(col("cosine"), 4)), "query_id")
     }),
+    "q76_asof_join" -> ((s, dir) => {
+      // as-of join: each click gets the latest preceding purchase value of
+      // the same user (backward, inclusive). Purchases deduped per
+      // (user, ts) so tie choice is deterministic on both engines.
+      val ev = Engine.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("p_value"))
+      val joined = operators.Joins.asofJoin(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("p_value"), how = "inner")
+      ord(joined.withColumn("ts", unix_micros(col("ts"))), "event_id")
+    }),
+    "q77_topk_group" -> ((s, dir) => {
+      // per-group top-k: 3 priciest orders per priority class, ties broken
+      // by key — the "k best rows per group" curation primitive
+      val o = t(s, dir, "orders")
+      val top = operators.Sorts.topKPerGroup(o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      ord(top, "o_orderpriority", "o_orderkey")
+    }),
     // ───────────────────────── windows (beyond-reference) ─────────────────────────
     "q33_window_funcs" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1005,6 +1027,25 @@ object SparkEntry {
         |FROM (SELECT [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
         |              CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)] AS vals
         |      FROM lineitem) ORDER BY ALL""".stripMargin,
+    "q76_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT c.user_id, epoch_us(c.ts) AS ts, c.event_id, p.p_value
+        |FROM clicks c ASOF JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
+    "q77_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q33_window_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(row_number() OVER w AS INT) AS rn,

@@ -106,6 +106,72 @@ object Joins {
     bigS.join(smallS, keys :+ "__graft_salt", sparkHow(how)).drop("__graft_salt")
   }
 
+  /** As-of join (backward, inclusive): for each left row, attach the value
+    * columns of the LATEST right row with the same keys and
+    * `rightTime <= leftTime` — the event-alignment primitive (trades joined
+    * to most-recent quote, clicks to the last preceding purchase, …).
+    *
+    * Beyond the reference's surface, but core to time-series/training-data
+    * pipelines. Spark has no AsOfJoin operator in the DataFrame API, and a
+    * naive range-condition join degenerates to a per-key cross product.
+    * Implementation: tag and union both sides, ONE shuffle on the keys,
+    * per-partition sort by (time, tag), and `last(value, ignoreNulls)` over
+    * the running window carries the most recent right values forward onto
+    * left rows. Cost is O(n log n) per partition with no pair blow-up —
+    * the shape that survives 100 TB (contrast: pairwise range join is
+    * O(left×right) per key).
+    *
+    * Ties: a right row at exactly leftTime is visible (inclusive). Multiple
+    * right rows at the same (keys, time): the last one in `tieBreak` order
+    * wins — pass a unique column to make results deterministic.
+    *
+    * `how` = "inner" (drop left rows with no preceding right row) or "left"
+    * (keep them with null values). Forward as-of = negate both time columns.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      how: String = "inner",
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(how == "inner" || how == "left", s"asofJoin supports inner/left, got: $how")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col => c, last, lit, when}
+    val lCols = left.columns.toSeq
+    require(!lCols.contains("__graft_tag"), "column name __graft_tag is reserved")
+    // one unified layout: keys, time, left payload, right value columns
+    val lPayload = lCols.filterNot(keys.contains).filterNot(_ == leftTime)
+    val taggedLeft = left.select(
+      keys.map(c) ++ Seq(c(leftTime).as("__graft_t"), lit(1).as("__graft_tag")) ++
+        lPayload.map(c) ++ valueCols.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+    val taggedRight = right.select(
+      keys.map(c) ++ Seq(c(rightTime).as("__graft_t"), lit(0).as("__graft_tag")) ++
+        lPayload.map(p => lit(null).cast(left.schema(p).dataType).as(p)) ++ valueCols.map(c): _*)
+    // right rows (tag 0) sort before left rows at equal time → inclusive.
+    // The right values travel as ONE struct: non-null marks "a right row
+    // exists" even when its value columns are null, so inner-match detection
+    // and null value semantics are exact.
+    import org.apache.spark.sql.functions.struct
+    val ordering = (Seq("__graft_t", "__graft_tag") ++ tieBreak).map(c)
+    val w = Window.partitionBy(keys.map(c): _*).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = taggedLeft.unionByName(taggedRight)
+      .withColumn("__graft_rv",
+        last(when(c("__graft_tag") === 0, struct(valueCols.map(c): _*)),
+          ignoreNulls = true).over(w))
+      .filter(c("__graft_tag") === 1)
+    val out = carried
+      .select(keys.map(c) ++ Seq(c("__graft_t").as(leftTime)) ++ lPayload.map(c) ++
+        valueCols.map(v => c(s"__graft_rv.$v").as(v)) :+ c("__graft_rv").isNotNull.as("__graft_m"): _*)
+    val res =
+      if (how == "left") out
+      else out.filter(c("__graft_m"))
+    res.drop("__graft_m")
+  }
+
   private def sparkHow(how: String): String = how match {
     case "full" => "full_outer"
     case "semi" => "left_semi"

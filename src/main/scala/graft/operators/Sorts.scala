@@ -37,6 +37,38 @@ object Sorts {
     }
   }
 
+  /** Per-group top-k (beyond the reference's global sort+limit): the k best
+    * rows per group by `ordering` — "k highest-quality documents per domain",
+    * the selection primitive of training-data curation.
+    *
+    * `rank` semantics: "row" = exactly k rows (ties broken by ordering
+    * position), "rank" = ties share a rank and all rank<=k rows survive
+    * (can exceed k). Implemented as a ranking window + filter: ONE shuffle
+    * on the group keys, and Spark's WindowGroupLimit pushes the limit into
+    * the pre-shuffle local sort (partial top-k on the map side, like the
+    * global TakeOrderedAndProject) — no group ever needs more than its top
+    * k rows in one place.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      ordering: Seq[Column],
+      k: Int,
+      rank: String = "row"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{rank => rnk, row_number}
+    val w = Window.partitionBy(groupKeys.map(col): _*).orderBy(ordering: _*)
+    val fn = rank match {
+      case "row" => row_number()
+      case "rank" => rnk()
+      case other => throw new IllegalArgumentException(s"unsupported rank kind: $other")
+    }
+    df.withColumn("__graft_rn", fn.over(w))
+      .filter(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+  }
+
   private def orderCols(
       keys: Seq[String],
       ascending: Seq[Boolean],

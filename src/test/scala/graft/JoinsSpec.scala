@@ -76,6 +76,27 @@ class JoinsSpec extends SparkSuite {
     assertSameRows(j.select("p", "q"), Seq(Seq("x", "u")))
   }
 
+  test("asofJoin: backward inclusive, ties, null right values, inner vs left") {
+    import spark.implicits._
+    // trades (left): key, t, label      quotes (right): key, t, px
+    val trades = Seq(("a", 10L, "t1"), ("a", 20L, "t2"), ("a", 5L, "t0"),
+      ("b", 10L, "t3"), ("c", 10L, "t4")).toDF("k", "t", "label")
+    val quotes = Seq(("a", 10L, Some(1.5)), ("a", 15L, Some(2.5)),
+      ("b", 3L, None), ("b", 7L, Some(9.0))).toDF("k", "t", "px")
+    val inner = Joins.asofJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"))
+    assertSameRows(inner.select("k", "t", "label", "px"), Seq(
+      Seq("a", 10L, "t1", 1.5),  // inclusive: quote AT t=10 visible
+      Seq("a", 20L, "t2", 2.5),  // latest preceding (15), not first (10)
+      Seq("b", 10L, "t3", 9.0))) // c and a@5 have no preceding quote
+    val left = Joins.asofJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"), how = "left")
+    assert(left.count() == 5)
+    assertSameRows(left.filter($"label" === "t0").select("k", "px"), Seq(Seq("a", null)))
+    // a matched right row whose VALUE is null is still a match (not dropped)
+    val nullMatch = Joins.asofJoin(
+      Seq(("b", 5L, "x")).toDF("k", "t", "label"), quotes, Seq("k"), "t", "t", Seq("px"))
+    assertSameRows(nullMatch.select("k", "t", "label", "px"), Seq(Seq("b", 5L, "x", null)))
+  }
+
   test("salted join equals plain join on skewed keys") {
     import spark.implicits._
     val skewed = (Seq.fill(500)((1L, "hot")) ++ Seq((2L, "a"), (3L, "b")))

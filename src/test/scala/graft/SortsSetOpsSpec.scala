@@ -35,6 +35,23 @@ class SortsSetOpsSpec extends SparkSuite {
       .map(_(1)) == Seq("e", "n"))
   }
 
+  test("topKPerGroup: row vs rank tie semantics + WindowGroupLimit pushdown") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(("g1", 3), ("g1", 3), ("g1", 2), ("g1", 1),
+      ("g2", 9)).toDF("g", "score")
+    val byRow = Sorts.topKPerGroup(d, Seq("g"), Seq(col("score").desc), k = 2)
+    assert(byRow.filter(col("g") === "g1").count() == 2) // exactly k
+    val byRank = Sorts.topKPerGroup(d, Seq("g"), Seq(col("score").desc), k = 2,
+      rank = "rank")
+    // rank: both score=3 rows share rank 1, score=2 has rank 3 > k → 2 rows
+    // for the tie, none beyond
+    assert(rows(byRank.filter(col("g") === "g1")).map(_(1)).toSet == Set(3))
+    assert(byRank.filter(col("g") === "g2").count() == 1)
+    // map-side partial top-k: Spark plans the rank filter as WindowGroupLimit
+    val plan = byRow.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n$plan")
+  }
+
   test("multi-key with mixed directions") {
     val d = Seq((1, 9), (1, 3), (2, 5), (2, 7)).toDF("a", "b")
     assert(rows(Sorts.sort(d, Seq("a", "b"), Seq(true, false)))
