@@ -495,6 +495,23 @@ object SparkEntry {
           k = 1, nlist = 8, nprobe = 8)
         .withColumn("cosine", round(col("cosine"), 4)), "query_id")
     }),
+    "q78_split_assign" -> ((s, dir) => {
+      // deterministic train/val/test assignment — reproducible on any
+      // cluster size (multiplicative hash of the key, no RNG)
+      val d = t(s, dir, "documents")
+      ord(d.select(col("doc_id"),
+        RowOps.assignSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split")), "doc_id")
+    }),
+    "q79_drop_neardups" -> ((s, dir) => {
+      // corpus-level near-dup removal: keep the lowest doc_id of each
+      // confirmed pair (same LSH regime as q46, where banding recall ~1
+      // makes the exact-Jaccard oracle sound)
+      val d = t(s, dir, "documents")
+      ord(Dedup.dropNearDuplicates(d, "doc_id", "text", threshold = 0.8,
+          bands = 16, rowsPerBand = 2)
+        .select("doc_id", "lang", "n_chars"), "doc_id")
+    }),
     "q76_asof_join" -> ((s, dir) => {
       // as-of join: each click gets the latest preceding purchase value of
       // the same user (backward, inclusive). Purchases deduped per
@@ -1027,6 +1044,29 @@ object SparkEntry {
         |FROM (SELECT [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
         |              CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)] AS vals
         |      FROM lineitem) ORDER BY ALL""".stripMargin,
+    "q78_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN (doc_id * 2654435761) % 1000000 < 800000 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q79_drop_neardups" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, length(toks)-2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS tri
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |), dropped AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |    length(list_distinct(list_concat(a.tri, b.tri))) >= 0.8
+        |)
+        |SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     "q76_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

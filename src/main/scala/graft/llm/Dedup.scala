@@ -195,6 +195,29 @@ object Dedup {
       banded, sig, sh)
   }
 
+  /** Filter a corpus down to near-duplicate survivors: every document that
+    * appears as the GREATER id of a confirmed near-dup pair is dropped, so
+    * the lowest id of each duplicate group survives (pairs are emitted with
+    * id_a < id_b). This is the standard practical LSH-dedup policy
+    * (single-linkage by pairs, keep-first): transitive chains collapse to
+    * their minimum id except where the chain's links were themselves below
+    * threshold — acceptable for corpus curation, exact for the common
+    * mirror/boilerplate case. One anti-join against the (small) dropped-id
+    * set — broadcast-able at any corpus scale.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
+    val dropped = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Brute-force all-pairs Jaccard (testing oracle; O(n²) — small inputs only). */
   def bruteForcePairs(
       df: DataFrame,

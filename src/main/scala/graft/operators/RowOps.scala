@@ -46,4 +46,27 @@ object RowOps {
     */
   def sequence(spark: SparkSession, size: Long, init: Long = 0): DataFrame =
     spark.range(init, init + size).toDF("id")
+
+  /** Deterministic split assignment (beyond-reference; every training
+    * pipeline needs reproducible train/val/test partitions): each row's
+    * integer key is multiplicatively hashed into [0, 1e6) and bucketed by
+    * cumulative fraction thresholds. Row-local, no shuffle, no RNG state —
+    * the same row lands in the same split on any cluster size or run,
+    * unlike `randomSplit` (which is seed- AND partitioning-dependent).
+    *
+    * `splits` are (label, fraction) pairs; fractions must sum to 1.
+    */
+  def assignSplit(keyCol: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    // Knuth multiplicative hash; modulus 1e6 gives ppm-granular thresholds.
+    // Stays exact in int64 for keys < ~3.5e9 (judged vs 2^63/2654435761);
+    // larger key spaces should pre-hash with xxhash64.
+    val bucket = pmod(keyCol * lit(2654435761L), lit(1000000L))
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * 1000000L))
+    splits.zip(thresholds).reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, ((label, _), thr)) => when(bucket < thr, label).otherwise(acc)
+    }
+  }
 }

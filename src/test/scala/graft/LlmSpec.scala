@@ -106,6 +106,18 @@ class LlmSpec extends SparkSuite {
     assert(lshPairs.subsetOf(exactPairs))
   }
 
+  test("dropNearDuplicates keeps the lowest id of each duplicate group") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val corpus = Seq(
+      (1L, base), (2L, base), (3L, base.replace("today", "tonight")),
+      (9L, "completely different content about spark engines and columnar data"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", "text", threshold = 0.6,
+      bands = 16, rowsPerBand = 2)
+    val ids = rows(kept.select("doc_id")).map(_.head.asInstanceOf[Long]).toSet
+    assert(ids == Set(1L, 9L), s"expected lowest-id survivors, got $ids")
+  }
+
   test("cosine matches hand computation") {
     val d = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
       (Array(1.0f, 1.0f), Array(1.0f, 1.0f))).toDF("a", "b")

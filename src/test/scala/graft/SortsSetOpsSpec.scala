@@ -35,6 +35,26 @@ class SortsSetOpsSpec extends SparkSuite {
       .map(_(1)) == Seq("e", "n"))
   }
 
+  test("assignSplit: deterministic, exhaustive, and roughly proportional") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.RowOps
+    val ids = spark.range(10000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = ids.select(col("id"), RowOps.assignSplit(col("id"), splits).as("s"))
+    val counts = rows(labeled.groupBy("s").count())
+      .map(r => r(0).asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+    assert(counts.values.sum == 10000) // every row labeled
+    assert(counts("train") > 7500 && counts("train") < 8500)
+    assert(counts("val") > 500 && counts("val") < 1500)
+    // determinism across partitionings
+    val repartitioned = ids.repartition(13)
+      .select(col("id"), RowOps.assignSplit(col("id"), splits).as("s"))
+    assert(rows(labeled.orderBy("id")).map(_.toString) ==
+      rows(repartitioned.orderBy("id")).map(_.toString))
+    intercept[IllegalArgumentException](
+      RowOps.assignSplit(col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
   test("topKPerGroup: row vs rank tie semantics + WindowGroupLimit pushdown") {
     import org.apache.spark.sql.functions.col
     val d = Seq(("g1", 3), ("g1", 3), ("g1", 2), ("g1", 1),
