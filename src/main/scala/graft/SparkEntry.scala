@@ -495,6 +495,14 @@ object SparkEntry {
           k = 1, nlist = 8, nprobe = 8)
         .withColumn("cosine", round(col("cosine"), 4)), "query_id")
     }),
+    "q80_click_attribution" -> ((s, dir) => {
+      // batch face of the watermarked stream-stream interval join
+      // (StreamingSpec proves stream == batch on the same input)
+      val ev = Engine.events(s, dir)
+      ordAll(graft.streaming.Events.clickPurchaseJoinBatch(ev, windowMinutes = 60)
+        .withColumn("click_ts", unix_micros(col("click_ts")))
+        .withColumn("p_ts", unix_micros(col("p_ts"))))
+    }),
     "q78_split_assign" -> ((s, dir) => {
       // deterministic train/val/test assignment — reproducible on any
       // cluster size (multiplicative hash of the key, no RNG)
@@ -1044,6 +1052,17 @@ object SparkEntry {
         |FROM (SELECT [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
         |              CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)] AS vals
         |      FROM lineitem) ORDER BY ALL""".stripMargin,
+    "q80_click_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS p_ts,
+        |  p.value AS p_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
+        |ORDER BY ALL""".stripMargin,
     "q78_split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN (doc_id * 2654435761) % 1000000 < 800000 THEN 'train'

@@ -197,6 +197,60 @@ object Events {
       .toDF("user_id", "session_id", "n_events", "sess_start", "sess_end")
   }
 
+  /** Stream-stream interval join (attribution): each click joins the same
+    * user's purchases within `windowMinutes` BEFORE it. Both sides are
+    * watermarked and the join condition carries the time bound, so Spark
+    * retains only `watermark + window` of state per side — the bounded-state
+    * shape that scales to unbounded streams (an unbounded-condition
+    * stream-stream join would grow state forever).
+    */
+  def clickPurchaseJoin(events: DataFrame, windowMinutes: Int = 60,
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") <= col("click_ts") &&
+        col("p_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "inner")
+      .select(col("user_id"), col("click_id"), col("click_ts"), col("p_ts"), col("p_value"))
+  }
+
+  /** Batch twin of `clickPurchaseJoin` (oracle-comparable: equi-join on user
+    * + time-range filter — one shuffle, same result as the streaming form).
+    */
+  def clickPurchaseJoinBatch(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") <= col("click_ts") &&
+        col("p_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "inner")
+      .select(col("user_id"), col("click_id"), col("click_ts"), col("p_ts"), col("p_value"))
+  }
+
+  /** Sessionization via Spark's built-in `session_window` (gap-based session
+    * aggregation) — the declarative alternative to the explicit-state
+    * `sessionizeStream`, usable in batch AND streaming. Returns the same
+    * (user_id, n_events, sess_start, sess_end) shape as `sessionizeBatch`
+    * minus the running session_id (the built-in doesn't number sessions).
+    */
+  def sessionizeWindow(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+      .select("user_id", "n_events", "sess_start", "sess_end")
+
   /** Streaming exact dedup on event_id with watermark-bounded state — the
     * streaming face of the dedup operator family (drops replayed events).
     */

@@ -115,6 +115,28 @@ class StreamingSpec extends SparkSuite {
           Seq(1L, 2L, us(95), us(100)))) // open session extended backward
   }
 
+  test("stream-stream interval join == batch twin") {
+    val streamed = Events.clickPurchaseJoin(
+      Events.readStream(spark, eventsDir), windowMinutes = 60)
+    val q = streamed.writeStream.format("memory")
+      .queryName("graft_ssjoin").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_ssjoin")
+    val expected = Events.clickPurchaseJoinBatch(
+      Engine.events(spark, sfDir), windowMinutes = 60)
+    assert(rows(got).map(_.toString).sorted == rows(expected).map(_.toString).sorted)
+    assert(got.count() > 0)
+  }
+
+  test("built-in session_window sessionization == explicit batch sessionization") {
+    val ev = Engine.events(spark, sfDir)
+    val viaWindow = Events.sessionizeWindow(ev)
+    val viaBatch = Events.sessionizeBatch(ev)
+      .select("user_id", "n_events", "sess_start", "sess_end")
+    assert(rows(viaWindow).map(_.toString).sorted ==
+      rows(viaBatch).map(_.toString).sorted)
+  }
+
   test("sliding window produces more buckets than tumbling") {
     val slid = Events.runToMemory(spark,
       Events.slidingAgg(Events.readStream(spark, eventsDir)),
