@@ -17,15 +17,29 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // local-iteration filter (same contract as Bench): SPARK_GRAFT_ONLY=q57_math_more
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    // Dump queries concurrently: Spark schedules concurrent actions from one
+    // session fine, and most of these queries are tiny at sf0.01 — wall time
+    // is dominated by per-job overhead, which overlaps. Bounded pool so the
+    // heavyweight queries (LSH, ANN) don't all run at once.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .map { case (name, fn) =>
+        scala.concurrent.Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
       }
-    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
