@@ -108,6 +108,13 @@ object Dedup {
       // persisted: referenced twice by the self-join, and banding is the
       // expensive part of the pipeline (signatures over every shingle)
       .persist()
+    // Skew cap as a window count: this LOOKS like a gratuitous sort, but the
+    // window's hash-partitioning and sort on (band_idx, band_hash) are
+    // exactly what the self-join below needs — Catalyst reuses the exchange
+    // and sort, so the cap costs one shuffle TOTAL for cap+join. (Measured
+    // alternative — partial-agg counts + broadcast anti-join — adds a
+    // second pass over the banded triples and an extra broadcast stage, and
+    // benches slower.)
     val capped = banded
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
@@ -285,6 +292,9 @@ object Dedup {
     val chunked = withSig.select(
       col("id"), col("sig"), posexplode(array(chunkCols: _*)))
       .toDF("id", "sig", "chunk_idx", "chunk")
+    // window-count skew cap: the window's partitioning+sort on
+    // (chunk_idx, chunk) is reused by the self-join's SMJ — one shuffle
+    // total (see the MinHash cap above for the measured comparison)
     val capped = chunked
       .withColumn("bucket_n", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("chunk_idx", "chunk")))

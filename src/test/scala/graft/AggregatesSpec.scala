@@ -78,6 +78,19 @@ class AggregatesSpec extends SparkSuite {
     assert(r.getDouble(3) >= 1.0 && r.getDouble(3) <= 3.0)
   }
 
+  test("approx_count_distinct kind stays within its rsd on a real column") {
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val out = Aggregates.groupby(li, Seq("l_returnflag"), Seq(
+      AggRequest("l_orderkey", "count_distinct", "exact_nd"),
+      AggRequest("l_orderkey", "approx_count_distinct", "approx_nd")))
+    out.collect().foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact for ${r.get(0)}")
+    }
+  }
+
   test("approximate aggregates track exact values (approximate_median parity)") {
     import org.apache.spark.sql.functions._
     val li = Engine.table(spark, sfDir, "lineitem")
