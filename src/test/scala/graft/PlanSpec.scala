@@ -102,4 +102,27 @@ class PlanSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("asofJoin shuffles exactly once (no per-key pair blow-up join)") {
+    import graft.operators.Joins
+    val ev = Engine.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val plan = Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+      Seq("value")).queryExecution.executedPlan.toString
+    // one Exchange for the window partitioning; no SortMergeJoin/Broadcast
+    // join node at all — the "join" is a running-window carry
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("parquetReadArray prunes the scan to the packed columns") {
+    val scan = graft.sources.IO.parquetReadArray(spark,
+      Seq(s"$sfDir/lineitem.parquet"), Seq("l_quantity", "l_tax"))
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema: struct<l_quantity:double,l_tax:double>"),
+      s"scan not pruned:\n$scan")
+  }
 }
