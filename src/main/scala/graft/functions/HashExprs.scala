@@ -13,8 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_min(transform(...))`) evaluate interpreted lambdas per element with
   * boxing — at corpus scale that's the whole cost of signature computation.
   * These expressions make one primitive pass over the token/shingle array.
-  * They're row-local leaf computations feeding shuffles, so CodegenFallback
-  * (no WSCG fusion) costs little; the inner loops are primitive Java.
+  * The per-PAIR expressions (JaccardSorted, MatchFraction) implement full
+  * codegen — they run once per candidate pair inside joins and should stay
+  * in whole-stage codegen. The per-DOCUMENT signature expressions (SimHash,
+  * MinHash, StopwordHits) are CodegenFallback leaf computations feeding
+  * shuffles, where the interpreted-call overhead is amortized by the heavy
+  * primitive inner loop per row.
   */
 object HashExprs {
   /** xxhash64 of a UTF8String with a seed. */
@@ -65,7 +69,7 @@ case class SimHash64Expr(child: Expression)
   * `array_intersect`/`array_union` cost on millions of candidate pairs.
   */
 case class JaccardSortedExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def prettyName: String = "graft_jaccard_sorted"
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -89,6 +93,33 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
     if (union == 0) java.lang.Double.valueOf(0.0)
     else java.lang.Double.valueOf(inter.toDouble / union)
   }
+
+  // Full codegen: this runs once per candidate PAIR (the pair-verification
+  // hot path), so staying inside whole-stage codegen avoids the per-row
+  // interpreted-call overhead of CodegenFallback.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val uni = ctx.freshName("uni")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+        |final int $na = $a.numElements();
+        |final int $nb = $b.numElements();
+        |int $i = 0; int $j = 0; int $inter = 0;
+        |while ($i < $na && $j < $nb) {
+        |  final long $x = $a.getLong($i);
+        |  final long $y = $b.getLong($j);
+        |  if ($x == $y) { $inter++; $i++; $j++; }
+        |  else if ($x < $y) { $i++; } else { $j++; }
+        |}
+        |final int $uni = $na + $nb - $inter;
+        |${ev.value} = $uni == 0 ? 0.0d : ((double) $inter) / $uni;
+      """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardSortedExpr =
     copy(left = newLeft, right = newRight)
@@ -162,7 +193,7 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
   * verification: signatures are tens of longs, shingle sets hundreds.
   */
 case class MatchFractionExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def prettyName: String = "graft_match_frac"
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -181,6 +212,29 @@ case class MatchFractionExpr(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(m.toDouble / n)
   }
+
+  // Full codegen — runs per candidate pair in the LSH pre-filter (see
+  // JaccardSortedExpr for rationale). The length check is kept in codegen.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      s"""
+        |final int $n = $a.numElements();
+        |if ($b.numElements() != $n) {
+        |  throw new IllegalArgumentException(
+        |    "graft_match_frac: length mismatch " + $n + " vs " + $b.numElements());
+        |}
+        |int $m = 0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($a.getLong($i) == $b.getLong($i)) $m++;
+        |}
+        |${ev.value} = $n == 0 ? 0.0d : ((double) $m) / $n;
+      """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MatchFractionExpr =
     copy(left = newLeft, right = newRight)

@@ -70,6 +70,21 @@ class PlanSpec extends SparkSuite {
     assert(df.collect().forall(_.getDouble(0) > 0.0))
   }
 
+  test("pair-verification expressions (jaccard, match-frac) are codegen'd, not fallback") {
+    import org.apache.spark.sql.functions.{array, lit}
+    val d = spark.range(10).select(
+      array(lit(1L), lit(2L), lit(3L)).as("a"),
+      array(lit(2L), lit(3L), lit(4L)).as("b"))
+    val df = d.select(
+      graft.functions.Registry.jaccardSorted(col("a"), col("b")).as("j"),
+      graft.functions.Registry.matchFraction(col("a"), col("b")).as("m"))
+    val cg = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(!cg.contains("CodegenFallback"), cg.take(800))
+    val r = df.collect().head
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12) // |{2,3}| / |{1,2,3,4}|
+    assert(math.abs(r.getDouble(1) - 0.0) < 1e-12) // no positional matches
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // the 100 TB pattern: bucket fact + dim by the join key at write time,
     // then repeated joins need no Exchange at all
