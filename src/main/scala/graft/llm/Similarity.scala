@@ -140,6 +140,9 @@ object Similarity {
         centroids(r.getInt(0)) = r.getSeq[Double](1).toArray
       }
     }
+    // the Lloyd collects above were base's only consumers — the returned
+    // plan reads `corpus` directly, so release the cache now
+    base.unpersist(blocking = false)
 
     val cAssigned = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
