@@ -30,7 +30,7 @@ object HashExprs {
   * set iff the majority of token hashes have bit i set (±1 vote per token).
   */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "graft_simhash64"
   override def dataType: DataType = LongType
@@ -59,6 +59,40 @@ case class SimHash64Expr(child: Expression)
     }
     java.lang.Long.valueOf(sig)
   }
+
+  // Full codegen: per-document signature loop stays inside whole-stage
+  // codegen. The 64-counter buffer is mutable state reused across rows.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counters = ctx.addMutableState("int[]", "graftSimhashCounters",
+        v => s"$v = new int[64];")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val b2 = ctx.freshName("b2")
+      val h = ctx.freshName("h"); val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      s"""
+        |java.util.Arrays.fill($counters, 0);
+        |final int $n = $arr.numElements();
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if (!$arr.isNullAt($i)) {
+        |    final org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+        |    final long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+        |    for (int $b = 0; $b < 64; $b++) {
+        |      if ((($h >>> $b) & 1L) == 1L) { $counters[$b]++; } else { $counters[$b]--; }
+        |    }
+        |  }
+        |}
+        |long $sig = 0L;
+        |for (int $b2 = 0; $b2 < 64; $b2++) {
+        |  if ($counters[$b2] > 0) $sig |= (1L << $b2);
+        |}
+        |${ev.value} = $sig;
+      """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
@@ -133,7 +167,7 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   * once in the whole dedup pipeline.
   */
 case class MinHashSignatureExpr(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def prettyName: String = "graft_minhash"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -182,6 +216,62 @@ case class MinHashSignatureExpr(child: Expression, numHashes: Int)
     }
     new GenericArrayData(mins)
   }
+
+  // Full codegen: the k-mins stride loop is the per-document cost of the
+  // whole MinHash pipeline. The mins buffer is mutable state reused across
+  // rows (copied into the output array); elemIsLong is resolved at codegen
+  // time so each branch generates straight-line code.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.addMutableState("long[]", "graftMinhashMins",
+        v => s"$v = new long[$numHashes];")
+      val mixFn = ctx.addNewFunction("graftSplitmix64",
+        s"""
+          |private long graftSplitmix64(long z) {
+          |  z += 0x9E3779B97F4A7C15L;
+          |  z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L;
+          |  z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL;
+          |  return z ^ (z >>> 31);
+          |}
+        """.stripMargin)
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h")
+      val h1 = ctx.freshName("h1"); val h2 = ctx.freshName("h2")
+      val s = ctx.freshName("s")
+      val hashPair =
+        if (elemIsLong)
+          s"""
+            |final long $h1 = $arr.getLong($i);
+            |final long $h2 = $mixFn($h1) | 1L;
+          """.stripMargin
+        else
+          s"""
+            |final org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+            |final long $h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            |  $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 0L);
+            |final long $h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            |  $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 1L) | 1L;
+          """.stripMargin
+      s"""
+        |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        |final int $n = $arr.numElements();
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if (!$arr.isNullAt($i)) {
+        |    $hashPair
+        |    long $h = $h1;
+        |    for (int $j = 0; $j < $numHashes; $j++) {
+        |      if ($h < $mins[$j]) $mins[$j] = $h;
+        |      $h += $h2;
+        |    }
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |  java.util.Arrays.copyOf($mins, $numHashes));
+      """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignatureExpr =
     copy(child = newChild)

@@ -85,6 +85,36 @@ class PlanSpec extends SparkSuite {
     assert(math.abs(r.getDouble(1) - 0.0) < 1e-12) // no positional matches
   }
 
+  test("signature expressions (simhash, minhash) generate code and match interpreted eval") {
+    import org.apache.spark.sql.functions.{lower, split, trim}
+    val d = Engine.table(spark, sfDir, "documents").limit(50)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("toks"))
+    val df = d.select(col("doc_id"),
+      graft.functions.Registry.simhash64(col("toks")).as("sig"),
+      graft.functions.Registry.minhash(col("toks"), 8).as("mh"))
+    val cg = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    // the emitted Java contains our hash loop (not a CodegenFallback call)
+    // — mutable-state buffer names get compacted, so assert on the hash call
+    assert(cg.contains("XXH64.hashUnsafeBytes"), cg.take(1200))
+    assert(!cg.contains("CodegenFallback"), cg.take(1200))
+    // codegen result == interpreted result (eval path, forced via fallback config)
+    val interp = withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    assert(df.collect().map(_.toString).sorted.toSeq == interp)
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     // the 100 TB pattern: bucket fact + dim by the join key at write time,
     // then repeated joins need no Exchange at all
