@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -12,13 +11,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * The composable forms (`aggregate(zip_with(...))` per bit, or k×
   * `array_min(transform(...))`) evaluate interpreted lambdas per element with
   * boxing — at corpus scale that's the whole cost of signature computation.
-  * These expressions make one primitive pass over the token/shingle array.
-  * The per-PAIR expressions (JaccardSorted, MatchFraction) implement full
-  * codegen — they run once per candidate pair inside joins and should stay
-  * in whole-stage codegen. The per-DOCUMENT signature expressions (SimHash,
-  * MinHash, StopwordHits) are CodegenFallback leaf computations feeding
-  * shuffles, where the interpreted-call overhead is amortized by the heavy
-  * primitive inner loop per row.
+  * These expressions make one primitive pass over the token/shingle array,
+  * and all of them implement full codegen (`doGenCode`): the per-PAIR
+  * expressions (JaccardSorted, MatchFraction) run once per candidate pair
+  * inside joins, the per-DOCUMENT ones (SimHash, MinHash, StopwordHits)
+  * once per row with reusable mutable-state buffers — everything stays
+  * inside whole-stage codegen, with the interpreted `nullSafeEval` kept as
+  * the contract (and the fallback under codegen-off configs).
   */
 object HashExprs {
   /** xxhash64 of a UTF8String with a seed. */
@@ -337,7 +336,7 @@ case class MatchFractionExpr(left: Expression, right: Expression)
   * linear scan of the word list per token — as the language-ID hot path.
   */
 case class StopwordHitsExpr(child: Expression, wordLists: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(wordLists.nonEmpty && wordLists.size <= 32, "1..32 word lists")
 
@@ -375,6 +374,41 @@ case class StopwordHitsExpr(child: Expression, wordLists: Seq[Seq[String]])
     }
     new GenericArrayData(counts)
   }
+
+  // Full codegen: the mask map rides along as a reference object; counts
+  // buffer is reusable mutable state. Completes codegen coverage of the
+  // language-ID hot path.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val k = wordLists.size
+      val masksRef = ctx.addReferenceObj("graftStopwordMasks", masks,
+        "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer>")
+      val counts = ctx.addMutableState("int[]", "graftStopwordCounts",
+        v => s"$v = new int[$k];")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val m = ctx.freshName("m")
+      val mv = ctx.freshName("mv")
+      s"""
+        |java.util.Arrays.fill($counts, 0);
+        |final int $n = $arr.numElements();
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if (!$arr.isNullAt($i)) {
+        |    final Integer $m = $masksRef.get($arr.getUTF8String($i));
+        |    if ($m != null) {
+        |      final int $mv = $m.intValue();
+        |      for (int $j = 0; $j < $k; $j++) {
+        |        $counts[$j] += ($mv >>> $j) & 1;
+        |      }
+        |    }
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |  java.util.Arrays.copyOf($counts, $k));
+      """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
     copy(child = newChild)
