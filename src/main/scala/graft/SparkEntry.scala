@@ -503,6 +503,53 @@ object SparkEntry {
         .withColumn("click_ts", unix_micros(col("click_ts")))
         .withColumn("p_ts", unix_micros(col("p_ts"))))
     }),
+    "q81_dedup_clusters" -> ((s, dir) => {
+      // full dedup-cluster assignment: LSH pairs (q46 regime, recall ~1 so
+      // the exact-Jaccard oracle is sound) → large-star/small-star connected
+      // components → every doc labeled with its cluster min + cluster size
+      val d = t(s, dir, "documents")
+      val assigned = Dedup.nearDupClusters(d, "doc_id", "text", threshold = 0.8,
+        bands = 16, rowsPerBand = 2)
+      ord(assigned.withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id"))), "doc_id")
+    }),
+    "q82_range_join" -> ((s, dir) => {
+      // binned range join: customers whose balance falls within ±100 of a
+      // same-nation supplier's balance — the equi-bin plan, not a BNLJ
+      // (PlanSpec asserts no nested-loop/cartesian in this shape)
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nationkey"), col("c_acctbal"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("nationkey"),
+          (col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
+      val joined = Joins.rangeJoin(cust, sup, "c_acctbal", "lo", "hi",
+        binWidth = 1000.0, equiKeys = Seq("nationkey"))
+      ord(joined.groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("bal_sum")),
+        "s_suppkey")
+    }),
+    "q83_percentiles" -> ((s, dir) => {
+      // exact interpolated quartiles per group (R-7 / quantile_cont
+      // definition — the same interpolation DuckDB uses, so the hash-match
+      // is on raw doubles, no rounding)
+      val l = t(s, dir, "lineitem")
+      ord(Aggregates.groupby(l, Seq("l_returnflag"), Seq(
+        Aggregates.AggRequest("l_extendedprice", "percentile:0.25", "p25"),
+        Aggregates.AggRequest("l_extendedprice", "percentile:0.5", "p50"),
+        Aggregates.AggRequest("l_extendedprice", "percentile:0.75", "p75"),
+        Aggregates.AggRequest("l_extendedprice", "count", "n"))),
+        "l_returnflag")
+    }),
+    "q84_normalize" -> ((s, dir) => {
+      // canonical text normalization (strip punct, collapse whitespace,
+      // lower) + exact dedup over the normalized form: reformatted copies
+      // collapse to one key
+      val d = t(s, dir, "documents")
+      val norm = d.select(col("doc_id"), TextFns.normalize(col("text")).as("norm"))
+      ord(Dedup.exact(norm, Seq("norm"), "doc_id")
+        .select(col("keep_id"), col("dup_count"), length(col("norm")).as("n_chars_norm")),
+        "keep_id")
+    }),
     "q78_split_assign" -> ((s, dir) => {
       // deterministic train/val/test assignment — reproducible on any
       // cluster size (multiplicative hash of the key, no RNG)
@@ -1063,6 +1110,62 @@ object SparkEntry {
         |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
         |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
         |ORDER BY ALL""".stripMargin,
+    "q81_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, length(toks)-2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS tri
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |    length(list_distinct(list_concat(a.tri, b.tri))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, lab) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
+        |), cc AS (
+        |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+        |  COUNT(*) OVER (PARTITION BY COALESCE(cc.cluster_id, d.doc_id)) AS cluster_size
+        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q82_range_join" ->
+      """SELECT s.s_suppkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
+        |FROM supplier s JOIN customer c
+        |  ON c.c_nationkey = s.s_nationkey
+        |  AND c.c_acctbal >= s.s_acctbal - 500 AND c.c_acctbal <= s.s_acctbal + 500
+        |GROUP BY s.s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "q83_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75,
+        |  COUNT(l_extendedprice) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q84_normalize" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(regexp_replace(text, '[[:punct:]]', '', 'g'),
+        |      '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |)
+        |SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_count,
+        |  CAST(length(norm) AS INT) AS n_chars_norm
+        |FROM norm GROUP BY norm
+        |ORDER BY keep_id""".stripMargin,
     "q78_split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN (doc_id * 2654435761) % 1000000 < 800000 THEN 'train'

@@ -225,6 +225,110 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected edge list, via the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14). Each round is two aggregate+join
+    * passes keyed on a node id — pure shuffle-on-key operations that converge
+    * in O(log n) rounds to per-component stars rooted at the component
+    * minimum, so the algorithm scales to edge lists that never fit on one
+    * machine (unlike label propagation, whose round count is the graph
+    * diameter — unbounded for duplicate chains).
+    *
+    * `pairs`'s first two columns are the edge endpoints (any orderable id
+    * type). Returns ("id", "cluster_id") for every node that appears in an
+    * edge, with cluster_id = the minimum node id of its component. Each
+    * iteration localCheckpoints the shrinking edge set (iterative lineage
+    * would otherwise grow unboundedly); intermediates are released by the
+    * ContextCleaner as references drop.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val cols = pairs.columns
+    require(cols.length >= 2, "pairs needs at least two columns (edge endpoints)")
+    var edges = pairs
+      .select(col(cols(0)).as("u"), col(cols(1)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var prev = edgeChecksum(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      val ck = edgeChecksum(next)
+      converged = ck == prev
+      prev = ck
+      edges = next
+      it += 1
+    }
+    // at the fixpoint the edges form one star per component: (min, member)
+    edges.select(col("v").as("id"), col("u").as("cluster_id"))
+      .union(edges.select(col("u").as("id"), col("u").as("cluster_id")))
+      .groupBy("id").agg(min(col("cluster_id")).as("cluster_id"))
+  }
+
+  /** Large-star: every node connects its strictly-larger neighbors to the
+    * minimum of its closed neighborhood. Input/output edges are canonical
+    * (u < v); output (m, v) is canonical because m ≤ u < v.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("m").as("u"), col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its strictly-smaller neighbors (and
+    * itself) to the minimum of that set. Grouping key is the canonical
+    * larger endpoint, so no direction-doubling is needed.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("v").agg(min(col("u")).as("m"))
+    val rewired = e.join(mins, "v")
+      .select(col("m").as("u"), col("u").as("v"))
+      .filter(col("u") =!= col("v"))
+    rewired.union(mins.select(col("m").as("u"), col("v"))).distinct()
+  }
+
+  /** (row count, order-independent hash sum) — convergence test for the star
+    * iteration. Sum wraps on overflow (ANSI off), which is fine for a
+    * fixpoint check: iteration is monotone, so a stable checksum over two
+    * consecutive rounds means a stable edge set (collision odds ~2⁻⁶⁴).
+    */
+  private def edgeChecksum(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Cluster assignment for a whole corpus: LSH near-dup pairs → connected
+    * components → every document labeled with its cluster representative
+    * (the minimum doc id of its duplicate group; singletons label
+    * themselves). This is the canonical final stage of a corpus-dedup
+    * pipeline — unlike the pairwise `dropNearDuplicates` policy it collapses
+    * transitive chains a~b~c into ONE cluster even when a~c itself is below
+    * threshold. The component computation touches only documents that appear
+    * in a near-dup pair (a small fraction of the corpus), and the final
+    * assignment is one left join of the corpus against that small label set.
+    */
+  def nearDupClusters(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
+    val cc = connectedComponents(pairs.select("id_a", "id_b"))
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
   /** Brute-force all-pairs Jaccard (testing oracle; O(n²) — small inputs only). */
   def bruteForcePairs(
       df: DataFrame,

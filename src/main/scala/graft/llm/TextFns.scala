@@ -29,6 +29,15 @@ object TextFns {
         "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
       t => length(trim(t)) > 0))
 
+  /** Canonical text normalization for dedup / matching: strip punctuation,
+    * collapse runs of whitespace to one space, trim, lower-case. Running
+    * exact or near dedup over `normalize(text)` instead of raw text makes
+    * trivially-reformatted copies (case, spacing, punctuation) collapse to
+    * byte-identical keys — row-local and codegen'd like everything here.
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(text, "\\p{Punct}", ""), "\\s+", " ")))
+
   /** Word n-gram shingles (space-joined), e.g. n=3 for near-dup detection. */
   def wordShingles(text: Column, n: Int): Column = {
     val t = tokens(text)

@@ -54,6 +54,15 @@ object Aggregates {
     case "all" => min(in.cast("boolean"))
     case "first" => first(in, ignoreNulls = false)
     case "last" => last(in, ignoreNulls = false)
+    // beyond-reference: exact interpolated percentile (R-7 / quantile_cont
+    // semantics, the same definition DuckDB and NumPy use). "percentile:p"
+    // e.g. "percentile:0.25". Like exact median this is a sort-based
+    // aggregate — at 100 TB prefer "approx_percentile:p" (t-digest sketch,
+    // map-side combinable).
+    case p if p.startsWith("percentile:") =>
+      percentile(in, lit(p.stripPrefix("percentile:").toDouble))
+    case p if p.startsWith("approx_percentile:") =>
+      percentile_approx(in, lit(p.stripPrefix("approx_percentile:").toDouble), lit(10000))
     case other => throw new IllegalArgumentException(s"unsupported agg kind: $other")
   }
 

@@ -172,6 +172,53 @@ object Joins {
     res.drop("__graft_m")
   }
 
+  /** Binned range join: inner-join left rows whose `leftVal` lies in the
+    * (inclusive) interval [`lo`, `hi`] of a right row, with optional extra
+    * equi-keys (present under the same name on both sides).
+    *
+    * A naive range predicate plans as BroadcastNestedLoopJoin / cartesian —
+    * O(|L|·|R|) and a non-starter at scale. Here each right interval is
+    * exploded onto the fixed-width bins it overlaps and each left row onto
+    * the single bin containing its value, turning the range predicate into
+    * an EQUI-join on (equiKeys…, bin) that Catalyst plans as a hash or
+    * sort-merge join — one shuffle on the bin key — followed by the exact
+    * interval filter. Each matching pair meets in exactly one bin (the
+    * left row's), so no dedup pass is needed.
+    *
+    * `binWidth` trades replication for selectivity: a right row is
+    * replicated ⌈span/binWidth⌉+1 times, a bin holds values within binWidth
+    * of each other. Set it near the typical interval width (replication
+    * ≈ 2×); the per-bucket row counts stay bounded for non-degenerate value
+    * distributions, and AQE's skew-join split handles hot bins.
+    *
+    * Output: all left columns, then right columns minus the shared equi-keys.
+    */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftVal: String,
+      lo: String,
+      hi: String,
+      binWidth: Double,
+      equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    import org.apache.spark.sql.functions.{col => c, explode, floor, lit, sequence}
+    val binCol = "__graft_bin"
+    require(!left.columns.contains(binCol) && !right.columns.contains(binCol),
+      s"column name $binCol is reserved")
+    val lb = left.withColumn(binCol, floor(c(leftVal) / binWidth).cast("long")).as("l")
+    val rb = right
+      .filter(c(lo) <= c(hi))
+      .withColumn(binCol, explode(sequence(
+        floor(c(lo) / binWidth).cast("long"), floor(c(hi) / binWidth).cast("long"), lit(1L))))
+      .as("r")
+    val keyCond = (equiKeys :+ binCol).map(k => c(s"l.$k") === c(s"r.$k"))
+    val rangeCond = c(s"l.$leftVal") >= c(s"r.$lo") && c(s"l.$leftVal") <= c(s"r.$hi")
+    val rightKeep = right.columns.filterNot(equiKeys.contains)
+    lb.join(rb, (keyCond :+ rangeCond).reduce(_ && _), "inner")
+      .select(left.columns.map(n => c(s"l.$n")) ++ rightKeep.map(n => c(s"r.$n")): _*)
+  }
+
   private def sparkHow(how: String): String = how match {
     case "full" => "full_outer"
     case "semi" => "left_semi"

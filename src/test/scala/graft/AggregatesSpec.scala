@@ -78,6 +78,21 @@ class AggregatesSpec extends SparkSuite {
     assert(r.getDouble(3) >= 1.0 && r.getDouble(3) <= 3.0)
   }
 
+  test("percentile kinds: exact R-7 interpolation + approx variant") {
+    val d = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0)).toDF("k", "v")
+    val out = Aggregates.groupby(d, Seq("k"), Seq(
+      AggRequest("v", "percentile:0.25", "p25"),
+      AggRequest("v", "percentile:0.5", "p50"),
+      AggRequest("v", "percentile:0.75", "p75"),
+      AggRequest("v", "approx_percentile:0.5", "ap50")))
+    val r = out.collect()(0)
+    // R-7: pos = p*(n-1) over sorted values, linear interpolation
+    assert(r.getDouble(1) == 17.5)
+    assert(r.getDouble(2) == 25.0)
+    assert(r.getDouble(3) == 32.5)
+    assert(r.getDouble(4) >= 20.0 && r.getDouble(4) <= 30.0)
+  }
+
   test("approx_count_distinct kind stays within its rsd on a real column") {
     val li = Engine.table(spark, sfDir, "lineitem")
     val out = Aggregates.groupby(li, Seq("l_returnflag"), Seq(

@@ -97,6 +97,39 @@ class JoinsSpec extends SparkSuite {
     assertSameRows(nullMatch.select("k", "t", "label", "px"), Seq(Seq("b", 5L, "x", null)))
   }
 
+  test("rangeJoin equals the naive range predicate at any bin width") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextInt(3), rnd.nextDouble() * 100 - 50)).toDF("lid", "k", "v")
+    val right = Seq.tabulate(40) { i =>
+      val lo = rnd.nextDouble() * 100 - 50
+      (1000L + i, rnd.nextInt(3), lo, lo + rnd.nextDouble() * 20)
+    }.toDF("rid", "k", "lo", "hi")
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+          col("l.v") >= col("r.lo") && col("l.v") <= col("r.hi"))
+      .select(col("l.lid"), col("l.k"), col("l.v"), col("r.rid"), col("r.lo"), col("r.hi"))
+    val expected = rows(naive).map(_.toString).sorted
+    for (bw <- Seq(0.5, 7.0, 1000.0)) {
+      val got = Joins.rangeJoin(left, right, "v", "lo", "hi", bw, equiKeys = Seq("k"))
+      assert(got.columns.toSeq == Seq("lid", "k", "v", "rid", "lo", "hi"))
+      assert(rows(got).map(_.toString).sorted == expected, s"mismatch at binWidth=$bw")
+    }
+    assert(naive.count() > 0)
+  }
+
+  test("rangeJoin: inclusive boundaries, empty intervals dropped, negative values") {
+    import spark.implicits._
+    val left = Seq((1L, -2.0), (2L, 0.0), (3L, 2.0), (4L, 5.0)).toDF("lid", "v")
+    val right = Seq((10L, -2.0, 2.0), (20L, 3.0, 1.0), (30L, 5.0, 5.0))
+      .toDF("rid", "lo", "hi") // (20) is inverted → no matches
+    assertSameRows(
+      Joins.rangeJoin(left, right, "v", "lo", "hi", binWidth = 2.0).select("lid", "rid"),
+      Seq(Seq(1L, 10L), Seq(2L, 10L), Seq(3L, 10L), Seq(4L, 30L)))
+  }
+
   test("salted join equals plain join on skewed keys") {
     import spark.implicits._
     val skewed = (Seq.fill(500)((1L, "hot")) ++ Seq((2L, "a"), (3L, "b")))

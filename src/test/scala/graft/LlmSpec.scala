@@ -221,6 +221,57 @@ class LlmSpec extends SparkSuite {
     assert(got.forall(_(2).asInstanceOf[Double] >= 0.40))
   }
 
+  test("connectedComponents: chains merge, components stay separate, noise ignored") {
+    // 1-2-3 is a transitive chain (1~3 not directly linked); (11,10) duplicates
+    // (10,11) in reverse; (5,5) is a self-loop that must be dropped
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 10L), (5L, 5L))
+      .toDF("id_a", "id_b")
+    assertSameRows(Dedup.connectedComponents(pairs),
+      Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(10L, 10L), Seq(11L, 10L)))
+  }
+
+  test("connectedComponents matches driver-side union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 300
+    val edges = Seq.fill(260)((rnd.nextInt(n), rnd.nextInt(n)))
+      .filter(e => e._1 != e._2)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val compMin = nodes.groupBy(find).map { case (r, ms) => (r, ms.min) }
+    val expected = nodes.map(id => Seq(id.toLong, compMin(find(id)).toLong))
+    assertSameRows(
+      Dedup.connectedComponents(edges.map(e => (e._1.toLong, e._2.toLong)).toDF("a", "b")),
+      expected)
+  }
+
+  test("nearDupClusters labels every doc; singletons label themselves") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (7L, "completely different content about distributed query engines at scale"))
+      .toDF("doc_id", "text")
+    assertSameRows(Dedup.nearDupClusters(d, "doc_id", "text", threshold = 0.8,
+      bands = 16, rowsPerBand = 2),
+      Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(7L, 7L)))
+  }
+
+  test("normalize strips punctuation, collapses whitespace, lowercases") {
+    val d = Seq("  Hello,,   World!! ", "hello world", "A.B-C").toDF("text")
+    assert(rows(d.select(TextFns.normalize($"text"))).map(_(0))
+      == Seq("hello world", "hello world", "abc"))
+  }
+
   test("multimodal resize and frame-sample stages") {
     import org.apache.spark.sql.functions.col
     val media = Multimodal.fromDocuments(docs.limit(10))

@@ -163,6 +163,21 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("rangeJoin plans an equi join on the bin key, never a nested loop") {
+    import graft.operators.Joins
+    val cust = Engine.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").as("nationkey"), col("c_acctbal"))
+    val sup = Engine.table(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").as("nationkey"),
+        (col("s_acctbal") - 500).as("lo"), (col("s_acctbal") + 500).as("hi"))
+    val plan = Joins.rangeJoin(cust, sup, "c_acctbal", "lo", "hi",
+      binWidth = 1000.0, equiKeys = Seq("nationkey"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"), plan)
+  }
+
   test("parquetReadArray prunes the scan to the packed columns") {
     val scan = graft.sources.IO.parquetReadArray(spark,
       Seq(s"$sfDir/lineitem.parquet"), Seq("l_quantity", "l_tax"))
