@@ -244,17 +244,19 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val cols = pairs.columns
     require(cols.length >= 2, "pairs needs at least two columns (edge endpoints)")
+    // lazy checkpoint + checksum: the checksum aggregate is the action that
+    // materializes each checkpoint, so every round costs ONE job, not two
     var edges = pairs
       .select(col(cols(0)).as("u"), col(cols(1)).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     var prev = edgeChecksum(edges)
     var it = 0
-    var converged = false
+    var converged = prev._1 == 0L // no edges → nothing to iterate
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val ck = edgeChecksum(next)
       converged = ck == prev
       prev = ck
