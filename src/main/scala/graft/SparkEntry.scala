@@ -703,6 +703,17 @@ object SparkEntry {
       sources.IO.parquetWrite(sup, tmp)
       ord(sources.IO.parquetRead(s, Seq(tmp)), "s_suppkey")
     }),
+    "q85_partitioned_write" -> ((s, dir) => {
+      // hive-partitioned write + partition-pruned read: the lang='en' filter
+      // prunes to one directory at planning time (PlanSpec asserts the
+      // PartitionFilters), so the scan never touches other languages' files
+      val d = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pqp").toString
+      sources.IO.parquetWritePartitioned(d, tmp, Seq("lang"))
+      ord(sources.IO.parquetRead(s, Seq(tmp))
+        .filter(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars"), "doc_id")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1312,6 +1323,9 @@ object SparkEntry {
     "q55_parquet_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q85_partitioned_write" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -26,6 +26,24 @@ object IO {
   def parquetWrite(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 
+  /** Hive-partitioned parquet write: one directory per distinct value of
+    * `partitionCols` (`dir/col=value/part-*.parquet`). At 100 TB this is the
+    * difference between scanning everything and scanning one partition:
+    * filters on the partition columns prune to matching directories at
+    * PLANNING time (PartitionFilters in the scan, zero I/O for pruned
+    * partitions). Choose low-cardinality columns (date, lang, source);
+    * `maxRecordsPerFile` caps file size for wide partitions.
+    */
+  def parquetWritePartitioned(
+      df: DataFrame,
+      dir: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("overwrite").partitionBy(partitionCols: _*)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .parquet(dir)
+  }
+
   /** `parquet_read_array` (parquet.hpp:138-141): read numeric columns of a
     * parquet file as one array<double> column (row-major 2-D array view) —
     * the reference's zero-copy-to-cuPyNumeric path; on Spark the analogue is

@@ -83,6 +83,28 @@ class IOSpec extends SparkSuite {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"))
   }
 
+  test("partitioned parquet write: hive layout, pruned read, data intact") {
+    import org.apache.spark.sql.functions.col
+    val docs = Engine.table(spark, sfDir, "documents").select("doc_id", "lang", "n_chars")
+    val dir = tmp()
+    IO.parquetWritePartitioned(docs, dir, Seq("lang"))
+    // hive directory layout: one lang=<value> subdir per distinct lang
+    val subdirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
+    val langs = rows(docs.select("lang").distinct()).map(_(0).toString)
+    assert(subdirs.toSet == langs.map(l => s"lang=$l").toSet, subdirs.mkString(","))
+    // roundtrip preserves every row (partition col comes back from the path)
+    val back = IO.parquetRead(spark, Seq(dir))
+    assert(rows(back.select("doc_id", "lang", "n_chars")).map(_.toString).sorted
+      == rows(docs).map(_.toString).sorted)
+    // a filter on the partition column prunes at planning time
+    val pruned = back.filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PartitionFilters:") && scan.contains("lang"),
+      s"no partition filter in scan:\n$scan")
+    assert(!scan.replaceAll("""PushedFilters: \[\]""", "").contains("PushedFilters: ["),
+      "lang filter should be a partition filter, not a data filter")
+  }
+
   test("ndjson roundtrip preserves schema") {
     val df = Seq((1L, "alpha"), (2L, "beta")).toDF("k", "v")
     val dir = tmp()
