@@ -714,6 +714,18 @@ object SparkEntry {
         .filter(col("lang") === "en")
         .select("doc_id", "lang", "n_chars"), "doc_id")
     }),
+    "q86_pii_redact" -> ((s, dir) => {
+      // PII scrubbing over deterministic synthetic text (the doc corpus has
+      // no PII, so build email+phone+IP-bearing strings from customer rows —
+      // all three patterns fire on every row, and the RE2-compatible
+      // patterns make DuckDB reproduce the redaction byte-for-byte)
+      val c = t(s, dir, "customer")
+      val raw = concat(
+        col("c_name"), lit(" reach me at user"), col("c_custkey"),
+        lit("@example.com or +1 (555) 010-0"), col("c_custkey") % 100,
+        lit(" server 10.0."), col("c_custkey") % 256, lit(".7 ok"))
+      ord(c.select(col("c_custkey"), TextFns.redactPii(raw).as("clean")), "c_custkey")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1326,6 +1338,18 @@ object SparkEntry {
     "q85_partitioned_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "q86_pii_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        concat(c_name, ' reach me at user', c_custkey,
+        |               '@example.com or +1 (555) 010-0', c_custkey % 100,
+        |               ' server 10.0.', c_custkey % 256, '.7 ok'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |    '\+?\d[\d() -]{7,}\d', '[PHONE]', 'g') AS clean
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -29,6 +29,23 @@ object TextFns {
         "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])"),
       t => length(trim(t)) > 0))
 
+  /** PII redaction for training-data curation: replace emails, phone-like
+    * number runs, and IPv4 addresses with typed placeholder tokens. Pure
+    * regexp_replace chain — row-local, codegen'd, linear scan per doc; the
+    * patterns are RE2-compatible (no lookahead/backreferences) so the same
+    * redaction is reproducible in any RE2-based engine. Order matters: IPs
+    * are redacted before phones so dotted quads never half-match the
+    * phone pattern.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]")
+    regexp_replace(ip,
+      "\\+?\\d[\\d() -]{7,}\\d", "[PHONE]")
+  }
+
   /** Canonical text normalization for dedup / matching: strip punctuation,
     * collapse runs of whitespace to one space, trim, lower-case. Running
     * exact or near dedup over `normalize(text)` instead of raw text makes

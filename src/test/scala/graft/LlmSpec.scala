@@ -266,6 +266,21 @@ class LlmSpec extends SparkSuite {
       Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(7L, 7L)))
   }
 
+  test("redactPii replaces emails, phones, and IPs with typed placeholders") {
+    val d = Seq(
+      "mail a.b-c_1@sub.example.org now",
+      "call +1 (415) 555-0132 today",
+      "host 192.168.001.42 up",
+      "mixed bob@x.io at 10.0.0.1 tel 555-123-4567",
+      "no pii here, just 42 and v1.2").toDF("text")
+    assert(rows(d.select(TextFns.redactPii($"text"))).map(_(0)) == Seq(
+      "mail [EMAIL] now",
+      "call [PHONE] today",
+      "host [IP] up",
+      "mixed [EMAIL] at [IP] tel [PHONE]",
+      "no pii here, just 42 and v1.2"))
+  }
+
   test("normalize strips punctuation, collapses whitespace, lowercases") {
     val d = Seq("  Hello,,   World!! ", "hello world", "A.B-C").toDF("text")
     assert(rows(d.select(TextFns.normalize($"text"))).map(_(0))
