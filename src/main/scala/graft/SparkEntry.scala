@@ -726,6 +726,27 @@ object SparkEntry {
         lit(" server 10.0."), col("c_custkey") % 256, lit(".7 ok"))
       ord(c.select(col("c_custkey"), TextFns.redactPii(raw).as("clean")), "c_custkey")
     }),
+    "q87_stratified_sample" -> ((s, dir) => {
+      // deterministic stratified down-sampling: keep 50% of English docs,
+      // 20% of everything else — same multiplicative-hash bucketing as q78,
+      // so the sample is reproducible on any cluster size (no RNG) and the
+      // operator is a pure pushable filter
+      val d = t(s, dir, "documents")
+      ord(RowOps.stratifiedSample(d, "doc_id", "lang",
+          Map("en" -> 0.5), defaultFraction = 0.2)
+        .select("doc_id", "lang", "source"), "doc_id")
+    }),
+    "q88_top_terms" -> ((s, dir) => {
+      // corpus vocabulary profile: top-5 tokens per language by frequency —
+      // explode → partial+final count agg → WindowGroupLimit top-k; ties
+      // broken by token so both engines rank identically
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counts = toks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      ord(Sorts.topKPerGroup(counts, Seq("lang"),
+        Seq(col("n").desc, col("tok").asc), k = 5), "lang", "tok")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1338,6 +1359,24 @@ object SparkEntry {
     "q85_partitioned_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "q87_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000 <
+        |  CASE WHEN lang = 'en' THEN 500000 ELSE 200000 END
+        |ORDER BY doc_id""".stripMargin,
+    "q88_top_terms" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), counts AS (
+        |  SELECT lang, tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY lang, tok
+        |), ranked AS (
+        |  SELECT lang, tok, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rn
+        |  FROM counts
+        |)
+        |SELECT lang, tok, n FROM ranked WHERE rn <= 5
+        |ORDER BY lang, tok""".stripMargin,
     "q86_pii_redact" ->
       """SELECT c_custkey,
         |  regexp_replace(

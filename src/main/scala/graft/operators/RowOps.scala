@@ -69,4 +69,28 @@ object RowOps {
       case (acc, ((label, _), thr)) => when(bucket < thr, label).otherwise(acc)
     }
   }
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction of rows,
+    * chosen by the same multiplicative key hash as [[assignSplit]] — so the
+    * sample is reproducible on any cluster size, composable with the splits
+    * (a row's bucket is fixed), and needs no RNG or per-partition state.
+    * Curation use: down-sample over-represented strata (languages, sources)
+    * without a shuffle — this is a pure filter, pushed to the scan where the
+    * stratum and key columns allow it.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions default=$defaultFraction")
+    val bucket = pmod(col(keyCol) * lit(2654435761L), lit(1000000L))
+    val cutoff = fractions.foldLeft(lit(math.round(defaultFraction * 1000000L))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(math.round(f * 1000000L))).otherwise(acc)
+    }
+    df.filter(bucket < cutoff)
+  }
 }

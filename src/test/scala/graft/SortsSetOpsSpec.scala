@@ -55,6 +55,32 @@ class SortsSetOpsSpec extends SparkSuite {
       RowOps.assignSplit(col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("stratifiedSample: per-stratum fractions, deterministic, composes with assignSplit") {
+    import org.apache.spark.sql.functions.{col, when}
+    import graft.operators.RowOps
+    val rows10k = spark.range(10000)
+      .select(col("id"), when(col("id") % 3 === 0, "en").otherwise("fr").as("lang"))
+    val sampled = RowOps.stratifiedSample(rows10k, "id", "lang",
+      Map("en" -> 1.0, "fr" -> 0.3), defaultFraction = 0.0)
+    val counts = rows(sampled.groupBy("lang").count())
+      .map(r => r(0).asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+    assert(counts("en") == 3334L) // fraction 1.0 keeps the whole stratum
+    assert(counts("fr") > 1600 && counts("fr") < 2400)
+    // deterministic: same rows on a different partitioning
+    val again = RowOps.stratifiedSample(rows10k.repartition(13), "id", "lang",
+      Map("en" -> 1.0, "fr" -> 0.3), defaultFraction = 0.0)
+    assert(rows(again.orderBy("id")).map(_.toString) ==
+      rows(sampled.orderBy("id")).map(_.toString))
+    // same bucketing as assignSplit: the 30% fr sample is exactly the fr rows
+    // whose split-bucket falls below 0.3 — sampling then splitting is stable
+    val buckets = rows10k.select(col("id"), col("lang"),
+      RowOps.assignSplit(col("id"), Seq("a" -> 0.3, "b" -> 0.7)).as("s"))
+    val expectFr = buckets.filter(col("lang") === "fr" && col("s") === "a")
+    assert(expectFr.count() == counts("fr"))
+    intercept[IllegalArgumentException](
+      RowOps.stratifiedSample(rows10k, "id", "lang", Map("en" -> 1.5), 0.2))
+  }
+
   test("topKPerGroup: row vs rank tie semantics + WindowGroupLimit pushdown") {
     import org.apache.spark.sql.functions.col
     val d = Seq(("g1", 3), ("g1", 3), ("g1", 2), ("g1", 1),
