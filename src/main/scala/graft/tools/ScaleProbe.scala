@@ -29,9 +29,34 @@ object ScaleProbe {
     base.unionAll(dups)
   }
 
+  /** Random graph with `nEdges` edges over `nNodes` nodes (plus long chains,
+    * the worst case for label propagation and the reason the star algorithm
+    * exists: chain diameter is huge, star rounds stay O(log n)).
+    */
+  def graph(spark: SparkSession, nNodes: Long, nEdges: Long): DataFrame = {
+    val rand = spark.range(nEdges).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("a"),
+      pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("b"))
+    // plus one chain through 10% of the node space: 0-1, 1-2, ...
+    val chain = spark.range(nNodes / 10)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    rand.unionAll(chain)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Engine.session(32)
     spark.sparkContext.setLogLevel("ERROR")
+    // connected components: 4x edges per step, chain diameter 10% of nodes
+    for ((nNodes, nEdges) <- Seq((50000L, 25000L), (200000L, 100000L), (800000L, 400000L))) {
+      val edges = graph(spark, nNodes, nEdges).persist()
+      edges.count()
+      val (nComp, tCc) = time {
+        graft.llm.Dedup.connectedComponents(edges)
+          .agg(countDistinct(col("cluster_id"))).head().getLong(0)
+      }
+      println(f"SCALE cc nodes=$nNodes%7d edges=${nEdges + nNodes / 10}%7d  cc=${tCc}%6.1f s (components=$nComp)")
+      edges.unpersist()
+    }
     for (n <- Seq(5000, 20000, 80000)) {
       val docs = corpus(spark, n).persist()
       val total = docs.count()
