@@ -726,6 +726,21 @@ object SparkEntry {
         lit(" server 10.0."), col("c_custkey") % 256, lit(".7 ok"))
       ord(c.select(col("c_custkey"), TextFns.redactPii(raw).as("clean")), "c_custkey")
     }),
+    "q89_asof_tolerance" -> ((s, dir) => {
+      // as-of join with a max-staleness tolerance (pandas merge_asof
+      // semantics): each click takes the latest preceding purchase only if
+      // it happened within the last 30 minutes — stale matches drop
+      val ev = Engine.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("p_value"))
+      val joined = operators.Joins.asofJoin(clicks, purchases, Seq("user_id"),
+        "ts", "ts", Seq("p_value"), how = "inner",
+        tolerance = Some((l, r) =>
+          unix_micros(l) - unix_micros(r) <= lit(30L * 60 * 1000000L)))
+      ord(joined.withColumn("ts", unix_micros(col("ts"))), "event_id")
+    }),
     "q87_stratified_sample" -> ((s, dir) => {
       // deterministic stratified down-sampling: keep 50% of English docs,
       // 20% of everything else — same multiplicative-hash bucketing as q78,
@@ -1359,6 +1374,19 @@ object SparkEntry {
     "q85_partitioned_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "q89_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT c.user_id, epoch_us(c.ts) AS ts, c.event_id, p.p_value
+        |FROM clicks c ASOF JOIN purchases p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |WHERE epoch_us(c.ts) - epoch_us(p.ts) <= 30 * 60 * 1000000
+        |ORDER BY event_id""".stripMargin,
     "q87_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE (doc_id * 2654435761) % 1000000 <

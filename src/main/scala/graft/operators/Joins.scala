@@ -127,6 +127,13 @@ object Joins {
     *
     * `how` = "inner" (drop left rows with no preceding right row) or "left"
     * (keep them with null values). Forward as-of = negate both time columns.
+    *
+    * `tolerance` (pandas merge_asof semantics): a predicate on
+    * (leftTime, matchedRightTime); when it returns false the match is
+    * treated as absent (dropped for "inner", nulled for "left") — e.g.
+    * `Some((l, r) => unix_micros(l) - unix_micros(r) <= lit(30L * 60 * 1000000))`
+    * keeps only matches within 30 minutes. Evaluated after the window carry,
+    * so the single-shuffle plan shape is unchanged.
     */
   def asofJoin(
       left: DataFrame,
@@ -136,7 +143,8 @@ object Joins {
       rightTime: String,
       valueCols: Seq[String],
       how: String = "inner",
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
     require(how == "inner" || how == "left", s"asofJoin supports inner/left, got: $how")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col => c, last, lit, when}
@@ -158,14 +166,22 @@ object Joins {
     val ordering = (Seq("__graft_t", "__graft_tag") ++ tieBreak).map(c)
     val w = Window.partitionBy(keys.map(c): _*).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the matched right row's own time travels in the struct so a tolerance
+    // predicate can see it after the carry
     val carried = taggedLeft.unionByName(taggedRight)
       .withColumn("__graft_rv",
-        last(when(c("__graft_tag") === 0, struct(valueCols.map(c): _*)),
+        last(when(c("__graft_tag") === 0,
+            struct(c("__graft_t").as("__graft_rt") +: valueCols.map(c): _*)),
           ignoreNulls = true).over(w))
       .filter(c("__graft_tag") === 1)
+    val matched = tolerance.foldLeft(c("__graft_rv").isNotNull) {
+      case (base, f) => base && f(c("__graft_t"), c("__graft_rv.__graft_rt"))
+    }
     val out = carried
       .select(keys.map(c) ++ Seq(c("__graft_t").as(leftTime)) ++ lPayload.map(c) ++
-        valueCols.map(v => c(s"__graft_rv.$v").as(v)) :+ c("__graft_rv").isNotNull.as("__graft_m"): _*)
+        valueCols.map(v =>
+          when(matched, c(s"__graft_rv.$v")).otherwise(lit(null)).as(v)) :+
+        matched.as("__graft_m"): _*)
     val res =
       if (how == "left") out
       else out.filter(c("__graft_m"))

@@ -97,6 +97,24 @@ class JoinsSpec extends SparkSuite {
     assertSameRows(nullMatch.select("k", "t", "label", "px"), Seq(Seq("b", 5L, "x", null)))
   }
 
+  test("asofJoin tolerance: stale matches drop (inner) or null (left)") {
+    import spark.implicits._
+    val trades = Seq(("a", 6L, "t1"), ("a", 20L, "t2"), ("a", 3L, "t3"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq(("a", 5L, 1.0), ("a", 1L, 2.0)).toDF("k", "t", "px")
+    val tol: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column = (l, r) => l - r <= org.apache.spark.sql.functions.lit(3L)
+    // t1@6 -> quote@5 (gap 1, keeps), t2@20 -> quote@5 (gap 15, stale),
+    // t3@3 -> quote@1 (gap 2, keeps)
+    val inner = Joins.asofJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"),
+      how = "inner", tolerance = Some(tol))
+    assertSameRows(inner.select("trade", "px"), Seq(Seq("t1", 1.0), Seq("t3", 2.0)))
+    val left = Joins.asofJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"),
+      how = "left", tolerance = Some(tol))
+    assertSameRows(left.select("trade", "px"),
+      Seq(Seq("t1", 1.0), Seq("t2", null), Seq("t3", 2.0)))
+  }
+
   test("rangeJoin equals the naive range predicate at any bin width") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
