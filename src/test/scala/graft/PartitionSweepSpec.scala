@@ -9,7 +9,8 @@ class PartitionSweepSpec extends SparkSuite {
   private val sweepQueries = Seq(
     "q16_groupby_q1", "q22_join_inner", "q13_sort_multikey",
     "q10_distinct", "q27_join_nullsafe", "q40_dedup_exact",
-    "q46_minhash_lsh", "q49_cosine_top1", "q52_sessionize")
+    "q46_minhash_lsh", "q49_cosine_top1", "q52_sessionize",
+    "q81_dedup_clusters", "q82_range_join", "q89_asof_tolerance")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
