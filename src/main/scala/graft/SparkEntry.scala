@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Ops, Registry, StringFns, TimeFns}
-import graft.llm.{Dedup, Multimodal, Similarity, TextFns}
+import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextFns}
 import graft.operators._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -762,6 +762,60 @@ object SparkEntry {
       ord(Sorts.topKPerGroup(counts, Seq("lang"),
         Seq(col("n").desc, col("tok").asc), k = 5), "lang", "tok")
     }),
+    "q90_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals: duplicate word-n-gram
+      // fractions (n=2,3,4) plus a duplicate-block fraction over
+      // non-overlapping 10-token chunks — all row-local, used to drop
+      // boilerplate/spam before training. ONE native pass computes all four
+      // (NgramDupFracsExpr; codegen CSE dedupes the getItem references);
+      // the DuckDB oracle independently rebuilds the gram strings
+      val d = t(s, dir, "documents")
+      val fr = Registry.dupFracs(TextFns.tokens(col("text")),
+        Seq((2, 1), (3, 1), (4, 1), (10, 10)))
+      ord(d.select(
+        col("doc_id"),
+        fr.getItem(0).as("dup_2gram_frac"),
+        fr.getItem(1).as("dup_3gram_frac"),
+        fr.getItem(2).as("dup_4gram_frac"),
+        fr.getItem(3).as("dup_block_frac")), "doc_id")
+    }),
+    "q91_chunks" -> ((s, dir) => {
+      // context-window packing: overlapping 40-token chunks at stride 30,
+      // one output row per chunk — row-local fan-out, no shuffle
+      val d = t(s, dir, "documents")
+      ord(d.select(col("doc_id"),
+          posexplode(TextFns.chunks(col("text"), 40, 30)))
+        .toDF("doc_id", "chunk_ix", "chunk_text")
+        .withColumn("chunk_words",
+          size(split(col("chunk_text"), " "))), "doc_id", "chunk_ix")
+    }),
+    "q92_bm25" -> ((s, dir) => {
+      // keyword seed-document retrieval: BM25-shaped score (rational idf —
+      // see Retrieval scaladoc), top-20; only query-term postings shuffle,
+      // df/stats broadcast ("spill" is absent from the corpus and
+      // contributes nothing)
+      val d = t(s, dir, "documents")
+      Retrieval.bm25TopK(d, "doc_id", "text",
+          Seq("hash", "filter", "spill"), k = 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+    "q93_source_cap" -> ((s, dir) => {
+      // per-domain cap (common-crawl curation: keep at most N docs per
+      // source, biggest first) — WindowGroupLimit, no full sort
+      val d = t(s, dir, "documents")
+      ord(Sorts.topKPerGroup(d.select("doc_id", "source", "n_chars"),
+        Seq("source"), Seq(col("n_chars").desc, col("doc_id").asc), k = 20),
+        "source", "doc_id")
+    }),
+    "q94_quantize_int8" -> ((s, dir) => {
+      // int8 scalar quantization of the embedding corpus (4× smaller ANN
+      // storage); exploded to scalars because the gate comparator hashes
+      // scalar columns
+      val e = t(s, dir, "embeddings")
+      ord(Similarity.quantizeInt8(e, "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"), posexplode(col("q")))
+        .toDF("vec_id", "scale", "pos", "qv"), "vec_id", "pos")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1405,6 +1459,101 @@ object SparkEntry {
         |)
         |SELECT lang, tok, n FROM ranked WHERE rn <= 5
         |ORDER BY lang, tok""".stripMargin,
+    "q90_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(w) < 2 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(generate_series(1, length(w)-1),
+        |        i -> concat(w[i], ' ', w[i+1])) END AS g2,
+        |    CASE WHEN length(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(generate_series(1, length(w)-2),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END AS g3,
+        |    CASE WHEN length(w) < 4 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(generate_series(1, length(w)-3),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3])) END AS g4,
+        |    list_transform(generate_series(0, ((GREATEST(length(w)-10,0)+9)//10)),
+        |      k -> array_to_string(w[(k*10+1):(k*10+10)], ' ')) AS blocks
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(length(g2) - length(list_distinct(g2)) AS DOUBLE) /
+        |    CAST(GREATEST(length(g2), 1) AS DOUBLE) AS dup_2gram_frac,
+        |  CAST(length(g3) - length(list_distinct(g3)) AS DOUBLE) /
+        |    CAST(GREATEST(length(g3), 1) AS DOUBLE) AS dup_3gram_frac,
+        |  CAST(length(g4) - length(list_distinct(g4)) AS DOUBLE) /
+        |    CAST(GREATEST(length(g4), 1) AS DOUBLE) AS dup_4gram_frac,
+        |  CAST(length(blocks) - length(list_distinct(blocks)) AS DOUBLE) /
+        |    CAST(length(blocks) AS DOUBLE) AS dup_block_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q91_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, w, ((GREATEST(length(w)-40, 0) + 29) // 30) + 1 AS ns FROM t
+        |), e AS (
+        |  SELECT doc_id, w, unnest(generate_series(0, ns - 1)) AS k FROM s
+        |)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_ix,
+        |  array_to_string(w[(k*30+1):(k*30+40)], ' ') AS chunk_text,
+        |  CAST(length(string_split(array_to_string(w[(k*30+1):(k*30+40)], ' '), ' '))
+        |    AS INT) AS chunk_words
+        |FROM e ORDER BY doc_id, chunk_ix""".stripMargin,
+    "q92_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT id, length(toks) AS dl, toks FROM t
+        |), tf AS (
+        |  SELECT id, dl, term, count(*) AS tf
+        |  FROM (SELECT id, dl, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('hash', 'filter', 'spill')
+        |  GROUP BY id, dl, term
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d
+        |), scored AS (
+        |  SELECT tf.id,
+        |    CAST(FLOOR(
+        |      (((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |        (CAST(tf AS DOUBLE) * CAST(1.2 + 1.0 AS DOUBLE))) /
+        |        (tf + 1.2 * (1.0 - 0.75 + (0.75 * CAST(dl AS DOUBLE)) /
+        |          (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS score_q
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+        |)
+        |SELECT id AS doc_id, CAST(sum(score_q) AS BIGINT) AS score_micros,
+        |  count(*) AS n_terms_hit
+        |FROM scored GROUP BY id
+        |ORDER BY score_micros DESC, doc_id LIMIT 20""".stripMargin,
+    "q93_source_cap" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 20
+        |ORDER BY source, doc_id""".stripMargin,
+    "q94_quantize_int8" ->
+      """WITH t AS (
+        |  SELECT vec_id, list_max(list_transform(embedding, x -> abs(x))) AS maxabs,
+        |    embedding AS v
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs > 0 THEN CAST(127.0 AS DOUBLE) / maxabs
+        |      ELSE CAST(0.0 AS DOUBLE) END AS scale, v
+        |  FROM t
+        |), e AS (
+        |  SELECT vec_id, scale, v, unnest(generate_series(1, length(v))) AS k FROM sc
+        |)
+        |SELECT vec_id, scale, CAST(k - 1 AS INT) AS pos,
+        |  CAST(GREATEST(-127, LEAST(127, CAST(FLOOR(v[k] * scale + 0.5) AS BIGINT)))
+        |    AS INT) AS qv
+        |FROM e ORDER BY vec_id, pos""".stripMargin,
     "q86_pii_redact" ->
       """SELECT c_custkey,
         |  regexp_replace(

@@ -413,3 +413,133 @@ case class StopwordHitsExpr(child: Expression, wordLists: Seq[Seq[String]])
   override protected def withNewChildInternal(newChild: Expression): StopwordHitsExpr =
     copy(child = newChild)
 }
+
+/** Reusable per-partition workspace for NgramDupFracsExpr: token-hash buffer
+  * plus a stamped open-addressed long set, so the per-row cost is pure
+  * primitive arithmetic with zero allocation (buffers grow to the largest
+  * document seen and are reused across rows; the stamp makes clearing O(1)).
+  * One instance per generated-code object / per interpreted expression —
+  * never shared across threads.
+  */
+final class NgramDupComputer(ns: Array[Int], strides: Array[Int]) {
+  private[this] var tokHashes = new Array[Long](128)
+  private[this] var keys = new Array[Long](256) // power-of-two
+  private[this] var stamps = new Array[Int](256)
+  private[this] var stamp = 0
+
+  private def ensureSet(minSlots: Int): Unit = {
+    var cap = keys.length
+    while (cap < minSlots) cap <<= 1
+    if (cap != keys.length) {
+      keys = new Array[Long](cap)
+      stamps = new Array[Int](cap)
+      stamp = 0
+    }
+  }
+
+  /** Duplicate-window fraction per (n, stride) spec over an array<string>
+    * token column. Windows start at 0, stride, 2*stride, ... and span
+    * min(n, remaining) tokens — for stride 1 this is exactly the wordShingles
+    * n-gram list (a doc shorter than n yields its single whole-doc gram), for
+    * stride == n non-overlapping blocks with a short final block. Two windows
+    * are duplicates iff their token sequences are equal, tracked via a 64-bit
+    * polynomial hash of per-token xxhash64 values (collision odds over a
+    * document's ~1e2 windows are ~1e-16 — far below any realistic corpus).
+    */
+  def compute(arr: ArrayData): ArrayData = {
+    val numToks = arr.numElements()
+    if (tokHashes.length < numToks) {
+      var cap = tokHashes.length
+      while (cap < numToks) cap <<= 1
+      tokHashes = new Array[Long](cap)
+    }
+    var i = 0
+    while (i < numToks) {
+      tokHashes(i) =
+        if (arr.isNullAt(i)) 0L
+        else HashExprs.hashStr(arr.getUTF8String(i), 0L)
+      i += 1
+    }
+    val fracs = new Array[Double](ns.length)
+    var s = 0
+    while (s < ns.length) {
+      val n = ns(s)
+      val stride = strides(s)
+      val nStarts = (math.max(numToks - n, 0) + stride - 1) / stride + 1
+      ensureSet(nStarts * 2 + 2)
+      val mask = keys.length - 1
+      stamp += 1
+      var distinct = 0
+      var k = 0
+      while (k < nStarts) {
+        val start = k * stride
+        val end = math.min(start + n, numToks)
+        // include the window length so a short final block can never alias a
+        // full-width window's hash prefix
+        var h = 1469598103934665603L + (end - start)
+        var t = start
+        while (t < end) {
+          h = h * 1099511628211L + tokHashes(t)
+          t += 1
+        }
+        // finalize to spread consecutive hashes across slots
+        var z = h + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= (z >>> 31)
+        var idx = z.toInt & mask
+        while (stamps(idx) == stamp && keys(idx) != h) idx = (idx + 1) & mask
+        if (stamps(idx) != stamp) {
+          stamps(idx) = stamp
+          keys(idx) = h
+          distinct += 1
+        }
+        k += 1
+      }
+      fracs(s) = (nStarts - distinct).toDouble / nStarts.toDouble
+      s += 1
+    }
+    new GenericArrayData(fracs)
+  }
+}
+
+/** Duplicate-n-gram / duplicate-block fractions for Gopher-style repetition
+  * filters: array<double>, one fraction per (n, stride) spec, all computed in
+  * ONE pass over the token array (per-token hashes shared across specs). The
+  * composable form — size(array_distinct(transform(sequence(...), slice+
+  * concat_ws))) per n — builds every gram string through interpreted lambdas;
+  * this expression replaces it with primitive rolling hashes (~50× on the
+  * documents corpus).
+  */
+case class NgramDupFracsExpr(child: Expression, specs: Seq[(Int, Int)])
+    extends UnaryExpression {
+  require(specs.nonEmpty && specs.forall { case (n, st) => n > 0 && st > 0 },
+    s"specs must be non-empty (n, stride) pairs with positive entries: $specs")
+
+  override def prettyName: String = "graft_dup_fracs"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  @transient private lazy val computer =
+    new NgramDupComputer(specs.map(_._1).toArray, specs.map(_._2).toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    computer.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val nsLit = specs.map(_._1).mkString(", ")
+      val stLit = specs.map(_._2).mkString(", ")
+      val comp = ctx.addMutableState("graft.functions.NgramDupComputer",
+        "graftDupComp",
+        v => s"$v = new graft.functions.NgramDupComputer(" +
+          s"new int[]{$nsLit}, new int[]{$stLit});")
+      s"${ev.value} = $comp.compute($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramDupFracsExpr =
+    copy(child = newChild)
+}

@@ -52,6 +52,22 @@ object Registry {
         StopwordHitsExpr(exprs(0), lists)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dup_fracs",
+      exprs => {
+        requireFoldable(exprs(1), "graft_dup_fracs",
+          "ns must be a literal array<int>")
+        requireFoldable(exprs(2), "graft_dup_fracs",
+          "strides must be a literal array<int>")
+        val ns = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+        val strides = exprs(2).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+        require(ns.length == strides.length,
+          "graft_dup_fracs: ns and strides must have the same length")
+        NgramDupFracsExpr(exprs(0), ns.zip(strides).toSeq)
+      },
+      "built-in")
   }
 
   /** SQL-surface guard: these builders eval() an argument at resolution time,
@@ -89,6 +105,14 @@ object Registry {
   def stopwordHits(tokens: Column, lists: Seq[Seq[String]]): Column =
     call_function("graft_stopword_hits", tokens,
       org.apache.spark.sql.functions.typedlit(lists))
+
+  /** Duplicate-window fractions, one per (n, stride) spec, in a single native
+    * pass (requires [[register]] on the session).
+    */
+  def dupFracs(tokens: Column, specs: Seq[(Int, Int)]): Column =
+    call_function("graft_dup_fracs", tokens,
+      org.apache.spark.sql.functions.typedlit(specs.map(_._1)),
+      org.apache.spark.sql.functions.typedlit(specs.map(_._2)))
 
   /** Codegen'd vector dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

@@ -138,4 +138,51 @@ object TextFns {
       tokens(text),
       lit(1469598103934665603L),
       (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+
+  /** Gopher-style repetition signal: fraction of duplicate segments after
+    * splitting on `delimRegex` (lines with "\n", sentences with "\\.\\s+"),
+    * trimming each segment and dropping empties. 0.0 for a document with no
+    * non-empty segments. Row-local — scales linearly, no shuffle.
+    *
+    * Ref: Rae et al., "Scaling Language Models" (Gopher), repetition filters
+    * (duplicate line / paragraph fraction).
+    */
+  def dupSegmentFraction(text: Column, delimRegex: String): Column = {
+    val segs = filter(transform(split(text, delimRegex), s => trim(s)),
+      s => length(s) > 0)
+    when(size(segs) <= 0, lit(0.0)).otherwise(
+      (size(segs) - size(array_distinct(segs))).cast("double") /
+        size(segs).cast("double"))
+  }
+
+  /** Duplicate word-n-gram fraction (Gopher's duplicate n-gram filter):
+    * 1 - distinct/total over the document's n-gram multiset. Row-local,
+    * computed by the native NgramDupFracsExpr — the composable
+    * size(array_distinct(wordShingles(...))) form builds every gram string
+    * through interpreted lambdas and is ~50× slower at corpus scale. For
+    * several n at once, call Registry.dupFracs directly (one pass).
+    */
+  def dupNgramFraction(text: Column, n: Int): Column =
+    graft.functions.Registry.dupFracs(tokens(text), Seq((n, 1))).getItem(0)
+
+  /** Overlapping fixed-width word chunks for context-window packing: starts at
+    * 0, strideWords, 2*strideWords, ... covering every token; each chunk is
+    * chunkWords tokens (the last may be shorter), space-rejoined. Returns an
+    * array — pair with posexplode for one row per chunk. Row-local: a 100 TB
+    * corpus chunks with zero shuffle, and the per-doc fan-out keeps partition
+    * sizes bounded (docs grow by ~chunk/stride ×).
+    */
+  def chunks(text: Column, chunkWords: Int, strideWords: Int): Column = {
+    require(chunkWords > 0 && strideWords > 0 && strideWords <= chunkWords,
+      s"need 0 < strideWords <= chunkWords, got chunk=$chunkWords stride=$strideWords")
+    val w = tokens(text)
+    // ceil((max(n-chunk,0))/stride) + 1 starts, in pure integer math so the
+    // DuckDB oracle (`//`) computes the identical count.
+    val nStarts = call_function("div",
+      greatest(size(w) - lit(chunkWords), lit(0)) + lit(strideWords - 1),
+      lit(strideWords)) + lit(1L)
+    transform(sequence(lit(0L), nStarts - lit(1L)),
+      k => concat_ws(" ", slice(w, (k * lit(strideWords) + lit(1L)).cast("int"),
+        lit(chunkWords))))
+  }
 }

@@ -303,4 +303,75 @@ class LlmSpec extends SparkSuite {
     val twice = Multimodal.frameSampleStage(media, frameBytes = 32, everyN = 2, maxFrames = 4)
     assert(frames.count() == twice.count())
   }
+
+  test("repetition stats: dup segment and n-gram fractions") {
+    val d = Seq(
+      "a b\na b\nc d",          // 3 lines, one dup pair -> 1/3
+      "x y\n  \n x y ",         // blank line dropped, trims equal -> 1/2
+      "unique line").toDF("text")
+    val segs = rows(d.select(TextFns.dupSegmentFraction($"text", "\n")))
+      .map(_(0).asInstanceOf[Double])
+    assert(segs(0) === 1.0 / 3 && segs(1) === 0.5 && segs(2) === 0.0)
+
+    val g = Seq("a b a b a", "a b c d e", "x").toDF("text")
+    val fr = rows(g.select(TextFns.dupNgramFraction($"text", 2)))
+      .map(_(0).asInstanceOf[Double])
+    // "a b a b a": 2-grams [ab, ba, ab, ba] -> 2 dups of 4 -> 0.5
+    assert(fr(0) === 0.5 && fr(1) === 0.0 && fr(2) === 0.0)
+  }
+
+  test("chunks cover every token with the configured overlap") {
+    val d = Seq.tabulate(25)(i => s"w$i").mkString(" ")
+    val out = rows(Seq(d).toDF("text")
+      .select(posexplode(TextFns.chunks($"text", 10, 5))))
+    // 25 tokens, chunk 10 stride 5 -> starts 0,5,10,15 -> 4 chunks
+    assert(out.size == 4)
+    val chunks = out.map(_(1).asInstanceOf[String].split(" ").toSeq)
+    assert(chunks(0) == Seq.tabulate(10)(i => s"w$i"))
+    assert(chunks(3) == (15 until 25).map(i => s"w$i"))
+    // consecutive chunks overlap by chunk - stride = 5 tokens
+    assert(chunks(0).drop(5) == chunks(1).take(5))
+    // short doc -> exactly one chunk, the whole doc
+    val one = rows(Seq("a b c").toDF("text")
+      .select(posexplode(TextFns.chunks($"text", 10, 5))))
+    assert(one.size == 1 && one.head(1) == "a b c")
+  }
+
+  test("bm25TopK ranks the doc saturated with rare terms first") {
+    val d = Seq(
+      (1L, "apple banana apple banana apple"), // common terms only
+      (2L, "apple quartz zebra quartz"),       // rare terms, short doc
+      (3L, "apple apple apple apple apple apple apple apple"),
+      (4L, "banana banana")).toDF("doc_id", "text")
+    val top = rows(graft.llm.Retrieval.bm25TopK(
+      d, "doc_id", "text", Seq("quartz", "zebra", "apple"), k = 3))
+    // doc 2 holds both rare terms -> highest; every returned doc hit >= 1 term
+    assert(top.head(0) == 2L)
+    assert(top.size == 3)
+    val hits = top.map(_(2).asInstanceOf[Long])
+    assert(hits.head == 3L && hits.forall(_ >= 1L))
+    // absent query terms must not blow up
+    val none = graft.llm.Retrieval.bm25TopK(
+      d, "doc_id", "text", Seq("nosuchterm"), k = 3)
+    assert(none.count() == 0)
+  }
+
+  test("quantizeInt8 round-trips within half a step and handles zeros") {
+    val d = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = rows(Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .orderBy("vec_id"))
+    val scale1 = q(0)(1).asInstanceOf[Double]
+    val codes1 = q(0)(2).asInstanceOf[scala.collection.Seq[Int]]
+    assert(scale1 === 127.0)
+    assert(codes1 == Seq(64, -127, 32, 0))
+    // dequantized values within half a quantization step
+    val orig = Seq(0.5, -1.0, 0.25, 0.0)
+    codes1.zip(orig).foreach { case (c, x) =>
+      assert(math.abs(c / scale1 - x) <= 0.5 / scale1 + 1e-12) }
+    // all-zero vector: scale 0, all codes 0 (no NaN/overflow)
+    assert(q(1)(1).asInstanceOf[Double] === 0.0)
+    assert(q(1)(2).asInstanceOf[scala.collection.Seq[Int]].forall(_ == 0))
+  }
 }

@@ -105,6 +105,31 @@ class PlanSpec extends SparkSuite {
     assert(df.collect().map(_.toString).sorted.toSeq == interp)
   }
 
+  test("dup-fracs expression: codegen participation, interp equality, HOF equivalence") {
+    import org.apache.spark.sql.functions.{array_distinct, greatest, lit, size}
+    val d = Engine.table(spark, sfDir, "documents").limit(100)
+      .select(col("doc_id"), col("text"))
+    val df = d.select(col("doc_id"),
+      graft.functions.Registry.dupFracs(
+        graft.llm.TextFns.tokens(col("text")),
+        Seq((2, 1), (3, 1), (10, 10))).as("fr"))
+    val cg = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(cg.contains("NgramDupComputer"), cg.take(1200))
+    assert(!cg.contains("CodegenFallback"), cg.take(1200))
+    val interp = withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      df.collect().map(_.toString).sorted.toSeq
+    }
+    assert(df.collect().map(_.toString).sorted.toSeq == interp)
+    // native fractions == the composable string-gram form (independent path)
+    val grams2 = graft.llm.TextFns.wordShingles(col("text"), 2)
+    val hof = d.select(col("doc_id"),
+      ((size(grams2) - size(array_distinct(grams2))).cast("double") /
+        greatest(size(grams2), lit(1)).cast("double")).as("f2"))
+    val native = df.select(col("doc_id"), col("fr").getItem(0).as("f2"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
