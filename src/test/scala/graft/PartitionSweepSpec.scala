@@ -10,7 +10,8 @@ class PartitionSweepSpec extends SparkSuite {
     "q16_groupby_q1", "q22_join_inner", "q13_sort_multikey",
     "q10_distinct", "q27_join_nullsafe", "q40_dedup_exact",
     "q46_minhash_lsh", "q49_cosine_top1", "q52_sessionize",
-    "q81_dedup_clusters", "q82_range_join", "q89_asof_tolerance")
+    "q81_dedup_clusters", "q82_range_join", "q89_asof_tolerance",
+    "q90_repetition", "q92_bm25", "q94_quantize_int8")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

@@ -45,6 +45,22 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(mh.collect().forall(_.getSeq[Long](0).length == 16))
   }
 
+  test("graft_dup_fracs is callable from SQL and rejects column specs") {
+    registerViews()
+    val fr = spark.sql(
+      "SELECT graft_dup_fracs(split(lower(text), '\\\\s+'), array(2, 3), array(1, 1)) AS fr " +
+        "FROM documents LIMIT 3")
+    assert(fr.collect().forall { r =>
+      val v = r.getSeq[Double](0); v.length == 2 && v.forall(x => x >= 0.0 && x <= 1.0)
+    })
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_dup_fracs(split(text, ' '), array(CAST(doc_id AS INT)), array(1)) " +
+          "FROM documents LIMIT 1").collect()
+    }
+    assert(e.getMessage.contains("ns must be a literal"), s"unhelpful error: ${e.getMessage}")
+  }
+
   test("literal-argument builders reject non-foldable arguments with a clear error") {
     registerViews()
     val e = intercept[Exception] {
