@@ -816,6 +816,28 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"), posexplode(col("q")))
         .toDF("vec_id", "scale", "pos", "qv"), "vec_id", "pos")
     }),
+    "q95_boilerplate" -> ((s, dir) => {
+      // cross-document boilerplate detection: 3-gram shingles appearing in
+      // ≥2 distinct docs, ranked by document spread — explode → partial+
+      // final agg; ties broken by total count then gram text
+      val d = t(s, dir, "documents")
+      val grams = d.select(col("doc_id"),
+        explode(TextFns.wordShingles(col("text"), 3)).as("gram"))
+      grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_total"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_total").desc, col("gram").asc)
+        .limit(20)
+    }),
+    "q96_weighted_sample" -> ((s, dir) => {
+      // deterministic quality-weighted down-sampling: keep probability
+      // proportional to document length (clamped) — reproducible on any
+      // cluster size, no RNG; composable with q78's splits
+      val d = t(s, dir, "documents")
+      ord(RowOps.weightedSample(d, "doc_id",
+          col("n_chars").cast("double") / lit(400.0))
+        .select("doc_id", "n_chars", "lang"), "doc_id")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1554,6 +1576,25 @@ object SparkEntry {
         |  CAST(GREATEST(-127, LEAST(127, CAST(FLOOR(v[k] * scale + 0.5) AS BIGINT)))
         |    AS INT) AS qv
         |FROM e ORDER BY vec_id, pos""".stripMargin,
+    "q95_boilerplate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN length(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(generate_series(1, length(w)-2),
+        |        i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])) END) AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)
+        |)
+        |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+        |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_total DESC, gram LIMIT 20""".stripMargin,
+    "q96_weighted_sample" ->
+      """SELECT doc_id, n_chars, lang
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000000 <
+        |  CAST(FLOOR(LEAST(GREATEST(CAST(n_chars AS DOUBLE) / CAST(400.0 AS DOUBLE),
+        |    0.0), 1.0) * 1000000.0) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "q86_pii_redact" ->
       """SELECT c_custkey,
         |  regexp_replace(

@@ -520,11 +520,15 @@ case class NgramDupFracsExpr(child: Expression, specs: Seq[(Int, Int)])
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
 
+  // Interpreted fallback: the SAME expression instance can be evaluated by
+  // several tasks concurrently (unlike codegen, where each generated object
+  // owns its mutable state), so the reusable workspace must be per-thread.
   @transient private lazy val computer =
-    new NgramDupComputer(specs.map(_._1).toArray, specs.map(_._2).toArray)
+    ThreadLocal.withInitial[NgramDupComputer](() =>
+      new NgramDupComputer(specs.map(_._1).toArray, specs.map(_._2).toArray))
 
   override def nullSafeEval(input: Any): Any =
-    computer.compute(input.asInstanceOf[ArrayData])
+    computer.get().compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -541,5 +545,66 @@ case class NgramDupFracsExpr(child: Expression, specs: Seq[(Int, Int)])
     })
 
   override protected def withNewChildInternal(newChild: Expression): NgramDupFracsExpr =
+    copy(child = newChild)
+}
+
+/** Static gram-builder shared by WordShinglesExpr's interpreted and generated
+  * paths (stateless → thread-safe; the output strings must be materialized
+  * anyway, so the only state is the per-call window scratch).
+  */
+object WordShingles {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val numToks = arr.numElements()
+    val toks = new Array[UTF8String](numToks)
+    var i = 0
+    while (i < numToks) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    if (numToks < n) {
+      // short doc → its single whole-doc gram (concat_ws semantics: nulls
+      // skipped), exactly like the composable slice+concat_ws form
+      new GenericArrayData(Array[Any](UTF8String.concatWs(Space, toks: _*)))
+    } else {
+      val m = numToks - n + 1
+      val out = new Array[Any](m)
+      val win = new Array[UTF8String](n)
+      var k = 0
+      while (k < m) {
+        System.arraycopy(toks, k, win, 0, n)
+        out(k) = UTF8String.concatWs(Space, win: _*)
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** Word n-gram shingles (space-joined sliding windows, stride 1; a doc
+  * shorter than n yields its single whole-doc gram) as ONE native pass. The
+  * composable transform(sequence, slice+concat_ws) form evaluates an
+  * interpreted lambda per window — on gram-explode pipelines (boilerplate
+  * detection, LSH shingling) that interpretation is most of the query cost.
+  */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"shingle size must be positive: $n")
+
+  override def prettyName: String = "graft_word_shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.WordShingles.compute($arr, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)
 }

@@ -68,6 +68,14 @@ object Registry {
         NgramDupFracsExpr(exprs(0), ns.zip(strides).toSeq)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_shingles",
+      exprs => {
+        requireFoldable(exprs(1), "graft_word_shingles",
+          "shingle size must be a literal int")
+        WordShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])
+      },
+      "built-in")
   }
 
   /** SQL-surface guard: these builders eval() an argument at resolution time,
@@ -113,6 +121,10 @@ object Registry {
     call_function("graft_dup_fracs", tokens,
       org.apache.spark.sql.functions.typedlit(specs.map(_._1)),
       org.apache.spark.sql.functions.typedlit(specs.map(_._2)))
+
+  /** Word n-gram shingles in one native pass (requires [[register]]). */
+  def wordShingles(tokens: Column, n: Int): Column =
+    call_function("graft_word_shingles", tokens, lit(n))
 
   /** Codegen'd vector dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

@@ -47,18 +47,24 @@ object Retrieval {
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, s"k must be positive: $k")
+    // the tokenizer lower-cases, so match terms in the same space
+    val terms = queryTerms.map(_.toLowerCase).distinct
 
     val dls = docs.select(
       col(idCol).as("id"), TextFns.tokens(col(textCol)).as("toks"))
       .select(col("id"), col("toks"), size(col("toks")).as("dl"))
 
     // Postings for query terms only: the filter sits under the groupBy, so
-    // non-matching tokens never shuffle.
+    // non-matching tokens never shuffle. Materialized once (localCheckpoint —
+    // it is tiny: ≤ docs × |terms| rows) because both the scoring join and
+    // the document frequencies derive from it; without the cut, Catalyst
+    // re-plans the dfreq branch as a SECOND full corpus scan + explode.
     val tf = dls
       .select(col("id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
       .groupBy("id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
 
     // One row per query term present in the corpus; broadcast both.
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -55,14 +55,14 @@ object TextFns {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(regexp_replace(text, "\\p{Punct}", ""), "\\s+", " ")))
 
-  /** Word n-gram shingles (space-joined), e.g. n=3 for near-dup detection. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    when(size(t) < n, array(concat_ws(" ", t)))
-      .otherwise(transform(
-        sequence(lit(0), size(t) - lit(n)),
-        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
-  }
+  /** Word n-gram shingles (space-joined), e.g. n=3 for near-dup detection.
+    * Native one-pass WordShinglesExpr; semantically identical to the
+    * composable when(size<n, [whole-doc]) / transform(sequence, slice+
+    * concat_ws) form, which pays an interpreted lambda per window on
+    * gram-explode pipelines (PlanSpec asserts the equivalence).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.Registry.wordShingles(tokens(text), n)
 
   /** Character n-gram shingles. */
   def charShingles(text: Column, n: Int): Column =

@@ -93,4 +93,18 @@ object RowOps {
     }
     df.filter(bucket < cutoff)
   }
+
+  /** Deterministic weighted sampling: keep each row with probability equal to
+    * its (row-computed) weight, clamped to [0,1] — e.g. sample documents
+    * proportional to a quality score. Same multiplicative key hash as
+    * [[assignSplit]], so the sample is reproducible on any cluster size and
+    * composable with the splits; the per-row cutoff uses floor (not round)
+    * so any IEEE engine reproduces the exact keep set. Pure filter — no RNG,
+    * no shuffle, pushable when weight and key are scan columns.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
+    val bucket = pmod(col(keyCol) * lit(2654435761L), lit(1000000L))
+    val cutoff = floor(least(greatest(weight, lit(0.0)), lit(1.0)) * lit(1000000.0))
+    df.filter(bucket < cutoff)
+  }
 }

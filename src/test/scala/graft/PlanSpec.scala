@@ -105,6 +105,33 @@ class PlanSpec extends SparkSuite {
     assert(df.collect().map(_.toString).sorted.toSeq == interp)
   }
 
+  test("bm25 plan: df/stats broadcast, term filter below the agg, top-k not global sort") {
+    val plan = planOf("q92_bm25")
+    // document frequencies join as a broadcast; corpus stats as a broadcast
+    // cross (both tiny sides)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    // final top-k is per-partition heaps, not a global Sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // the postings frame is checkpointed, so the final plan scans the corpus
+    // exactly once (the stats agg) — not once per derived branch
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan.take(3000))
+    // and in the postings pipeline itself, the isin(queryTerms) filter sits
+    // below the partial aggregate: only query-term postings reach the shuffle
+    val d = Engine.table(spark, sfDir, "documents")
+    val toks = d.select(col("doc_id"),
+      graft.llm.TextFns.tokens(col("text")).as("toks"))
+    val postings = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin("hash", "filter"))
+      .groupBy("doc_id", "term").count()
+    val pplan = postings.queryExecution.executedPlan.toString
+    val filterIdx = pplan.indexOf("IN (hash,filter)")
+    val aggIdx = pplan.indexOf("HashAggregate")
+    assert(filterIdx >= 0 && aggIdx >= 0 && filterIdx > aggIdx,
+      s"term filter not under the aggregate (filter@$filterIdx agg@$aggIdx):\n$pplan")
+  }
+
   test("dup-fracs expression: codegen participation, interp equality, HOF equivalence") {
     import org.apache.spark.sql.functions.{array_distinct, greatest, lit, size}
     val d = Engine.table(spark, sfDir, "documents").limit(100)
@@ -121,12 +148,41 @@ class PlanSpec extends SparkSuite {
       df.collect().map(_.toString).sorted.toSeq
     }
     assert(df.collect().map(_.toString).sorted.toSeq == interp)
-    // native fractions == the composable string-gram form (independent path)
-    val grams2 = graft.llm.TextFns.wordShingles(col("text"), 2)
+    // native fractions == the composable string-gram form, built inline so
+    // it stays an INDEPENDENT path (TextFns.wordShingles is itself native now)
+    val grams2 = hofShingles(col("text"), 2)
     val hof = d.select(col("doc_id"),
       ((size(grams2) - size(array_distinct(grams2))).cast("double") /
         greatest(size(grams2), lit(1)).cast("double")).as("f2"))
     val native = df.select(col("doc_id"), col("fr").getItem(0).as("f2"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  /** The composable (interpreted-lambda) shingle form, kept as the reference
+    * semantics for the native WordShinglesExpr.
+    */
+  private def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+    import org.apache.spark.sql.functions._
+    val t = graft.llm.TextFns.tokens(text)
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - lit(n)),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+  }
+
+  test("word-shingles expression: codegen, interp equality, HOF equivalence") {
+    val d = Engine.table(spark, sfDir, "documents").limit(200)
+    val native = d.select(col("doc_id"),
+      graft.llm.TextFns.wordShingles(col("text"), 3).as("g"))
+    val cg = org.apache.spark.sql.execution.debug.codegenString(native.queryExecution.executedPlan)
+    assert(cg.contains("WordShingles.compute"), cg.take(1200))
+    assert(!cg.contains("CodegenFallback"), cg.take(1200))
+    val interp = withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      native.collect().map(_.toString).sorted.toSeq
+    }
+    assert(native.collect().map(_.toString).sorted.toSeq == interp)
+    val hof = d.select(col("doc_id"), hofShingles(col("text"), 3).as("g"))
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 

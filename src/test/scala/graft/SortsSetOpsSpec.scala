@@ -81,6 +81,26 @@ class SortsSetOpsSpec extends SparkSuite {
       RowOps.stratifiedSample(rows10k, "id", "lang", Map("en" -> 1.5), 0.2))
   }
 
+  test("weightedSample: clamped probabilities, deterministic, weight-monotone") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.operators.RowOps
+    val rows10k = spark.range(10000).select(col("id"))
+    // weight 0 keeps nothing; weight >= 1 (clamped) keeps everything
+    assert(RowOps.weightedSample(rows10k, "id", lit(0.0)).count() == 0)
+    assert(RowOps.weightedSample(rows10k, "id", lit(2.5)).count() == 10000)
+    // constant weight ~ keep fraction; reproducible across partitionings
+    val half = RowOps.weightedSample(rows10k, "id", lit(0.5))
+    assert(half.count() > 4500 && half.count() < 5500)
+    val again = RowOps.weightedSample(rows10k.repartition(17), "id", lit(0.5))
+    assert(rows(again.orderBy("id")).map(_.toString) ==
+      rows(half.orderBy("id")).map(_.toString))
+    // monotone in the weight: a row kept at w stays kept at w' > w
+    val ids05 = rows(half.orderBy("id")).map(_(0).asInstanceOf[Long]).toSet
+    val ids08 = rows(RowOps.weightedSample(rows10k, "id", lit(0.8)).orderBy("id"))
+      .map(_(0).asInstanceOf[Long]).toSet
+    assert(ids05.subsetOf(ids08))
+  }
+
   test("topKPerGroup: row vs rank tie semantics + WindowGroupLimit pushdown") {
     import org.apache.spark.sql.functions.col
     val d = Seq(("g1", 3), ("g1", 3), ("g1", 2), ("g1", 1),
