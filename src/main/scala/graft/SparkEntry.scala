@@ -703,6 +703,16 @@ object SparkEntry {
       sources.IO.parquetWrite(sup, tmp)
       ord(sources.IO.parquetRead(s, Seq(tmp)), "s_suppkey")
     }),
+    "q97_orc_roundtrip" -> ((s, dir) => {
+      // parquet → ORC → read back (projection exercises ORC column pruning);
+      // the oracle reads the same values straight from parquet, so the
+      // round-trip must be value-exact
+      val sup = t(s, dir, "supplier")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      sources.IO.orcWrite(sup, tmp)
+      ord(sources.IO.orcRead(s, Seq(tmp),
+        Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")), "s_suppkey")
+    }),
     "q85_partitioned_write" -> ((s, dir) => {
       // hive-partitioned write + partition-pruned read: the lang='en' filter
       // prunes to one directory at planning time (PlanSpec asserts the
@@ -828,6 +838,20 @@ object SparkEntry {
         .filter(col("n_docs") >= 2)
         .orderBy(col("n_docs").desc, col("n_total").desc, col("gram").asc)
         .limit(20)
+    }),
+    "q98_corpus_screen" -> ((s, dir) => {
+      // incremental-ingest near-dup screening: every 10th doc plays the
+      // "newly ingested" batch, screened against an LSH index of the rest —
+      // same high-threshold regime as q46 so the exact-Jaccard oracle is
+      // sound; the streaming face (foreachBatch over micro-batches) is
+      // asserted stream==batch in StreamingSpec
+      val d = t(s, dir, "documents")
+      val idx = Dedup.buildCorpusIndex(d.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", bands = 16, rowsPerBand = 2)
+      val out = Dedup.screenAgainstCorpus(d.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", idx, threshold = 0.8)
+      idx.release()
+      ord(out.withColumn("jaccard", round(col("jaccard"), 4)), "new_id", "corpus_id")
     }),
     "q96_weighted_sample" -> ((s, dir) => {
       // deterministic quality-weighted down-sampling: keep probability
@@ -1447,6 +1471,9 @@ object SparkEntry {
     "q55_parquet_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q97_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q85_partitioned_write" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
@@ -1588,6 +1615,22 @@ object SparkEntry {
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, n_total DESC, gram LIMIT 20""".stripMargin,
+    "q98_corpus_screen" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, length(toks)-2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS tri
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |)
+        |SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+        |  round(CAST(length(list_intersect(n.tri, c.tri)) AS DOUBLE) /
+        |    length(list_distinct(list_concat(n.tri, c.tri))), 4) AS jaccard
+        |FROM sh n JOIN sh c ON n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |WHERE CAST(length(list_intersect(n.tri, c.tri)) AS DOUBLE) /
+        |  length(list_distinct(list_concat(n.tri, c.tri))) >= 0.8
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "q96_weighted_sample" ->
       """SELECT doc_id, n_chars, lang
         |FROM documents

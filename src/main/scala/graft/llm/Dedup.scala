@@ -99,12 +99,7 @@ object Dedup {
     */
   private def candidatesFromSignatures(
       sig: DataFrame, bands: Int, rowsPerBand: Int, maxBucket: Int): (DataFrame, DataFrame) = {
-    val banded = sig.select(
-      col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .toDF("id", "band_idx", "band_hash")
+    val banded = bandedKeys(sig, bands, rowsPerBand)
       // persisted: referenced twice by the self-join, and banding is the
       // expensive part of the pipeline (signatures over every shingle)
       .persist()
@@ -224,6 +219,85 @@ object Dedup {
     val dropped = pairs.select(col("id_b").as(idCol)).distinct()
     df.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Pre-built LSH index of a STATIC corpus for incremental near-dup
+    * screening: the banded bucket keys plus the hashed shingle sets, both
+    * persisted. Build once, screen every ingest batch against it (see
+    * [[screenAgainstCorpus]]); call [[CorpusIndex.release]] when retiring
+    * the index. At cluster scale the two frames are ordinary cached
+    * DataFrames — bucket keys are 3 longs per (doc, band), shingle sets ~1
+    * long per token, both partitioned by their join keys on first use.
+    */
+  final case class CorpusIndex(
+      banded: DataFrame, // (id, band_idx, band_hash)
+      sets: DataFrame, // (id, sh: sorted array<long>)
+      bands: Int,
+      rowsPerBand: Int,
+      shingleSize: Int) {
+    def release(): Unit = {
+      banded.unpersist(blocking = false)
+      sets.unpersist(blocking = false)
+    }
+  }
+
+  def buildCorpusIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): CorpusIndex = {
+    val sh = shingleSets(corpus, idCol, textCol, shingleSize)
+    val banded = bandedKeys(
+      sh.select(col("id"), signatureOfShingles(col("sh"), bands * rowsPerBand).as("sig")),
+      bands, rowsPerBand).persist()
+    CorpusIndex(banded, sh, bands, rowsPerBand, shingleSize)
+  }
+
+  /** Screen a batch of NEW documents against an indexed static corpus:
+    * returns (new_id, corpus_id, jaccard) for every pair at or above
+    * `threshold`. This is the incremental-ingest path — from Structured
+    * Streaming, call it inside `foreachBatch` (the corpus is static, so
+    * per-micro-batch batch semantics are exact and no cross-batch state is
+    * needed; StreamingSpec asserts stream == batch). Per-batch cost is
+    * O(batch) row-local signatures plus an equi-join against the bucket
+    * index on (band_idx, band_hash) — the corpus is never re-scanned.
+    * Recall follows the banding S-curve (see [[nearDuplicates]]); precision
+    * is exact (candidates are verified on the shingle sets).
+    */
+  def screenAgainstCorpus(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: CorpusIndex,
+      threshold: Double = 0.7): DataFrame = {
+    val shNew = shingleSets(newDocs, idCol, textCol, index.shingleSize)
+    val bandedNew = bandedKeys(
+      shNew.select(col("id"),
+        signatureOfShingles(col("sh"), index.bands * index.rowsPerBand).as("sig")),
+      index.bands, index.rowsPerBand)
+    val candIds = bandedNew.toDF("new_id", "band_idx", "band_hash")
+      .join(index.banded.toDF("corpus_id", "band_idx", "band_hash"),
+        Seq("band_idx", "band_hash"))
+      .select("new_id", "corpus_id")
+      .distinct()
+    val verified = candIds
+      .join(shNew.withColumnsRenamed(Map("id" -> "new_id", "sh" -> "sh_n")), "new_id")
+      .join(index.sets.withColumnsRenamed(Map("id" -> "corpus_id", "sh" -> "sh_c")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.Registry.jaccardSorted(col("sh_n"), col("sh_c")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    finishAndRelease(verified, shNew)
+  }
+
+  /** (id, band_idx, band_hash) bucket keys of a (id, sig) frame. */
+  private def bandedKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(
+      col("id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .toDF("id", "band_idx", "band_hash")
 
   /** Connected components over an undirected edge list, via the alternating
     * large-star / small-star algorithm (Kiveris et al., "Connected Components

@@ -44,6 +44,20 @@ object IO {
       .parquet(dir)
   }
 
+  /** ORC read/write (beyond-reference; the reference is parquet/csv/json
+    * only). ORC ships in Spark, keeps the same pushdown/pruning surface as
+    * parquet (PushedFilters + ReadSchema reach the scan), and is the common
+    * interchange format with Hive-era warehouses — a migration path for
+    * corpora that are not parquet yet.
+    */
+  def orcRead(spark: SparkSession, paths: Seq[String], columns: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.orc(paths: _*)
+    if (columns.isEmpty) df else df.select(columns.map(df.col): _*)
+  }
+
+  def orcWrite(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").orc(dir)
+
   /** `parquet_read_array` (parquet.hpp:138-141): read numeric columns of a
     * parquet file as one array<double> column (row-major 2-D array view) —
     * the reference's zero-copy-to-cuPyNumeric path; on Spark the analogue is

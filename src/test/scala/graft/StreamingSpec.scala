@@ -154,4 +154,48 @@ class StreamingSpec extends SparkSuite {
     val expected = Engine.events(spark, sfDir).dropDuplicates("event_id").count()
     assert(got.count() == expected)
   }
+
+  test("incremental corpus screening: foreachBatch stream == batch") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.Dedup
+    val d = Engine.table(spark, sfDir, "documents").select("doc_id", "text")
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val fresh = d.filter(col("doc_id") % 10 === 0)
+    val idx = Dedup.buildCorpusIndex(corpus, "doc_id", "text",
+      bands = 16, rowsPerBand = 2)
+    val batchOut = Dedup.screenAgainstCorpus(fresh, "doc_id", "text", idx, 0.8)
+      .select("new_id", "corpus_id").collect().map(_.toString).sorted.toSeq
+
+    // stage the fresh docs as two files → two micro-batches; the corpus is
+    // static, so screening each batch independently must reproduce the
+    // all-at-once batch result exactly
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_screen_stream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, modTimeMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_screen_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTimeMs)
+    }
+    val cut = fresh.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    val now = System.currentTimeMillis()
+    stage(fresh.filter(col("doc_id") <= cut), "b1.parquet", now - 60000)
+    stage(fresh.filter(col("doc_id") > cut), "b2.parquet", now)
+
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val q = stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        buf.synchronized {
+          buf ++= Dedup.screenAgainstCorpus(b, "doc_id", "text", idx, 0.8)
+            .select("new_id", "corpus_id").collect().map(_.toString)
+        }
+        ()
+    }.start()
+    q.processAllAvailable(); q.stop()
+    idx.release()
+    assert(buf.sorted.toSeq == batchOut)
+  }
 }
