@@ -853,6 +853,17 @@ object SparkEntry {
       idx.release()
       ord(out.withColumn("jaccard", round(col("jaccard"), 4)), "new_id", "corpus_id")
     }),
+    "q99_quantized_top1" -> ((s, dir) => {
+      // similarity search over int8-quantized codes (every 10th vector
+      // queries the full corpus): integer dots are exact and the scales
+      // cancel in the cosine, so the scores are bit-reproducible — the
+      // storage-compressed ANN path, vs q49's float baseline
+      val e = t(s, dir, "embeddings")
+      val codes = Similarity.quantizeInt8(e, "vec_id", "embedding")
+      val out = Similarity.quantizedTop1(codes,
+        codes.filter(col("vec_id") % 10 === 0))
+      ord(out.withColumn("cosine", round(col("cosine"), 4)), "query_id")
+    }),
     "q96_weighted_sample" -> ((s, dir) => {
       // deterministic quality-weighted down-sampling: keep probability
       // proportional to document length (clamped) — reproducible on any
@@ -1631,6 +1642,39 @@ object SparkEntry {
         |WHERE CAST(length(list_intersect(n.tri, c.tri)) AS DOUBLE) /
         |  length(list_distinct(list_concat(n.tri, c.tri))) >= 0.8
         |ORDER BY new_id, corpus_id""".stripMargin,
+    "q99_quantized_top1" ->
+      """WITH t AS (
+        |  SELECT vec_id, list_max(list_transform(embedding, x -> abs(x))) AS maxabs,
+        |    embedding AS v
+        |  FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs > 0 THEN CAST(127.0 AS DOUBLE) / maxabs
+        |      ELSE CAST(0.0 AS DOUBLE) END AS scale, v
+        |  FROM t
+        |), codes AS (
+        |  SELECT vec_id, list_transform(generate_series(1, length(v)),
+        |    k -> CAST(GREATEST(-127, LEAST(127,
+        |      CAST(FLOOR(v[k] * scale + 0.5) AS BIGINT))) AS INT)) AS q
+        |  FROM sc
+        |), norms AS (
+        |  SELECT vec_id, q,
+        |    sqrt(CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+        |      AS DOUBLE)) AS nrm
+        |  FROM codes
+        |), sims AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(list_zip(a.q, b.q),
+        |      p -> CAST(p[1] AS BIGINT) * p[2])) AS DOUBLE) / (a.nrm * b.nrm) AS cosine
+        |  FROM norms a JOIN norms b ON a.vec_id % 10 = 0 AND a.vec_id <> b.vec_id
+        |), best AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        |  FROM sims
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine
+        |FROM best WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "q96_weighted_sample" ->
       """SELECT doc_id, n_chars, lang
         |FROM documents

@@ -20,6 +20,10 @@ object Registry {
       exprs => DotProduct(exprs(0), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_int",
+      exprs => IntDotProduct(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64",
       exprs => SimHash64Expr(exprs.head),
       "built-in")
@@ -128,6 +132,9 @@ object Registry {
 
   /** Codegen'd vector dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Exact integer dot product over int8-quantized codes (requires [[register]]). */
+  def dotInt(a: Column, b: Column): Column = call_function("graft_dot_int", a, b)
 
   /** Multiplicative aggregate (requires [[register]] on the session). */
   def product(c: Column): Column = call_function("graft_product", c)

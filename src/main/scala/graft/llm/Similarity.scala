@@ -259,6 +259,37 @@ object Similarity {
     *
     * Returns (idCol, scale double, q array<int>). Dequantize: x ≈ q / scale.
     */
+  /** Brute-force top-1 cosine over int8-QUANTIZED codes (see
+    * [[quantizeInt8]]): the per-vector scales cancel in the cosine of the
+    * dequantized vectors, so the score is
+    * intdot(qa,qb) / (sqrt(intdot(qa,qa)) · sqrt(intdot(qb,qb))) — the
+    * integer dots are exact, making the whole score bit-reproducible across
+    * engines (unlike float accumulation). Same broadcast + map-side
+    * max-struct shape as [[bruteForceTopK]]; codes are 4× smaller than
+    * float32 vectors, which is the point at corpus scale — the broadcast and
+    * the scan both shrink 4×.
+    */
+  def quantizedTop1(codes: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", codeCol: String = "q"): DataFrame = {
+    val dotInt = graft.functions.Registry.dotInt _
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(codeCol).as("qa"),
+      sqrt(dotInt(col(codeCol), col(codeCol)).cast("double")).as("qn")))
+    val c = codes.select(
+      col(idCol).as("neighbor_id"), col(codeCol).as("ca"),
+      sqrt(dotInt(col(codeCol), col(codeCol)).cast("double")).as("cn"))
+    c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        dotInt(col("qa"), col("ca")).cast("double") / (col("qn") * col("cn")))
+      .groupBy("query_id")
+      .agg(max(struct(col("cosine"), (-col("neighbor_id")).as("neg_id"))).as("best"))
+      .select(
+        col("query_id"),
+        (-col("best.neg_id")).as("neighbor_id"),
+        col("best.cosine").as("cosine"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val maxAbs = array_max(transform(col(vecCol), x => abs(x)))
     val scale = when(maxAbs > lit(0.0f), lit(127.0) / maxAbs).otherwise(lit(0.0))

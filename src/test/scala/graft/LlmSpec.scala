@@ -356,6 +356,19 @@ class LlmSpec extends SparkSuite {
     assert(none.count() == 0)
   }
 
+  test("quantized top-1 agrees with the float top-1 on most queries") {
+    val codes = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val qTop = Similarity.quantizedTop1(codes, codes)
+      .select("query_id", "neighbor_id")
+    val fTop = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id")
+    val n = emb.count().toDouble
+    val agree = qTop.join(fTop, Seq("query_id", "neighbor_id")).count()
+    // 8-bit quantization perturbs cosines by ~1e-2 at most; ties/near-ties
+    // may flip, but the vast majority of top-1 picks must survive
+    assert(agree / n > 0.9, s"quantized top-1 agreement too low: $agree of $n")
+  }
+
   test("quantizeInt8 round-trips within half a step and handles zeros") {
     val d = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
