@@ -70,6 +70,26 @@ object ScaleProbe {
       println(f"SCALE n=$total%7d  minhash_lsh=${tDedup}%6.1f s (pairs=$pairs)  simhash=${tSim}%6.1f s (pairs=$simPairs)")
       docs.unpersist()
     }
+    // incremental screening: index the corpus ONCE, screen the planted-dup
+    // batch against it — per-batch cost must not grow with corpus size
+    // beyond the bucket join (the corpus is never re-scanned)
+    for (n <- Seq(20000, 80000)) {
+      val all = corpus(spark, n)
+      val base = all.filter(col("doc_id") < 1000000000L).persist()
+      val batch = all.filter(col("doc_id") >= 1000000000L).persist()
+      base.count(); val bCount = batch.count()
+      val (idx, tIdx) = time {
+        val i = graft.llm.Dedup.buildCorpusIndex(base, "doc_id", "text",
+          bands = 16, rowsPerBand = 2)
+        i.banded.count(); i.sets.count(); i
+      }
+      val (hits, tScreen) = time {
+        graft.llm.Dedup.screenAgainstCorpus(batch, "doc_id", "text", idx, 0.8)
+          .select("new_id").distinct().count()
+      }
+      println(f"SCALE screen corpus=$n%7d batch=$bCount%5d  index=${tIdx}%6.1f s  screen=${tScreen}%6.1f s  matched=$hits/$bCount")
+      idx.release(); base.unpersist(); batch.unpersist()
+    }
     spark.stop()
   }
 }
