@@ -468,6 +468,10 @@ final class NgramDupComputer(ns: Array[Int], strides: Array[Int]) {
       val nStarts = (math.max(numToks - n, 0) + stride - 1) / stride + 1
       ensureSet(nStarts * 2 + 2)
       val mask = keys.length - 1
+      if (stamp == Int.MaxValue) { // wrap guard: stale stamps must never match
+        java.util.Arrays.fill(stamps, 0)
+        stamp = 0
+      }
       stamp += 1
       var distinct = 0
       var k = 0

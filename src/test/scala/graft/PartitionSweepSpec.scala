@@ -11,7 +11,8 @@ class PartitionSweepSpec extends SparkSuite {
     "q10_distinct", "q27_join_nullsafe", "q40_dedup_exact",
     "q46_minhash_lsh", "q49_cosine_top1", "q52_sessionize",
     "q81_dedup_clusters", "q82_range_join", "q89_asof_tolerance",
-    "q90_repetition", "q92_bm25", "q94_quantize_int8")
+    "q90_repetition", "q92_bm25", "q94_quantize_int8",
+    "q95_boilerplate", "q98_corpus_screen", "q99_quantized_top1")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

@@ -43,6 +43,13 @@ class SqlSurfaceSpec extends SparkSuite {
       "SELECT graft_minhash(transform(split(lower(text), '\\\\s+'), t -> xxhash64(t)), 16) AS sig " +
         "FROM documents LIMIT 3")
     assert(mh.collect().forall(_.getSeq[Long](0).length == 16))
+    val idot = spark.sql(
+      "SELECT graft_dot_int(array(1, 2, 3), array(4, 5, 6)) AS d")
+    assert(idot.collect().head.getLong(0) == 32L)
+    val sh = spark.sql(
+      "SELECT graft_word_shingles(split(lower(text), '\\\\s+'), 3) AS g " +
+        "FROM documents LIMIT 3")
+    assert(sh.collect().forall(_.getSeq[String](0).nonEmpty))
   }
 
   test("graft_dup_fracs is callable from SQL and rejects column specs") {
