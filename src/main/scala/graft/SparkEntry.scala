@@ -448,6 +448,17 @@ object SparkEntry {
         sum(col("l_quantity")).as("sum_qty")),
         "l_returnflag", "l_linestatus")
     }),
+    "q53_cube" -> ((s, dir) => {
+      // full cube (all 4 grouping sets) + grouping indicator — the other
+      // grouping-sets face next to q71's rollup; one partial+final aggregate
+      // expanded over the sets, no extra shuffle per set
+      val li = t(s, dir, "lineitem")
+      ord(li.cube("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int").as("gid")),
+        "l_returnflag", "l_linestatus")
+    }),
     "q72_explode_tokens" -> ((s, dir) => {
       // Generator / unnest surface (posexplode — rejected by the reference)
       val d = t(s, dir, "documents").filter(col("doc_id") < 50)
@@ -1251,6 +1262,11 @@ object SparkEntry {
     "q71_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q53_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q72_explode_tokens" ->
       """SELECT doc_id, CAST(u.pos AS INT) AS pos, u.token AS token FROM (
