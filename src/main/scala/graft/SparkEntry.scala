@@ -884,6 +884,28 @@ object SparkEntry {
           col("n_chars").cast("double") / lit(400.0))
         .select("doc_id", "n_chars", "lang"), "doc_id")
     }),
+    "q100_curation" -> ((s, dir) => {
+      // END-TO-END curation pass composed from the verified operators:
+      // exact dedup on normalized text → LSH near-dup drop (q46 regime) →
+      // quality floor (≥20 tokens) → deterministic split assignment →
+      // corpus profile (docs + tokens per split × lang). The whole pipeline
+      // is one lazy plan: dedup aggregates + one LSH bucket join + row-local
+      // filters; nothing quadratic, nothing driver-side
+      val d = t(s, dir, "documents")
+      val norm = d.select(col("doc_id"), TextFns.normalize(col("text")).as("norm"))
+      val keepIds = Dedup.exact(norm, Seq("norm"), "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val exactKept = d.join(keepIds, "doc_id")
+      val kept = Dedup.dropNearDuplicates(exactKept, "doc_id", "text",
+        threshold = 0.8, bands = 16, rowsPerBand = 2)
+      val qual = kept.filter(TextFns.tokenCount(col("text")) >= 20)
+      val labeled = qual.withColumn("split", RowOps.assignSplit(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      ord(labeled.groupBy("split", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens")),
+        "split", "lang")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1642,6 +1664,42 @@ object SparkEntry {
         |SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
         |FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, n_total DESC, gram LIMIT 20""".stripMargin,
+    "q100_curation" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(regexp_replace(text, '[[:punct:]]', '', 'g'),
+        |      '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), exact_kept AS (
+        |  SELECT min(doc_id) AS doc_id FROM norm GROUP BY norm
+        |), base AS (
+        |  SELECT d.doc_id, d.lang, d.text
+        |  FROM documents d JOIN exact_kept k ON d.doc_id = k.doc_id
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, length(toks)-2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS tri
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM base)
+        |), dropped AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |    length(list_distinct(list_concat(a.tri, b.tri))) >= 0.8
+        |), qual AS (
+        |  SELECT doc_id, lang,
+        |    length(regexp_split_to_array(trim(lower(text)), '\s+')) AS ntok
+        |  FROM base
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |    AND length(regexp_split_to_array(trim(lower(text)), '\s+')) >= 20
+        |)
+        |SELECT CASE WHEN (doc_id * 2654435761) % 1000000 < 800000 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |FROM qual GROUP BY 1, 2
+        |ORDER BY split, lang""".stripMargin,
     "q98_corpus_screen" ->
       """WITH sh AS (
         |  SELECT doc_id,
