@@ -103,18 +103,7 @@ object Dedup {
       // persisted: referenced twice by the self-join, and banding is the
       // expensive part of the pipeline (signatures over every shingle)
       .persist()
-    // Skew cap as a window count: this LOOKS like a gratuitous sort, but the
-    // window's hash-partitioning and sort on (band_idx, band_hash) are
-    // exactly what the self-join below needs — Catalyst reuses the exchange
-    // and sort, so the cap costs one shuffle TOTAL for cap+join. (Measured
-    // alternative — partial-agg counts + broadcast anti-join — adds a
-    // second pass over the banded triples and an extra broadcast stage, and
-    // benches slower.)
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val capped = capBuckets(banded, maxBucket)
     val a = capped.as("a")
     val b = capped.as("b")
     (a.join(b,
@@ -246,11 +235,16 @@ object Dedup {
       textCol: String,
       bands: Int = 8,
       rowsPerBand: Int = 4,
-      shingleSize: Int = 3): CorpusIndex = {
+      shingleSize: Int = 3,
+      maxBucket: Int = 1000): CorpusIndex = {
     val sh = shingleSets(corpus, idCol, textCol, shingleSize)
-    val banded = bandedKeys(
+    // Same skew guard as the self-join path (candidatesFromSignatures): a
+    // degenerate corpus bucket (boilerplate / near-empty docs sharing a band
+    // hash) would otherwise multiply EVERY ingest batch that touches it.
+    // Capped at index-build time, once, rather than per screened batch.
+    val banded = capBuckets(bandedKeys(
       sh.select(col("id"), signatureOfShingles(col("sh"), bands * rowsPerBand).as("sig")),
-      bands, rowsPerBand).persist()
+      bands, rowsPerBand), maxBucket).persist()
     CorpusIndex(banded, sh, bands, rowsPerBand, shingleSize)
   }
 
@@ -289,6 +283,20 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     finishAndRelease(verified, shNew)
   }
+
+  /** Drop buckets larger than `maxBucket` (skew guard). Implemented as a
+    * window count on the bucket key: the window's hash-partitioning and sort
+    * on (band_idx, band_hash) are exactly what the downstream bucket join
+    * needs — Catalyst reuses the exchange, so the cap costs one shuffle
+    * total for cap+join. (The partial-agg + broadcast-anti-join alternative
+    * measured SLOWER — extra pass and stage; see round-3 notes.)
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
 
   /** (id, band_idx, band_hash) bucket keys of a (id, sig) frame. */
   private def bandedKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =

@@ -356,6 +356,30 @@ class LlmSpec extends SparkSuite {
     assert(none.count() == 0)
   }
 
+  test("corpus index caps degenerate buckets; screening still finds real dups") {
+    import spark.implicits._
+    // 300 identical boilerplate docs (one giant bucket) + distinct docs
+    val boiler = (0L until 300L).map(i => (i, "the same boilerplate text repeated over and over again"))
+    val real = (1000L until 1020L).map(i =>
+      (i, s"unique document number $i with its own words alpha beta gamma delta epsilon zeta"))
+    val corpus = (boiler ++ real).toDF("doc_id", "text")
+    val idx = Dedup.buildCorpusIndex(corpus, "doc_id", "text",
+      bands = 16, rowsPerBand = 2, maxBucket = 100)
+    // the boilerplate bucket (300 > maxBucket) is dropped from the index
+    assert(idx.banded.count() < 300L * 16)
+    // a new doc near-duplicating a REAL corpus doc still matches...
+    val batch = Seq(
+      (5000L, "unique document number 1000 with its own words alpha beta gamma delta epsilon zeta extra"),
+      (5001L, "the same boilerplate text repeated over and over again")).toDF("doc_id", "text")
+    val hits = Dedup.screenAgainstCorpus(batch, "doc_id", "text", idx, threshold = 0.7)
+    val matchedNew = rows(hits.select("new_id").distinct()).map(_(0).asInstanceOf[Long]).toSet
+    assert(matchedNew.contains(5000L))
+    // ...while the boilerplate probe produces NO quadratic bucket join
+    // (its bucket was capped away) — documented recall trade-off
+    assert(!matchedNew.contains(5001L))
+    idx.release()
+  }
+
   test("quantized top-1 agrees with the float top-1 on most queries") {
     val codes = Similarity.quantizeInt8(emb, "vec_id", "embedding")
     val qTop = Similarity.quantizedTop1(codes, codes)
