@@ -906,6 +906,34 @@ object SparkEntry {
         sum(TextFns.tokenCount(col("text")).cast("long")).as("n_tokens")),
         "split", "lang")
     }),
+    "q101_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 25th doc plays the held-out eval
+      // set; training docs sharing any word 4-gram with ANY eval doc are
+      // flagged. Eval gram set is broadcast (eval suites stay tiny at any
+      // corpus scale), so the corpus side is one map-side join + agg
+      val d = t(s, dir, "documents")
+      val out = Dedup.decontaminate(
+        d.filter(col("doc_id") % 25 =!= 0),
+        d.filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", n = 4, minMatches = 1)
+      ord(out.withColumn("frac",
+        round(col("n_matched").cast("double") / col("n_grams"), 4)), "doc_id")
+    }),
+    "q102_pack_sequences" -> ((s, dir) => {
+      // deterministic sequence packing: per-language token streams in
+      // pseudo-shuffled order, cut every 2048 tokens; docs assigned to the
+      // sequence where they start. Profile of the packed sequences —
+      // integer-exact, so DuckDB reproduces the identical packing
+      val d = t(s, dir, "documents")
+        .withColumn("ntok", TextFns.tokenCount(col("text")).cast("long"))
+      val packed = RowOps.packSequences(d, "doc_id", "ntok",
+        budget = 2048L, partitionCols = Seq("lang"))
+      ord(packed.groupBy("lang", "seq_id").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        min(col("start_offset")).as("first_offset")),
+        "lang", "seq_id")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1700,6 +1728,41 @@ object SparkEntry {
         |  lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
         |FROM qual GROUP BY 1, 2
         |ORDER BY split, lang""".stripMargin,
+    "q101_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN length(w) < 4 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(generate_series(1, length(w)-3),
+        |        i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3])) END)) AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)
+        |), b AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0
+        |)
+        |SELECT t.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS frac
+        |FROM (SELECT * FROM g WHERE doc_id % 25 <> 0) t LEFT JOIN b USING (gram)
+        |GROUP BY t.doc_id
+        |HAVING CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) >= 1
+        |ORDER BY doc_id""".stripMargin,
+    "q102_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ntok
+        |  FROM documents
+        |), o AS (
+        |  SELECT lang, doc_id, ntok,
+        |    CAST(coalesce(sum(ntok) OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 1000000, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM d
+        |)
+        |SELECT lang, start_offset // 2048 AS seq_id, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens, min(start_offset) AS first_offset
+        |FROM o GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
     "q98_corpus_screen" ->
       """WITH sh AS (
         |  SELECT doc_id,

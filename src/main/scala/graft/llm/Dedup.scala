@@ -209,6 +209,44 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: flag training documents that share word
+    * n-grams with a held-out evaluation set (the GPT-3/PaLM-style n-gram
+    * overlap check — a training doc containing eval n-grams leaks the
+    * benchmark into the training corpus).
+    *
+    * Returns (idCol, n_grams, n_matched) for every training doc with at
+    * least `minMatches` distinct n-grams that appear anywhere in `bench` —
+    * callers anti-join this against the corpus to drop contaminated docs.
+    *
+    * Scale design: the benchmark gram set is tiny relative to a 100 TB
+    * corpus (eval suites are fixed, ~10⁶ grams), so it is deduplicated and
+    * BROADCAST — the corpus-side explode+join is map-side with no corpus
+    * shuffle, and the per-doc counts come from one partial+final aggregate
+    * keyed by doc id. Grams are matched as strings (not hashes) so the
+    * check is byte-exact and reproducible in any engine.
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minMatches: Int = 1): DataFrame = {
+    require(n > 0 && minMatches > 0, s"need n > 0 and minMatches > 0, got n=$n minMatches=$minMatches")
+    val benchGrams = bench
+      .select(explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("gram"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val trainGrams = train.select(col(idCol),
+      explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("gram"))
+    trainGrams
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_matched"))
+      .filter(col("n_matched") >= minMatches)
+  }
+
   /** Pre-built LSH index of a STATIC corpus for incremental near-dup
     * screening: the banded bucket keys plus the hashed shingle sets, both
     * persisted. Build once, screen every ingest batch against it (see

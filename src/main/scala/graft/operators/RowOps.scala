@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Row-identity operators (SURVEY §2.2): filter, ternary, null-fill, set
@@ -106,5 +107,39 @@ object RowOps {
     val bucket = pmod(col(keyCol) * lit(2654435761L), lit(1000000L))
     val cutoff = floor(least(greatest(weight, lit(0.0)), lit(1.0)) * lit(1000000.0))
     df.filter(bucket < cutoff)
+  }
+
+  /** Deterministic sequence packing for training-batch assembly: documents
+    * are concatenated in a deterministic pseudo-shuffled order (the same
+    * multiplicative key hash as [[assignSplit]], tie-broken by key) and cut
+    * into fixed token-budget sequences; each document is assigned to the
+    * sequence where it STARTS (concat-and-cut-with-truncation semantics —
+    * the standard pretraining packing contract). Adds `start_offset` (tokens
+    * before this doc in its partition's stream) and `seq_id`
+    * (start_offset // budget).
+    *
+    * Scale design: the running offset is a window sum partitioned by
+    * `partitionCols` — real pipelines pack per shard (language, source,
+    * split), so each partition's prefix sum is independent and parallel; no
+    * global total order is ever materialized. Pure integer arithmetic, so
+    * any engine reproduces the exact same packing.
+    */
+  def packSequences(
+      df: DataFrame,
+      keyCol: String,
+      tokenCol: String,
+      budget: Long,
+      partitionCols: Seq[String]): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(partitionCols.nonEmpty,
+      "packSequences needs >=1 partition column: a zero-partition global " +
+        "prefix sum would serialize on one task at corpus scale")
+    val shuffled = pmod(col(keyCol) * lit(2654435761L), lit(1000000L))
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(shuffled.asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("start_offset",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .withColumn("seq_id", call_function("div", col("start_offset"), lit(budget)))
   }
 }

@@ -34,6 +34,27 @@ class LlmSpec extends SparkSuite {
       == Seq("en", "fr", "es", "und"))
   }
 
+  test("decontaminate flags train docs sharing n-grams with the benchmark") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we saw the quick brown fox yesterday near the barn"), // shares "the quick brown fox"
+      (2L, "completely unrelated text about spark shuffles and joins"),
+      (3L, "jumps over the lazy dog was written on the wall")) // shares "jumps over the lazy", "over the lazy dog"
+      .toDF("doc_id", "text")
+    val out = rows(Dedup.decontaminate(train, bench, "doc_id", "text",
+      n = 4, minMatches = 1).orderBy("doc_id"))
+    assert(out.map(_(0)) == Seq(1L, 3L))
+    val byId = out.map(r => r(0) -> r(2)).toMap
+    assert(byId(1L) == 1L) // one matched 4-gram
+    assert(byId(3L) == 2L) // two matched 4-grams
+    // minMatches raises the floor
+    assert(rows(Dedup.decontaminate(train, bench, "doc_id", "text",
+      n = 4, minMatches = 2)).map(_(0)) == Seq(3L))
+    intercept[IllegalArgumentException](
+      Dedup.decontaminate(train, bench, "doc_id", "text", n = 0))
+  }
+
   test("exact dedup groups identical texts") {
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")

@@ -12,7 +12,8 @@ class PartitionSweepSpec extends SparkSuite {
     "q46_minhash_lsh", "q49_cosine_top1", "q52_sessionize",
     "q81_dedup_clusters", "q82_range_join", "q89_asof_tolerance",
     "q90_repetition", "q92_bm25", "q94_quantize_int8",
-    "q95_boilerplate", "q98_corpus_screen", "q99_quantized_top1")
+    "q95_boilerplate", "q98_corpus_screen", "q99_quantized_top1",
+    "q101_decontaminate", "q102_pack_sequences")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

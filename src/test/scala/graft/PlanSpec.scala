@@ -132,6 +132,16 @@ class PlanSpec extends SparkSuite {
       s"term filter not under the aggregate (filter@$filterIdx agg@$aggIdx):\n$pplan")
   }
 
+  test("decontaminate plan: eval grams broadcast, counts as partial+final agg") {
+    val plan = planOf("q101_decontaminate")
+    // the corpus-side gram stream joins the (tiny, distinct) eval gram set
+    // as a broadcast — the corpus never shuffles for the membership check
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    // per-doc counts are map-side combined before the one shuffle by doc id
+    assert(plan.contains("partial_"), plan.take(2000))
+  }
+
   test("dup-fracs expression: codegen participation, interp equality, HOF equivalence") {
     import org.apache.spark.sql.functions.{array_distinct, greatest, lit, size}
     val d = Engine.table(spark, sfDir, "documents").limit(100)

@@ -101,6 +101,32 @@ class SortsSetOpsSpec extends SparkSuite {
     assert(ids05.subsetOf(ids08))
   }
 
+  test("packSequences: prefix-sum packing, start-bin assignment, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.range(1000).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("string"))
+      .withColumn("ntok", col("id") % 97 + lit(1L))
+    val packed = RowOps.packSequences(d, "id", "ntok", budget = 500L, Seq("grp"))
+      .persist()
+    // every doc keeps its row; seq_id is exactly start_offset // budget
+    assert(packed.count() == 1000)
+    assert(packed.filter(col("seq_id") =!= floor(col("start_offset") / 500L)).count() == 0)
+    // per group: offsets are a gapless prefix sum of token counts
+    val sums = rows(packed.groupBy("grp").agg(
+      sum(col("ntok")).as("total"),
+      max(col("start_offset") + col("ntok")).as("end")))
+    sums.foreach(r => assert(r(1) == r(2), s"prefix-sum gap in $r"))
+    // deterministic across input partitionings
+    val again = RowOps.packSequences(d.repartition(17), "id", "ntok", 500L, Seq("grp"))
+    assert(rows(packed.orderBy("id")).map(_.toString) ==
+      rows(again.orderBy("id")).map(_.toString))
+    packed.unpersist()
+    intercept[IllegalArgumentException](
+      RowOps.packSequences(d, "id", "ntok", 0L, Seq("grp")))
+    intercept[IllegalArgumentException](
+      RowOps.packSequences(d, "id", "ntok", 500L, Seq.empty))
+  }
+
   test("topKPerGroup: row vs rank tie semantics + WindowGroupLimit pushdown") {
     import org.apache.spark.sql.functions.col
     val d = Seq(("g1", 3), ("g1", 3), ("g1", 2), ("g1", 1),
