@@ -934,6 +934,40 @@ object SparkEntry {
         min(col("start_offset")).as("first_offset")),
         "lang", "seq_id")
     }),
+    "q103_salted_join" -> ((s, dir) => {
+      // extreme-skew join under the gate: l_returnflag has 3 distinct
+      // values, so a plain shuffle join funnels ~1/3 of the table through
+      // one reducer; the salted form spreads each hot key over 8 buckets.
+      // Result is identical to the plain join (JoinsSpec asserts it too)
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      val dim = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("flag_cnt"))
+      ordAll(Joins.saltedJoin(li, dim, Seq("l_returnflag"), "inner",
+        saltBuckets = 8))
+    }),
+    "q104_pivot" -> ((s, dir) => {
+      // wide feature table: per-source language histogram via relational
+      // pivot. The value list is fixed, so the plan is one partial+final
+      // aggregate — no two-phase distinct-discovery pass at corpus scale
+      val d = t(s, dir, "documents")
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = d.groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+      ord(wide.select(col("source") +:
+        langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*), "source")
+    }),
+    "q105_unpivot" -> ((s, dir) => {
+      // melt the q104 wide table back to long form (Spark-native unpivot);
+      // dropping the zero cells recovers exactly the group-by histogram
+      val d = t(s, dir, "documents")
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val wide = d.groupBy("source").pivot("lang", langs).agg(count(lit(1)))
+        .select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      val long = wide.unpivot(Array(col("source")), langs.map(col).toArray,
+        "lang", "n_docs")
+      ord(long.filter(col("n_docs") > 0), "source", "lang")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1747,6 +1781,25 @@ object SparkEntry {
         |GROUP BY t.doc_id
         |HAVING CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) >= 1
         |ORDER BY doc_id""".stripMargin,
+    "q103_salted_join" ->
+      """WITH dim AS (
+        |  SELECT l_returnflag, count(*) AS flag_cnt FROM lineitem GROUP BY 1
+        |)
+        |SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_quantity,
+        |  d.flag_cnt
+        |FROM lineitem l JOIN dim d USING (l_returnflag)
+        |ORDER BY ALL""".stripMargin,
+    "q104_pivot" ->
+      """SELECT source,
+        |  CAST(coalesce(sum(CASE WHEN lang='de' THEN 1 END), 0) AS BIGINT) AS de,
+        |  CAST(coalesce(sum(CASE WHEN lang='en' THEN 1 END), 0) AS BIGINT) AS en,
+        |  CAST(coalesce(sum(CASE WHEN lang='es' THEN 1 END), 0) AS BIGINT) AS es,
+        |  CAST(coalesce(sum(CASE WHEN lang='fr' THEN 1 END), 0) AS BIGINT) AS fr,
+        |  CAST(coalesce(sum(CASE WHEN lang='zh' THEN 1 END), 0) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q105_unpivot" ->
+      """SELECT source, lang, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q102_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
