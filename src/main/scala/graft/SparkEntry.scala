@@ -968,6 +968,20 @@ object SparkEntry {
         "lang", "n_docs")
       ord(long.filter(col("n_docs") > 0), "source", "lang")
     }),
+    "q106_corr_regr" -> ((s, dir) => {
+      // bivariate statistics surface (beyond-reference): correlation,
+      // population/sample covariance, least-squares slope/intercept — all
+      // single-pass partial+final aggregates (Pearson moments compose), so
+      // one shuffle of constant-size state per group at any scale
+      val li = t(s, dir, "lineitem")
+      ord(li.groupBy("l_returnflag").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covp_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covs_qp"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept")),
+        "l_returnflag")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1781,6 +1795,14 @@ object SparkEntry {
         |GROUP BY t.doc_id
         |HAVING CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) >= 1
         |ORDER BY doc_id""".stripMargin,
+    "q106_corr_regr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covp_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covs_qp,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q103_salted_join" ->
       """WITH dim AS (
         |  SELECT l_returnflag, count(*) AS flag_cnt FROM lineitem GROUP BY 1
