@@ -90,6 +90,21 @@ object ScaleProbe {
       println(f"SCALE screen corpus=$n%7d batch=$bCount%5d  index=${tIdx}%6.1f s  screen=${tScreen}%6.1f s  matched=$hits/$bCount")
       idx.release(); base.unpersist(); batch.unpersist()
     }
+    // decontamination: eval gram set stays FIXED while the training corpus
+    // grows — cost must scale with the corpus scan (broadcast membership
+    // check + one agg), never with corpus × eval
+    for (n <- Seq(20000, 80000, 320000)) {
+      val train = corpus(spark, n).filter(col("doc_id") < 1000000000L).persist()
+      val tCount = train.count()
+      val bench = corpus(spark, 2000).filter(col("doc_id") < 1000000000L)
+        .limit(500) // fixed 500-doc eval set at every corpus size
+      val (flagged, tDecon) = time {
+        graft.llm.Dedup.decontaminate(train, bench, "doc_id", "text",
+          n = 4, minMatches = 1).count()
+      }
+      println(f"SCALE decon train=$tCount%7d eval=500  decon=${tDecon}%6.1f s (flagged=$flagged)")
+      train.unpersist()
+    }
     spark.stop()
   }
 }
