@@ -125,12 +125,20 @@ object Bench {
       try joinThroughputGiBs(cpus, joinNrows)
       catch { case _: Throwable => -1.0 }
 
-    // Compact fixed-precision values: full-precision doubles made the JSON
-    // line long enough that downstream capture truncated the leading queries.
+    // Two JSON lines. The first carries full query names for human reading
+    // and round-over-round comparison. The LAST line is the machine record:
+    // downstream capture keeps only a ~2000-char tail of stdout, and the
+    // full-name map (~3 kB at 106 queries) overflows it — so the final line
+    // shortens query keys to their "qNN" prefix and leads with the totals,
+    // guaranteeing a complete, parseable JSON object inside the tail window.
     def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","join_throughput_gibs":${f(joinGiBs)},"join_nrows":$joinNrows,"runs":$runs}""")
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir","join_throughput_gibs":${f(joinGiBs)},"join_nrows":$joinNrows,"runs":$runs}""")
+    val qsShort = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + "%.2f".format(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"queries":$qsShort}""")
   }
 }

@@ -119,14 +119,26 @@ object Similarity {
     var centroids: Array[Array[Double]] = base.orderBy("id").limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray)
 
-    def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column = {
-      val scored = cents.zipWithIndex.map { case (c, i) =>
-        val cc = array(c.map(lit): _*)
-        struct((dot(vec, cc) / lit(math.sqrt(c.map(x => x * x).sum).max(1e-12)))
-          .as("score"), lit(i).as("cid"))
-      }
-      greatest(scored: _*).getField("cid")
+    // Centroid scoring is O(1) in nlist at the EXPRESSION level: the whole
+    // centroid matrix rides in one array<array<double>> literal (a single
+    // codegen reference object) and one array<double> norm literal, scored
+    // with zip_with + the native dot. The previous form inlined nlist
+    // per-centroid struct literals — O(nlist·dim) expression nodes, a
+    // codegen wall at nlist ≥ ~1k. Data volume per task is the same
+    // (nlist × dim doubles, ~0.5 MB at nlist=1024/dim=64); only the plan
+    // shape changed. See tools/ScaleProbe's ivf_nlist section.
+    def centroidStructs(vec: Column, cents: Array[Array[Double]]): Column = {
+      val centLit = typedLit(cents.map(_.toSeq).toSeq)
+      val normLit = typedLit(
+        cents.map(c => math.sqrt(c.map(x => x * x).sum).max(1e-12)).toSeq)
+      val scores = zip_with(centLit, normLit, (c, n) => dot(vec, c) / n)
+      // (score, cid) structs: lexicographic max/sort == best score, ties to
+      // the larger cid — the same order the old greatest(struct…) form used
+      zip_with(scores, typedLit(cents.indices.toList),
+        (s, i) => struct(s.as("score"), i.as("cid")))
     }
+    def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
+      array_max(centroidStructs(vec, cents)).getField("cid")
 
     for (_ <- 0 until lloydIters) {
       val assigned = base.withColumn("cid", nearestCentroid(col("v"), centroids))
@@ -150,14 +162,8 @@ object Similarity {
       .withColumn("cid", nearestCentroid(transform(col("cvec"), x => x.cast("double")), centroids))
 
     // queries probe the nprobe nearest lists
-    def probeLists(vec: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        val cc = array(c.map(lit): _*)
-        struct((dot(vec, cc) / lit(math.sqrt(c.map(x => x * x).sum).max(1e-12)))
-          .as("score"), lit(i).as("cid"))
-      }
-      slice(reverse(array_sort(array(scored: _*))), 1, nprobe)
-    }
+    def probeLists(vec: Column): Column =
+      slice(reverse(array_sort(centroidStructs(vec, centroids))), 1, nprobe)
     val qProbed = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qvec"),
       l2Norm(col(vecCol)).as("qnorm"))

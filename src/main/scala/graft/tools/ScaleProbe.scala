@@ -29,6 +29,16 @@ object ScaleProbe {
     base.unionAll(dups)
   }
 
+  /** Synthetic embeddings: `n` vectors of `dim` float components in [-1, 1),
+    * hash-driven and deterministic per (n, dim).
+    */
+  def embeddings(spark: SparkSession, n: Int, dim: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(2000)) - 1000) / 1000.0)
+          .cast("float")).as("embedding"))
+
   /** Random graph with `nEdges` edges over `nNodes` nodes (plus long chains,
     * the worst case for label propagation and the reason the star algorithm
     * exists: chain diameter is huge, star rounds stay O(log n)).
@@ -46,8 +56,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = graft.Engine.session(32)
     spark.sparkContext.setLogLevel("ERROR")
+    // optional section filter: runMain graft.tools.ScaleProbe ivf decon …
+    def want(s: String): Boolean = args.isEmpty || args.contains(s)
     // connected components: 4x edges per step, chain diameter 10% of nodes
-    for ((nNodes, nEdges) <- Seq((50000L, 25000L), (200000L, 100000L), (800000L, 400000L))) {
+    if (want("cc")) for ((nNodes, nEdges) <- Seq((50000L, 25000L), (200000L, 100000L), (800000L, 400000L))) {
       val edges = graph(spark, nNodes, nEdges).persist()
       edges.count()
       val (nComp, tCc) = time {
@@ -57,7 +69,7 @@ object ScaleProbe {
       println(f"SCALE cc nodes=$nNodes%7d edges=${nEdges + nNodes / 10}%7d  cc=${tCc}%6.1f s (components=$nComp)")
       edges.unpersist()
     }
-    for (n <- Seq(5000, 20000, 80000)) {
+    if (want("lsh")) for (n <- Seq(5000, 20000, 80000)) {
       val docs = corpus(spark, n).persist()
       val total = docs.count()
       val (pairs, tDedup) = time {
@@ -73,7 +85,7 @@ object ScaleProbe {
     // incremental screening: index the corpus ONCE, screen the planted-dup
     // batch against it — per-batch cost must not grow with corpus size
     // beyond the bucket join (the corpus is never re-scanned)
-    for (n <- Seq(20000, 80000)) {
+    if (want("screen")) for (n <- Seq(20000, 80000)) {
       val all = corpus(spark, n)
       val base = all.filter(col("doc_id") < 1000000000L).persist()
       val batch = all.filter(col("doc_id") >= 1000000000L).persist()
@@ -93,17 +105,37 @@ object ScaleProbe {
     // decontamination: eval gram set stays FIXED while the training corpus
     // grows — cost must scale with the corpus scan (broadcast membership
     // check + one agg), never with corpus × eval
-    for (n <- Seq(20000, 80000, 320000)) {
+    if (want("decon")) for (n <- Seq(20000, 80000, 320000)) {
       val train = corpus(spark, n).filter(col("doc_id") < 1000000000L).persist()
       val tCount = train.count()
-      val bench = corpus(spark, 2000).filter(col("doc_id") < 1000000000L)
-        .limit(500) // fixed 500-doc eval set at every corpus size
+      // fixed 500-doc eval set at every corpus size — selected by id predicate,
+      // not limit(), so the set is identical across runs/partitionings
+      val bench = corpus(spark, 2000).filter(col("doc_id") < 500)
       val (flagged, tDecon) = time {
         graft.llm.Dedup.decontaminate(train, bench, "doc_id", "text",
           n = 4, minMatches = 1).count()
       }
       println(f"SCALE decon train=$tCount%7d eval=500  decon=${tDecon}%6.1f s (flagged=$flagged)")
       train.unpersist()
+    }
+    // IVF nlist scaling: cost must grow ~linearly in nlist (one centroid-
+    // matrix literal scored per row), with no codegen failure at nlist=1024.
+    // The pre-r5 per-centroid-literal form blew up the expression tree past
+    // nlist≈256 — this section exists to prove the rewrite holds.
+    if (want("ivf")) {
+      val dim = 64
+      val emb = embeddings(spark, 20000, dim).persist()
+      emb.count()
+      for (nlist <- Seq(16, 256, 1024)) {
+        val queries = emb.filter(pmod(col("vec_id"), lit(40)) === 0)
+        val (rows, tIvf) = time {
+          graft.llm.Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+            k = 1, nlist = nlist, nprobe = math.max(2, nlist / 16),
+            lloydIters = 1).count()
+        }
+        println(f"SCALE ivf corpus=20000 dim=$dim nlist=$nlist%5d nprobe=${math.max(2, nlist / 16)}%3d  ivf=${tIvf}%6.1f s (rows=$rows)")
+      }
+      emb.unpersist()
     }
     spark.stop()
   }
