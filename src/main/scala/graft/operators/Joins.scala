@@ -147,10 +147,115 @@ object Joins {
       tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
     require(how == "inner" || how == "left", s"asofJoin supports inner/left, got: $how")
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col => c, last, lit, when}
+    import org.apache.spark.sql.functions.{col => c, last, when}
+    val (union, lPayload) =
+      asofTagged(left, right, keys, leftTime, rightTime, valueCols)
+    // right rows (tag 0) sort before left rows at equal time → inclusive.
+    // The right values travel as ONE struct: non-null marks "a right row
+    // exists" even when its value columns are null, so inner-match detection
+    // and null value semantics are exact.
+    val ordering = (Seq("__graft_t", "__graft_tag") ++ tieBreak).map(c)
+    val w = Window.partitionBy(keys.map(c): _*).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the matched right row's own time travels in the struct so a tolerance
+    // predicate can see it after the carry
+    val carried = union
+      .withColumn("__graft_rv",
+        last(when(c("__graft_tag") === 0, asofRvStruct(valueCols)),
+          ignoreNulls = true).over(w))
+      .filter(c("__graft_tag") === 1)
+    asofFinish(carried, keys, leftTime, lPayload, valueCols, how, tolerance)
+  }
+
+  /** Skew-immune as-of join: identical semantics to [[asofJoin]], different
+    * plan shape for HOT KEYS. The plain form partitions the window by the
+    * join keys, so one hot key (or `keys = Nil`) funnels every row of that
+    * key through a single task — the classic window-skew wall at scale.
+    *
+    * This variant decomposes the running carry into a segmented scan over
+    * TIME BUCKETS (`bucket` must be monotone non-decreasing in the time
+    * column, e.g. `t => floor(unix_micros(t) / lit(3600L * 1000000))`):
+    *
+    *   1. within-bucket carry — window over (keys, bucket): a hot key's rows
+    *      spread across as many tasks as it has buckets;
+    *   2. per-(keys, bucket) LAST right-row struct — one aggregate row per
+    *      bucket — then the carry-in of each bucket via a window over keys
+    *      ordered by bucket (one ROW per bucket, so the hot-key partition
+    *      holds #buckets rows, not #rows);
+    *   3. equi-join the carry-in back on (keys, bucket);
+    *      final carry = coalesce(local, carry-in).
+    *
+    * Three shuffles instead of one — pay it when a key can dominate a
+    * partition; ScaleProbe's `asof` section measures the crossover (one key
+    * holding 50% of rows).
+    */
+  def asofJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      bucket: Column => Column,
+      how: String = "inner",
+      tieBreak: Seq[String] = Nil,
+      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+    require(how == "inner" || how == "left",
+      s"asofJoinBucketed supports inner/left, got: $how")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, col => c, last, max, struct, when}
+    val (union0, lPayload) =
+      asofTagged(left, right, keys, leftTime, rightTime, valueCols)
+    val union = union0.withColumn("__graft_b", bucket(c("__graft_t")))
+    val grp = (keys :+ "__graft_b").map(c)
+
+    // 1. within-bucket running carry (same ordering as the plain form)
+    val ordering = (Seq("__graft_t", "__graft_tag") ++ tieBreak).map(c)
+    val wLocal = Window.partitionBy(grp: _*).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = union.withColumn("__graft_rv_local",
+      last(when(c("__graft_tag") === 0, asofRvStruct(valueCols)),
+        ignoreNulls = true).over(wLocal))
+
+    // 2. last right row per (keys, bucket), ordered by (time, tieBreak) via
+    // lexicographic struct max; buckets with only left rows keep a row with
+    // a null struct so the carry-in scan below sees every populated bucket
+    val ordStruct = struct(
+      (Seq(c("__graft_t")) ++ tieBreak.map(c)) :+
+        asofRvStruct(valueCols).as("__graft_rv"): _*)
+    val bucketLast = union
+      .groupBy(grp: _*)
+      .agg(max(when(c("__graft_tag") === 0, ordStruct)).as("__graft_ord"))
+    val wIn = Window.partitionBy(keys.map(c): _*).orderBy(c("__graft_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = bucketLast
+      .withColumn("__graft_rv_in",
+        last(c("__graft_ord.__graft_rv"), ignoreNulls = true).over(wIn))
+      .drop("__graft_ord")
+
+    // 3. attach carry-in and resolve
+    val carried = local
+      .join(carryIn, keys :+ "__graft_b")
+      .withColumn("__graft_rv",
+        coalesce(c("__graft_rv_local"), c("__graft_rv_in")))
+      .filter(c("__graft_tag") === 1)
+    asofFinish(carried, keys, leftTime, lPayload, valueCols, how, tolerance)
+  }
+
+  /** Tag-and-union both as-of sides into one layout:
+    * (keys…, __graft_t, __graft_tag, left payload…, value cols…).
+    * Returns the union and the left payload column names.
+    */
+  private def asofTagged(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String]): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.{col => c, lit}
     val lCols = left.columns.toSeq
     require(!lCols.contains("__graft_tag"), "column name __graft_tag is reserved")
-    // one unified layout: keys, time, left payload, right value columns
     val lPayload = lCols.filterNot(keys.contains).filterNot(_ == leftTime)
     val taggedLeft = left.select(
       keys.map(c) ++ Seq(c(leftTime).as("__graft_t"), lit(1).as("__graft_tag")) ++
@@ -158,22 +263,27 @@ object Joins {
     val taggedRight = right.select(
       keys.map(c) ++ Seq(c(rightTime).as("__graft_t"), lit(0).as("__graft_tag")) ++
         lPayload.map(p => lit(null).cast(left.schema(p).dataType).as(p)) ++ valueCols.map(c): _*)
-    // right rows (tag 0) sort before left rows at equal time → inclusive.
-    // The right values travel as ONE struct: non-null marks "a right row
-    // exists" even when its value columns are null, so inner-match detection
-    // and null value semantics are exact.
-    import org.apache.spark.sql.functions.struct
-    val ordering = (Seq("__graft_t", "__graft_tag") ++ tieBreak).map(c)
-    val w = Window.partitionBy(keys.map(c): _*).orderBy(ordering: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the matched right row's own time travels in the struct so a tolerance
-    // predicate can see it after the carry
-    val carried = taggedLeft.unionByName(taggedRight)
-      .withColumn("__graft_rv",
-        last(when(c("__graft_tag") === 0,
-            struct(c("__graft_t").as("__graft_rt") +: valueCols.map(c): _*)),
-          ignoreNulls = true).over(w))
-      .filter(c("__graft_tag") === 1)
+    (taggedLeft.unionByName(taggedRight), lPayload)
+  }
+
+  /** The carried right-row struct: its own time first (so a tolerance
+    * predicate can see it after the carry), then the value columns.
+    */
+  private def asofRvStruct(valueCols: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.{col => c, struct}
+    struct(c("__graft_t").as("__graft_rt") +: valueCols.map(c): _*)
+  }
+
+  /** Shared as-of tail: tolerance check, output projection, inner filter. */
+  private def asofFinish(
+      carried: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      lPayload: Seq[String],
+      valueCols: Seq[String],
+      how: String,
+      tolerance: Option[(Column, Column) => Column]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit, when}
     val matched = tolerance.foldLeft(c("__graft_rv").isNotNull) {
       case (base, f) => base && f(c("__graft_t"), c("__graft_rv.__graft_rt"))
     }

@@ -118,6 +118,31 @@ object ScaleProbe {
       println(f"SCALE decon train=$tCount%7d eval=500  decon=${tDecon}%6.1f s (flagged=$flagged)")
       train.unpersist()
     }
+    // asof-join skew: ONE hot key carries 50% of both sides. The plain
+    // window carry funnels the hot key through a single task (wall grows
+    // with the hot key's row count); the bucketed two-phase carry spreads it
+    // over #buckets tasks — wall must stay near-flat as rows double.
+    if (want("asof")) for (n <- Seq(1000000, 2000000, 4000000)) {
+      import org.apache.spark.sql.functions.{floor => ffloor}
+      def side(rows: Int, payload: String) = spark.range(rows).select(
+        when(pmod(col("id"), lit(2)) === 0, lit("hot"))
+          .otherwise(concat(lit("k"), pmod(xxhash64(col("id")), lit(1000))))
+          .as("k"),
+        pmod(xxhash64(col("id"), lit(7)), lit(100000000L)).as("t"),
+        col("id").as(payload))
+      val l = side(n, "lid").persist(); val r = side(n, "rv").persist()
+      l.count(); r.count()
+      val (nPlain, tPlain) = time {
+        graft.operators.Joins.asofJoin(l, r, Seq("k"), "t", "t", Seq("rv")).count()
+      }
+      val (nBuck, tBuck) = time {
+        graft.operators.Joins.asofJoinBucketed(l, r, Seq("k"), "t", "t", Seq("rv"),
+          t => ffloor(t / lit(1000000L))).count()
+      }
+      require(nPlain == nBuck, s"asof skew probe mismatch: $nPlain vs $nBuck")
+      println(f"SCALE asof rows=${2 * n}%8d hotshare=0.5  plain=${tPlain}%6.1f s  bucketed=${tBuck}%6.1f s (rows out=$nPlain)")
+      l.unpersist(); r.unpersist()
+    }
     // IVF nlist scaling: cost must grow ~linearly in nlist (one centroid-
     // matrix literal scored per row), with no codegen failure at nlist=1024.
     // The pre-r5 per-centroid-literal form blew up the expression tree past

@@ -148,6 +148,38 @@ class JoinsSpec extends SparkSuite {
       Seq(Seq(1L, 10L), Seq(2L, 10L), Seq(3L, 10L), Seq(4L, 30L)))
   }
 
+  test("asofJoinBucketed equals asofJoin (hot key, boundaries, empty buckets, tolerance, keys=Nil)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // randomized-but-deterministic fixture: one hot key ("h") with half the
+    // rows, times chosen so buckets of width 10 hit boundaries (t % 10 == 0),
+    // long empty-bucket gaps on key "c", and a keys-free degenerate case
+    def mk(n: Int, keyOf: Int => String, tOf: Int => Long) =
+      (0 until n).map(i => (keyOf(i), tOf(i), i.toLong))
+    val trades = (mk(60, i => if (i % 2 == 0) "h" else s"k${i % 5}", i => (i * 7L) % 100) ++
+      Seq(("c", 95L, 1000L))).toDF("k", "t", "tid")
+    val quotes = (mk(40, i => if (i % 2 == 0) "h" else s"k${i % 5}", i => (i * 13L) % 100)
+      .map { case (k, t, v) => (k, t, v.toDouble) } ++
+      Seq(("c", 2L, -1.0))).toDF("k", "t", "px")
+    val bucket: Column => Column = t => floor(t / lit(10L))
+    val tol: (Column, Column) => Column = (l, r) => l - r <= lit(25L)
+    for (how <- Seq("inner", "left"); useTol <- Seq(false, true)) {
+      val tolOpt = if (useTol) Some(tol) else None
+      val plain = Joins.asofJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"),
+        how = how, tieBreak = Seq("px"), tolerance = tolOpt)
+      val bucketed = Joins.asofJoinBucketed(trades, quotes, Seq("k"), "t", "t",
+        Seq("px"), bucket, how = how, tieBreak = Seq("px"), tolerance = tolOpt)
+      assert(rows(bucketed).map(_.toString).sorted == rows(plain).map(_.toString).sorted,
+        s"mismatch at how=$how tolerance=$useTol")
+    }
+    // keys = Nil: the degenerate single-sequence case the plain form funnels
+    // into one task — must still agree
+    val plain0 = Joins.asofJoin(trades.drop("k"), quotes.drop("k"), Nil, "t", "t", Seq("px"))
+    val bucketed0 = Joins.asofJoinBucketed(trades.drop("k"), quotes.drop("k"), Nil,
+      "t", "t", Seq("px"), bucket)
+    assert(rows(bucketed0).map(_.toString).sorted == rows(plain0).map(_.toString).sorted)
+  }
+
   test("salted join equals plain join on skewed keys") {
     import spark.implicits._
     val skewed = (Seq.fill(500)((1L, "hot")) ++ Seq((2L, "a"), (3L, "b")))
