@@ -470,13 +470,17 @@ object SparkEntry {
     "q73_first_last" -> ((s, dir) => {
       // grouped first/last agg kinds (ldf_polars aggregation.py:77-81,
       // slice(0,1)/slice(-1) semantics — order-dependent in the reference).
-      // Deterministic face: pin the traversal order (single sorted
-      // partition) for the REAL first/last kinds, and the min_by/max_by
-      // struct form alongside as the scale path (map-side combinable,
-      // no global order needed — what a 100 TB pipeline should use).
+      // Deterministic face WITHOUT a serial pin: hash-repartition by the
+      // GROUP key and sort within partitions — every group lives whole in
+      // one partition with rows in o_orderkey order, so first/last traverse
+      // a defined order while the shuffle stays parallel across groups
+      // (the scale shape; a single hot group is inherent to ordered
+      // first/last). The min_by/max_by struct form rides alongside as the
+      // order-free alternative (map-side combinable, no sort at all).
       import Aggregates.AggRequest
       val o = t(s, dir, "orders")
-      val pinned = o.repartition(1).sortWithinPartitions("o_orderpriority", "o_orderkey")
+      val pinned = o.repartition(col("o_orderpriority"))
+        .sortWithinPartitions("o_orderpriority", "o_orderkey")
       val firstLast = Aggregates.groupby(pinned, Seq("o_orderpriority"), Seq(
         AggRequest("o_totalprice", "first", "first_price"),
         AggRequest("o_totalprice", "last", "last_price")))
@@ -1455,8 +1459,8 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin,
     "q78_split_assign" ->
       """SELECT doc_id,
-        |  CASE WHEN (doc_id * 2654435761) % 1000000 < 800000 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'val'
+        |  CASE WHEN (doc_id % 1000000 * 2654435761) % 1000000 < 800000 THEN 'train'
+        |       WHEN (doc_id % 1000000 * 2654435761) % 1000000 < 900000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q79_drop_neardups" ->
@@ -1617,7 +1621,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q87_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE (doc_id * 2654435761) % 1000000 <
+        |WHERE (doc_id % 1000000 * 2654435761) % 1000000 <
         |  CASE WHEN lang = 'en' THEN 500000 ELSE 200000 END
         |ORDER BY doc_id""".stripMargin,
     "q88_top_terms" ->
@@ -1770,8 +1774,8 @@ object SparkEntry {
         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |    AND length(regexp_split_to_array(trim(lower(text)), '\s+')) >= 20
         |)
-        |SELECT CASE WHEN (doc_id * 2654435761) % 1000000 < 800000 THEN 'train'
-        |            WHEN (doc_id * 2654435761) % 1000000 < 900000 THEN 'val'
+        |SELECT CASE WHEN (doc_id % 1000000 * 2654435761) % 1000000 < 800000 THEN 'train'
+        |            WHEN (doc_id % 1000000 * 2654435761) % 1000000 < 900000 THEN 'val'
         |            ELSE 'test' END AS split,
         |  lang, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
         |FROM qual GROUP BY 1, 2
@@ -1820,8 +1824,12 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN lang='zh' THEN 1 END), 0) AS BIGINT) AS zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q105_unpivot" ->
+      // the Spark side unpivots a FIXED lang list — mirror it with the same
+      // IN-list so the oracle stays self-consistent if the data's lang
+      // domain ever grows beyond these five
       """SELECT source, lang, count(*) AS n_docs
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM documents WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q102_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
@@ -1830,7 +1838,7 @@ object SparkEntry {
         |), o AS (
         |  SELECT lang, doc_id, ntok,
         |    CAST(coalesce(sum(ntok) OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 1000000, doc_id
+        |      ORDER BY (doc_id % 1000000 * 2654435761) % 1000000, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |      AS start_offset
         |  FROM d
@@ -1890,7 +1898,7 @@ object SparkEntry {
     "q96_weighted_sample" ->
       """SELECT doc_id, n_chars, lang
         |FROM documents
-        |WHERE (doc_id * 2654435761) % 1000000 <
+        |WHERE (doc_id % 1000000 * 2654435761) % 1000000 <
         |  CAST(FLOOR(LEAST(GREATEST(CAST(n_chars AS DOUBLE) / CAST(400.0 AS DOUBLE),
         |    0.0), 1.0) * 1000000.0) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,

@@ -231,7 +231,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 5,
-      minMatches: Int = 1): DataFrame = {
+      minMatches: Int = 1,
+      maxBroadcastGrams: Long = 10000000L): DataFrame = {
     require(n > 0 && minMatches > 0, s"need n > 0 and minMatches > 0, got n=$n minMatches=$minMatches")
     val benchGrams = bench
       .select(explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("gram"))
@@ -239,8 +240,21 @@ object Dedup {
       .withColumn("hit", lit(1))
     val trainGrams = train.select(col(idCol),
       explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("gram"))
+    // Enforce the "eval suites stay tiny" assumption instead of trusting it:
+    // the gram count is measured (one job over the BENCH side only — the
+    // corpus is untouched) and an oversized set falls back to a planner-
+    // chosen shuffle join rather than forcing a driver-OOM-sized broadcast.
+    val nBenchGrams = benchGrams.count()
+    val benchSide =
+      if (nBenchGrams <= maxBroadcastGrams) broadcast(benchGrams)
+      else {
+        org.slf4j.LoggerFactory.getLogger("graft.llm.Dedup").warn(
+          s"decontaminate: bench gram set has $nBenchGrams distinct grams " +
+            s"(> $maxBroadcastGrams); using a shuffle join instead of broadcast")
+        benchGrams
+      }
     trainGrams
-      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .join(benchSide, Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0))).as("n_matched"))

@@ -57,13 +57,24 @@ object RowOps {
     *
     * `splits` are (label, fraction) pairs; fractions must sum to 1.
     */
+  /** Knuth multiplicative hash into [0, 1e6) — the shared bucket function of
+    * [[assignSplit]]/[[stratifiedSample]]/[[weightedSample]]/[[packSequences]].
+    * The key is reduced mod 1e6 BEFORE the multiply, so the product never
+    * exceeds ~2.65e15 and the result is exact integer math for the whole
+    * int64 key range (the naive `key * M % n` silently wraps past
+    * |key| ≈ 3.5e9 with ANSI off, where engines diverge: Spark wraps, DuckDB
+    * errors). Identical values to the naive form wherever it didn't wrap —
+    * `(k·M) mod n = ((k mod n)·M) mod n` in exact arithmetic — so any SQL
+    * engine reproduces the buckets with `(key % 1000000) * 2654435761 %
+    * 1000000` at any key magnitude.
+    */
+  private def keyBucket(keyCol: Column): Column =
+    pmod(pmod(keyCol, lit(1000000L)) * lit(2654435761L), lit(1000000L))
+
   def assignSplit(keyCol: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1: $splits")
-    // Knuth multiplicative hash; modulus 1e6 gives ppm-granular thresholds.
-    // Stays exact in int64 for keys < ~3.5e9 (judged vs 2^63/2654435761);
-    // larger key spaces should pre-hash with xxhash64.
-    val bucket = pmod(keyCol * lit(2654435761L), lit(1000000L))
+    val bucket = keyBucket(keyCol)
     val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(f => math.round(f * 1000000L))
     splits.zip(thresholds).reverse.foldLeft(lit(null).cast("string")) {
@@ -87,7 +98,7 @@ object RowOps {
       defaultFraction: Double): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
       s"fractions must be in [0,1]: $fractions default=$defaultFraction")
-    val bucket = pmod(col(keyCol) * lit(2654435761L), lit(1000000L))
+    val bucket = keyBucket(col(keyCol))
     val cutoff = fractions.foldLeft(lit(math.round(defaultFraction * 1000000L))) {
       case (acc, (stratum, f)) =>
         when(col(strataCol) === stratum, lit(math.round(f * 1000000L))).otherwise(acc)
@@ -104,7 +115,7 @@ object RowOps {
     * no shuffle, pushable when weight and key are scan columns.
     */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame = {
-    val bucket = pmod(col(keyCol) * lit(2654435761L), lit(1000000L))
+    val bucket = keyBucket(col(keyCol))
     val cutoff = floor(least(greatest(weight, lit(0.0)), lit(1.0)) * lit(1000000.0))
     df.filter(bucket < cutoff)
   }
@@ -121,8 +132,11 @@ object RowOps {
     * Scale design: the running offset is a window sum partitioned by
     * `partitionCols` — real pipelines pack per shard (language, source,
     * split), so each partition's prefix sum is independent and parallel; no
-    * global total order is ever materialized. Pure integer arithmetic, so
-    * any engine reproduces the exact same packing.
+    * global total order is ever materialized. Pure integer arithmetic
+    * ([[keyBucket]] is overflow-free over the whole int64 key range), so any
+    * engine reproduces the exact same packing — PROVIDED `keyCol` is unique
+    * within each partition: the stream order is (bucket, key), and duplicate
+    * keys in one partition make the order (hence the packing) ambiguous.
     */
   def packSequences(
       df: DataFrame,
@@ -134,7 +148,9 @@ object RowOps {
     require(partitionCols.nonEmpty,
       "packSequences needs >=1 partition column: a zero-partition global " +
         "prefix sum would serialize on one task at corpus scale")
-    val shuffled = pmod(col(keyCol) * lit(2654435761L), lit(1000000L))
+    require(!df.columns.contains("start_offset") && !df.columns.contains("seq_id"),
+      "packSequences adds start_offset/seq_id; rename the input's columns first")
+    val shuffled = keyBucket(col(keyCol))
     val w = Window.partitionBy(partitionCols.map(col): _*)
       .orderBy(shuffled.asc, col(keyCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)

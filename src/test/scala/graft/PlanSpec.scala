@@ -254,6 +254,16 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q73 pins first/last without a single-partition exchange") {
+    // the deterministic first/last face must come from a parallel hash
+    // repartition on the group key, not a serial repartition(1) sort
+    val plan = planOf("q73_first_last")
+    assert(!plan.contains("SinglePartition"),
+      s"q73 funnels through one partition:\n$plan")
+    assert(plan.contains("hashpartitioning(o_orderpriority"),
+      s"q73 lost its group-key repartition:\n$plan")
+  }
+
   test("rangeJoin plans an equi join on the bin key, never a nested loop") {
     import graft.operators.Joins
     val cust = Engine.table(spark, sfDir, "customer")
