@@ -42,8 +42,59 @@ object SetOps {
   def unionByName(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _)
 
-  def slice(df: DataFrame, offset: Long, length: Long): DataFrame =
+  def slice(df: DataFrame, offset: Long, length: Long): DataFrame = {
+    require(offset >= 0 && length >= 0,
+      "slice(offset, length) is non-negative; for python-style negative " +
+        "indexing use sliceRange(df, keys, ascending, start, stop)")
     df.offset(offset.toInt).limit(length.toInt)
+  }
+
+  /** Python-style half-open slice `[start, stop)` with NEGATIVE indexing
+    * (reference `core/column.hpp:432-439`: `legate::Slice` supports negative
+    * values and `Slice::OPEN` — pass `stop = None` for OPEN).
+    *
+    * Positional slicing needs a row order, so the sort keys come with the
+    * call; every case composes from COUNT-FREE top-k plans (no `count()`
+    * action, no job just to resolve the end of the table — at 100 TB that
+    * pre-count would be a full scan):
+    *
+    *   - `start ≥ 0, stop ≥ 0` → `offset(start).limit(stop - start)`
+    *   - `start < 0` (tail window) → reverse-sort, skip `|stop|` / take
+    *     `|start|`, re-sort — both sorts are top-k-sized
+    *   - `start ≥ 0, stop < 0` (drop last `|stop|`) → reverse-sort,
+    *     `offset(|stop|)`, re-sort, then `offset(start)`
+    *
+    * The one inherently count-dependent combination (`start < 0, stop ≥ 0`,
+    * e.g. `a[-5:10]`) is rejected: resolving it requires the total row
+    * count; callers who want it should count explicitly and normalize.
+    */
+  def sliceRange(
+      df: DataFrame,
+      keys: Seq[String],
+      ascending: Seq[Boolean],
+      start: Long,
+      stop: Option[Long]): DataFrame = {
+    require(keys.nonEmpty && keys.length == ascending.length, "keys/ascending mismatch")
+    val fwd = Sorts.orderCols(keys, ascending, nullsAtEnd = true)
+    val rev = Sorts.orderCols(keys, ascending.map(!_), nullsAtEnd = false)
+    (start, stop) match {
+      case (s, Some(e)) if s >= 0 && e >= 0 =>
+        df.orderBy(fwd: _*).offset(s.toInt).limit(math.max(0L, e - s).toInt)
+      case (s, None) if s >= 0 =>
+        df.orderBy(fwd: _*).offset(s.toInt)
+      case (s, None) if s < 0 => // tail |s|
+        df.orderBy(rev: _*).limit((-s).toInt).orderBy(fwd: _*)
+      case (s, Some(e)) if s < 0 && e < 0 => // tail |s| minus tail |e|
+        df.orderBy(rev: _*).offset((-e).toInt)
+          .limit(math.max(0L, -s + e).toInt).orderBy(fwd: _*)
+      case (s, Some(e)) if s >= 0 && e < 0 => // drop last |e|, skip first s
+        df.orderBy(rev: _*).offset((-e).toInt).orderBy(fwd: _*).offset(s.toInt)
+      case (s, e) =>
+        throw new IllegalArgumentException(
+          s"sliceRange(start=$s, stop=$e): a negative start with a " +
+            "non-negative stop needs the total row count; count and normalize first")
+    }
+  }
 
   def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
   def exceptAll(a: DataFrame, b: DataFrame): DataFrame = a.exceptAll(b)

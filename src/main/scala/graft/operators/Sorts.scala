@@ -69,7 +69,7 @@ object Sorts {
       .drop("__graft_rn")
   }
 
-  private def orderCols(
+  private[operators] def orderCols(
       keys: Seq[String],
       ascending: Seq[Boolean],
       nullsAtEnd: Boolean): Seq[Column] =

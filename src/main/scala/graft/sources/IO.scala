@@ -74,6 +74,16 @@ object IO {
     * `usecols` keeps only the named schema columns (in the given order) —
     * the projection reaches the CSV scan, so unused columns are never
     * fully parsed; `names` renames the kept columns positionally.
+    *
+    * `naFilter=false` (reference: no missing-value detection — an empty
+    * string field IS the empty string): string columns are coalesced to ""
+    * above the scan. This is exact, not a sentinel trick: with the default
+    * `nullValue` the ONLY parse that yields null in a string column is the
+    * empty field itself, so `coalesce(c, "")` maps precisely the empty
+    * fields and can never misread literal data (an earlier version used a
+    * NUL `nullValue` sentinel, which a literal NUL field would collide
+    * with). Non-string columns keep null for empty fields — there is no
+    * non-lossy in-domain encoding of "empty" for a numeric type.
     */
   def csvRead(
       spark: SparkSession,
@@ -93,8 +103,17 @@ object IO {
       .option("sep", delimiter)
       .option("header", header.toString)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
-    val r2 = if (naFilter) r.option("nullValue", "") else r.option("nullValue", "\u0000")
-    val df = r2.csv(paths: _*)
+    val df0 = r.csv(paths: _*)
+    val df =
+      if (naFilter) df0
+      else {
+        import org.apache.spark.sql.functions.{coalesce, col, lit}
+        df0.select(df0.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.StringType)
+            coalesce(col(f.name), lit("")).as(f.name)
+          else col(f.name)
+        }.toSeq: _*)
+      }
     val selected = if (usecols.isEmpty) df else df.select(usecols.map(df.col): _*)
     if (names.isEmpty) selected else selected.toDF(names: _*)
   }
@@ -114,4 +133,157 @@ object IO {
 
   def ndjsonWrite(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").json(dir)
+
+  // ───────────────────────── Arrow interop ─────────────────────────
+  // The reference's to/from-Arrow surface (core/column.hpp:200-219,320-328,
+  // core/table.hpp:328-336) is a BLOCKING gather/scatter between client and
+  // cluster — it exists for interop with client-side Arrow tooling, not as a
+  // distributed data path. The Spark analogue is the same shape: toArrow
+  // collects to the driver and serializes one Arrow IPC stream; fromArrow
+  // parses a stream and parallelizes it back out. Use parquet for anything
+  // that shouldn't fit on the driver.
+
+  /** Supported dtype surface of the Arrow bridge: the reference's scalar
+    * types (utils.cpp:30-94) that Spark has natively.
+    */
+  private def arrowField(f: org.apache.spark.sql.types.StructField): org.apache.arrow.vector.types.pojo.Field = {
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
+    import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
+    import org.apache.spark.sql.types._
+    val t: ArrowType = f.dataType match {
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case ByteType => new ArrowType.Int(8, true)
+      case ShortType => new ArrowType.Int(16, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case LongType => new ArrowType.Int(64, true)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case StringType => ArrowType.Utf8.INSTANCE
+      case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+      case other => throw new IllegalArgumentException(
+        s"Arrow bridge does not support $other (column ${f.name})")
+    }
+    new Field(f.name, new FieldType(f.nullable, t, null), java.util.Collections.emptyList())
+  }
+
+  /** Gather a DataFrame to the client as ONE Arrow IPC stream (schema +
+    * record batch), like the reference's `to_arrow`. Blocking and
+    * driver-sized by design.
+    */
+  def toArrow(df: DataFrame): Array[Byte] = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.pojo.Schema
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val rows = df.collect()
+    val schema = df.schema
+    val arrowSchema = new Schema(schema.fields.map(arrowField).toSeq.asJava)
+    val allocator = new RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      try {
+        root.setRowCount(rows.length)
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          val v = root.getVector(i)
+          v.setInitialCapacity(rows.length)
+          // allocate before set: fixed-width setSafe grows as needed, but an
+          // explicit allocate keeps the loop allocation-free
+          v.asInstanceOf[ValueVector].allocateNew()
+          rows.zipWithIndex.foreach { case (r, j) =>
+            if (r.isNullAt(i)) () // vectors default to null
+            else f.dataType match {
+              case BooleanType => v.asInstanceOf[BitVector].setSafe(j, if (r.getBoolean(i)) 1 else 0)
+              case ByteType => v.asInstanceOf[TinyIntVector].setSafe(j, r.getByte(i))
+              case ShortType => v.asInstanceOf[SmallIntVector].setSafe(j, r.getShort(i))
+              case IntegerType => v.asInstanceOf[IntVector].setSafe(j, r.getInt(i))
+              case LongType => v.asInstanceOf[BigIntVector].setSafe(j, r.getLong(i))
+              case FloatType => v.asInstanceOf[Float4Vector].setSafe(j, r.getFloat(i))
+              case DoubleType => v.asInstanceOf[Float8Vector].setSafe(j, r.getDouble(i))
+              case StringType => v.asInstanceOf[VarCharVector]
+                .setSafe(j, r.getString(i).getBytes("UTF-8"))
+              case TimestampType => v.asInstanceOf[TimeStampMicroTZVector]
+                .setSafe(j, org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .instantToMicros(r.getTimestamp(i).toInstant))
+              case DateType => v.asInstanceOf[DateDayVector]
+                .setSafe(j, r.getDate(i).toLocalDate.toEpochDay.toInt)
+              case other => throw new IllegalArgumentException(s"unreachable: $other")
+            }
+          }
+          v.setValueCount(rows.length)
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        val writer = new ArrowStreamWriter(root, null, out)
+        writer.start(); writer.writeBatch(); writer.end(); writer.close()
+        out.toByteArray
+      } finally root.close()
+    } finally allocator.close()
+  }
+
+  /** Scatter an Arrow IPC stream back into a DataFrame (the reference's
+    * `from_arrow`): parse on the client, `createDataFrame` distributes.
+    */
+  def fromArrow(spark: SparkSession, bytes: Array[Byte]): DataFrame = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val allocator = new RootAllocator()
+    try {
+      val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
+      try {
+        val root = reader.getVectorSchemaRoot
+        val fields = root.getSchema.getFields.asScala.toSeq
+        val sparkSchema = StructType(fields.map { f =>
+          import org.apache.arrow.vector.types.pojo.ArrowType
+          val dt = f.getType match {
+            case _: ArrowType.Bool => BooleanType
+            case i: ArrowType.Int if i.getIsSigned => i.getBitWidth match {
+              case 8 => ByteType; case 16 => ShortType
+              case 32 => IntegerType; case 64 => LongType
+              case w => throw new IllegalArgumentException(s"int width $w")
+            }
+            case fp: ArrowType.FloatingPoint =>
+              if (fp.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE)
+                FloatType else DoubleType
+            case _: ArrowType.Utf8 => StringType
+            case _: ArrowType.Timestamp => TimestampType
+            case _: ArrowType.Date => DateType
+            case other => throw new IllegalArgumentException(
+              s"Arrow bridge does not support $other (column ${f.getName})")
+          }
+          StructField(f.getName, dt, f.isNullable)
+        })
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (reader.loadNextBatch()) {
+          (0 until root.getRowCount).foreach { j =>
+            rows += Row.fromSeq(fields.indices.map { i =>
+              val v = root.getVector(i)
+              if (v.isNull(j)) null
+              else v match {
+                case b: BitVector => b.get(j) == 1
+                case b: TinyIntVector => b.get(j)
+                case b: SmallIntVector => b.get(j)
+                case b: IntVector => b.get(j)
+                case b: BigIntVector => b.get(j)
+                case b: Float4Vector => b.get(j)
+                case b: Float8Vector => b.get(j)
+                case b: VarCharVector => new String(b.get(j), "UTF-8")
+                case b: TimeStampMicroTZVector => java.sql.Timestamp.from(
+                  org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(b.get(j)))
+                case b: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(b.get(j)))
+                case other => throw new IllegalArgumentException(
+                  s"Arrow bridge does not support vector ${other.getClass}")
+              }
+            })
+          }
+        }
+        spark.createDataFrame(rows.asJava, sparkSchema)
+      } finally reader.close()
+    } finally allocator.close()
+  }
 }

@@ -129,4 +129,38 @@ class FunctionsSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](Ops.binary($"a", $"b", "shift_left"))
     assert(e.getMessage.contains("literal int"))
   }
+
+  test("unsigned widening: parquet uint8/16/32/64 boundary values (utils.cpp:30-94)") {
+    import org.apache.spark.sql.types._
+    import graft.sources.Types
+    // fixture written with arrow uint types; each column carries 0, the
+    // signed-type boundary, boundary+1, and the unsigned max
+    val path = getClass.getResource("/unsigned.parquet").getPath
+    val df = spark.read.parquet(path).orderBy("i")
+    // 1. the reader widens exactly as Types.widenUnsigned declares
+    val expected = Types.widenSchema(Seq(
+      "u8" -> "uint8", "u16" -> "uint16", "u32" -> "uint32",
+      "u64" -> "uint64", "i" -> "int32"))
+    assert(df.schema == expected,
+      s"widened schema mismatch:\n${df.schema}\nvs\n$expected")
+    // 2. magnitudes survive — no negative reinterpretation at any boundary
+    val last = df.filter($"i" === 4).head()
+    assert(last.getShort(0) == 255)
+    assert(last.getInt(1) == 65535)
+    assert(last.getLong(2) == 4294967295L)
+    assert(last.getDecimal(3) == new java.math.BigDecimal("18446744073709551615"))
+    val third = df.filter($"i" === 3).head()
+    assert(third.getShort(0) == 128 && third.getInt(1) == 256)
+    assert(third.getLong(2) == 2147483648L) // > Int.MaxValue, positive
+    assert(third.getDecimal(3) == new java.math.BigDecimal("9223372036854775808")) // > Long.MaxValue
+    // 3. uint64 aggregation happens in decimal — sums past 2^63 stay exact
+    val sum64 = df.agg(sum($"u64")).head().getDecimal(0)
+    assert(sum64 == new java.math.BigDecimal("27670116114859294718"))
+    // 4. the mapping itself: every reference type resolves, unknowns throw
+    assert(Types.widenUnsigned("uint8") == ShortType)
+    assert(Types.widenUnsigned("uint16") == IntegerType)
+    assert(Types.widenUnsigned("uint32") == LongType)
+    assert(Types.widenUnsigned("uint64") == DecimalType(20, 0))
+    intercept[IllegalArgumentException](Types.widenUnsigned("decimal128"))
+  }
 }

@@ -63,6 +63,28 @@ class IOSpec extends SparkSuite {
     assert(filtered.collect()(0).isNullAt(1))
   }
 
+  test("na_filter=false: empty strings survive, literal data never misread (csv.hpp:96-101)") {
+    val dir = tmp()
+    // row 2's string field is a literal NUL char, row 3's a lone space —
+    // values an in-band null sentinel would corrupt
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      "1,,1.5\n2,\u0000,2.5\n3, ,3.5\n4,\"\",4.5\n")
+    val raw = IO.csvRead(spark, Seq(s"$dir/data.csv"), schema,
+      header = false, naFilter = false).orderBy("a").collect()
+    assert(raw(0).getString(1) == "") // unquoted empty -> empty string
+    assert(raw(1).getString(1) == "\u0000") // literal NUL intact
+    assert(raw(2).getString(1) == " ") // literal space intact
+    assert(raw(3).getString(1) == "") // quoted empty -> empty string
+    // numeric columns still null on empty (no in-domain encoding exists)
+    val dir2 = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir2/data.csv"), "1,x,\n")
+    val num = IO.csvRead(spark, Seq(s"$dir2/data.csv"), schema,
+      header = false, naFilter = false).collect()(0)
+    assert(num.isNullAt(2))
+  }
+
   test("parquet writes one part file per partition; glob read is sorted") {
     val df = spark.range(100).repartition(4).toDF("id")
     val dir = tmp()
@@ -120,5 +142,38 @@ class IOSpec extends SparkSuite {
     assert(arr.columns.toSeq == Seq("vals"))
     val first = arr.limit(1).collect()(0).getSeq[Double](0)
     assert(first.length == 3)
+  }
+
+  test("Arrow round-trip preserves schema, values, and nulls (column.hpp:200-219)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // the reference's scalar dtype surface, every column with a null
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i8", ByteType),
+      StructField("i16", ShortType), StructField("i32", IntegerType),
+      StructField("i64", LongType), StructField("f32", FloatType),
+      StructField("f64", DoubleType), StructField("s", StringType),
+      StructField("ts", TimestampType), StructField("d", DateType)))
+    val ts = java.sql.Timestamp.valueOf("2024-05-17 12:34:56.789123")
+    val dt = java.sql.Date.valueOf("2024-05-17")
+    val data = Seq(
+      Row(true, 1.toByte, 2.toShort, 3, 4L, 1.5f, 2.5, "héllo", ts, dt),
+      Row(false, Byte.MinValue, Short.MaxValue, Int.MinValue, Long.MaxValue,
+        -0.0f, Double.MinPositiveValue, "", ts, dt),
+      Row(null, null, null, null, null, null, null, null, null, null))
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(data.asJava, schema)
+    val bytes = IO.toArrow(df)
+    assert(bytes.length > 0)
+    val back = IO.fromArrow(spark, bytes)
+    assert(back.schema == df.schema,
+      s"schema mismatch:\n${back.schema}\nvs\n${df.schema}")
+    assert(rows(back).map(_.toString).sorted == rows(df).map(_.toString).sorted)
+    // unsupported dtype fails loudly, not silently
+    val bad = spark.createDataFrame(
+      Seq(Row(Array(1.0))).asJava,
+      StructType(Seq(StructField("v", ArrayType(DoubleType)))))
+    val e = intercept[IllegalArgumentException](IO.toArrow(bad))
+    assert(e.getMessage.contains("Arrow bridge"))
   }
 }

@@ -184,4 +184,35 @@ class SortsSetOpsSpec extends SparkSuite {
     val out = RowOps.isInColumn(needles, "n", hay, "h").orderBy("n")
     assert(rows(out) == Seq(Seq(1, false), Seq(2, true), Seq(5, true)))
   }
+
+  test("sliceRange: python negative indexing, count-free (column.hpp:432-439)") {
+    val n = 10
+    val data = (0 until n).map(i => (i.toLong, s"v$i"))
+    // deliberately unsorted input — the keys define the positional order
+    val df = scala.util.Random.shuffle(data).toDF("k", "v").repartition(4)
+    def got(start: Long, stop: Option[Long]): Seq[Long] =
+      rows(SetOps.sliceRange(df, Seq("k"), Seq(true), start, stop))
+        .map(_.head.asInstanceOf[Long])
+    def exp(start: Int, stop: Option[Int]): Seq[Long] = {
+      val idx = (0 until n).toList
+      stop.fold(idx.slice(if (start < 0) n + start else start, n))(e =>
+        idx.slice(if (start < 0) n + start else start, if (e < 0) n + e else e))
+        .map(_.toLong)
+    }
+    val cases = Seq[(Long, Option[Long])](
+      (2L, Some(5L)), (0L, Some(10L)), (7L, Some(3L)), // fwd, full, empty
+      (3L, None), // open end
+      (-4L, None), // tail
+      (-7L, Some(-2L)), (-3L, Some(-3L)), // negative window, empty
+      (2L, Some(-3L)), (0L, Some(-10L))) // drop-last forms
+    cases.foreach { case (s, e) =>
+      assert(got(s, e) == exp(s.toInt, e.map(_.toInt)),
+        s"sliceRange($s, $e): got ${got(s, e)}, want ${exp(s.toInt, e.map(_.toInt))}")
+    }
+    // the count-dependent combination is rejected, not silently wrong
+    intercept[IllegalArgumentException](
+      SetOps.sliceRange(df, Seq("k"), Seq(true), -5L, Some(8L)))
+    // plain slice refuses negatives and points at sliceRange
+    intercept[IllegalArgumentException](SetOps.slice(df, -1L, 3L))
+  }
 }
