@@ -503,11 +503,17 @@ object SparkEntry {
         col("vals")(2).as("v2"), col("vals")(3).as("v3")))
     }),
     "q75_ann_ivf" -> ((s, dir) => {
-      // IVF ANN path under the driver gate (rows-only, like q50): recall
-      // semantics are ScalaTest-covered in LlmSpec
+      // IVF ANN path, FULLY oracled (was rows-only through r4): with
+      // nprobe = nlist every query probes every inverted list, so the whole
+      // IVF machinery (Lloyd centroids, corpus assignment, probe join,
+      // per-query ranking) must return exactly the brute-force top-1 — the
+      // oracle is q49's SQL restricted to the query set. Sub-exact recall
+      // (nprobe < nlist, the production setting) stays ScalaTest-covered in
+      // LlmSpec. Query set selected by id predicate, not limit(), for
+      // determinism.
       val e = t(s, dir, "embeddings")
-      ord(graft.llm.Similarity.ivfTopK(e, e.limit(200), "vec_id", "embedding",
-          k = 1, nlist = 8, nprobe = 8)
+      ord(graft.llm.Similarity.ivfTopK(e, e.filter(col("vec_id") < 200),
+          "vec_id", "embedding", k = 1, nlist = 8, nprobe = 8)
         .withColumn("cosine", round(col("cosine"), 4)), "query_id")
     }),
     "q80_click_attribution" -> ((s, dir) => {
@@ -1009,8 +1015,14 @@ object SparkEntry {
       ord(d.select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred")), "doc_id")
     }),
     "q44_fingerprint" -> ((s, dir) => {
+      // the portable (mod-prime) fingerprint is the gate face — DuckDB
+      // reproduces it bit-exactly (two list_reduce folds), so this query is
+      // FULLY oracled (was rows-only through r4). The 64-bit xxhash64
+      // fingerprint is inexpressible outside Spark and stays ScalaTest-
+      // covered (LlmSpec).
       val d = t(s, dir, "documents")
-      ord(d.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp")), "doc_id")
+      ord(d.select(col("doc_id"),
+        TextFns.fingerprintPortable(col("text")).as("fp")), "doc_id")
     }),
     "q45_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2072,9 +2084,50 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS digest
-        |FROM documents ORDER BY media_id""".stripMargin
-    // q44_fingerprint, q45_simhash, q50_ann_lsh: not SQL-expressible 1:1
-    // (custom hashing) → driver records rows-only checks; ScalaTest covers
-    // their semantics.
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // q44: the portable fingerprint is DuckDB's two nested list_reduce
+    // folds — the same mod-(2^31−1) polynomial math, byte-exact
+    "q44_fingerprint" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(1469598103 AS BIGINT),
+        |      list_transform(toks, t ->
+        |        list_reduce(
+        |          list_prepend(CAST(7 AS BIGINT),
+        |            list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |          (h, c) -> (h * 131 + c) % 2147483647))),
+        |    (acc, th) -> (acc * 65599 + th) % 2147483647) AS fp
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // q75: nprobe = nlist ⇒ IVF must equal exact search — q49's brute-force
+    // SQL restricted to the deterministic query set
+    "q75_ann_ivf" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), sims AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 200
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM sims
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin
+    // q45_simhash, q50_ann_lsh: not SQL-expressible 1:1 (custom 64-bit
+    // hashing / seeded hyperplanes; measured LSH recall@1 ≈ 0.35 on these
+    // near-random embeddings, so no exact-equality trick applies) → driver
+    // records rows-only checks; ScalaTest covers recall + semantics.
   )
 }

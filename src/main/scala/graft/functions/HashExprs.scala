@@ -23,6 +23,72 @@ object HashExprs {
   /** xxhash64 of a UTF8String with a seed. */
   @inline private[functions] def hashStr(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** Cross-engine rolling fingerprint over a token array (see
+    * [[PortableFingerprintExpr]]). Public and static so generated code can
+    * call it directly — the math is two nested mod-prime polynomial folds,
+    * all intermediates < 2^48, so plain int64 reproduces it in ANY engine:
+    *
+    *   tokenHash: h = 7;          h = (h·131 + codepoint) mod (2^31 − 1)
+    *   document:  H = 1469598103; H = (H·65599 + tokenHash) mod (2^31 − 1)
+    */
+  def portableFingerprint(arr: ArrayData): Long = {
+    var acc = 1469598103L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var h = 7L
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          h = (h * 131L + cp) % 2147483647L
+          j += Character.charCount(cp)
+        }
+        acc = (acc * 65599L + h) % 2147483647L
+      }
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Order-sensitive document fingerprint that any SQL engine can reproduce
+  * exactly — unlike the xxhash64-based [[graft.llm.TextFns.fingerprint]],
+  * whose wrapping-int64 polynomial exists only where xxhash64 does. The
+  * per-token and per-document folds both reduce mod 2^31 − 1 after every
+  * step (intermediates stay < 2^48), so the DuckDB mirror is a pair of
+  * `list_reduce` folds over `string_split`/`unicode` — byte-exact parity,
+  * which puts the fingerprint under the cross-engine correctness gate
+  * instead of a rows-only check.
+  */
+case class PortableFingerprintExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_fingerprint_portable"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_fingerprint_portable expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashExprs.portableFingerprint(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.HashExprs.portableFingerprint($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableFingerprintExpr =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash over an array<string> token column: bit i of the result is

@@ -28,6 +28,10 @@ object Registry {
       exprs => SimHash64Expr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fingerprint_portable",
+      exprs => PortableFingerprintExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard_sorted",
       exprs => JaccardSortedExpr(exprs(0), exprs(1)),
       "built-in")
@@ -106,6 +110,12 @@ object Registry {
 
   /** Native simhash over an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("graft_simhash64", tokens)
+
+  /** Cross-engine portable fingerprint over an array<string> token column
+    * (requires [[register]] on the session).
+    */
+  def fingerprintPortable(tokens: Column): Column =
+    call_function("graft_fingerprint_portable", tokens)
 
   /** Native minhash signature over an array<string> shingle column. */
   def minhash(shingles: Column, numHashes: Int): Column =

@@ -139,6 +139,17 @@ object TextFns {
       lit(1469598103934665603L),
       (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
 
+  /** Cross-engine document fingerprint (native PortableFingerprintExpr):
+    * nested mod-(2^31−1) polynomial folds over codepoints and tokens, with
+    * every intermediate < 2^48 — so the identical value is computable in
+    * plain int64 SQL in any engine (DuckDB mirror: two `list_reduce` folds).
+    * Weaker bits than [[fingerprint]] (31 vs 64) but fully under the
+    * cross-engine correctness gate; prefer [[fingerprint]] when only
+    * Spark-side reproducibility matters.
+    */
+  def fingerprintPortable(text: Column): Column =
+    graft.functions.Registry.fingerprintPortable(tokens(text))
+
   /** Gopher-style repetition signal: fraction of duplicate segments after
     * splitting on `delimRegex` (lines with "\n", sentences with "\\.\\s+"),
     * trimming each segment and dropping empties. 0.0 for a document with no

@@ -24,6 +24,22 @@ class LlmSpec extends SparkSuite {
     assert(fps(0) != fps(2))
   }
 
+  test("fingerprintPortable matches the hand-computed mod-prime fold") {
+    // tokenHash("ab") = ((7*131 + 97)*131 + 98) % p = 133252
+    // tokenHash("c")  = (7*131 + 99) % p = 1016
+    // fp = ((1469598103*65599 + 133252) % p * 65599 + 1016) % p
+    val p = 2147483647L
+    val tAb = ((7L * 131 + 'a') * 131 + 'b') % p
+    val tC = (7L * 131 + 'c') % p
+    val want = (((1469598103L * 65599 + tAb) % p) * 65599 + tC) % p
+    val d = Seq("  AB c ", "ab c", "c ab", "").toDF("text")
+    val fps = rows(d.select(TextFns.fingerprintPortable($"text"))).map(_(0))
+    assert(fps(0) == want, s"got ${fps(0)}, want $want") // trim+lower applied
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2)) // order-sensitive
+    assert(fps(3) != fps(0)) // empty text gets its own stable value
+  }
+
   test("langId picks the language with most stopword hits") {
     val d = Seq(
       "the cat sat on the mat and it was good",
