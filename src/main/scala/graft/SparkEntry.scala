@@ -992,6 +992,27 @@ object SparkEntry {
         round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("icept")),
         "l_returnflag")
     }),
+    "q107_arrow_roundtrip" -> ((s, dir) => {
+      // from/to Arrow client gather/scatter (core/column.hpp:200-219,
+      // table.hpp:328-336) under the oracle gate: nation (a bounded dim
+      // table — the gather is driver-sized BY DESIGN) goes out as one Arrow
+      // IPC stream and comes back; the round-tripped frame then drives a
+      // normal distributed aggregation, proving the scatter side yields a
+      // first-class DataFrame
+      val n = t(s, dir, "nation")
+      val back = sources.IO.fromArrow(s, sources.IO.toArrow(n))
+      ord(back.groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          min(col("n_name")).as("first_name")), "n_regionkey")
+    }),
+    "q108_slice_negative" -> ((s, dir) => {
+      // python-style negative slice [-100, -50) over a totally-ordered frame
+      // (core/column.hpp:432-439), composed from count-free reversed top-k
+      // plans — no count() job resolves the table end
+      val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      ord(operators.SetOps.sliceRange(o, Seq("o_orderkey"), Seq(true),
+        -100L, Some(-50L)), "o_orderkey")
+    }),
     // ───────────── LLM-pipeline ops (beyond-reference) ─────────────
     "q40_dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1819,6 +1840,19 @@ object SparkEntry {
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
         |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q107_arrow_roundtrip" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |  min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q108_slice_negative" ->
+      """WITH x AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_totalprice FROM x
+        |WHERE rn > n - 100 AND rn <= n - 50 ORDER BY o_orderkey""".stripMargin,
     "q103_salted_join" ->
       """WITH dim AS (
         |  SELECT l_returnflag, count(*) AS flag_cnt FROM lineitem GROUP BY 1
