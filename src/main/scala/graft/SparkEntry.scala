@@ -1005,6 +1005,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nations"),
           min(col("n_name")).as("first_name")), "n_regionkey")
     }),
+    "q109_simhash_portable" -> ((s, dir) => {
+      // the simhash near-dup MECHANISM under the cross-engine gate: 31-bit
+      // portable signatures (mod-prime token hash, majority bit votes),
+      // pigeonhole chunk blocking, hamming filter — DuckDB recomputes the
+      // signatures bit-exactly and brute-forces the pairs, so blocking
+      // exactness (pairs at dist ≤ maxDist always share a chunk) is VERIFIED
+      // against an implementation with no blocking at all. q45 keeps the
+      // production 64-bit xxhash simhash (rows-only by nature).
+      val d = t(s, dir, "documents")
+      ord(Dedup.simhashPairsPortable(d, "doc_id", "text", maxDist = 6),
+        "id_a", "id_b")
+    }),
     "q108_slice_negative" -> ((s, dir) => {
       // python-style negative slice [-100, -50) over a totally-ordered frame
       // (core/column.hpp:432-439), composed from count-free reversed top-k
@@ -1844,6 +1856,31 @@ object SparkEntry {
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
         |  min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    // q109: recompute the 31-bit portable simhash in SQL (token-hash fold →
+    // per-bit majority votes) and brute-force all pairs — no blocking, so a
+    // hash match also PROVES the Spark side's pigeonhole blocking is exact
+    "q109_simhash_portable" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_reduce(
+        |        list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |        (h, c) -> (h * 131 + c) % 2147483647)) AS ths
+        |  FROM documents
+        |), sigs AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(generate_series(0, 30), b ->
+        |      CASE WHEN list_sum(list_transform(ths, h ->
+        |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS sig
+        |  FROM hs
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
     "q108_slice_negative" ->
       """WITH x AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -32,25 +32,56 @@ object HashExprs {
     *   tokenHash: h = 7;          h = (h·131 + codepoint) mod (2^31 − 1)
     *   document:  H = 1469598103; H = (H·65599 + tokenHash) mod (2^31 − 1)
     */
+  /** The shared per-token fold: h = 7; h = (h·131 + codepoint) mod (2^31−1). */
+  @inline private def portableTokenHash(s: String): Long = {
+    var h = 7L
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      h = (h * 131L + cp) % 2147483647L
+      j += Character.charCount(cp)
+    }
+    h
+  }
+
   def portableFingerprint(arr: ArrayData): Long = {
     var acc = 1469598103L
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i).toString
-        var h = 7L
-        var j = 0
-        while (j < s.length) {
-          val cp = s.codePointAt(j)
-          h = (h * 131L + cp) % 2147483647L
-          j += Character.charCount(cp)
-        }
-        acc = (acc * 65599L + h) % 2147483647L
+        acc = (acc * 65599L + portableTokenHash(arr.getUTF8String(i).toString)) % 2147483647L
       }
       i += 1
     }
     acc
+  }
+
+  /** 31-bit cross-engine SimHash (see [[PortableSimHashExpr]]): bit b of the
+    * result is set iff the majority of portable token hashes have bit b set.
+    */
+  def portableSimHash(arr: ArrayData): Long = {
+    val counters = new Array[Int](31)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = portableTokenHash(arr.getUTF8String(i).toString)
+        var b = 0
+        while (b < 31) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 31) {
+      if (counters(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 }
 
@@ -88,6 +119,41 @@ case class PortableFingerprintExpr(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.HashExprs.portableFingerprint($arr);")
 
   override protected def withNewChildInternal(newChild: Expression): PortableFingerprintExpr =
+    copy(child = newChild)
+}
+
+/** 31-bit SimHash over the CROSS-ENGINE portable token hash — same majority-
+  * vote construction as [[SimHash64Expr]], but every ingredient (mod-prime
+  * token hash, bit tests, majority) is plain integer SQL, so DuckDB
+  * reproduces the signatures (and therefore the hamming-distance pairs)
+  * bit-exactly: the simhash near-dup mechanism goes under the cross-engine
+  * gate, not just a rows-only check. 31 bits vs 64 trades collision margin;
+  * the 64-bit xxhash form remains the production signature.
+  */
+case class PortableSimHashExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_simhash_portable"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash_portable expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(HashExprs.portableSimHash(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.HashExprs.portableSimHash($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableSimHashExpr =
     copy(child = newChild)
 }
 

@@ -32,6 +32,10 @@ object Registry {
       exprs => PortableFingerprintExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_portable",
+      exprs => PortableSimHashExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard_sorted",
       exprs => JaccardSortedExpr(exprs(0), exprs(1)),
       "built-in")
@@ -116,6 +120,12 @@ object Registry {
     */
   def fingerprintPortable(tokens: Column): Column =
     call_function("graft_fingerprint_portable", tokens)
+
+  /** Cross-engine 31-bit simhash over an array<string> token column
+    * (requires [[register]] on the session).
+    */
+  def simhashPortable(tokens: Column): Column =
+    call_function("graft_simhash_portable", tokens)
 
   /** Native minhash signature over an array<string> shingle column. */
   def minhash(shingles: Column, numHashes: Int): Column =

@@ -516,19 +516,49 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64): $maxDist")
+      maxBucket: Int = 1000): DataFrame =
+    simhashPairsFromSigs(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig")),
+      bits = 64, maxDist = maxDist, maxBucket = maxBucket)
+
+  /** [[simhashPairs]] with the CROSS-ENGINE 31-bit signature
+    * (functions.PortableSimHashExpr) — same pigeonhole blocking, but every
+    * step is reproducible in plain integer SQL, so the pair set is
+    * DuckDB-oracle-checkable (q109). 64-bit xxhash simhash stays the
+    * production form.
+    */
+  def simhashPairsPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    simhashPairsFromSigs(
+      df.select(col(idCol).as("id"),
+        graft.functions.Registry.simhashPortable(TextFns.tokens(col(textCol))).as("sig")),
+      bits = 31, maxDist = maxDist, maxBucket = maxBucket)
+
+  /** Pigeonhole-blocked hamming pairs over a precomputed (id, sig) frame:
+    * the signature's `bits` are split into maxDist+1 chunks, so any pair at
+    * distance ≤ maxDist agrees on ≥ 1 whole chunk (exact, not probabilistic)
+    * and the candidate join is an equi-join on (chunk_idx, chunk value).
+    */
+  private def simhashPairsFromSigs(
+      withSig: DataFrame,
+      bits: Int,
+      maxDist: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < bits, s"maxDist must be in [0, $bits): $maxDist")
     val numChunks = maxDist + 1
-    // distribute 64 bits as evenly as possible: the first (64 % numChunks)
+    // distribute the bits as evenly as possible: the first (bits % numChunks)
     // chunks get one extra bit
     val widths = Array.tabulate(numChunks)(i =>
-      64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
+      bits / numChunks + (if (i < bits % numChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val chunkCols = (0 until numChunks).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       shiftrightunsigned(col("sig"), offsets(i)).bitwiseAND(lit(mask))
     }
-    val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val chunked = withSig.select(
       col("id"), col("sig"), posexplode(array(chunkCols: _*)))
       .toDF("id", "sig", "chunk_idx", "chunk")
