@@ -13,7 +13,9 @@ class PartitionSweepSpec extends SparkSuite {
     "q81_dedup_clusters", "q82_range_join", "q89_asof_tolerance",
     "q90_repetition", "q92_bm25", "q94_quantize_int8",
     "q95_boilerplate", "q98_corpus_screen", "q99_quantized_top1",
-    "q101_decontaminate", "q102_pack_sequences")
+    "q101_decontaminate", "q102_pack_sequences",
+    "q73_first_last", "q107_arrow_roundtrip", "q108_slice_negative",
+    "q109_simhash_portable")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
