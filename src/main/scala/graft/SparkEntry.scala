@@ -1005,6 +1005,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nations"),
           min(col("n_name")).as("first_name")), "n_regionkey")
     }),
+    "q110_sort_nulls" -> ((s, dir) => {
+      // nulls_at_end flag under the oracle gate (sort.hpp:76-81; was
+      // test-only through r4): the same ascending top-100 with nulls first
+      // vs last — the two heads differ exactly by null placement, and both
+      // plan as TakeOrderedAndProject top-k
+      val li = t(s, dir, "lineitem")
+      val d = li.select(col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_quantity"), lit(30.0)).as("q"))
+      val keys = Seq("q", "l_orderkey", "l_linenumber")
+      val asc = Seq(true, true, true)
+      val nf = operators.Sorts.sort(d, keys, asc, nullsAtEnd = false,
+        limit = Some(100)).withColumn("mode", lit("nulls_first"))
+      val nl = operators.Sorts.sort(d, keys, asc, nullsAtEnd = true,
+        limit = Some(100)).withColumn("mode", lit("nulls_last"))
+      ord(nf.unionAll(nl).select("mode", "q", "l_orderkey", "l_linenumber"),
+        "mode", "q", "l_orderkey", "l_linenumber")
+    }),
     "q109_simhash_portable" -> ((s, dir) => {
       // the simhash near-dup MECHANISM under the cross-engine gate: 31-bit
       // portable signatures (mod-prime token hash, majority bit votes),
@@ -1856,6 +1873,19 @@ object SparkEntry {
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
         |  min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q110_sort_nulls" ->
+      """WITH d AS (
+        |  SELECT l_orderkey, l_linenumber, nullif(l_quantity, 30.0) AS q
+        |  FROM lineitem
+        |), nf AS (
+        |  SELECT 'nulls_first' AS mode, q, l_orderkey, l_linenumber FROM d
+        |  ORDER BY q ASC NULLS FIRST, l_orderkey, l_linenumber LIMIT 100
+        |), nl AS (
+        |  SELECT 'nulls_last' AS mode, q, l_orderkey, l_linenumber FROM d
+        |  ORDER BY q ASC NULLS LAST, l_orderkey, l_linenumber LIMIT 100
+        |)
+        |SELECT * FROM (SELECT * FROM nf UNION ALL SELECT * FROM nl)
+        |ORDER BY mode, q NULLS FIRST, l_orderkey, l_linenumber""".stripMargin,
     // q109: recompute the 31-bit portable simhash in SQL (token-hash fold →
     // per-bit majority votes) and brute-force all pairs — no blocking, so a
     // hash match also PROVES the Spark side's pigeonhole blocking is exact
