@@ -264,6 +264,37 @@ class PlanSpec extends SparkSuite {
       s"q73 lost its group-key repartition:\n$plan")
   }
 
+  test("sliceRange tail forms plan as top-k, with no count() job in the plan") {
+    import graft.operators.SetOps
+    val o = Engine.table(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    // tail [-100, None): reverse top-k then re-sort — both sorts bounded
+    val plan = SetOps.sliceRange(o, Seq("o_orderkey"), Seq(true), -100L, None)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"tail is not a top-k plan:\n$plan")
+    // a count-based implementation would show a separate aggregate on the
+    // full table; the count-free composition has no Aggregate at all
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"sliceRange ran a hidden count:\n$plan")
+  }
+
+  test("asofJoinBucketed spreads the carry over (keys, bucket) partitions") {
+    import graft.operators.Joins
+    val ev = Engine.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val plan = Joins.asofJoinBucketed(clicks, purchases, Seq("user_id"), "ts", "ts",
+      Seq("value"), t => floor(unix_micros(t) / lit(3600L * 1000000L)))
+      .queryExecution.executedPlan.toString
+    // the local carry must partition by (user_id, bucket) — the hot-key
+    // spreading — while the carry-in scan partitions by user_id alone over
+    // one row per bucket
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+    assert("hashpartitioning\\(user_id[^)]*__graft_b".r.findFirstIn(plan).isDefined,
+      s"local carry window not partitioned by (keys, bucket):\n$plan")
+  }
+
   test("rangeJoin plans an equi join on the bin key, never a nested loop") {
     import graft.operators.Joins
     val cust = Engine.table(spark, sfDir, "customer")
