@@ -1031,7 +1031,7 @@ object SparkEntry {
       // against an implementation with no blocking at all. q45 keeps the
       // production 64-bit xxhash simhash (rows-only by nature).
       val d = t(s, dir, "documents")
-      ord(Dedup.simhashPairsPortable(d, "doc_id", "text", maxDist = 6),
+      ord(Dedup.simhashPairsPortable(d, "doc_id", "text", maxDist = 3),
         "id_a", "id_b")
     }),
     "q108_slice_negative" -> ((s, dir) => {
@@ -1909,7 +1909,7 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "q108_slice_negative" ->
       """WITH x AS (
