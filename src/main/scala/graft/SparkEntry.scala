@@ -348,11 +348,16 @@ object SparkEntry {
       val w = Window.partitionBy("l_orderkey")
         .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // cum_prod rides the GraftProduct declarative aggregate as a window
+      // function — over int64 the running product is exact in both engines
+      // (l_linenumber ≤ 7 per order, so products stay ≤ 7!)
       ordAll(li.select(
         col("l_orderkey"), col("l_linenumber"),
         min(col("l_quantity")).over(w).as("cum_min_qty"),
         max(col("l_extendedprice")).over(w).as("cum_max_price"),
-        sum(col("l_quantity")).over(w).as("cum_sum_qty")))
+        sum(col("l_quantity")).over(w).as("cum_sum_qty"),
+        graft.functions.Registry.product(col("l_linenumber")).over(w)
+          .cast("bigint").as("cum_prod_ln")))
     }),
     "q63_tpch_q3" -> ((s, dir) => {
       // TPC-H Q3 shape: 3-way join, pushed filters, agg, top-k by revenue
@@ -1648,7 +1653,8 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  min(l_quantity) OVER w AS cum_min_qty,
         |  max(l_extendedprice) OVER w AS cum_max_price,
-        |  sum(l_quantity) OVER w AS cum_sum_qty
+        |  sum(l_quantity) OVER w AS cum_sum_qty,
+        |  CAST(product(l_linenumber) OVER w AS BIGINT) AS cum_prod_ln
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_orderkey
         |             ORDER BY l_linenumber, l_quantity, l_extendedprice

@@ -25,6 +25,23 @@ object RowOps {
   /** `replace_nulls(col, scalar)` (replace.hpp:46) — Arrow `coalesce`. */
   def replaceNulls(c: Column, value: Any): Column = coalesce(c, lit(value))
 
+  /** polars `drop_nulls` (dsl/expressions/unary.py:101-108): drop rows where
+    * any of `cols` (or any column at all, if empty) is null. Explicit
+    * `isNotNull` filters, NOT `df.na.drop` — Spark's na.drop also discards
+    * NaN rows, but polars/Arrow treat NaN as a VALUE, only null as missing
+    * (compose with [[maskNans]] to get the NaN-dropping form). Pure filter,
+    * pushable to the scan.
+    */
+  def dropNulls(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val target = if (cols.isEmpty) df.columns.toSeq else cols
+    df.filter(target.map(col(_).isNotNull).reduce(_ && _))
+  }
+
+  /** polars `mask_nans` (dsl/expressions/unary.py:101-108): NaN → null for a
+    * float column (`nanvl` is codegen'd; nulls pass through unchanged).
+    */
+  def maskNans(c: Column): Column = nanvl(c, lit(null).cast("double"))
+
   /** `contains(haystack, needles)` (search.hpp:47): membership of each needle in
     * the haystack *column*. The reference broadcasts the haystack to every rank
     * (search.cpp:78); at scale the Spark analogue of a non-literal haystack is a

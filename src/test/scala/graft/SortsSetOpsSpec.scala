@@ -185,6 +185,22 @@ class SortsSetOpsSpec extends SparkSuite {
     assert(rows(out) == Seq(Seq(1, false), Seq(2, true), Seq(5, true)))
   }
 
+  test("dropNulls and maskNans (polars misc unary fns, unary.py:101-108)") {
+    val d = Seq(
+      (Some(1.0), Some("a")), (Some(Double.NaN), Some("b")),
+      (None, Some("c")), (Some(4.0), None))
+      .toDF("x", "s")
+    // drop_nulls: subset + all-columns forms; NaN is a VALUE, not null
+    // (polars semantics — Spark's own na.drop would discard the NaN row too)
+    assert(RowOps.dropNulls(d, Seq("x")).count() == 3)
+    assert(RowOps.dropNulls(d).count() == 2)
+    // mask_nans: NaN -> null, values and nulls untouched
+    val masked = rows(d.select(RowOps.maskNans(col("x")))).map(_(0))
+    assert(masked(0) == 1.0 && masked(1) == null && masked(2) == null && masked(3) == 4.0)
+    // composes: drop_nulls(mask_nans(x)) clears NaNs too
+    assert(d.select(RowOps.maskNans(col("x")).as("x")).na.drop(Seq("x")).count() == 2)
+  }
+
   test("sliceRange: python negative indexing, count-free (column.hpp:432-439)") {
     val n = 10
     val data = (0 until n).map(i => (i.toLong, s"v$i"))
