@@ -67,6 +67,10 @@ object SetOps {
     * The one inherently count-dependent combination (`start < 0, stop ≥ 0`,
     * e.g. `a[-5:10]`) is rejected: resolving it requires the total row
     * count; callers who want it should count explicitly and normalize.
+    *
+    * Determinism requires `keys` to totally order the frame — with duplicate
+    * key tuples the rows at a slice boundary are interchangeable only if
+    * bit-identical (same caveat as any positional op on a distributed sort).
     */
   def sliceRange(
       df: DataFrame,

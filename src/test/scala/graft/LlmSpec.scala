@@ -69,6 +69,11 @@ class LlmSpec extends SparkSuite {
       n = 4, minMatches = 2)).map(_(0)) == Seq(3L))
     intercept[IllegalArgumentException](
       Dedup.decontaminate(train, bench, "doc_id", "text", n = 0))
+    // an oversized bench gram set falls back to a shuffle join (no forced
+    // broadcast) with identical results
+    val fallback = rows(Dedup.decontaminate(train, bench, "doc_id", "text",
+      n = 4, minMatches = 1, maxBroadcastGrams = 1L).orderBy("doc_id"))
+    assert(fallback == out)
   }
 
   test("exact dedup groups identical texts") {
