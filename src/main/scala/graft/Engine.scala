@@ -33,6 +33,9 @@ object Engine {
       // events.parquet stores timestamp[ns], which Spark's parquet reader
       // rejects natively; read as long nanos (converted in Engine.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table warehouse (q111 co-located join) outside the repo
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   /** Build a local session configured the way every graft entry point expects. */
   def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {

@@ -1010,6 +1010,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nations"),
           min(col("n_name")).as("first_name")), "n_regionkey")
     }),
+    "q111_bucketed_join" -> ((s, dir) => {
+      // co-located fact-fact join via bucketed tables (beyond-reference;
+      // the 100 TB shape): both sides written bucketed+sorted on the join
+      // key, so the sort-merge join AND the downstream aggregate run with
+      // ZERO exchanges — PlanSpec asserts the only shuffle is the final
+      // output ordering. On a cluster this is the difference between
+      // re-shuffling 100 TB on every recurring join and never shuffling it
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      sources.IO.writeBucketed(li, "graft_li_bkt", 8, Seq("l_orderkey"), Seq("l_orderkey"))
+      sources.IO.writeBucketed(o, "graft_o_bkt", 8, Seq("o_orderkey"), Seq("o_orderkey"))
+      val j = s.table("graft_li_bkt").hint("merge")
+        .join(s.table("graft_o_bkt"), col("l_orderkey") === col("o_orderkey"))
+      ord(j.groupBy("l_orderkey", "o_orderpriority").agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_items")),
+        "l_orderkey", "o_orderpriority")
+    }),
     "q110_sort_nulls" -> ((s, dir) => {
       // nulls_at_end flag under the oracle gate (sort.hpp:76-81; was
       // test-only through r4): the same ascending top-100 with nulls first
@@ -1879,6 +1897,11 @@ object SparkEntry {
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
         |  min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q111_bucketed_join" ->
+      """SELECT l_orderkey, o_orderpriority,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q110_sort_nulls" ->
       """WITH d AS (
         |  SELECT l_orderkey, l_linenumber, nullif(l_quantity, 30.0) AS q

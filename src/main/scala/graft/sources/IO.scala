@@ -44,6 +44,36 @@ object IO {
       .parquet(dir)
   }
 
+  /** Bucketed parquet table write (beyond-reference; Spark-native
+    * co-location): rows are hash-partitioned into `buckets` files per
+    * partition BY CONTENT, and the catalog records the bucketing, so a later
+    * join or aggregation on the bucket columns needs NO shuffle at all —
+    * at 100 TB this turns every recurring fact-fact join on the same key
+    * into a zero-exchange sort-merge join (the co-location the reference
+    * gets implicitly from its fixed rank partitioning). `sortCols` adds
+    * within-bucket sort order, letting the SMJ skip its sort too.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    require(buckets > 0 && bucketCols.nonEmpty, "need buckets > 0 and >= 1 bucket column")
+    val spark = df.sparkSession
+    // a fresh session's catalog doesn't know tables left by a previous JVM,
+    // so DROP alone can't clear a stale warehouse location — remove it too
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** ORC read/write (beyond-reference; the reference is parquet/csv/json
     * only). ORC ships in Spark, keeps the same pushdown/pruning surface as
     * parquet (PushedFilters + ReadSchema reach the scan), and is the common

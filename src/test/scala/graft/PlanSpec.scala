@@ -295,6 +295,18 @@ class PlanSpec extends SparkSuite {
       s"local carry window not partitioned by (keys, bucket):\n$plan")
   }
 
+  test("bucketed tables co-locate the join AND the aggregate (q111: one exchange total)") {
+    val plan = planOf("q111_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+    // the only exchange is the rangepartitioning for the final output order:
+    // the join reads co-bucketed scans and the groupBy inherits the join's
+    // hash distribution — neither shuffles
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange (output sort), got $exchanges:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"the single exchange should be the output ordering:\n$plan")
+  }
+
   test("rangeJoin plans an equi join on the bin key, never a nested loop") {
     import graft.operators.Joins
     val cust = Engine.table(spark, sfDir, "customer")
