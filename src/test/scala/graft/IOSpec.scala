@@ -175,5 +175,8 @@ class IOSpec extends SparkSuite {
       StructType(Seq(StructField("v", ArrayType(DoubleType)))))
     val e = intercept[IllegalArgumentException](IO.toArrow(bad))
     assert(e.getMessage.contains("Arrow bridge"))
+    // empty frame round-trips schema with zero rows
+    val empty = IO.fromArrow(spark, IO.toArrow(df.limit(0)))
+    assert(empty.schema == df.schema && empty.count() == 0)
   }
 }
