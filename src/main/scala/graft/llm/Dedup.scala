@@ -542,8 +542,10 @@ object Dedup {
     * the signature's `bits` are split into maxDist+1 chunks, so any pair at
     * distance ≤ maxDist agrees on ≥ 1 whole chunk (exact, not probabilistic)
     * and the candidate join is an equi-join on (chunk_idx, chunk value).
+    * Public so gate faces can run the blocking over an independently-dumped
+    * signature frame (q45's oracle brute-forces the same closure in DuckDB).
     */
-  private def simhashPairsFromSigs(
+  def simhashPairsFromSigs(
       withSig: DataFrame,
       bits: Int,
       maxDist: Int,

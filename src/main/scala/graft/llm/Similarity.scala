@@ -203,13 +203,70 @@ object Similarity {
       when(dot(vec, planeCol) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed approximate top-k nearest neighbours by cosine.
-    *
-    * Both sides are hashed into `numTables` independent sign-projection
-    * buckets; candidates are pairs colliding in any table; exact cosine is
-    * computed only for candidates and ranked per query. Recall grows with
-    * numTables, cost shrinks with bits. Norms ride along with the buckets so
-    * the candidate loop is one dot product per pair.
+  /** LSH candidate pair generation: both sides are hashed into `numTables`
+    * independent sign-projection buckets; candidates are the (query_id,
+    * neighbor_id) pairs colliding in ANY table, deduped. Only 16-byte id
+    * pairs move through the bucket join and dedup — vectors are joined back
+    * by the scoring stage. `dim` is the vector dimension (must match the
+    * data: planes of the wrong width would silently hash a prefix of — or
+    * read past — each vector); taking it as a parameter instead of probing
+    * the data keeps the operator fully lazy — no driver action runs before
+    * the returned plan executes.
+    */
+  def lshCandidates(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      bits: Int = 12,
+      numTables: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val planes = hyperplanes(dim, bits, numTables, seed)
+    def bucketed(df: DataFrame, idAs: String): DataFrame = {
+      val buckets = array((0 until numTables).map { t =>
+        struct(lit(t).as("table_id"), bucketId(col("__graft_v"), planes(t)).as("bucket"))
+      }: _*)
+      df.select(col(idCol).as(idAs), col(vecCol).as("__graft_v"))
+        .select(col(idAs), explode(buckets).as("tb"))
+        .select(col(idAs), col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
+    }
+    bucketed(corpus, "neighbor_id")
+      .join(bucketed(queries, "query_id"), Seq("table_id", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+  }
+
+  /** Score and rank candidate (query_id, neighbor_id) pairs by exact cosine:
+    * each side's norm is computed once in a projection, the pair loop is one
+    * codegen'd dot product. Shared by the LSH path and the q50 oracle gate
+    * (which re-scores a dumped candidate set in DuckDB the same way).
+    */
+  def topKOverCandidates(
+      candidates: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val qVecs = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qnorm"))
+    val cVecs = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cvec"), l2Norm(col(vecCol)).as("cnorm"))
+    rankTopK(
+      candidates
+        .join(qVecs, "query_id")
+        .join(cVecs, "neighbor_id")
+        .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+        .select("query_id", "neighbor_id", "cosine"),
+      k)
+  }
+
+  /** LSH-bucketed approximate top-k nearest neighbours by cosine:
+    * [[lshCandidates]] → [[topKOverCandidates]]. Recall grows with
+    * numTables, cost shrinks with bits.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -217,47 +274,13 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
+      dim: Int,
       bits: Int = 12,
       numTables: Int = 6,
-      seed: Long = 42L): DataFrame = {
-    // plane dimension comes from the data — a hardcoded default would silently
-    // hash only a prefix of (or read past) each vector
-    val dim = corpus.select(size(col(vecCol)).as("d")).head(1) match {
-      case Array(r) => r.getInt(0)
-      case _ => throw new IllegalArgumentException("lshTopK: empty corpus")
-    }
-    val planes = hyperplanes(dim, bits, numTables, seed)
-
-    def bucketed(df: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame = {
-      val base = df.select(
-        col(idCol).as(idAs), col(vecCol).as(vecAs), l2Norm(col(vecCol)).as(normAs))
-      val buckets = array((0 until numTables).map { t =>
-        struct(lit(t).as("table_id"), bucketId(col(vecAs), planes(t)).as("bucket"))
-      }: _*)
-      base.select(col(idAs), col(vecAs), col(normAs), explode(buckets).as("tb"))
-        .select(col(idAs), col(vecAs), col(normAs), col("tb.table_id"), col("tb.bucket"))
-    }
-
-    val c = bucketed(corpus, "neighbor_id", "cvec", "cnorm")
-    val q = bucketed(queries, "query_id", "qvec", "qnorm")
-    // dedupe candidate ID PAIRS first (16-byte rows), then join the vectors
-    // back — shuffling vectors through dropDuplicates would move ~30× more
-    // bytes per row
-    val candIds = c.select("neighbor_id", "table_id", "bucket")
-      .join(q.select("query_id", "table_id", "bucket"), Seq("table_id", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id")
-      .dropDuplicates("query_id", "neighbor_id")
-    val cVecs = c.select("neighbor_id", "cvec", "cnorm").dropDuplicates("neighbor_id")
-    val qVecs = q.select("query_id", "qvec", "qnorm").dropDuplicates("query_id")
-    rankTopK(
-      candIds
-        .join(qVecs, "query_id")
-        .join(cVecs, "neighbor_id")
-        .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
-        .select("query_id", "neighbor_id", "cosine"),
-      k)
-  }
+      seed: Long = 42L): DataFrame =
+    topKOverCandidates(
+      lshCandidates(corpus, queries, idCol, vecCol, dim, bits, numTables, seed),
+      corpus, queries, idCol, vecCol, k)
 
   /** Symmetric int8 scalar quantization of an embedding column — the storage
     * form for large ANN corpora (4× smaller than float32, 16× smaller than

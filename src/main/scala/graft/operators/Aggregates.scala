@@ -35,12 +35,13 @@ object Aggregates {
     case "stddev" => stddev_pop(in) // ddof=0
     // the reference's median is exact and interpolates even-sized groups
     // (cudf semantics) — Spark's median() matches; the approximate variant
-    // stays available under its own kind. Scale note: exact median is a
+    // stays available under its own kind. Scale note: Spark's median() is a
     // sort-based aggregate (per-group buffer sort, no partial aggregation),
-    // a real cost at 100 TB — route to "approx_median" (t-digest, map-side
-    // combinable, bounded memory) unless exact parity is required. (The
-    // reference's own CPU path is approximate: groupby_aggregation.cpp:79-93
-    // maps MEDIAN to Arrow approximate_median.)
+    // a real cost at 100 TB — for exact-at-scale use medianExactScalable
+    // (histogram + rank pick, fully combinable; what q19 ships), or
+    // "approx_median" (sketch, bounded memory) when even the distinct value
+    // domain is too large. (The reference's own CPU path is approximate:
+    // groupby_aggregation.cpp:79-93 maps MEDIAN to Arrow approximate_median.)
     case "median" => median(in)
     case "approx_median" => percentile_approx(in, lit(0.5), lit(10000))
     case "count_distinct" => countDistinct(in)
@@ -88,5 +89,79 @@ object Aggregates {
   def reduceAll(df: DataFrame, requests: Seq[AggRequest]): DataFrame = {
     val aggs = requests.map(r => aggColumn(r.kind, col(r.inCol)).as(r.outCol))
     df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact grouped median with a SCALE-SAFE plan (value histogram + rank
+    * pick). Spark's `median()`/`percentile()` is a sort-based aggregate that
+    * buffers every value of a group in one reducer with no partial
+    * aggregation — a handful of big groups means a handful of
+    * effectively-single-threaded reducers, and an OOM wall at 100 TB. This
+    * form decomposes into combinable pieces:
+    *
+    *   1. `count` per (keys, value) — a partial+final hash aggregate, so the
+    *      shuffle carries one row per DISTINCT value per group, map-side
+    *      combined (for repeating domains — quantities, prices, scores —
+    *      that is orders of magnitude smaller than the row count);
+    *   2. a running rank over each group's distinct values — the window
+    *      sorts distinct values, not rows, so the per-partition working set
+    *      is bounded by the value domain, not the data size;
+    *   3. pick the value(s) covering ranks ⌊(n+1)/2⌋ and ⌊n/2⌋+1 and average
+    *      them — the same even-count interpolation cudf/DuckDB/Spark use.
+    *
+    * Nulls are ignored (median semantics); a group whose values are all null
+    * gets a null median. Returns one row per distinct key tuple (null keys
+    * form their own group, `null_policy::INCLUDE`) with one double column
+    * per requested (valueCol -> outCol). Exactness means the DuckDB
+    * `median()` oracle still applies — this is the plan shape q19 ships.
+    *
+    * Worst case (all values distinct — continuous doubles) the shuffle is
+    * row-sized, same as any sort, but still partial-agg'd and spill-safe;
+    * when even the distinct domain per group is too big, use the
+    * `approx_median` kind (t-digest-style sketch, bounded memory).
+    */
+  def medianExactScalable(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCols: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "at least one key required")
+    require(valueCols.nonEmpty, "at least one (valueCol -> outCol) required")
+    // every group present in df appears in the output, even all-null ones
+    val groups = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__graft_ng"))
+      .drop("__graft_ng")
+    valueCols.foldLeft(groups) { case (acc, (in, out)) =>
+      val med = medianHistogramOne(df, keys, in, out)
+      val a = acc.as("__graft_a")
+      val m = med.as("__graft_m")
+      val cond = keys.map(k => col(s"__graft_a.$k") <=> col(s"__graft_m.$k"))
+        .reduce(_ && _)
+      a.join(m, cond, "left")
+        .select(acc.columns.map(n => col(s"__graft_a.$n")) :+
+          col(s"__graft_m.$out"): _*)
+    }
+  }
+
+  private def medianHistogramOne(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(valueCol).cast("double").as("__graft_v"): _*)
+      .agg(count(lit(1)).as("__graft_c"))
+    val byKeys = Window.partitionBy(keys.map(col): _*)
+    val ranked = counts
+      // running count through each value (values are distinct within a group,
+      // so the RANGE default frame equals ROWS) + group total, same partition
+      .withColumn("__graft_cum", sum("__graft_c").over(byKeys.orderBy("__graft_v")))
+      .withColumn("__graft_n", sum("__graft_c").over(byKeys))
+    // integer div: `/` on longs is double division in Spark SQL
+    val rL = call_function("div", col("__graft_n") + 1, lit(2L))
+    val rU = call_function("div", col("__graft_n"), lit(2L)) + 1
+    val prev = col("__graft_cum") - col("__graft_c")
+    def pick(r: Column) =
+      max(when(prev < r && r <= col("__graft_cum"), col("__graft_v")))
+    ranked.groupBy(keys.map(col): _*)
+      .agg(((pick(rL) + pick(rU)) / 2).as(outCol))
   }
 }

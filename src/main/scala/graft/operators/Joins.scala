@@ -233,9 +233,19 @@ object Joins {
         last(c("__graft_ord.__graft_rv"), ignoreNulls = true).over(wIn))
       .drop("__graft_ord")
 
-    // 3. attach carry-in and resolve
-    val carried = local
-      .join(carryIn, keys :+ "__graft_b")
+    // 3. attach carry-in and resolve. NULL-SAFE equality (<=>) on
+    // (keys, bucket): a USING join would silently drop left rows whose key
+    // or time (⇒ bucket) is null, but window partitioning — the plain
+    // asofJoin's carry mechanism — groups nulls like any other value, and
+    // the contract here is identical semantics (how="left" keeps null-key
+    // left rows, with null carried values).
+    val lo = local.as("__graft_lo")
+    val ci = carryIn.as("__graft_ci")
+    val cond = (keys :+ "__graft_b")
+      .map(k => c(s"__graft_lo.$k") <=> c(s"__graft_ci.$k")).reduce(_ && _)
+    val carried = lo.join(ci, cond)
+      .select(local.columns.map(n => c(s"__graft_lo.$n")) :+
+        c("__graft_ci.__graft_rv_in"): _*)
       .withColumn("__graft_rv",
         coalesce(c("__graft_rv_local"), c("__graft_rv_in")))
       .filter(c("__graft_tag") === 1)

@@ -42,11 +42,23 @@ object SetOps {
   def unionByName(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _)
 
+  /** Spark's offset/limit take Int; a silent `.toInt` on a Long above
+    * Int.MaxValue wraps negative and returns wrong (or empty) results —
+    * at the 100 TB design point row positions past 2^31 are plausible, so
+    * out-of-range positions fail loudly instead.
+    */
+  private def toIntExact(v: Long, what: String): Int = {
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$what=$v exceeds Int range: Spark's offset/limit are Int-typed; " +
+        "slice positions beyond 2^31-1 need a filter on a row-number column instead")
+    v.toInt
+  }
+
   def slice(df: DataFrame, offset: Long, length: Long): DataFrame = {
     require(offset >= 0 && length >= 0,
       "slice(offset, length) is non-negative; for python-style negative " +
         "indexing use sliceRange(df, keys, ascending, start, stop)")
-    df.offset(offset.toInt).limit(length.toInt)
+    df.offset(toIntExact(offset, "offset")).limit(toIntExact(length, "length"))
   }
 
   /** Python-style half-open slice `[start, stop)` with NEGATIVE indexing
@@ -81,18 +93,19 @@ object SetOps {
     require(keys.nonEmpty && keys.length == ascending.length, "keys/ascending mismatch")
     val fwd = Sorts.orderCols(keys, ascending, nullsAtEnd = true)
     val rev = Sorts.orderCols(keys, ascending.map(!_), nullsAtEnd = false)
+    def i(v: Long, what: String): Int = toIntExact(v, what)
     (start, stop) match {
       case (s, Some(e)) if s >= 0 && e >= 0 =>
-        df.orderBy(fwd: _*).offset(s.toInt).limit(math.max(0L, e - s).toInt)
+        df.orderBy(fwd: _*).offset(i(s, "start")).limit(i(math.max(0L, e - s), "stop-start"))
       case (s, None) if s >= 0 =>
-        df.orderBy(fwd: _*).offset(s.toInt)
+        df.orderBy(fwd: _*).offset(i(s, "start"))
       case (s, None) if s < 0 => // tail |s|
-        df.orderBy(rev: _*).limit((-s).toInt).orderBy(fwd: _*)
+        df.orderBy(rev: _*).limit(i(-s, "-start")).orderBy(fwd: _*)
       case (s, Some(e)) if s < 0 && e < 0 => // tail |s| minus tail |e|
-        df.orderBy(rev: _*).offset((-e).toInt)
-          .limit(math.max(0L, -s + e).toInt).orderBy(fwd: _*)
+        df.orderBy(rev: _*).offset(i(-e, "-stop"))
+          .limit(i(math.max(0L, -s + e), "stop-start")).orderBy(fwd: _*)
       case (s, Some(e)) if s >= 0 && e < 0 => // drop last |e|, skip first s
-        df.orderBy(rev: _*).offset((-e).toInt).orderBy(fwd: _*).offset(s.toInt)
+        df.orderBy(rev: _*).offset(i(-e, "-stop")).orderBy(fwd: _*).offset(i(s, "start"))
       case (s, e) =>
         throw new IllegalArgumentException(
           s"sliceRange(start=$s, stop=$e): a negative start with a " +

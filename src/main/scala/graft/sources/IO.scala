@@ -60,6 +60,12 @@ object IO {
       bucketCols: Seq[String],
       sortCols: Seq[String] = Nil): Unit = {
     require(buckets > 0 && bucketCols.nonEmpty, "need buckets > 0 and >= 1 bucket column")
+    // the stale-location cleanup below derives a filesystem path from the
+    // table name and recursively deletes it — restrict the name to a plain
+    // identifier so a qualified ("db.tbl") or path-like name can never
+    // resolve to (and delete) an unintended location
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed table name must match [A-Za-z0-9_]+, got: $table")
     val spark = df.sparkSession
     // a fresh session's catalog doesn't know tables left by a previous JVM,
     // so DROP alone can't clear a stale warehouse location — remove it too

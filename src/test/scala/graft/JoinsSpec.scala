@@ -180,6 +180,36 @@ class JoinsSpec extends SparkSuite {
     assert(rows(bucketed0).map(_.toString).sorted == rows(plain0).map(_.toString).sorted)
   }
 
+  test("asofJoinBucketed keeps NULL keys and NULL times like asofJoin") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // null keys and null times form their own window groups in the plain
+    // form; the bucketed variant's carry-in join must be null-safe (<=>) to
+    // reproduce that — a USING join would silently drop these rows
+    val trades = Seq(
+      (Some("a"), Some(10L), 1L), (None, Some(10L), 2L), (None, Some(20L), 3L),
+      (Some("a"), None, 4L), (None, None, 5L), (Some("b"), Some(30L), 6L)
+    ).toDF("k", "t", "tid")
+    val quotes = Seq(
+      (Some("a"), Some(5L), 1.5), (None, Some(15L), 2.5), (Some("b"), Some(25L), 3.5)
+    ).toDF("k", "t", "px")
+    val bucket: Column => Column = t => floor(t / lit(10L))
+    for (how <- Seq("inner", "left")) {
+      val plain = Joins.asofJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"), how = how)
+      val bucketed = Joins.asofJoinBucketed(trades, quotes, Seq("k"), "t", "t",
+        Seq("px"), bucket, how = how)
+      assert(rows(bucketed).map(_.toString).sorted == rows(plain).map(_.toString).sorted,
+        s"null-key/null-time mismatch at how=$how")
+      if (how == "left")
+        assert(bucketed.count() == trades.count(), "left join must keep every left row")
+    }
+    // null-key rows DO match null-key right rows (window-partition grouping)
+    val inner = Joins.asofJoinBucketed(trades, quotes, Seq("k"), "t", "t",
+      Seq("px"), bucket, how = "inner")
+    assert(rows(inner.filter($"k".isNull).select($"px")).nonEmpty,
+      "null-key trades after a null-key quote must carry its value")
+  }
+
   test("salted join equals plain join on skewed keys") {
     import spark.implicits._
     val skewed = (Seq.fill(500)((1L, "hot")) ++ Seq((2L, "a"), (3L, "b")))

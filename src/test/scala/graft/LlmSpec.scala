@@ -183,7 +183,7 @@ class LlmSpec extends SparkSuite {
     // the synthetic embeddings are near-random (top-1 cosine ≈ 0.37), the
     // hardest case for sign-LSH — short codes + many tables for recall
     val ann = Similarity.lshTopK(emb, emb, "vec_id", "embedding", 1,
-      bits = 4, numTables = 16)
+      dim = 64, bits = 4, numTables = 16)
       .select($"query_id", $"neighbor_id".as("ann_nn"))
     val joined = bf.join(ann, "query_id")
     val n = joined.count().toDouble
