@@ -125,20 +125,27 @@ object Bench {
       try joinThroughputGiBs(cpus, joinNrows)
       catch { case _: Throwable => -1.0 }
 
-    // Two JSON lines. The first carries full query names for human reading
-    // and round-over-round comparison. The LAST line is the machine record:
-    // downstream capture keeps only a ~2000-char tail of stdout, and the
-    // full-name map (~3 kB at 106 queries) overflows it — so the final line
-    // shortens query keys to their "qNN" prefix and leads with the totals,
-    // guaranteeing a complete, parseable JSON object inside the tail window.
+    // ONE JSON line on stdout — nothing else. Downstream capture keeps only
+    // a ~2000-char tail of stdout and parses the summary line out of it; a
+    // second (full-query-name, ~3 kB) JSON line overflowed that window in
+    // earlier rounds, so the full-name per-query map now goes to a FILE
+    // (path on stderr) and stdout carries just the machine record with
+    // "qNN"-short keys. Per-query times are best-of-`runs` (default 3), so
+    // one cold outlier can't dominate the reading.
     def f(v: Double): String = "%.3f".format(v)
     val total = results.map(_._2).filter(_ >= 0).sum
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir","join_throughput_gibs":${f(joinGiBs)},"join_nrows":$joinNrows,"runs":$runs}""")
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_full.json"))
+    java.nio.file.Files.writeString(fullPath,
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir","join_throughput_gibs":${f(joinGiBs)},"join_nrows":$joinNrows,"runs":$runs}""" + "\n")
+    System.err.println(s"[bench] full per-query map: $fullPath")
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + "%.2f".format(v)
     }.mkString("{", ",", "}")
+    System.out.flush()
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"queries":$qsShort}""")
+    System.out.flush()
   }
 }

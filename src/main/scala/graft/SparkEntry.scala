@@ -583,6 +583,17 @@ object SparkEntry {
         .withColumn("click_ts", unix_micros(col("click_ts")))
         .withColumn("p_ts", unix_micros(col("p_ts"))))
     }),
+    "q113_stream_dedup" -> ((s, dir) => {
+      // streaming dedup under the gate via its batch twin (the q80 pattern;
+      // StreamingSpec proves dedupStream == dedupBatch on the same replayed
+      // input): at-least-once delivery simulated by replaying every 10th
+      // event as an exact copy, then exact dedup on event_id
+      val ev = Engine.events(s, dir)
+      val replayed = ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+      ordAll(graft.streaming.Events.dedupBatch(replayed).select(
+        col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value")))
+    }),
     "q81_dedup_clusters" -> ((s, dir) => {
       // full dedup-cluster assignment: LSH pairs (q46 regime, recall ~1 so
       // the exact-Jaccard oracle is sound) → large-star/small-star connected
@@ -1053,16 +1064,25 @@ object SparkEntry {
     }),
     "q107_arrow_roundtrip" -> ((s, dir) => {
       // from/to Arrow client gather/scatter (core/column.hpp:200-219,
-      // table.hpp:328-336) under the oracle gate: nation (a bounded dim
-      // table — the gather is driver-sized BY DESIGN) goes out as one Arrow
-      // IPC stream and comes back; the round-tripped frame then drives a
-      // normal distributed aggregation, proving the scatter side yields a
-      // first-class DataFrame
-      val n = t(s, dir, "nation")
-      val back = sources.IO.fromArrow(s, sources.IO.toArrow(n))
-      ord(back.groupBy("n_regionkey")
-        .agg(count(lit(1)).as("n_nations"),
-          min(col("n_name")).as("first_name")), "n_regionkey")
+      // table.hpp:328-336) under the oracle gate, now over the full stored
+      // type surface incl. the reference's temporal physicals — Date32 and
+      // Timestamp[µs] (utils.cpp:72-89): a bounded orders slice (the gather
+      // is driver-sized BY DESIGN) with long/string/double/timestamp/date
+      // columns goes out as one Arrow IPC stream and comes back; the
+      // round-tripped frame then drives a normal distributed aggregation,
+      // proving the scatter side yields a first-class DataFrame and every
+      // temporal value survived the bridge bit-exactly
+      val o = t(s, dir, "orders").orderBy("o_orderkey").limit(200)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate").as("o_ts"), to_date(col("o_orderdate")).as("o_date"))
+      val back = sources.IO.fromArrow(s, sources.IO.toArrow(o))
+      ord(back.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          date_format(min(col("o_date")), "yyyy-MM-dd").as("min_date"),
+          // o_ts round-trips as TIMESTAMP_NTZ; session tz is UTC, so the
+          // NTZ→TZ cast is wall-clock-preserving and epoch_us comparable
+          unix_micros(max(col("o_ts")).cast("timestamp")).as("max_ts_us"),
+          dsum(col("o_totalprice")).as("price_sum")), "o_orderstatus")
     }),
     "q111_bucketed_join" -> ((s, dir) => {
       // co-located fact-fact join via bucketed tables (beyond-reference;
@@ -1081,6 +1101,42 @@ object SparkEntry {
           sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_items")),
         "l_orderkey", "o_orderpriority")
+    }),
+    "q114_grouping_sets" -> ((s, dir) => {
+      // explicit grouping-sets API — arbitrary set list (rf, ls) / (ls) / (),
+      // NOT a rollup or cube prefix, generalizing q71/q53: Catalyst expands
+      // the sets inside ONE partial+final aggregate (no extra shuffle or
+      // scan per set)
+      val li = t(s, dir, "lineitem")
+      ord(li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int").as("gid")),
+        "l_returnflag", "l_linestatus", "gid")
+    }),
+    "q115_bucketed_capped_write" -> ((s, dir) => {
+      // q111 at scale: the bucketed write with maxRecordsPerFile, so wide
+      // buckets split into several part files (executors cap file sizes at
+      // 100 TB) while catalog bucketing still co-locates the downstream
+      // aggregate — PlanSpec asserts zero mid-plan exchanges survive.
+      // files_ok surfaces the split contract to the oracle: the writer must
+      // produce at least ceil(rows/cap) files (per-bucket ceils only add),
+      // so an ignored cap fails the hash match at any SF where rows > cap.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val cap = 5000L
+      sources.IO.writeBucketed(li, "graft_li_bkt_cap", 4, Seq("l_orderkey"),
+        Seq("l_orderkey"), maxRecordsPerFile = cap)
+      val nFiles = sources.IO.tableFileCount(s, "graft_li_bkt_cap")
+      // both sides of the contract are driver-side ints (this query already
+      // does a write + directory listing — it probes the writer, not a scan)
+      val total = s.table("graft_li_bkt_cap").count()
+      val filesOk = nFiles >= math.ceil(total.toDouble / cap).toLong
+      val agg = s.table("graft_li_bkt_cap").groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      ord(agg.withColumn("files_ok", lit(filesOk)), "l_orderkey")
     }),
     "q110_sort_nulls" -> ((s, dir) => {
       // nulls_at_end flag under the oracle gate (sort.hpp:76-81; was
@@ -1609,6 +1665,12 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY COALESCE(cc.cluster_id, d.doc_id)) AS cluster_size
         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q113: event_ids are unique in the source and replays are exact copies,
+    // so dedup of the replayed union is just the source relation
+    "q113_stream_dedup" ->
+      """SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |  user_id, event_type, value
+        |FROM events ORDER BY ALL""".stripMargin,
     "q82_range_join" ->
       """SELECT s.s_suppkey, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal_sum
@@ -1988,14 +2050,31 @@ object SparkEntry {
         |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q107_arrow_roundtrip" ->
-      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
-        |  min(n_name) AS first_name
-        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+      """WITH s AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS min_date,
+        |  epoch_us(CAST(max(o_orderdate) AS TIMESTAMP)) AS max_ts_us,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+        |FROM s GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q111_bucketed_join" ->
       """SELECT l_orderkey, o_orderpriority,
         |  sum(l_quantity) AS sum_qty, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q114_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, gid""".stripMargin,
+    // q115: the aggregate mirrors q111's shape; files_ok is the writer's
+    // file-cap contract (Spark computes it from the real directory listing,
+    // the oracle expects TRUE)
+    "q115_bucketed_capped_write" ->
+      """SELECT l_orderkey, sum(l_quantity) AS sum_qty, count(*) AS n_items,
+        |  TRUE AS files_ok
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q110_sort_nulls" ->
       """WITH d AS (
         |  SELECT l_orderkey, l_linenumber, nullif(l_quantity, 30.0) AS q
@@ -2015,7 +2094,8 @@ object SparkEntry {
     "q109_simhash_portable" ->
       """WITH hs AS (
         |  SELECT doc_id,
-        |    list_transform(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    list_transform(list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''),
         |      t -> list_reduce(
         |        list_prepend(CAST(7 AS BIGINT),
         |          list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
@@ -2313,7 +2393,8 @@ object SparkEntry {
     // folds — the same mod-(2^31−1) polynomial math, byte-exact
     "q44_fingerprint" ->
       """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
         |  FROM documents
         |)
         |SELECT doc_id,

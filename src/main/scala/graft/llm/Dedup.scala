@@ -535,7 +535,8 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame =
     simhashPairsFromSigs(
       df.select(col(idCol).as("id"),
-        graft.functions.Registry.simhashPortable(TextFns.tokens(col(textCol))).as("sig")),
+        graft.functions.Registry.simhashPortable(
+          TextFns.portableTokens(col(textCol))).as("sig")),
       bits = 31, maxDist = maxDist, maxBucket = maxBucket)
 
   /** Pigeonhole-blocked hamming pairs over a precomputed (id, sig) frame:

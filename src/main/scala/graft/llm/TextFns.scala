@@ -16,6 +16,17 @@ object TextFns {
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
+  /** [[tokens]] with empty tokens removed — the tokenization the PORTABLE
+    * (cross-engine) hash functions use. Spark's split on an empty/whitespace-
+    * only string yields [""], and the mod-prime folds would hash that empty
+    * token to the seed; the DuckDB oracle's string_split(t, '') / unicode(c)
+    * mirror cannot reproduce a codepoint fold over "" (unicode('') is not a
+    * codepoint). Dropping empty tokens on BOTH sides keeps the cross-engine
+    * contract total — defined for every input, including empty documents.
+    */
+  def portableTokens(text: Column): Column =
+    filter(tokens(text), t => t =!= lit(""))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     size(tokens(text))
@@ -148,7 +159,7 @@ object TextFns {
     * Spark-side reproducibility matters.
     */
   def fingerprintPortable(text: Column): Column =
-    graft.functions.Registry.fingerprintPortable(tokens(text))
+    graft.functions.Registry.fingerprintPortable(portableTokens(text))
 
   /** Gopher-style repetition signal: fraction of duplicate segments after
     * splitting on `delimRegex` (lines with "\n", sentences with "\\.\\s+"),

@@ -53,12 +53,20 @@ object IO {
     * gets implicitly from its fixed rank partitioning). `sortCols` adds
     * within-bucket sort order, letting the SMJ skip its sort too.
     */
+  /** `maxRecordsPerFile > 0` caps each written file, so a wide bucket splits
+    * into several files — the 100 TB shape (executors bound file sizes).
+    * The catalog bucketing still co-locates downstream joins/aggregates
+    * (zero exchanges); with >1 file per bucket Spark drops the within-bucket
+    * sorted property, so a sort-merge join re-sorts inside tasks but still
+    * never shuffles (PlanSpec asserts both).
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       buckets: Int,
       bucketCols: Seq[String],
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Unit = {
     require(buckets > 0 && bucketCols.nonEmpty, "need buckets > 0 and >= 1 bucket column")
     // the stale-location cleanup below derives a filesystem path from the
     // table name and recursively deletes it — restrict the name to a plain
@@ -74,10 +82,22 @@ object IO {
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write.mode("overwrite").format("parquet")
+    val w0 = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val w = if (maxRecordsPerFile > 0) w0.option("maxRecordsPerFile", maxRecordsPerFile) else w0
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  /** Part-file count of a saved table's warehouse location (gate plumbing for
+    * the size-capped-write probe — a driver-side directory listing).
+    */
+  def tableFileCount(spark: SparkSession, table: String): Int = {
+    require(table.matches("[A-Za-z0-9_]+"), s"plain identifier required: $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc).count(_.getPath.getName.startsWith("part-"))
   }
 
   /** ORC read/write (beyond-reference; the reference is parquet/csv/json
@@ -196,6 +216,9 @@ object IO {
       case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
       case StringType => ArrowType.Utf8.INSTANCE
       case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      // tz-naive micros — the reference's stored temporal physical
+      // (utils.cpp:72-89); Arrow encodes "no timezone" as a null tz
+      case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
       case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
       case other => throw new IllegalArgumentException(
         s"Arrow bridge does not support $other (column ${f.name})")
@@ -243,6 +266,9 @@ object IO {
               case TimestampType => v.asInstanceOf[TimeStampMicroTZVector]
                 .setSafe(j, org.apache.spark.sql.catalyst.util.DateTimeUtils
                   .instantToMicros(r.getTimestamp(i).toInstant))
+              case TimestampNTZType => v.asInstanceOf[TimeStampMicroVector]
+                .setSafe(j, org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .localDateTimeToMicros(r.getAs[java.time.LocalDateTime](i)))
               case DateType => v.asInstanceOf[DateDayVector]
                 .setSafe(j, r.getDate(i).toLocalDate.toEpochDay.toInt)
               case other => throw new IllegalArgumentException(s"unreachable: $other")
@@ -287,7 +313,8 @@ object IO {
               if (fp.getPrecision == org.apache.arrow.vector.types.FloatingPointPrecision.SINGLE)
                 FloatType else DoubleType
             case _: ArrowType.Utf8 => StringType
-            case _: ArrowType.Timestamp => TimestampType
+            case t: ArrowType.Timestamp =>
+              if (t.getTimezone == null) TimestampNTZType else TimestampType
             case _: ArrowType.Date => DateType
             case other => throw new IllegalArgumentException(
               s"Arrow bridge does not support $other (column ${f.getName})")
@@ -311,6 +338,8 @@ object IO {
                 case b: VarCharVector => new String(b.get(j), "UTF-8")
                 case b: TimeStampMicroTZVector => java.sql.Timestamp.from(
                   org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(b.get(j)))
+                case b: TimeStampMicroVector =>
+                  org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToLocalDateTime(b.get(j))
                 case b: DateDayVector => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(b.get(j)))
                 case other => throw new IllegalArgumentException(
                   s"Arrow bridge does not support vector ${other.getClass}")

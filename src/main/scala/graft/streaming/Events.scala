@@ -258,6 +258,16 @@ object Events {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Batch twin of [[dedupStream]] (the oracle-gated face, q113 — same
+    * pattern as clickPurchaseJoinBatch/q80): exact dedup on event_id,
+    * planned as a partial+final aggregate. At-least-once replays are exact
+    * row copies, so "keep one arbitrary row per id" is deterministic — the
+    * survivor is bit-identical whichever copy it is (the same argument the
+    * streaming form relies on).
+    */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   /** Run a streaming query over the static events dir to completion via the
     * memory sink; returns the materialized result (test harness helper).
     */

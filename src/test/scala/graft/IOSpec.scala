@@ -153,14 +153,16 @@ class IOSpec extends SparkSuite {
       StructField("i16", ShortType), StructField("i32", IntegerType),
       StructField("i64", LongType), StructField("f32", FloatType),
       StructField("f64", DoubleType), StructField("s", StringType),
-      StructField("ts", TimestampType), StructField("d", DateType)))
+      StructField("ts", TimestampType), StructField("tsntz", TimestampNTZType),
+      StructField("d", DateType)))
     val ts = java.sql.Timestamp.valueOf("2024-05-17 12:34:56.789123")
+    val ntz = java.time.LocalDateTime.parse("2024-05-17T12:34:56.789123")
     val dt = java.sql.Date.valueOf("2024-05-17")
     val data = Seq(
-      Row(true, 1.toByte, 2.toShort, 3, 4L, 1.5f, 2.5, "héllo", ts, dt),
+      Row(true, 1.toByte, 2.toShort, 3, 4L, 1.5f, 2.5, "héllo", ts, ntz, dt),
       Row(false, Byte.MinValue, Short.MaxValue, Int.MinValue, Long.MaxValue,
-        -0.0f, Double.MinPositiveValue, "", ts, dt),
-      Row(null, null, null, null, null, null, null, null, null, null))
+        -0.0f, Double.MinPositiveValue, "", ts, ntz, dt),
+      Row(null, null, null, null, null, null, null, null, null, null, null))
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(data.asJava, schema)
     val bytes = IO.toArrow(df)

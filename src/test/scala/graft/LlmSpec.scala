@@ -40,6 +40,18 @@ class LlmSpec extends SparkSuite {
     assert(fps(3) != fps(0)) // empty text gets its own stable value
   }
 
+  test("portable hashes are total: empty/whitespace docs get the zero-token value") {
+    // portableTokens drops the [""] Spark's split yields on empty input, so
+    // the cross-engine contract (DuckDB can't fold unicode('')) holds for
+    // every document: fingerprint = the outer-fold seed, simhash = 0
+    val d = Seq("", "   ", "\t\n").toDF("text")
+    val fps = rows(d.select(TextFns.fingerprintPortable($"text"))).map(_(0))
+    assert(fps.forall(_ == 1469598103L), s"zero-token fingerprint: $fps")
+    val sigs = rows(d.select(graft.functions.Registry.simhashPortable(
+      TextFns.portableTokens($"text")))).map(_(0))
+    assert(sigs.forall(_ == 0L), s"zero-token simhash: $sigs")
+  }
+
   test("langId picks the language with most stopword hits") {
     val d = Seq(
       "the cat sat on the mat and it was good",

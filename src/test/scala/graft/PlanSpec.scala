@@ -307,6 +307,39 @@ class PlanSpec extends SparkSuite {
       s"the single exchange should be the output ordering:\n$plan")
   }
 
+  test("q19 exact median plans with NO per-group value buffering") {
+    val plan = planOf("q19_groupby_median")
+    // the scale-safe histogram form: no sort-based median/percentile
+    // aggregate anywhere — the only aggregates are combinable partial+final
+    assert(!plan.toLowerCase.contains("median("),
+      s"sort-based median aggregate survived:\n$plan")
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"percentile buffer aggregate survived:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"buffering aggregate in the median plan:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("q115 capped bucketed write still co-locates the aggregate (one exchange total)") {
+    val plan = planOf("q115_bucketed_capped_write")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange (output sort), got $exchanges:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"the single exchange should be the output ordering:\n$plan")
+    // a cap tight enough to split at THIS SF: the file count grows past the
+    // bucket count, and the aggregate over the multi-file buckets still
+    // needs no mid-plan exchange
+    val li = Engine.table(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    sources.IO.writeBucketed(li, "graft_li_bkt_tiny", 4, Seq("l_orderkey"),
+      Seq("l_orderkey"), maxRecordsPerFile = 500)
+    assert(sources.IO.tableFileCount(spark, "graft_li_bkt_tiny") > 4,
+      "maxRecordsPerFile produced no extra files")
+    val aggPlan = spark.table("graft_li_bkt_tiny").groupBy("l_orderkey")
+      .agg(sum(col("l_quantity"))).queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange"),
+      s"aggregate over capped bucketed table shuffled:\n$aggPlan")
+  }
+
   test("rangeJoin plans an equi join on the bin key, never a nested loop") {
     import graft.operators.Joins
     val cust = Engine.table(spark, sfDir, "customer")

@@ -151,8 +151,42 @@ class StreamingSpec extends SparkSuite {
       .queryName("graft_dedup").outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val got = spark.table("graft_dedup")
-    val expected = Engine.events(spark, sfDir).dropDuplicates("event_id").count()
+    val expected = Events.dedupBatch(Engine.events(spark, sfDir)).count()
     assert(got.count() == expected)
+  }
+
+  test("streaming dedup == batch twin on replayed input across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // at-least-once delivery: the full file plus a later file replaying
+    // every 10th event — two micro-batches, replays arriving in batch 2
+    // must be dropped by state carried from batch 1 (q113's batch twin
+    // gates the same semantics under the DuckDB oracle)
+    val raw = spark.read.schema(Events.rawSchema).parquet(s"$sfDir/events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, modTimeMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dedup_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTimeMs)
+    }
+    val now = System.currentTimeMillis()
+    stage(raw, "all.parquet", now - 60000)
+    stage(raw.filter(col("event_id") % 10 === 0), "replay.parquet", now)
+
+    val streamed = Events.dedupStream(
+      Events.readStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)))
+    val q = streamed.writeStream.format("memory")
+      .queryName("graft_dedup_replay").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_dedup_replay")
+
+    val ev = Engine.events(spark, sfDir)
+    val expected = Events.dedupBatch(ev.unionAll(ev.filter(col("event_id") % 10 === 0)))
+    assert(got.count() == expected.count())
+    assert(rows(got.select("event_id", "user_id", "event_type")).map(_.toString).sorted ==
+      rows(expected.select("event_id", "user_id", "event_type")).map(_.toString).sorted)
   }
 
   test("incremental corpus screening: foreachBatch stream == batch") {
