@@ -1102,6 +1102,20 @@ object SparkEntry {
           count(lit(1)).as("n_items")),
         "l_orderkey", "o_orderpriority")
     }),
+    "q116_percentiles_scalable" -> ((s, dir) => {
+      // q83's exact quartiles re-planned scale-safe (histogram + rank pick,
+      // one counts pass + one window over distinct values — the built-in
+      // percentile(col, array) buffer aggregate has the identical 100 TB
+      // wall exact median had; q83 keeps the built-in form as the parity
+      // face). round(4) absorbs the last-ulp difference between engines'
+      // R-7 interpolation arithmetic.
+      val li = t(s, dir, "lineitem")
+      val q = Aggregates.quantilesExactScalable(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+      ord(q.select(col("l_returnflag"),
+        round(col("p25"), 4).as("p25"), round(col("p50"), 4).as("p50"),
+        round(col("p75"), 4).as("p75")), "l_returnflag")
+    }),
     "q114_grouping_sets" -> ((s, dir) => {
       // explicit grouping-sets API — arbitrary set list (rf, ls) / (ls) / (),
       // NOT a rollup or cube prefix, generalizing q71/q53: Catalyst expands
@@ -2061,6 +2075,12 @@ object SparkEntry {
         |  sum(l_quantity) AS sum_qty, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q116_percentiles_scalable" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q114_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  sum(l_quantity) AS sum_qty,

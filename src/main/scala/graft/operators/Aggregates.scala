@@ -140,6 +140,59 @@ object Aggregates {
     }
   }
 
+  /** Exact grouped percentiles (R-7 / quantile_cont interpolation) in the
+    * same scale-safe histogram plan as [[medianExactScalable]] — the
+    * built-in `percentile(col, array)` buffers every group's values in one
+    * sort-based reducer, the identical 100 TB wall exact median had. All
+    * requested fractions come out of ONE counts pass + ONE window over each
+    * group's distinct values: for fraction p the target rank is
+    * h = (n-1)·p + 1 and the result interpolates the values at ⌊h⌋ and ⌈h⌉.
+    * Nulls ignored; all-null groups yield null. Returns one double column
+    * per (fraction -> outCol).
+    */
+  def quantilesExactScalable(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      fractions: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "at least one key required")
+    require(fractions.nonEmpty && fractions.forall { case (p, _) => p >= 0 && p <= 1 },
+      "fractions must be in [0, 1]")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(valueCol).cast("double").as("__graft_v"): _*)
+      .agg(count(lit(1)).as("__graft_c"))
+    val byKeys = Window.partitionBy(keys.map(col): _*)
+    val ranked = counts
+      .withColumn("__graft_cum", sum("__graft_c").over(byKeys.orderBy("__graft_v")))
+      .withColumn("__graft_n", sum("__graft_c").over(byKeys))
+    val prev = col("__graft_cum") - col("__graft_c")
+    def valueAtRank(r: Column) =
+      max(when(prev < r && r <= col("__graft_cum"), col("__graft_v")))
+    val aggs = fractions.flatMap { case (p, out) =>
+      val h = (col("__graft_n") - 1) * lit(p) + 1
+      val rLo = floor(h)
+      val rHi = ceil(h)
+      Seq(valueAtRank(rLo).as(s"__graft_lo_$out"), valueAtRank(rHi).as(s"__graft_hi_$out"),
+        max(h - rLo).as(s"__graft_d_$out")) // h is constant within a group
+    }
+    val picked = ranked.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val outCols = keys.map(col) ++ fractions.map { case (_, out) =>
+      (col(s"__graft_lo_$out") +
+        col(s"__graft_d_$out") * (col(s"__graft_hi_$out") - col(s"__graft_lo_$out"))).as(out)
+    }
+    val quantiles = picked.select(outCols: _*)
+    // every group present in df appears, even all-null ones
+    val groups = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__graft_ng"))
+      .drop("__graft_ng")
+    val g = groups.as("__graft_g")
+    val q = quantiles.as("__graft_q")
+    val cond = keys.map(k => col(s"__graft_g.$k") <=> col(s"__graft_q.$k")).reduce(_ && _)
+    g.join(q, cond, "left")
+      .select(keys.map(k => col(s"__graft_g.$k")) ++
+        fractions.map { case (_, out) => col(s"__graft_q.$out") }: _*)
+  }
+
   private def medianHistogramOne(
       df: DataFrame,
       keys: Seq[String],

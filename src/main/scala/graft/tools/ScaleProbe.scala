@@ -82,6 +82,42 @@ object ScaleProbe {
       println(f"SCALE n=$total%7d  minhash_lsh=${tDedup}%6.1f s (pairs=$pairs)  simhash=${tSim}%6.1f s (pairs=$simPairs)")
       docs.unpersist()
     }
+    // flagship dedup path at ~1M docs (10× the lsh section): wall + shuffle
+    // bytes + planted recall. The banding pipeline is bucket-join-shaped, so
+    // the 4×-corpus ≈ 2×-wall curve measured at 20k→80k must hold through
+    // 250k→1M, and every planted near-dup pair (jaccard ≈ 0.95, far above
+    // the 0.8 threshold where 16×2 banding recall is ~1) must surface.
+    if (want("lsh1m")) {
+      val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleWrite.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      for (n <- Seq(250000, 1000000)) {
+        val docs = corpus(spark, n).persist()
+        val total = docs.count()
+        shuffleWrite.set(0)
+        val ((nPairs, found, nPlanted), t) = time {
+          val pairs = graft.llm.Dedup.nearDuplicates(docs, "doc_id", "text",
+            threshold = 0.8, bands = 16, rowsPerBand = 2).persist()
+          val nPairs = pairs.count()
+          val planted = docs.filter(col("doc_id") >= 1000000000L)
+            .select((col("doc_id") - 1000000000L).as("id_a"), col("doc_id").as("id_b"))
+          val found = planted.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+          val nPlanted = planted.count()
+          pairs.unpersist()
+          (nPairs, found, nPlanted)
+        }
+        Thread.sleep(1000) // listener events drain async
+        val gib = shuffleWrite.get / math.pow(2, 30)
+        println(f"SCALE lsh1m n=$total%8d  minhash_lsh=${t}%6.1f s  shuffle=${gib}%6.2f GiB  recall=$found/$nPlanted  pairs=$nPairs")
+        docs.unpersist()
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
     // incremental screening: index the corpus ONCE, screen the planted-dup
     // batch against it — per-batch cost must not grow with corpus size
     // beyond the bucket join (the corpus is never re-scanned)

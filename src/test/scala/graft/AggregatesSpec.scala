@@ -119,4 +119,34 @@ class AggregatesSpec extends SparkSuite {
     val (amed, emed) = (r.getDouble(2), r.getDouble(3))
     assert(math.abs(amed - emed) / emed < 0.02, s"approx median off: $amed vs $emed")
   }
+
+  test("scalable histogram median/quantiles == built-in buffer aggregates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // odd + even group sizes, duplicate values, a null value, a NULL KEY
+    // group, and an all-null group (median/quantiles must be null, group kept)
+    val d = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(3.0)), (Some("a"), Some(3.0)),
+      (Some("a"), Some(7.0)), // even count with dups → interpolates
+      (Some("b"), Some(5.0)), (Some("b"), Some(1.0)), (Some("b"), Some(9.0)),
+      (Some("b"), None), // null value ignored, odd live count
+      (None, Some(2.0)), (None, Some(4.0)), // null key is its own group
+      (Some("z"), None) // all-null group
+    ).toDF("k", "v")
+    val gotMed = Aggregates.medianExactScalable(d, Seq("k"), Seq("v" -> "med"))
+    val expMed = d.groupBy("k").agg(median($"v").as("med"))
+    assert(rows(gotMed).map(_.toString).sorted == rows(expMed).map(_.toString).sorted)
+
+    val gotQ = Aggregates.quantilesExactScalable(d, Seq("k"), "v",
+      Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+    val expQ = d.groupBy("k").agg(
+      percentile($"v", lit(0.25)).as("p25"),
+      percentile($"v", lit(0.5)).as("p50"),
+      percentile($"v", lit(0.75)).as("p75"))
+    // compare at 1e-12 (both are exact R-7; arithmetic may differ in the ulp)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select($"k", round($"p25" * 1e12), round($"p50" * 1e12), round($"p75" * 1e12)))
+        .map(_.toString).sorted
+    assert(norm(gotQ) == norm(expQ))
+  }
 }

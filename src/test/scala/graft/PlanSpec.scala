@@ -320,6 +320,15 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("q116 scalable percentiles plan with NO per-group value buffering") {
+    val plan = planOf("q116_percentiles_scalable")
+    assert(!plan.toLowerCase.contains("percentile"),
+      s"percentile buffer aggregate survived:\n$plan")
+    assert(!plan.contains("ObjectHashAggregate") && !plan.contains("SortAggregate"),
+      s"buffering aggregate in the quantile plan:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
   test("q115 capped bucketed write still co-locates the aggregate (one exchange total)") {
     val plan = planOf("q115_bucketed_capped_write")
     val exchanges = "Exchange".r.findAllIn(plan).size
