@@ -1102,6 +1102,26 @@ object SparkEntry {
           count(lit(1)).as("n_items")),
         "l_orderkey", "o_orderpriority")
     }),
+    "q117_text_roundtrip" -> ((s, dir) => {
+      // plain-text (one doc per line, TSV-packed fields) — the rawest LLM
+      // corpus format — written and read back through the line-splitting
+      // text source, then re-parsed and analyzed; the oracle recomputes the
+      // same stats from the parquet table, so a lossy round-trip (encoding,
+      // line splits, field packing) fails the hash match
+      val d = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+      sources.IO.textWrite(
+        d.select(concat_ws("\t", col("doc_id"), col("text"))), tmp)
+      val back = sources.IO.textRead(s, Seq(tmp))
+      // limit-2 split: the id is the first field, the document keeps any
+      // further tabs verbatim
+      val parsed = back.select(
+        split(col("value"), "\t", 2).getItem(0).cast("bigint").as("doc_id"),
+        split(col("value"), "\t", 2).getItem(1).as("text"))
+      ord(parsed.select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextFns.tokenCount(col("text")).as("n_tokens")), "doc_id")
+    }),
     "q116_percentiles_scalable" -> ((s, dir) => {
       // q83's exact quartiles re-planned scale-safe (histogram + rank pick,
       // one counts pass + one window over distinct values — the built-in
@@ -2075,6 +2095,13 @@ object SparkEntry {
         |  sum(l_quantity) AS sum_qty, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q117: the text round-trip must be lossless, so the stats equal the
+    // parquet table's
+    "q117_text_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(length(regexp_split_to_array(trim(lower(text)), '\s+')) AS INT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q116_percentiles_scalable" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,

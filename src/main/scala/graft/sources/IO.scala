@@ -181,6 +181,21 @@ object IO {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
       .csv(dir)
 
+  /** Plain-text source, one record per line (beyond-reference; the
+    * reference is parquet/csv/json only): the common raw-corpus ingestion
+    * format for LLM pipelines — one document per line, fields TSV-packed.
+    * Returns a single string column `value`; pair with `input_file_name()`
+    * for provenance. The scan splits files at newline boundaries like CSV,
+    * so a 100 TB line-corpus reads with full parallelism and column-free
+    * pruning (there is only one column to read).
+    */
+  def textRead(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.text(paths: _*)
+
+  /** One line per row; `df` must be a single string column. */
+  def textWrite(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").text(dir)
+
   /** ndjson scan (dsl/ir.py:393-398): newline-delimited JSON. */
   def ndjsonRead(spark: SparkSession, paths: Seq[String], schema: Option[StructType] = None): DataFrame = {
     val r = spark.read

@@ -144,6 +144,18 @@ class IOSpec extends SparkSuite {
     assert(first.length == 3)
   }
 
+  test("text source round-trips lines (unicode, tabs, empty) with provenance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_text_spec").toString
+    val df = Seq("héllo wörld", "a\tb\tc", "").toDF("value")
+    IO.textWrite(df, dir)
+    val back = IO.textRead(spark, Seq(dir))
+    assert(back.columns.toSeq == Seq("value"))
+    assert(rows(back).map(_(0).asInstanceOf[String]).sorted ==
+      Seq("", "a\tb\tc", "héllo wörld"))
+    assert(back.select(input_file_name()).distinct().count() >= 1)
+  }
+
   test("Arrow round-trip preserves schema, values, and nulls (column.hpp:200-219)") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -220,7 +220,10 @@ class SortsSetOpsSpec extends SparkSuite {
       (3L, None), // open end
       (-4L, None), // tail
       (-7L, Some(-2L)), (-3L, Some(-3L)), // negative window, empty
-      (2L, Some(-3L)), (0L, Some(-10L))) // drop-last forms
+      (2L, Some(-3L)), (0L, Some(-10L)), // drop-last forms
+      (15L, None), (15L, Some(20L)), // start past the end → empty
+      (-20L, None), (-20L, Some(-15L)), // tail larger than the frame
+      (3L, Some(-20L))) // drop more than exists → empty
     cases.foreach { case (s, e) =>
       assert(got(s, e) == exp(s.toInt, e.map(_.toInt)),
         s"sliceRange($s, $e): got ${got(s, e)}, want ${exp(s.toInt, e.map(_.toInt))}")
@@ -230,5 +233,10 @@ class SortsSetOpsSpec extends SparkSuite {
       SetOps.sliceRange(df, Seq("k"), Seq(true), -5L, Some(8L)))
     // plain slice refuses negatives and points at sliceRange
     intercept[IllegalArgumentException](SetOps.slice(df, -1L, 3L))
+    // positions past Int range fail loudly instead of wrapping negative
+    // (Spark's offset/limit are Int-typed; silent .toInt would corrupt)
+    intercept[IllegalArgumentException](SetOps.slice(df, Int.MaxValue + 1L, 3L))
+    intercept[IllegalArgumentException](
+      SetOps.sliceRange(df, Seq("k"), Seq(true), -(Int.MaxValue + 2L), None))
   }
 }
