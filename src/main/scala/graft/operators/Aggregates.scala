@@ -123,21 +123,47 @@ object Aggregates {
       df: DataFrame,
       keys: Seq[String],
       valueCols: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(keys.nonEmpty, "at least one key required")
     require(valueCols.nonEmpty, "at least one (valueCol -> outCol) required")
+    // ONE scan for every requested column: explode (column-index, value)
+    // pairs, histogram per (keys, index), then pivot the picked medians back
+    // to columns — an n-column median costs one pass + one count shuffle,
+    // not n of each
+    val exploded = df.select(keys.map(col) :+ posexplode(
+        array(valueCols.map { case (in, _) => col(in).cast("double") }: _*))
+      .as(Seq("__graft_i", "__graft_v")): _*)
+    val counts = exploded.filter(col("__graft_v").isNotNull)
+      .groupBy((keys :+ "__graft_i").map(col) :+ col("__graft_v"): _*)
+      .agg(count(lit(1)).as("__graft_c"))
+    val byGroup = Window.partitionBy((keys :+ "__graft_i").map(col): _*)
+    val ranked = counts
+      // running count through each value (values are distinct within a
+      // (group, column), so the RANGE default frame equals ROWS) + total
+      .withColumn("__graft_cum", sum("__graft_c").over(byGroup.orderBy("__graft_v")))
+      .withColumn("__graft_n", sum("__graft_c").over(byGroup))
+    // integer div: `/` on longs is double division in Spark SQL
+    val rL = call_function("div", col("__graft_n") + 1, lit(2L))
+    val rU = call_function("div", col("__graft_n"), lit(2L)) + 1
+    val prev = col("__graft_cum") - col("__graft_c")
+    def pick(r: Column) =
+      max(when(prev < r && r <= col("__graft_cum"), col("__graft_v")))
+    val pivotAggs = valueCols.zipWithIndex.map { case ((_, out), i) =>
+      max(when(col("__graft_i") === i, col("__graft_med"))).as(out)
+    }
+    val meds = ranked.groupBy((keys :+ "__graft_i").map(col): _*)
+      .agg(((pick(rL) + pick(rU)) / 2).as("__graft_med"))
+      .groupBy(keys.map(col): _*)
+      .agg(pivotAggs.head, pivotAggs.tail: _*)
     // every group present in df appears in the output, even all-null ones
     val groups = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__graft_ng"))
       .drop("__graft_ng")
-    valueCols.foldLeft(groups) { case (acc, (in, out)) =>
-      val med = medianHistogramOne(df, keys, in, out)
-      val a = acc.as("__graft_a")
-      val m = med.as("__graft_m")
-      val cond = keys.map(k => col(s"__graft_a.$k") <=> col(s"__graft_m.$k"))
-        .reduce(_ && _)
-      a.join(m, cond, "left")
-        .select(acc.columns.map(n => col(s"__graft_a.$n")) :+
-          col(s"__graft_m.$out"): _*)
-    }
+    val g = groups.as("__graft_g")
+    val m = meds.as("__graft_m")
+    val cond = keys.map(k => col(s"__graft_g.$k") <=> col(s"__graft_m.$k")).reduce(_ && _)
+    g.join(m, cond, "left")
+      .select(keys.map(k => col(s"__graft_g.$k")) ++
+        valueCols.map { case (_, out) => col(s"__graft_m.$out") }: _*)
   }
 
   /** Exact grouped percentiles (R-7 / quantile_cont interpolation) in the
@@ -193,28 +219,4 @@ object Aggregates {
         fractions.map { case (_, out) => col(s"__graft_q.$out") }: _*)
   }
 
-  private def medianHistogramOne(
-      df: DataFrame,
-      keys: Seq[String],
-      valueCol: String,
-      outCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(keys.map(col) :+ col(valueCol).cast("double").as("__graft_v"): _*)
-      .agg(count(lit(1)).as("__graft_c"))
-    val byKeys = Window.partitionBy(keys.map(col): _*)
-    val ranked = counts
-      // running count through each value (values are distinct within a group,
-      // so the RANGE default frame equals ROWS) + group total, same partition
-      .withColumn("__graft_cum", sum("__graft_c").over(byKeys.orderBy("__graft_v")))
-      .withColumn("__graft_n", sum("__graft_c").over(byKeys))
-    // integer div: `/` on longs is double division in Spark SQL
-    val rL = call_function("div", col("__graft_n") + 1, lit(2L))
-    val rU = call_function("div", col("__graft_n"), lit(2L)) + 1
-    val prev = col("__graft_cum") - col("__graft_c")
-    def pick(r: Column) =
-      max(when(prev < r && r <= col("__graft_cum"), col("__graft_v")))
-    ranked.groupBy(keys.map(col): _*)
-      .agg(((pick(rL) + pick(rU)) / 2).as(outCol))
-  }
 }

@@ -27,6 +27,10 @@ object Sorts {
       nullsAtEnd: Boolean = true,
       limit: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty && keys.length == ascending.length, "keys/ascending mismatch")
+    // Spark's limit takes Int — a silent .toInt past 2^31 wraps negative and
+    // corrupts the result (same guard as SetOps.slice)
+    limit.foreach(n => require(n >= -Int.MaxValue.toLong && n <= Int.MaxValue.toLong,
+      s"|limit|=$n exceeds Int range: Spark's limit is Int-typed"))
     val order = orderCols(keys, ascending, nullsAtEnd)
     limit match {
       case None => df.orderBy(order: _*)
