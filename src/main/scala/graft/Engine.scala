@@ -33,6 +33,14 @@ object Engine {
       // events.parquet stores timestamp[ns], which Spark's parquet reader
       // rejects natively; read as long nanos (converted in Engine.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Runtime bloom-filter join pruning: when a shuffle join's build side
+      // is selective, inject might_contain(fact_key) into the probe side's
+      // scan — at 100 TB this skips whole row groups of the fact table for
+      // free. The default size thresholds (creation ≤ 10 MB after filter,
+      // probe scan ≥ 10 GB) keep it off for tiny local data and engage it
+      // exactly where it pays on a cluster (PlanSpec proves the injection
+      // fires once the thresholds are met).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // bucketed-table warehouse (q111 co-located join) outside the repo
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")

@@ -349,6 +349,30 @@ class PlanSpec extends SparkSuite {
       s"aggregate over capped bucketed table shuffled:\n$aggPlan")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // thresholds lowered to make the 100 TB shape visible on test data: a
+    // selective dim filter on the build side must inject
+    // bloom_filter_might_contain(fact key) into the probe side
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // shuffle join, where pruning pays
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Engine.table(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = Engine.table(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 400000).select("o_orderkey")
+      val plan = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("rangeJoin plans an equi join on the bin key, never a nested loop") {
     import graft.operators.Joins
     val cust = Engine.table(spark, sfDir, "customer")
