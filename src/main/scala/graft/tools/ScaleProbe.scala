@@ -198,6 +198,32 @@ object ScaleProbe {
       }
       emb.unpersist()
     }
+    // exact-median scale wall: one dominant group holding 25% of the rows.
+    // The built-in median() buffers every value of the hot group in ONE
+    // sort-based reducer; the histogram form shuffles (group, value) COUNTS
+    // — partial-agg'd, so a bounded value domain collapses the shuffle, and
+    // even the all-distinct worst case stays hash-agg'd and spillable
+    // instead of single-threaded. Inputs regenerated (not cached) so the
+    // probe's own memory can't confound the single-reducer failure mode;
+    // runs LAST because the built-in side is expected to die, not degrade,
+    // once the hot group outgrows one task's heap.
+    if (want("median")) for (n <- Seq(16000000L, 64000000L)) {
+      def frame(distinctValues: Boolean) = spark.range(n).select(
+        when(pmod(col("id"), lit(4)) === 0, lit("hot"))
+          .otherwise(concat(lit("g"), pmod(col("id"), lit(31)))).as("k"),
+        (if (distinctValues) col("id").cast("double")
+         else pmod(xxhash64(col("id")), lit(1000)).cast("double")).as("v"))
+      // noop sink: a bare count() would let Catalyst PRUNE the median
+      // expression (count of groups needs only the keys) and time nothing
+      def run(out: org.apache.spark.sql.DataFrame): String =
+        try { val (_, t) = time(out.write.mode("overwrite").format("noop").save()); f"$t%6.1f s" }
+        catch { case e: Throwable => s"FAILED(${e.getClass.getSimpleName})" }
+      for ((label, df) <- Seq("bounded" -> frame(false), "distinct" -> frame(true))) {
+        val hist = run(graft.operators.Aggregates.medianExactScalable(df, Seq("k"), Seq("v" -> "m")))
+        val builtin = run(df.groupBy("k").agg(median(col("v"))))
+        println(f"SCALE median n=$n%9d values=$label%-8s histogram=$hist  builtin=$builtin")
+      }
+    }
     spark.stop()
   }
 }

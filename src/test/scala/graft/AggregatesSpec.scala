@@ -149,4 +149,18 @@ class AggregatesSpec extends SparkSuite {
         .map(_.toString).sorted
     assert(norm(gotQ) == norm(expQ))
   }
+
+  test("histogram median/quantiles are partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val li = Engine.table(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_quantity")
+    def medAt(p: Int) = rows(Aggregates.medianExactScalable(
+      li.repartition(p), Seq("l_returnflag"), Seq("l_quantity" -> "med")))
+      .map(_.toString).sorted
+    def qAt(p: Int) = rows(Aggregates.quantilesExactScalable(
+      li.repartition(p), Seq("l_returnflag"), "l_quantity", Seq(0.25 -> "q1", 0.75 -> "q3")))
+      .map(_.toString).sorted
+    assert(medAt(1) == medAt(7) && medAt(7) == medAt(32))
+    assert(qAt(1) == qAt(7) && qAt(7) == qAt(32))
+  }
 }
