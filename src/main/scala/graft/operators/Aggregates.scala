@@ -67,12 +67,36 @@ object Aggregates {
     case other => throw new IllegalArgumentException(s"unsupported agg kind: $other")
   }
 
-  /** Grouped aggregation: `groupby_aggregation(tbl, keys, requests)`. */
+  /** Grouped aggregation: `groupby_aggregation(tbl, keys, requests)`.
+    *
+    * The `median_scalable` kind routes through [[medianExactScalable]]
+    * (exact, histogram plan — the 100 TB form) inside the same request API:
+    * plain kinds aggregate in one pass, scalable medians compute in one
+    * extra pass, and the two join null-safely on the keys — so a reference
+    * user can flip MEDIAN to the scale-safe plan without leaving
+    * `groupby_aggregation`. Output columns keep request order (plain kinds
+    * first, then scalable medians).
+    */
   def groupby(df: DataFrame, keys: Seq[String], requests: Seq[AggRequest]): DataFrame = {
     require(keys.nonEmpty, "at least one key required")
     require(requests.nonEmpty, "at least one aggregation request required")
-    val aggs = requests.map(r => aggColumn(r.kind, col(r.inCol)).as(r.outCol))
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val (medScal, plain) = requests.partition(_.kind == "median_scalable")
+    val base =
+      if (plain.nonEmpty) {
+        val aggs = plain.map(r => aggColumn(r.kind, col(r.inCol)).as(r.outCol))
+        df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      } else df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__graft_ng"))
+        .drop("__graft_ng")
+    if (medScal.isEmpty) base
+    else {
+      val meds = medianExactScalable(df, keys, medScal.map(r => r.inCol -> r.outCol))
+      val b = base.as("__graft_b")
+      val m = meds.as("__graft_m")
+      val cond = keys.map(k => col(s"__graft_b.$k") <=> col(s"__graft_m.$k")).reduce(_ && _)
+      b.join(m, cond, "left")
+        .select(base.columns.map(n => col(s"__graft_b.$n")) ++
+          medScal.map(r => col(s"__graft_m.${r.outCol}")): _*)
+    }
   }
 
   /** Scalar reduction: `reduce(col, kind, initial?)` → single-row DataFrame.

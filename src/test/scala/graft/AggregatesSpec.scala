@@ -150,6 +150,26 @@ class AggregatesSpec extends SparkSuite {
     assert(norm(gotQ) == norm(expQ))
   }
 
+  test("groupby request API routes median_scalable through the histogram plan") {
+    import org.apache.spark.sql.functions._
+    import Aggregates.AggRequest
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val got = Aggregates.groupby(li, Seq("l_returnflag"), Seq(
+      AggRequest("l_quantity", "sum", "sum_qty"),
+      AggRequest("l_quantity", "median_scalable", "med_qty")))
+    val exp = li.groupBy("l_returnflag").agg(
+      sum($"l_quantity").as("sum_qty"), median($"l_quantity").as("med_qty"))
+    assert(got.columns.toSeq == Seq("l_returnflag", "sum_qty", "med_qty"))
+    assert(rows(got).map(_.toString).sorted == rows(exp).map(_.toString).sorted)
+    assert(!got.queryExecution.executedPlan.toString.toLowerCase.contains("median("),
+      "median_scalable must not plan the buffering median aggregate")
+    // scalable-median-only requests work too
+    val only = Aggregates.groupby(li, Seq("l_returnflag"),
+      Seq(AggRequest("l_quantity", "median_scalable", "med_qty")))
+    assert(only.columns.toSeq == Seq("l_returnflag", "med_qty"))
+    assert(only.count() == 3)
+  }
+
   test("histogram median/quantiles are partition-invariant") {
     import org.apache.spark.sql.functions._
     val li = Engine.table(spark, sfDir, "lineitem")
