@@ -1102,6 +1102,30 @@ object SparkEntry {
           count(lit(1)).as("n_items")),
         "l_orderkey", "o_orderpriority")
     }),
+    "q119_session_window" -> ((s, dir) => {
+      // the BUILT-IN session_window aggregation under the gate (was
+      // spec-only; q52 gates the explicit-state twin): same 30-min-gap
+      // sessionization, fully declarative — the form that runs identically
+      // in batch and streaming
+      val ev = Engine.events(s, dir)
+      ord(graft.streaming.Events.sessionizeWindow(ev, gapMinutes = 30)
+        .select(col("user_id"), col("n_events"),
+          unix_micros(col("sess_start")).as("sess_start"),
+          unix_micros(col("sess_end")).as("sess_end")),
+        "user_id", "sess_start")
+    }),
+    "q118_resize" -> ((s, dir) => {
+      // the multimodal RESIZE stage under the gate (was spec-only): the stub
+      // resizer is deterministic byte subsampling (floor-index picks), so
+      // DuckDB rebuilds each resized payload blob byte-for-byte and the
+      // digests must match — payload identity, not just lengths
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      val resized = Multimodal.resizeStage(media, w = 8, h = 8)
+      ord(resized.select(
+        col("media_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        hex(col("payload")).as("payload_hex")), "media_id")
+    }),
     "q117_text_roundtrip" -> ((s, dir) => {
       // plain-text (one doc per line, TSV-packed fields) — the rawest LLM
       // corpus format — written and read back through the line-splitting
@@ -2095,6 +2119,43 @@ object SparkEntry {
         |  sum(l_quantity) AS sum_qty, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q119: q52's gaps-and-islands rebuild without the session numbering
+    // (session_window doesn't number sessions; (user_id, sess_start) keys)
+    "q119_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |           - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS sess_start, epoch_us(max(ts)) AS sess_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, sess_start""".stripMargin,
+    // q118: rebuild the stub resize (floor-index byte subsampling to w*h=64
+    // bytes) with blob slicing and compare content digests
+    "q118_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |), r AS (
+        |  SELECT media_id,
+        |    list_reduce(list_transform(generate_series(0, least(64, n) - 1),
+        |      i -> substring(h, CAST(2 * ((i * n) // 64) AS INT) + 1, 2)),
+        |      (a, x) -> a || x) AS rh
+        |  FROM m
+        |)
+        |SELECT media_id, CAST(length(rh) // 2 AS BIGINT) AS n_bytes,
+        |  rh AS payload_hex
+        |FROM r ORDER BY media_id""".stripMargin,
     // q117: the text round-trip must be lossless, so the stats equal the
     // parquet table's
     "q117_text_roundtrip" ->
