@@ -1102,6 +1102,62 @@ object SparkEntry {
           count(lit(1)).as("n_items")),
         "l_orderkey", "o_orderpriority")
     }),
+    "q120_trailing_window" -> ((s, dir) => {
+      // time-RANGE window frame: per event, activity over the trailing hour
+      // for the same user — rangeBetween on epoch micros makes the frame a
+      // real time interval (a ROWS frame can't express it; a self-join
+      // would shuffle the table against itself). One shuffle on user_id;
+      // the money-ish sum goes through DECIMAL so it is addition-order-
+      // independent (window aggregation order differs across engines).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ord(Engine.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(col("v")).over(w).cast("double"))
+        .select("event_id", "user_id", "ts_us", "n_1h", "sum_1h"),
+        "user_id", "ts_us", "event_id")
+    }),
+    "q121_tfidf" -> ((s, dir) => {
+      // per-document TF-IDF top-3 terms (rational idf → bit-exact scores;
+      // see Retrieval.tfidfTopTerms for the scale shape)
+      ord(Retrieval.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id"), "doc_id", "term")
+    }),
+    "q122_stream_enrich" -> ((s, dir) => {
+      // stream-static dim enrichment (broadcast customer dim; the stream
+      // side never shuffles for the join) — batch face of the plan that
+      // runs unchanged under readStream; StreamingSpec asserts stream==batch
+      ord(graft.streaming.Events.enrichedSegmentStats(
+        Engine.events(s, dir), t(s, dir, "customer"),
+        "user_id", "c_custkey", "c_mktsegment"), "c_mktsegment")
+    }),
+    "q123_snapshot_diff" -> ((s, dir) => {
+      // CDC between two corpus snapshots: a prior crawl is simulated from
+      // the current documents table — ids ≡0 mod 11 are new since then
+      // (INSERT), ids ≡0 mod 7 carried a stale text revision (UPDATE), and
+      // a shifted id band exists only in the old snapshot (DELETE). One
+      // full-outer join on the key, null-safe value compare.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val olds = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [stale revision]"))).otherwise(col("text")))
+        .unionAll(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      ord(SetOps.snapshotDiff(olds, d, Seq("doc_id"), Seq("text"))
+        .select(col("doc_id"), col("op"), length(col("new_text")).as("new_len")),
+        "doc_id")
+    }),
+    "q124_heavy_hitters" -> ((s, dir) => {
+      // exact corpus heavy hitters (> 1% of all tokens): the deterministic
+      // two-pass form of what Misra-Gries approximates — one corpus scan,
+      // vocabulary-bounded shuffle, integer-exact threshold compare
+      ord(Retrieval.heavyHitterTerms(t(s, dir, "documents"), "text",
+        denom = 100L), "term")
+    }),
     "q119_session_window" -> ((s, dir) => {
       // the BUILT-IN session_window aggregation under the gate (was
       // spec-only; q52 gates the explicit-state twin): same 30-min-gap
@@ -2121,6 +2177,78 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q119: q52's gaps-and-islands rebuild without the session numbering
     // (session_window doesn't number sessions; (user_id, sess_start) keys)
+    "q120_trailing_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(v) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q121_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, t.term
+        |  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(term)
+        |  WHERE t.term <> ''
+        |), tf AS (
+        |  SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), stats AS (
+        |  SELECT count(DISTINCT id) AS n_docs FROM tf
+        |), ranked AS (
+        |  SELECT tf.id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf * (stats.n_docs + 1) AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY tf.id
+        |      ORDER BY CAST(tf.tf * (stats.n_docs + 1) AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE) DESC,
+        |        tf.term ASC) AS rn
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+        |)
+        |SELECT id AS doc_id, term, tf, df, score FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, term""".stripMargin,
+    "q122_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q123_snapshot_diff" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |), olds AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [stale revision]'
+        |         ELSE text END AS text
+        |  FROM d WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM d WHERE doc_id % 13 = 0
+        |), j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |         WHEN n.doc_id IS NULL THEN 'delete'
+        |         WHEN o.text IS DISTINCT FROM n.text THEN 'update' END AS op,
+        |    n.text AS new_text
+        |  FROM olds o FULL OUTER JOIN d n ON o.doc_id = n.doc_id
+        |)
+        |SELECT doc_id, op, CAST(length(new_text) AS INT) AS new_len
+        |FROM j WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin,
+    "q124_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT t.term
+        |  FROM documents, UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS t(term)
+        |  WHERE t.term <> ''
+        |), c AS (
+        |  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM c
+        |)
+        |SELECT term, cnt, total_tokens FROM c CROSS JOIN tot
+        |WHERE cnt * 100 > total_tokens
+        |ORDER BY term""".stripMargin,
     "q119_session_window" ->
       """WITH marked AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

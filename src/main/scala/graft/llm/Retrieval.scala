@@ -89,4 +89,73 @@ object Retrieval {
       .orderBy(col("score_micros").desc, col("id").asc)
       .limit(k)
   }
+
+  /** Per-document TF-IDF top terms — the "what is this document about"
+    * vectorization step (keyword extraction, topic balancing, clustering
+    * features).
+    *
+    * Scoring uses a RATIONAL idf, (N + 1) / (df + 1), for the same reason
+    * [[bm25TopK]] does: tf·(N+1) and df+1 are exact integers (< 2^53), and a
+    * single IEEE division of exact integers is correctly rounded in every
+    * engine, so per-term scores are bit-identical in Spark and DuckDB and the
+    * oracle can hash-match. log-idf would only rescale monotonically — the
+    * per-document ranking is the classic TF-IDF ranking.
+    *
+    * Scale shape: one corpus scan builds the (doc, term) counts (partial+final
+    * aggregate — the explode never materializes more than a task's tokens);
+    * document frequencies reduce that to vocabulary size and broadcast; the
+    * per-document top-k is a WindowGroupLimit ranking (map-side partial
+    * top-k), never a global sort.
+    */
+  def tfidfTopTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    // (doc, term) counts: both the df branch and the scoring branch consume
+    // this — cut the plan (it is corpus-vocabulary sized, far smaller than
+    // the token stream) so the corpus is tokenized exactly once
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(TextFns.portableTokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = tf.agg(countDistinct(col("id")).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") + lit(1L))).cast("double") /
+          (col("df") + lit(1L)).cast("double"))
+    graft.operators.Sorts.topKPerGroup(
+      scored, Seq("id"), Seq(col("score").desc, col("term").asc), k)
+      .select("id", "term", "tf", "df", "score")
+  }
+
+  /** Exact corpus heavy hitters: terms whose global count exceeds
+    * total_tokens / denom — the deterministic two-pass answer to the question
+    * Misra-Gries / count-min sketches approximate (boilerplate detection,
+    * stop-word discovery, tokenizer-vocabulary seeding).
+    *
+    * Scale shape: ONE corpus scan into a partial+final count aggregate
+    * (shuffle bounded by vocabulary, not token count); the total re-derives
+    * from the vocabulary counts (sum of counts == token count), so no second
+    * corpus pass; the threshold compare is integer-exact
+    * (cnt · denom > total — no division, no float).
+    */
+  def heavyHitterTerms(
+      docs: DataFrame,
+      textCol: String,
+      denom: Long): DataFrame = {
+    require(denom > 1, s"denom must be > 1: $denom")
+    val counts = docs
+      .select(explode(TextFns.portableTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true) // vocabulary-sized; feeds total + filter
+    val total = counts.agg(sum("cnt").as("total_tokens"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(denom) > col("total_tokens"))
+      .orderBy(col("cnt").desc, col("term").asc)
+  }
 }

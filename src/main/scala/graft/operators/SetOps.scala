@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Distinct / union / slice — the reference's set-like surface (SURVEY §2.6).
   *
@@ -115,4 +116,47 @@ object SetOps {
 
   def intersect(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
   def exceptAll(a: DataFrame, b: DataFrame): DataFrame = a.exceptAll(b)
+
+  /** Snapshot diff (change-data-capture between two versions of a keyed
+    * table): emits one row per key that was INSERTED, DELETED, or UPDATED
+    * between `oldDf` and `newDf`, with the new-side values of `compareCols`
+    * (null for deletes). Unchanged keys are dropped. The incremental-corpus
+    * shape: "what changed since the last crawl" without re-processing the
+    * unchanged 99%.
+    *
+    * Keys must be non-null and unique per snapshot (a snapshot IS a keyed
+    * table); value comparison is null-safe (`<=>`), so a value flipping
+    * to/from NULL is an update, not a match.
+    *
+    * Scale shape: one full-outer sort-merge/hash join on the key columns —
+    * a single shuffle of each snapshot, no driver-side state. AQE handles
+    * skewed keys; at 100 TB both sides would be bucketed on `keys` and the
+    * join co-locates with zero mid-plan exchanges (see IO.writeBucketed).
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val l = oldDf.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__graft_old", lit(1))
+    val r = newDf.select(
+      (keys ++ compareCols).map(c => col(c).as(s"__graft_r_$c")) :+
+        lit(1).as("__graft_new"): _*)
+    val cond = keys.map(k => col(k) === col(s"__graft_r_$k")).reduce(_ && _)
+    val changed = compareCols
+      .map(c => !(col(c) <=> col(s"__graft_r_$c"))).reduce(_ || _)
+    val op = when(col("__graft_old").isNull, lit("insert"))
+      .when(col("__graft_new").isNull, lit("delete"))
+      .when(changed, lit("update"))
+    l.join(r, cond, "full_outer")
+      .withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(
+        keys.map(k => coalesce(col(k), col(s"__graft_r_$k")).as(k)) ++
+          Seq(col("op")) ++
+          compareCols.map(c => col(s"__graft_r_$c").as(s"new_$c")): _*)
+  }
 }

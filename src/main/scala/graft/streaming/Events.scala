@@ -268,6 +268,32 @@ object Events {
   def dedupBatch(events: DataFrame): DataFrame =
     events.dropDuplicates("event_id")
 
+  /** Stream-static enrichment: join a (possibly unbounded) event stream to a
+    * small static dimension table and aggregate per dimension attribute —
+    * the canonical "enrich the firehose with reference data" shape. The dim
+    * side is explicitly broadcast: each micro-batch (or each task, in batch
+    * mode) probes an in-memory copy, so the stream side NEVER shuffles for
+    * the join — the only shuffle is the final per-segment aggregate, whose
+    * cardinality is the dimension attribute's. Works identically as a batch
+    * plan and a streaming plan (stream-static joins need no watermark: the
+    * static side is complete by definition).
+    *
+    * `sumDecimals`: the money-ish `value` sum goes through DECIMAL(18,2)
+    * (exact, addition-order-independent) and back to double, per the
+    * project-wide determinism rule.
+    */
+  def enrichedSegmentStats(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String,
+      dimKey: String,
+      segmentCol: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "inner")
+      .groupBy(col(segmentCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
   /** Run a streaming query over the static events dir to completion via the
     * memory sink; returns the materialized result (test harness helper).
     */

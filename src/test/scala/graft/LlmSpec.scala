@@ -465,4 +465,36 @@ class LlmSpec extends SparkSuite {
     assert(q(1)(1).asInstanceOf[Double] === 0.0)
     assert(q(1)(2).asInstanceOf[scala.collection.Seq[Int]].forall(_ == 0))
   }
+
+  test("tfidfTopTerms ranks a document's distinctive repeated term above ubiquitous ones") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common quartz quartz"),
+      (2L, "common zebra zebra"),
+      (3L, "common words only here"),
+      (4L, "common words only here too")).toDF("doc_id", "text")
+    val top = graft.llm.Retrieval.tfidfTopTerms(d, "doc_id", "text", k = 1)
+    val byDoc = rows(top)
+      .map(r => r(0).asInstanceOf[Long] -> r(1).asInstanceOf[String]).toMap
+    // quartz: tf=2, df=1 -> 2*5/2 = 5.0; common: tf=1, df=4 -> 1*5/5 = 1.0
+    assert(byDoc(1L) == "quartz")
+    assert(byDoc(2L) == "zebra")
+    // k larger than a doc's vocabulary returns the whole vocabulary, ranked
+    assert(graft.llm.Retrieval.tfidfTopTerms(d, "doc_id", "text", k = 10)
+      .filter(col("id") === 1L).count() == 2)
+  }
+
+  test("heavyHitterTerms keeps only terms above the relative threshold") {
+    import spark.implicits._
+    // 'hot' is 6 of 12 tokens; every other term appears once
+    val d = Seq(
+      (1L, "hot hot hot a b c"),
+      (2L, "hot hot hot d e f")).toDF("doc_id", "text")
+    val hh = rows(graft.llm.Retrieval.heavyHitterTerms(d, "text", denom = 4L))
+    assert(hh.map(_(0)) == Seq("hot")) // 6*4 > 12; singletons 1*4 < 12
+    assert(hh.head(1) == 6L && hh.head(2) == 12L)
+    // a denom above total/min-count admits everything
+    assert(graft.llm.Retrieval.heavyHitterTerms(d, "text", denom = 13L)
+      .count() == 7)
+  }
 }

@@ -239,4 +239,24 @@ class SortsSetOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       SetOps.sliceRange(df, Seq("k"), Seq(true), -(Int.MaxValue + 2L), None))
   }
+
+  test("snapshotDiff classifies insert/delete/update; unchanged and null==null rows drop") {
+    val olds = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]),
+      (4L, Some("d")), (5L, Some("e"))).toDF("id", "v")
+    val news = Seq(
+      (1L, Some("a")),            // unchanged -> dropped
+      (2L, Some("B")),            // update
+      (3L, None: Option[String]), // null <=> null -> unchanged, dropped
+      (4L, None: Option[String]), // value -> null IS an update
+      (6L, Some("f"))             // insert; id 5 deleted
+    ).toDF("id", "v")
+    val diff = rows(SetOps.snapshotDiff(olds, news, Seq("id"), Seq("v"))
+      .orderBy("id"))
+    assert(diff.map(r => (r(0), r(1))) ==
+      Seq((2L, "update"), (4L, "update"), (5L, "delete"), (6L, "insert")))
+    // new-side values ride along; null for deletes
+    assert(diff.find(_(0) == 6L).get(2) == "f")
+    assert(diff.find(_(0) == 5L).get(2) == null)
+  }
 }

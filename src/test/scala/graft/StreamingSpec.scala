@@ -137,6 +137,20 @@ class StreamingSpec extends SparkSuite {
       rows(viaBatch).map(_.toString).sorted)
   }
 
+  test("stream-static dim enrichment == batch twin") {
+    val cust = Engine.table(spark, sfDir, "customer")
+    val streamed = Events.enrichedSegmentStats(
+      Events.readStream(spark, eventsDir), cust,
+      "user_id", "c_custkey", "c_mktsegment")
+    val got = Events.runToMemory(spark, streamed, "graft_enrich")
+    val expected = Events.enrichedSegmentStats(
+      Engine.events(spark, sfDir), cust,
+      "user_id", "c_custkey", "c_mktsegment")
+    assert(rows(got).map(_.toString).sorted ==
+      rows(expected).map(_.toString).sorted)
+    assert(got.count() > 0)
+  }
+
   test("sliding window produces more buckets than tumbling") {
     val slid = Events.runToMemory(spark,
       Events.slidingAgg(Events.readStream(spark, eventsDir)),
