@@ -97,11 +97,17 @@ object SparkEntry {
     }),
     "q04_unaryops" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // inexact floats go through the floor-quantize parity form (micros as
+      // BIGINT) rather than round(x, 6): floor/×/+ are IEEE-identical across
+      // engines, and Spark's Round on double allocates a BigDecimal per
+      // value — q57 documents the ~1.5 s/600k-rows cost; q67 keeps round()
+      // itself under test
+      def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
       ordAll(li.select(
         col("l_orderkey"), col("l_linenumber"),
-        round(Ops.unary(col("l_discount"), "sin"), 6).as("sin_disc"),
-        round(Ops.unary(col("l_quantity"), "sqrt"), 6).as("sqrt_qty"),
-        round(Ops.unary(col("l_quantity") + 1, "ln"), 6).as("ln_qty"),
+        q6(Ops.unary(col("l_discount"), "sin")).as("sin_disc"),
+        q6(Ops.unary(col("l_quantity"), "sqrt")).as("sqrt_qty"),
+        q6(Ops.unary(col("l_quantity") + 1, "ln")).as("ln_qty"),
         // Spark floor/ceil return long; Arrow keeps float — match Arrow
         Ops.unary(col("l_extendedprice"), "floor").cast("double").as("floor_price"),
         Ops.unary(col("l_extendedprice"), "ceil").cast("double").as("ceil_price"),
@@ -1459,9 +1465,9 @@ object SparkEntry {
         |FROM lineitem ORDER BY ALL""".stripMargin,
     "q04_unaryops" ->
       """SELECT l_orderkey, l_linenumber,
-        |  round(sin(l_discount), 6) AS sin_disc,
-        |  round(sqrt(l_quantity), 6) AS sqrt_qty,
-        |  round(ln(l_quantity + 1), 6) AS ln_qty,
+        |  CAST(floor(sin(l_discount) * 1000000 + 0.5) AS BIGINT) AS sin_disc,
+        |  CAST(floor(sqrt(l_quantity) * 1000000 + 0.5) AS BIGINT) AS sqrt_qty,
+        |  CAST(floor(ln(l_quantity + 1) * 1000000 + 0.5) AS BIGINT) AS ln_qty,
         |  CAST(floor(l_extendedprice) AS DOUBLE) AS floor_price,
         |  CAST(ceil(l_extendedprice) AS DOUBLE) AS ceil_price,
         |  abs(-l_quantity) AS abs_neg_qty,
