@@ -1108,6 +1108,17 @@ object SparkEntry {
           count(lit(1)).as("n_items")),
         "l_orderkey", "o_orderpriority")
     }),
+    "q125_best_representative" -> ((s, dir) => {
+      // quality-aware near-dup filtering: per transitive duplicate cluster
+      // (q81 regime — LSH recall ~1 here, so the exact-Jaccard oracle is
+      // sound) keep the LONGEST member, ties to the lowest id — "keep the
+      // most complete copy", vs q79's keep-lowest-id policy
+      val d = t(s, dir, "documents")
+      val kept = Dedup.keepBestPerCluster(d, "doc_id", "text",
+        length(col("text")), threshold = 0.8, bands = 16, rowsPerBand = 2)
+      ord(kept.select(col("doc_id"), col("cluster_id"),
+        length(col("text")).as("n_chars")), "doc_id")
+    }),
     "q120_trailing_window" -> ((s, dir) => {
       // time-RANGE window frame: per event, activity over the trailing hour
       // for the same user — rangeBetween on epoch micros makes the frame a
@@ -2183,6 +2194,43 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q119: q52's gaps-and-islands rebuild without the session numbering
     // (session_window doesn't number sessions; (user_id, sess_start) keys)
+    // q125: q81's transitive-closure clustering, then keep the longest
+    // member (ties -> lowest id) of each cluster
+    "q125_best_representative" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, length(toks)-2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS tri
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |    length(list_distinct(list_concat(a.tri, b.tri))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS s, id_b AS d FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, lab) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
+        |), cc AS (
+        |  SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+        |), labeled AS (
+        |  SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+        |    CAST(length(d.text) AS INT) AS n_chars
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+        |), ranked AS (
+        |  SELECT doc_id, cluster_id, n_chars,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM labeled
+        |)
+        |SELECT doc_id, cluster_id, n_chars FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "q120_trailing_window" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

@@ -209,6 +209,36 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup corpus filtering, QUALITY-AWARE policy: instead of keeping the
+    * lowest id of each duplicate group ([[dropNearDuplicates]]), keep the
+    * group member maximizing `score` (ties → lowest id) — "keep the most
+    * complete / highest-quality copy", the curation policy used when
+    * duplicates differ (truncated mirrors, boilerplate-injected rehosts).
+    * Groups are TRANSITIVE clusters ([[nearDupClusters]]' connected
+    * components), so a chain a~b~c keeps exactly one representative even
+    * when a~c is below threshold.
+    *
+    * Scale shape: clustering cost is [[nearDupClusters]] (LSH bands + log-
+    * round CC over only the paired docs); the representative pick is ONE
+    * ranking window over (cluster_id) with WindowGroupLimit pushdown —
+    * no group ever materializes more than its top row per partition.
+    */
+  def keepBestPerCluster(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      score: Column,
+      threshold: Double = 0.7,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    val assigned = nearDupClusters(df, idCol, textCol, threshold, bands, rowsPerBand, shingleSize)
+    val scored = df.withColumn("__graft_score", score).join(assigned, Seq(idCol))
+    graft.operators.Sorts.topKPerGroup(scored, Seq("cluster_id"),
+      Seq(col("__graft_score").desc, col(idCol).asc), 1)
+      .drop("__graft_score")
+  }
+
   /** Benchmark decontamination: flag training documents that share word
     * n-grams with a held-out evaluation set (the GPT-3/PaLM-style n-gram
     * overlap check — a training doc containing eval n-grams leaks the

@@ -466,6 +466,23 @@ class LlmSpec extends SparkSuite {
     assert(q(1)(2).asInstanceOf[scala.collection.Seq[Int]].forall(_ == 0))
   }
 
+  test("keepBestPerCluster keeps the top-scored member of each transitive cluster") {
+    import spark.implicits._
+    // 1~2~3 form one chain (1~3 may be sub-threshold); 10 is a singleton
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " lambda"),
+      (3L, base + " lambda mu"), // longest -> the survivor
+      (10L, "completely different words about another topic entirely here")
+    ).toDF("doc_id", "text")
+    val kept = rows(Dedup.keepBestPerCluster(
+      d, "doc_id", "text", length(col("text")), threshold = 0.5,
+      bands = 16, rowsPerBand = 2).select("doc_id").orderBy("doc_id"))
+      .map(_(0).asInstanceOf[Long])
+    assert(kept == Seq(3L, 10L), s"got $kept")
+  }
+
   test("tfidfTopTerms ranks a document's distinctive repeated term above ubiquitous ones") {
     import spark.implicits._
     val d = Seq(

@@ -373,6 +373,44 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("stream-static enrichment joins via broadcast: the event side never shuffles for the join") {
+    val plan = planOf("q122_stream_enrich")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    // the only shuffle is the final per-segment aggregate (plus the noop
+    // round-trip AQE may add); the join itself must not exchange the fact side
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // segment counts/sums are map-side combined
+    assert(plan.contains("partial_"), plan.take(2000))
+  }
+
+  test("tfidf plan: broadcast df/stats, WindowGroupLimit top-k, corpus tokenized once") {
+    val plan = planOf("q121_tfidf")
+    // dfreq and n_docs join the (checkpointed) tf frame as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1, plan.take(2000))
+    // per-document top-k is a rank pushdown, not a global sort of all scores
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    // the corpus scan happened once, into the checkpoint: the final plan
+    // reads the checkpointed (doc, term) counts, never parquet again
+    assert(!plan.contains("FileScan parquet"), plan.take(3000))
+  }
+
+  test("snapshotDiff plans one full-outer join, never a nested loop") {
+    val plan = planOf("q123_snapshot_diff")
+    assert(plan.contains("FullOuter"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
+
+  test("trailing time-range window shuffles once on user_id") {
+    val plan = planOf("q120_trailing_window")
+    // one exchange for the window partitioning; the final ORDER BY adds a
+    // range exchange — no other data movement
+    assert(plan.contains("Window"), plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("rangeJoin plans an equi join on the bin key, never a nested loop") {
     import graft.operators.Joins
     val cust = Engine.table(spark, sfDir, "customer")
