@@ -1108,6 +1108,31 @@ object SparkEntry {
           count(lit(1)).as("n_items")),
         "l_orderkey", "o_orderpriority")
     }),
+    "q126_window_ranks" -> ((s, dir) => {
+      // the full ranking-function surface (q33 covers row_number + running
+      // sum): rank/dense_rank/percent_rank/cume_dist/ntile + lag/lead/
+      // first_value. percent_rank and cume_dist are single IEEE divisions
+      // of exact integers — bit-identical cross-engine, no rounding needed.
+      // Ties: orders may share o_totalprice; rank-family semantics handle
+      // peers identically in both engines, and the remaining outputs only
+      // depend on the peer-invariant ordering below.
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      ordAll(o.select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(7).over(w).as("bucket7"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderkey")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_key")))
+    }),
     "q125_best_representative" -> ((s, dir) => {
       // quality-aware near-dup filtering: per transitive duplicate cluster
       // (q81 regime — LSH recall ~1 here, so the exact-Jaccard oracle is
@@ -2194,6 +2219,21 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q119: q52's gaps-and-islands rebuild without the session numbering
     // (session_window doesn't number sessions; (user_id, sess_start) keys)
+    "q126_window_ranks" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(7) OVER w AS INT) AS bucket7,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY ALL""".stripMargin,
     // q125: q81's transitive-closure clustering, then keep the longest
     // member (ties -> lowest id) of each cluster
     "q125_best_representative" ->
