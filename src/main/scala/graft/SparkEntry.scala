@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Ops, Registry, StringFns, TimeFns}
+import graft.functions.{Ops, Registry, StringFns, TimeFns, ZOrder}
 import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextFns}
 import graft.operators._
 
@@ -1107,6 +1107,34 @@ object SparkEntry {
           sum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_items")),
         "l_orderkey", "o_orderpriority")
+    }),
+    "q127_bloom_semi_join" -> ((s, dir) => {
+      // bloom-pruned semi join: the dim-key Bloom sketch (a scalar subquery,
+      // built distributed) filters the fact side BEFORE the join shuffle —
+      // the guaranteed form of Spark's runtime row-level filtering. False
+      // positives die in the exact semi join, so the result is exactly
+      // `lineitem SEMI JOIN dim` and the plain-SQL oracle applies.
+      val li = t(s, dir, "lineitem")
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      val pruned = Joins.bloomSemiJoin(
+        li, dim, "l_orderkey", "o_orderkey", expectedItems = 64 * 1024)
+      ord(pruned.groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price")),
+        "l_returnflag", "l_linestatus")
+    }),
+    "q128_zorder" -> ((s, dir) => {
+      // Z-order (Morton) layout key: bit-interleave two dimensions with the
+      // mask-shift ladder (codegen'd built-ins only) so range-partitioning
+      // on zval bounds BOTH columns' min-max stats per file. The oracle
+      // recomputes the identical integer arithmetic; zorderWrite's file
+      // locality is asserted in ZOrderSpec.
+      val li = t(s, dir, "lineitem")
+      ordAll(li.select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("zval")))
     }),
     "q126_window_ranks" -> ((s, dir) => {
       // the full ranking-function surface (q33 covers row_number + running
@@ -2219,6 +2247,21 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q119: q52's gaps-and-islands rebuild without the session numbering
     // (session_window doesn't number sessions; (user_id, sess_start) keys)
+    "q127_bloom_semi_join" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q128_zorder" ->
+      s"""SELECT l_orderkey, l_partkey, l_suppkey,
+        |  ${ZOrder.zValueSql("l_partkey", "l_suppkey")} AS zval
+        |FROM lineitem
+        |ORDER BY ALL""".stripMargin,
     "q126_window_ranks" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  CAST(rank() OVER w AS INT) AS rnk,

@@ -361,4 +361,52 @@ object Joins {
     case "anti" => "left_anti"
     case other => other
   }
+
+  /** Bloom-filter-pruned semi join: `fact SEMI JOIN dim ON factKey = dimKey`,
+    * with a distributed Bloom filter of the dim keys applied to the fact side
+    * BEFORE the join's shuffle.
+    *
+    * This is the manual form of Spark's runtime row-level filtering
+    * (`spark.sql.optimizer.runtime.bloomFilter.*`), exposed as an operator so
+    * the pruning is guaranteed rather than cost-model-dependent: at 100 TB the
+    * fact-side shuffle dominates a selective semi join, and a ~1 MiB sketch
+    * that drops non-matching rows at the scan cuts that shuffle by the key
+    * selectivity (false positives only pass rows the exact join then drops,
+    * so the result is exactly the plain semi join).
+    *
+    * Fully lazy: the filter is a scalar subquery over
+    * `dim.select(bloom_filter_agg(xxhash64(dimKey)))` — one partial+final
+    * aggregate producing a single binary sketch, evaluated by Spark's subquery
+    * machinery at execution time (no driver action at build time). Null fact
+    * keys may pass the sketch (xxhash64 hashes them to the seed) but never
+    * survive the exact null-rejecting semi join, matching plain-join
+    * semantics.
+    *
+    * `expectedItems` sizes the sketch (bits = expectedItems × 8, capped at
+    * 64 Mi): size it at the dim-side distinct-key estimate; oversizing only
+    * costs sketch bytes, undersizing only false-positive rate (never
+    * correctness).
+    */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val numBits = math.min(expectedItems * 8L, 1L << 26)
+    val bloomAgg = new BloomFilterAggregate(
+      XxHash64(Seq(ColumnBridge.expression(dim(dimKey))), 42L),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val bloomPlan = dim.select(ColumnBridge.column(bloomAgg).as("__graft_bloom"))
+      .queryExecution.analyzed
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      ScalarSubquery(bloomPlan),
+      XxHash64(Seq(ColumnBridge.expression(fact(factKey))), 42L)))
+    fact.filter(mightContain)
+      .join(dim, fact(factKey) === dim(dimKey), "left_semi")
+  }
 }

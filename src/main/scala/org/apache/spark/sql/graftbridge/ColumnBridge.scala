@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to Spark's `private[sql]` Column ⇄ Expression conversions.
+  *
+  * Spark 4 routes the public Column API through ColumnNodes; wrapping a raw
+  * Catalyst expression (e.g. a `ScalarSubquery`, which has no public-API
+  * form) requires `classic.ExpressionUtils`. Scoping this file under
+  * `org.apache.spark.sql` is the established pattern for Spark-extension
+  * libraries (Delta, frameless, spark-nlp all ship such shims); everything
+  * else in graft goes through the public API or the function registry.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -210,6 +210,33 @@ class JoinsSpec extends SparkSuite {
       "null-key trades after a null-key quote must carry its value")
   }
 
+  test("bloomSemiJoin equals plain semi join (unmatched, null, and fp-prone keys)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), "a1"), (Some(2L), "a2"), (None, "aN"), (Some(9L), "a9"))
+      .toDF("k", "payload_a")
+    val r = Seq((Some(1L), "b1"), (Some(5L), "b5"), (None, "bN")).toDF("rk", "payload_b")
+    // null fact keys may pass the sketch but must not survive the exact join
+    assertSameRows(
+      Joins.bloomSemiJoin(l, r, "k", "rk", expectedItems = 100),
+      Seq(Seq(1L, "a1")))
+    // a tiny sketch (high fp rate) must still be exact — fps die in the join
+    val fact = (1L to 2000L).map(i => (i, s"p$i")).toDF("k", "payload_a")
+    val dim = (1L to 2000L by 7).map(i => (i, "d")).toDF("rk", "payload_b")
+    val got = Joins.bloomSemiJoin(fact, dim, "k", "rk", expectedItems = 8)
+    val exp = fact.join(dim, fact("k") === dim("rk"), "left_semi")
+    assert(rows(got).map(_.toString).sorted == rows(exp).map(_.toString).sorted)
+  }
+
+  test("bloomSemiJoin is lazy and plans the sketch as a scalar subquery") {
+    import spark.implicits._
+    val fact = (1L to 100L).map(i => (i, s"p$i")).toDF("k", "payload_a")
+    val dim = Seq((3L, "d")).toDF("rk", "payload_b")
+    val df = Joins.bloomSemiJoin(fact, dim, "k", "rk", expectedItems = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    assert(plan.toLowerCase.contains("subquery"), s"no scalar subquery in plan:\n$plan")
+  }
+
   test("salted join equals plain join on skewed keys") {
     import spark.implicits._
     val skewed = (Seq.fill(500)((1L, "hot")) ++ Seq((2L, "a"), (3L, "b")))
