@@ -516,8 +516,12 @@ case class StopwordHitsExpr(child: Expression, wordLists: Seq[Seq[String]])
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val k = wordLists.size
+      // raw HashMap + explicit cast: Janino parses but does not IMPLEMENT
+      // generics, so a HashMap<UTF8String, Integer>.get() returns Object and
+      // the typed assignment below would fail to compile (silent interpreted
+      // fallback) if the reference were declared with type arguments
       val masksRef = ctx.addReferenceObj("graftStopwordMasks", masks,
-        "java.util.HashMap<org.apache.spark.unsafe.types.UTF8String, Integer>")
+        "java.util.HashMap")
       val counts = ctx.addMutableState("int[]", "graftStopwordCounts",
         v => s"$v = new int[$k];")
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
@@ -528,7 +532,7 @@ case class StopwordHitsExpr(child: Expression, wordLists: Seq[Seq[String]])
         |final int $n = $arr.numElements();
         |for (int $i = 0; $i < $n; $i++) {
         |  if (!$arr.isNullAt($i)) {
-        |    final Integer $m = $masksRef.get($arr.getUTF8String($i));
+        |    final Integer $m = (Integer) $masksRef.get($arr.getUTF8String($i));
         |    if ($m != null) {
         |      final int $mv = $m.intValue();
         |      for (int $j = 0; $j < $k; $j++) {

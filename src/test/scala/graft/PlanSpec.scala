@@ -196,6 +196,37 @@ class PlanSpec extends SparkSuite {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("every native expression hard-compiles under CODEGEN_ONLY (no silent fallback)") {
+    // the default factoryMode=FALLBACK hides janino compile errors by
+    // silently dropping to interpreted eval (a ~10x hot-path regression with
+    // zero test signal) — this caught StopwordHitsExpr's generic-typed
+    // reference object, which janino parses but cannot type-check
+    import graft.functions.Registry
+    val d = Engine.table(spark, sfDir, "documents").limit(20)
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .withColumn("hashes", expr("sort_array(transform(toks, t -> xxhash64(t)))"))
+    val e = Engine.table(spark, sfDir, "embeddings").limit(20)
+      .withColumn("codes", expr("transform(embedding, x -> cast(x * 10 as int))"))
+    withSQLConf(
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY",
+      "spark.sql.codegen.fallback" -> "false") {
+      d.select(
+        Registry.simhash64(col("toks")),
+        Registry.simhashPortable(col("toks")),
+        Registry.fingerprintPortable(col("toks")),
+        Registry.minhash(col("toks"), 8),
+        Registry.stopwordHits(col("toks"), Seq(Seq("the", "and"), Seq("der", "und"))),
+        Registry.dupFracs(col("toks"), Seq((2, 1), (3, 2))),
+        Registry.wordShingles(col("toks"), 3),
+        Registry.jaccardSorted(col("hashes"), col("hashes")),
+        Registry.matchFraction(col("hashes"), col("hashes"))).collect()
+      e.select(
+        Registry.dot(col("embedding"), col("embedding")),
+        Registry.dotInt(col("codes"), col("codes"))).collect()
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
