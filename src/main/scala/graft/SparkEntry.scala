@@ -1136,6 +1136,58 @@ object SparkEntry {
         col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("zval")))
     }),
+    "q129_interval_join" -> ((s, dir) => {
+      // interval-OVERLAP join (both sides are intervals — the two-sided
+      // sibling of q82's point-in-interval range join): each lineitem's ship
+      // window [shipdate, shipdate + quantity days] attributed to every
+      // calendar month it overlaps. Both sides explode onto 16-day bins and
+      // meet on an equi-join (hash/SMJ, never a nested loop); each pair
+      // survives only in its overlap-start bin, so no dedup shuffle
+      // (Joins.intervalJoin). Day numbers are exact integer datediffs from
+      // the epoch — bit-identical cross-engine.
+      val epoch = lit(java.sql.Date.valueOf("1970-01-01"))
+      val l = t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("l_lo"),
+        (datediff(col("l_shipdate"), epoch) + col("l_quantity").cast("int"))
+          .cast("long").as("l_hi"))
+      val m = t(s, dir, "orders")
+        .select(to_date(date_trunc("month", col("o_orderdate"))).as("mstart"))
+        .distinct()
+        .select(
+          date_format(col("mstart"), "yyyy-MM").as("month"),
+          datediff(col("mstart"), epoch).cast("long").as("m_lo"),
+          (datediff(add_months(col("mstart"), 1), epoch) - 1).cast("long").as("m_hi"))
+      ordAll(Joins.intervalJoin(l, m, "l_lo", "l_hi", "m_lo", "m_hi", binWidth = 16.0))
+    }),
+    "q130_compact" -> ((s, dir) => {
+      // small-file compaction: documents scattered into 64 tiny part files
+      // (the streaming-sink / incremental-ingest pathology), rewritten by
+      // IO.compact into target-sized files with a shuffle-free coalesce.
+      // The oracle recomputes the same projection from the original table,
+      // so any row lost or duplicated by the rewrite fails the hash match;
+      // IOSpec asserts the file-count/size contract.
+      val d = t(s, dir, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      d.repartition(64).write.mode("overwrite").parquet(s"$base/small")
+      sources.IO.compact(s, s"$base/small", s"$base/big", targetBytes = 64L << 20)
+      val back = s.read.parquet(s"$base/big")
+      ord(back.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        "doc_id")
+    }),
+    "q131_negative_sample" -> ((s, dir) => {
+      // deterministic negative sampling for contrastive training pairs:
+      // every 20th document plays the query set; k=4 negatives each, drawn
+      // from 32 hash buckets by the overflow-free multiplicative hash the
+      // split/sample family uses — one bucket equi-join + a partial+final
+      // struct-min, no RNG, no cartesian, bit-reproducible in any engine
+      // (RowOps.negativeSamples).
+      val d = t(s, dir, "documents")
+      val q = d.filter(pmod(col("doc_id"), lit(20L)) === 0)
+      val neg = RowOps.negativeSamples(q, d, "doc_id", "doc_id",
+        k = 4, buckets = 32, seed = 7L)
+      ordAll(neg.withColumn("neg_rank", col("neg_rank").cast("long")))
+    }),
     "q126_window_ranks" -> ((s, dir) => {
       // the full ranking-function surface (q33 covers row_number + running
       // sum): rank/dense_rank/percent_rank/cume_dist/ntile + lag/lead/
@@ -2261,6 +2313,46 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_partkey, l_suppkey,
         |  ${ZOrder.zValueSql("l_partkey", "l_suppkey")} AS zval
         |FROM lineitem
+        |ORDER BY ALL""".stripMargin,
+    "q129_interval_join" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    date_diff('day', TIMESTAMP '1970-01-01 00:00:00', l_shipdate) AS l_lo,
+        |    date_diff('day', TIMESTAMP '1970-01-01 00:00:00', l_shipdate)
+        |      + CAST(l_quantity AS BIGINT) AS l_hi
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT strftime(mstart, '%Y-%m') AS month,
+        |    date_diff('day', DATE '1970-01-01', mstart) AS m_lo,
+        |    date_diff('day', DATE '1970-01-01', mstart + INTERVAL 1 MONTH) - 1 AS m_hi
+        |  FROM (SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart
+        |        FROM orders))
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_lo, l.l_hi, m.month, m.m_lo, m.m_hi
+        |FROM l JOIN m ON l.l_lo <= m.m_hi AND m.m_lo <= l.l_hi
+        |ORDER BY ALL""".stripMargin,
+    "q130_compact" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+    "q131_negative_sample" ->
+      """WITH cand AS (
+        |  SELECT doc_id AS cid,
+        |    (doc_id % 1000000 * 1000003 + 7) % 1000000 * 2654435761 % 32 AS cb
+        |  FROM documents),
+        |probes AS (
+        |  SELECT d.doc_id AS qid, g.i AS neg_rank,
+        |    (d.doc_id % 1000000 * 1000003 + g.i * 7919 + 7) % 1000000
+        |      * 2654435761 % 32 AS pb
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(4)) AS i) g
+        |  WHERE d.doc_id % 20 = 0),
+        |j AS (
+        |  SELECT p.qid, p.neg_rank, c.cid,
+        |    (c.cid % 1000000 * 7919 + p.qid % 1000000 * 104729 + p.neg_rank) % 1000000
+        |      * 2654435761 % 1000000 AS tb
+        |  FROM probes p JOIN cand c ON p.pb = c.cb
+        |  WHERE c.cid <> p.qid)
+        |SELECT qid AS doc_id, neg_rank, cid AS neg_id
+        |FROM j
+        |QUALIFY row_number() OVER (PARTITION BY qid, neg_rank ORDER BY tb, cid) = 1
         |ORDER BY ALL""".stripMargin,
     "q126_window_ranks" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

@@ -355,6 +355,64 @@ object Joins {
       .select(left.columns.map(n => c(s"l.$n")) ++ rightKeep.map(n => c(s"r.$n")): _*)
   }
 
+  /** Interval-overlap join: inner-join left rows whose interval
+    * [`lLo`, `lHi`] overlaps a right row's interval [`rLo`, `rHi`]
+    * (inclusive bounds, overlap iff `lLo <= rHi && rLo <= lHi`), with
+    * optional extra equi-keys (same name on both sides).
+    *
+    * The two-sided sibling of [[rangeJoin]] (point-in-interval): both sides
+    * carry intervals, so BOTH explode onto the fixed-width bins their
+    * interval covers and meet on an EQUI-join over (equiKeys…, bin) — a
+    * plain hash/sort-merge shuffle, never a nested-loop/cartesian plan.
+    * Unlike the point case, an overlapping pair shares EVERY bin their
+    * intervals jointly cover, so a naive bin-join would duplicate it; a
+    * distinct pass afterwards would be a second full shuffle. Instead each
+    * pair is kept only in the bin containing `greatest(lLo, rLo)` — the
+    * overlap's start, which by definition lies in both intervals, so both
+    * sides are guaranteed to have exploded onto that bin and every
+    * overlapping pair survives in exactly one bin. No dedup shuffle.
+    *
+    * `binWidth` trades replication for bucket selectivity exactly as in
+    * [[rangeJoin]]: a row is replicated ⌈span/binWidth⌉+1 times; set it
+    * near the typical interval span. Skewed bins fall to AQE's skew split.
+    *
+    * Output: all left columns, then right columns minus the shared
+    * equi-keys. Rows with null bounds or inverted intervals (lo > hi)
+    * produce no matches, matching the SQL overlap predicate's semantics.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lLo: String,
+      lHi: String,
+      rLo: String,
+      rHi: String,
+      binWidth: Double,
+      equiKeys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    import org.apache.spark.sql.functions.{col => c, explode, floor, greatest, lit, sequence}
+    val binCol = "__graft_bin"
+    require(!left.columns.contains(binCol) && !right.columns.contains(binCol),
+      s"column name $binCol is reserved")
+    require(Seq(lLo, lHi).forall(n => !right.columns.contains(n)) &&
+      Seq(rLo, rHi).forall(n => !left.columns.contains(n)),
+      "interval bound column names must not collide across sides")
+    def bins(df: DataFrame, lo: String, hi: String) =
+      df.filter(c(lo).isNotNull && c(hi).isNotNull && c(lo) <= c(hi))
+        .withColumn(binCol, explode(sequence(
+          floor(c(lo) / binWidth).cast("long"),
+          floor(c(hi) / binWidth).cast("long"), lit(1L))))
+    val lb = bins(left, lLo, lHi).as("l")
+    val rb = bins(right, rLo, rHi).as("r")
+    val keyCond = (equiKeys :+ binCol).map(k => c(s"l.$k") === c(s"r.$k"))
+    val overlap = c(s"l.$lLo") <= c(s"r.$rHi") && c(s"r.$rLo") <= c(s"l.$lHi")
+    val meetOnce = c(s"l.$binCol") ===
+      floor(greatest(c(s"l.$lLo"), c(s"r.$rLo")) / binWidth).cast("long")
+    val rightKeep = right.columns.filterNot(equiKeys.contains)
+    lb.join(rb, (keyCond :+ overlap :+ meetOnce).reduce(_ && _), "inner")
+      .select(left.columns.map(n => c(s"l.$n")) ++ rightKeep.map(n => c(s"r.$n")): _*)
+  }
+
   private def sparkHow(how: String): String = how match {
     case "full" => "full_outer"
     case "semi" => "left_semi"

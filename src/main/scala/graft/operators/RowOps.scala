@@ -175,4 +175,74 @@ object RowOps {
         coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
       .withColumn("seq_id", call_function("div", col("start_offset"), lit(budget)))
   }
+
+  /** Deterministic negative sampling for contrastive training pairs: for
+    * each query row, draw `k` pseudo-random corpus rows ("negatives") —
+    * without RNG state, without a cartesian product, and bit-reproducibly
+    * on any cluster size (the same overflow-free multiplicative hashing as
+    * [[assignSplit]], so any int64 engine replays the exact draw).
+    *
+    * Mechanics: every corpus row hashes to one of `buckets` buckets; every
+    * (query, rank i < k) probe hashes to one bucket too. Probes equi-join
+    * their bucket's corpus rows — one hash join, one shuffle on the bucket
+    * id — then each (query, i) keeps the single candidate minimizing a
+    * (query, i, candidate)-keyed tie-break hash, a partial+final min over a
+    * struct, so the per-group candidate set never materializes anywhere.
+    * Self-pairs (`cKey == qKey`) are excluded; known positives can be
+    * excluded via `positives` — a two-column (query key, candidate key)
+    * frame, matched by POSITION (an anti-join), so it works when the query
+    * and corpus key columns share a name.
+    *
+    * Scale rule: pick `buckets ≈ |corpus| / c` for a small constant bucket
+    * size c (~50-500). Work is then Θ(|queries|·k·c) join output rows plus
+    * one corpus scan — independent of |corpus|·|queries| — and empty-bucket
+    * misses are Poisson-negligible for c ≥ ~50. A (query, i) probe into an
+    * empty bucket yields no row (k_eff < k), matching sampled-miss
+    * semantics rather than inventing a fallback scan.
+    *
+    * Output: (qKey, neg_rank ∈ [0,k), neg_id).
+    */
+  def negativeSamples(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qKey: String,
+      cKey: String,
+      k: Int,
+      buckets: Int,
+      seed: Long = 0L,
+      positives: Option[DataFrame] = None): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(seed >= 0 && seed < 1000000L, s"seed must be in [0, 1e6): $seed")
+    val M = lit(1000000L)
+    def mix(parts: Column, modulus: Long): Column =
+      pmod(pmod(parts, M) * lit(2654435761L), lit(modulus))
+    val cand = corpus.select(col(cKey).as("__graft_cid"))
+      .withColumn("__graft_cb",
+        mix(pmod(col("__graft_cid"), M) * lit(1000003L) + lit(seed), buckets.toLong))
+    val probes = queries.select(col(qKey).as("__graft_qid"))
+      .withColumn("neg_rank",
+        explode(org.apache.spark.sql.functions.sequence(lit(0), lit(k - 1))))
+      .withColumn("__graft_pb",
+        mix(pmod(col("__graft_qid"), M) * lit(1000003L) +
+          col("neg_rank") * lit(7919L) + lit(seed), buckets.toLong))
+    val joined = probes
+      .join(cand, col("__graft_pb") === col("__graft_cb"))
+      .filter(col("__graft_cid") =!= col("__graft_qid"))
+    val masked = positives.fold(joined) { p =>
+      require(p.columns.length == 2,
+        s"positives must have exactly (queryKey, candidateKey) columns, " +
+          s"got ${p.columns.mkString(",")}")
+      joined.join(p.toDF("__graft_qid", "__graft_cid"),
+        Seq("__graft_qid", "__graft_cid"), "left_anti")
+    }
+    masked
+      .withColumn("__graft_tb",
+        mix(pmod(col("__graft_cid"), M) * lit(7919L) +
+          pmod(col("__graft_qid"), M) * lit(104729L) + col("neg_rank"), 1000000L))
+      .groupBy(col("__graft_qid"), col("neg_rank"))
+      .agg(min(struct(col("__graft_tb"), col("__graft_cid"))).as("__graft_m"))
+      .select(col("__graft_qid").as(qKey), col("neg_rank"),
+        col("__graft_m").getField("__graft_cid").as("neg_id"))
+  }
 }

@@ -100,6 +100,35 @@ object IO {
     fs.listStatus(loc).count(_.getPath.getName.startsWith("part-"))
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes` each (beyond-reference; a 100 TB pipeline necessity —
+    * streaming sinks, per-partition writers, and incremental ingest all
+    * leave thousands of KB-sized part files whose open/seek overhead then
+    * dominates every downstream scan; the NameNode/listing cost alone
+    * degrades planning).
+    *
+    * The output file count is sized from the INPUT's actual on-disk bytes
+    * (a driver-side listing — metadata only, no data read), and the rewrite
+    * uses `coalesce`, which merges partitions scan-side WITHOUT a shuffle:
+    * the whole compaction is one read + one write pass, no exchange. A
+    * `repartition` would round-robin every row through a full shuffle for
+    * no benefit — content, not placement, is what compaction preserves.
+    * Returns the output file count.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(in)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).coalesce(nOut).write.mode("overwrite").parquet(outDir)
+    val out = new org.apache.hadoop.fs.Path(outDir)
+    fs.listStatus(out).count(_.getPath.getName.startsWith("part-"))
+  }
+
   /** ORC read/write (beyond-reference; the reference is parquet/csv/json
     * only). ORC ships in Spark, keeps the same pushdown/pruning surface as
     * parquet (PushedFilters + ReadSchema reach the scan), and is the common

@@ -95,6 +95,26 @@ class IOSpec extends SparkSuite {
     assert(back.count() == 100)
   }
 
+  test("compact merges small files to the target size without losing rows") {
+    val df = spark.range(2000).toDF("id")
+    val in = tmp(); val out = tmp()
+    df.repartition(32).write.mode("overwrite").parquet(in)
+    val smallFiles = new java.io.File(in).listFiles
+      .filter(_.getName.startsWith("part-"))
+    assert(smallFiles.length == 32)
+    val totalBytes = smallFiles.map(_.length).sum
+    // target = half the input bytes → exactly 2 output files
+    val nOut = IO.compact(spark, in, out, targetBytes = (totalBytes + 1) / 2)
+    assert(nOut == 2, s"expected 2 output files, got $nOut")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2000)
+    assert(rows(back.orderBy("id")).map(_(0)) == (0L until 2000L))
+    // a huge target collapses to a single file; content still intact
+    assert(IO.compact(spark, in, out, targetBytes = Long.MaxValue) == 1)
+    assert(spark.read.parquet(out).count() == 2000)
+    intercept[IllegalArgumentException](IO.compact(spark, in, out, 0))
+  }
+
   test("parquet column projection prunes the scan") {
     val df = Engine.table(spark, sfDir, "lineitem")
     val dir = tmp()

@@ -138,6 +138,66 @@ class JoinsSpec extends SparkSuite {
     assert(naive.count() > 0)
   }
 
+  test("intervalJoin equals the naive overlap predicate at any bin width") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val left = Seq.tabulate(150) { i =>
+      val lo = rnd.nextDouble() * 100 - 50
+      (i.toLong, rnd.nextInt(3), lo, lo + rnd.nextDouble() * 15)
+    }.toDF("lid", "k", "llo", "lhi")
+    val right = Seq.tabulate(40) { i =>
+      val lo = rnd.nextDouble() * 100 - 50
+      (1000L + i, rnd.nextInt(3), lo, lo + rnd.nextDouble() * 25)
+    }.toDF("rid", "k", "rlo", "rhi")
+    val naive = left.as("l").join(right.as("r"),
+        col("l.k") === col("r.k") &&
+          col("l.llo") <= col("r.rhi") && col("r.rlo") <= col("l.lhi"))
+      .select(col("l.lid"), col("l.k"), col("l.llo"), col("l.lhi"),
+        col("r.rid"), col("r.rlo"), col("r.rhi"))
+    val expected = rows(naive).map(_.toString).sorted
+    for (bw <- Seq(0.5, 7.0, 1000.0)) {
+      val got = Joins.intervalJoin(left, right, "llo", "lhi", "rlo", "rhi",
+        bw, equiKeys = Seq("k"))
+      assert(got.columns.toSeq ==
+        Seq("lid", "k", "llo", "lhi", "rid", "rlo", "rhi"))
+      assert(rows(got).map(_.toString).sorted == expected,
+        s"mismatch at binWidth=$bw")
+    }
+    assert(naive.count() > 0)
+  }
+
+  test("intervalJoin: touching endpoints match; inverted and null intervals do not") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(0.0), Some(2.0)),  // overlaps r10 ([2,4] touch) and r40
+      (2L, Some(9.0), Some(5.0)),  // inverted: no matches
+      (3L, None, Some(3.0)),       // null bound: no matches
+      (4L, Some(10.0), Some(10.0)) // point interval, inside r30
+    ).toDF("lid", "llo", "lhi")
+    val right = Seq(
+      (10L, Some(2.0), Some(4.0)),
+      (20L, Some(8.0), Some(6.0)),  // inverted: never matches
+      (30L, Some(9.5), Some(11.0)),
+      (40L, Some(-5.0), Some(0.0)), // touches lid=1 at 0
+      (50L, None, None)
+    ).toDF("rid", "rlo", "rhi")
+    assertSameRows(
+      Joins.intervalJoin(left, right, "llo", "lhi", "rlo", "rhi", binWidth = 3.0)
+        .select("lid", "rid"),
+      Seq(Seq(1L, 10L), Seq(1L, 40L), Seq(4L, 30L)))
+  }
+
+  test("intervalJoin plans an equi join on the bin key, never a nested loop") {
+    import spark.implicits._
+    val left = Seq((1L, 0.0, 5.0)).toDF("lid", "llo", "lhi")
+    val right = Seq((2L, 3.0, 9.0)).toDF("rid", "rlo", "rhi")
+    val plan = Joins.intervalJoin(left, right, "llo", "lhi", "rlo", "rhi", 4.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"expected a hash/sort-merge join on the bin key, got:\n$plan")
+  }
+
   test("rangeJoin: inclusive boundaries, empty intervals dropped, negative values") {
     import spark.implicits._
     val left = Seq((1L, -2.0), (2L, 0.0), (3L, 2.0), (4L, 5.0)).toDF("lid", "v")

@@ -101,6 +101,46 @@ class SortsSetOpsSpec extends SparkSuite {
     assert(ids05.subsetOf(ids08))
   }
 
+  test("negativeSamples matches the arithmetic model; deterministic; positives excluded") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.RowOps
+    val B = 16; val k = 3; val seed = 7L
+    val corpus = spark.range(300).toDF("id")
+    val queries = corpus.filter(col("id") % 10 === 0)
+    // independent driver-side model of the same overflow-free hash draw
+    def mix(x: Long, m: Long) = x % 1000000L * 2654435761L % m
+    def cb(c: Long) = mix(c % 1000000L * 1000003L + seed, B)
+    def pb(q: Long, i: Int) = mix(q % 1000000L * 1000003L + i * 7919L + seed, B)
+    def tb(q: Long, i: Int, c: Long) =
+      mix(c % 1000000L * 7919L + q % 1000000L * 104729L + i, 1000000L)
+    val expected = (for {
+      q <- 0L until 300L by 10L; i <- 0 until k
+      cands = (0L until 300L).filter(c => cb(c) == pb(q, i) && c != q)
+      if cands.nonEmpty
+    } yield (q, i, cands.minBy(c => (tb(q, i, c), c)))).sorted
+    val got = RowOps.negativeSamples(queries, corpus, "id", "id", k, B, seed)
+    val gotRows = rows(got.orderBy("id", "neg_rank")).map(r =>
+      (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int], r(2).asInstanceOf[Long]))
+    assert(gotRows == expected)
+    assert(gotRows.forall { case (q, _, c) => q != c }) // no self-pairs
+    // partition-invariant (the draw depends only on ids, never on layout)
+    val again = RowOps.negativeSamples(
+      queries.repartition(13), corpus.repartition(7), "id", "id", k, B, seed)
+    assert(rows(again.orderBy("id", "neg_rank")).map(_.toString) ==
+      rows(got.orderBy("id", "neg_rank")).map(_.toString))
+    // excluding a (query, candidate) positive re-draws or drops that slot
+    val hit = gotRows.head
+    val pos = Seq((hit._1, hit._3)).toDF("q", "c") // positional contract
+    val masked = RowOps.negativeSamples(queries, corpus, "id", "id", k, B, seed,
+      positives = Some(pos))
+    val maskedRows = rows(masked).map(r =>
+      (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int], r(2).asInstanceOf[Long]))
+    assert(!maskedRows.contains(hit))
+    // every slot other than the masked one draws exactly as before
+    assert(maskedRows.filterNot(r => (r._1, r._2) == ((hit._1, hit._2))).toSet ==
+      expected.filterNot(r => (r._1, r._2) == ((hit._1, hit._2))).toSet)
+  }
+
   test("packSequences: prefix-sum packing, start-bin assignment, deterministic") {
     import org.apache.spark.sql.functions.col
     val d = spark.range(1000).toDF("id")
