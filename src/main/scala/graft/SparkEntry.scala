@@ -1188,6 +1188,95 @@ object SparkEntry {
         k = 4, buckets = 32, seed = 7L)
       ordAll(neg.withColumn("neg_rank", col("neg_rank").cast("long")))
     }),
+    "q133_resample_ffill" -> ((s, dir) => {
+      // time-series resample + forward fill: per user, an hourly grid from
+      // the user's first to last event hour, carrying the most recent value
+      // into every empty hour. Grid generation is sequence/explode (no
+      // driver loop, no calendar table); the fill IS the as-of join the
+      // library ships — resample = gridgen + asofJoin, so gaps fill with one
+      // union+window pass, never a per-grid-point lookup. Same-timestamp
+      // event ties collapse to max(value) first, keeping the carry
+      // deterministic cross-engine.
+      val HOUR = 3600L * 1000000L
+      val e = Engine.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+        .groupBy("user_id", "tus").agg(max(col("value")).as("v"))
+      val grid = e.groupBy("user_id")
+        .agg(expr(s"min(tus) div $HOUR").as("h0"), expr(s"max(tus) div $HOUR").as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+        .withColumn("gus", (col("h") + 1) * HOUR - 1)
+      val filled = Joins.asofJoin(grid, e, Seq("user_id"), "gus", "tus", Seq("v"),
+        how = "left")
+      ord(filled.select(col("user_id"), col("h"), col("v")), "user_id", "h")
+    }),
+    "q134_winsorize" -> ((s, dir) => {
+      // per-group winsorization (outlier clipping — the robust-stats floor/
+      // ceiling step of quality curation): clamp l_extendedprice into its
+      // return-flag group's exact [p01, p99]. Thresholds come from the
+      // scale-safe histogram quantile plan (q116's machinery — no sort-based
+      // percentile aggregate anywhere), applied with one broadcast join back
+      // (thresholds are one row per group) + clamp. round(4) absorbs the
+      // last-ulp spread of cross-engine R-7 interpolation.
+      val li = t(s, dir, "lineitem")
+      val thr = Aggregates.quantilesExactScalable(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq(0.01 -> "lo", 0.99 -> "hi"))
+      ordAll(li.join(broadcast(thr), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(greatest(least(col("l_extendedprice"), col("hi")), col("lo")), 4)
+            .as("w_price")))
+    }),
+    "q135_apply_changes" -> ((s, dir) => {
+      // CDC APPLY — the inverse of q123's snapshot diff: lakehouse
+      // MERGE INTO as one window + one anti-join + union
+      // (SetOps.applyChanges). The synthetic changeset exercises every
+      // path: inserts of absent keys, updates, deletes, and out-of-order
+      // multi-change keys where the highest sequence number must win
+      // (update-then-delete ends deleted; update-then-update keeps the
+      // second image).
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val snapshot = o.filter(col("o_orderkey") % 5 =!= 4)
+      def ch(f: Column, op: String, seq: Int, price: Column) =
+        o.filter(f).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), price.as("o_totalprice"),
+          lit(op).as("op"), lit(seq.toLong).as("seq"))
+      val changes =
+        ch(col("o_orderkey") % 5 === 4, "I", 1, col("o_totalprice"))
+          .unionAll(ch(col("o_orderkey") % 5 === 0, "U", 1, col("o_totalprice") + 1))
+          .unionAll(ch(col("o_orderkey") % 10 === 0, "U", 2, col("o_totalprice") + 2))
+          .unionAll(ch(col("o_orderkey") % 5 === 1, "U", 1, col("o_totalprice")))
+          .unionAll(ch(col("o_orderkey") % 5 === 1, "D", 2, col("o_totalprice")))
+      ordAll(SetOps.applyChanges(snapshot, changes, Seq("o_orderkey"), "op", "seq"))
+    }),
+    "q136_reconcile_checksum" -> ((s, dir) => {
+      // cross-engine table reconciliation: per (returnflag, linestatus)
+      // group, an order-independent portable checksum + row count
+      // (Aggregates.groupedChecksum). The oracle row IS the demonstration —
+      // DuckDB recomputes the checksum independently from its own copy of
+      // the table and must agree bit-for-bit; at 100 TB only these tiny
+      // (group, checksum, count) rows ever travel between the two sides.
+      val li = t(s, dir, "lineitem")
+      val h = Aggregates.portableRowHash(Seq(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber")))
+      ord(Aggregates.groupedChecksum(li, Seq("l_returnflag", "l_linestatus"), h),
+        "l_returnflag", "l_linestatus")
+    }),
+    "q132_dup_spans" -> ((s, dir) => {
+      // substring-level dedup (the exact-substring regime of Lee et al.'s
+      // "Deduplicating Training Data Makes Language Models Better"): per doc,
+      // the maximal token spans whose 5-grams appear in ≥2 docs — explode →
+      // gram count-distinct → semi-join → window island-merge, no pairwise
+      // work (Dedup.duplicatedSpans). Pure integer position arithmetic, so
+      // DuckDB rebuilds it bit-exactly.
+      val d = t(s, dir, "documents")
+      val spans = Dedup.duplicatedSpans(d, "doc_id", "text", n = 5)
+      ordAll(spans.select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("span_tokens").cast("long").as("span_tokens"),
+        col("n_grams")))
+    }),
     "q126_window_ranks" -> ((s, dir) => {
       // the full ranking-function surface (q33 covers row_number + running
       // sum): rank/dense_rank/percent_rank/cume_dist/ntile + lag/lead/
@@ -2353,6 +2442,108 @@ object SparkEntry {
         |SELECT qid AS doc_id, neg_rank, cid AS neg_id
         |FROM j
         |QUALIFY row_number() OVER (PARTITION BY qid, neg_rank ORDER BY tb, cid) = 1
+        |ORDER BY ALL""".stripMargin,
+    "q133_resample_ffill" ->
+      """WITH e0 AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events),
+        |e AS (SELECT user_id, tus, max(value) AS v FROM e0 GROUP BY user_id, tus),
+        |r AS (SELECT user_id, min(tus)//3600000000 AS h0, max(tus)//3600000000 AS h1
+        |      FROM e GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM r),
+        |u AS (
+        |  SELECT user_id, tus AS t, 0 AS tag, CAST(NULL AS BIGINT) AS h, v FROM e
+        |  UNION ALL
+        |  SELECT user_id, (h+1)*3600000000 - 1, 1, h, NULL FROM g),
+        |f AS (
+        |  SELECT user_id, h, tag,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, tag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        |  FROM u)
+        |SELECT user_id, h, v FROM f WHERE tag = 1
+        |ORDER BY user_id NULLS FIRST, h NULLS FIRST""".stripMargin,
+    "q134_winsorize" ->
+      """WITH thr AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.01) AS lo,
+        |    quantile_cont(l_extendedprice, 0.99) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  round(greatest(least(l.l_extendedprice, t.hi), t.lo), 4) AS w_price
+        |FROM lineitem l JOIN thr t USING (l_returnflag)
+        |ORDER BY ALL""".stripMargin,
+    "q135_apply_changes" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |snap AS (SELECT * FROM o WHERE o_orderkey % 5 <> 4),
+        |ch AS (
+        |  SELECT *, 'I' AS op, 1 AS seq FROM o WHERE o_orderkey % 5 = 4
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1, 'U', 1
+        |  FROM o WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 2, 'U', 2
+        |  FROM o WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT *, 'U', 1 FROM o WHERE o_orderkey % 5 = 1
+        |  UNION ALL
+        |  SELECT *, 'D', 2 FROM o WHERE o_orderkey % 5 = 1),
+        |latest AS (
+        |  SELECT * FROM ch
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) = 1),
+        |kept AS (
+        |  SELECT * FROM snap
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest))
+        |SELECT * FROM kept
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM latest WHERE op <> 'D'
+        |ORDER BY ALL""".stripMargin,
+    "q136_reconcile_checksum" ->
+      """WITH s1 AS (
+        |  SELECT l_returnflag, l_linestatus, l_partkey, l_suppkey, l_linenumber,
+        |    (917 + l_orderkey % 2147483647) % 2147483647 AS h
+        |  FROM lineitem),
+        |s2 AS (SELECT l_returnflag, l_linestatus, l_suppkey, l_linenumber,
+        |    (h*131 + l_partkey % 2147483647) % 2147483647 AS h FROM s1),
+        |s3 AS (SELECT l_returnflag, l_linestatus, l_linenumber,
+        |    (h*131 + l_suppkey % 2147483647) % 2147483647 AS h FROM s2),
+        |s4 AS (SELECT l_returnflag, l_linestatus,
+        |    (h*131 + l_linenumber % 2147483647) % 2147483647 AS h FROM s3)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(h % 1000000) % 1000000 AS BIGINT) AS checksum,
+        |  count(*) AS n_rows
+        |FROM s4 GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q132_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, unnest(generate_series(0, length(w)-5)) AS pos, w
+        |  FROM toks WHERE length(w) >= 5),
+        |g AS (
+        |  SELECT doc_id, pos, array_to_string(w[pos+1:pos+5], ' ') AS gram, 5 AS glen
+        |  FROM g0
+        |  UNION ALL
+        |  SELECT doc_id, 0, array_to_string(w, ' '), length(w) FROM toks
+        |  WHERE length(w) < 5),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (
+        |  SELECT g.doc_id, g.pos, g.pos + g.glen - 1 AS e
+        |  FROM g JOIN d USING (gram)),
+        |m AS (
+        |  SELECT doc_id, pos, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+        |  FROM hit),
+        |isl AS (
+        |  SELECT doc_id, pos, e,
+        |    sum(CASE WHEN prev_e IS NULL OR pos > prev_e + 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m)
+        |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+        |  max(e) - min(pos) + 1 AS span_tokens, count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island
         |ORDER BY ALL""".stripMargin,
     "q126_window_ranks" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,

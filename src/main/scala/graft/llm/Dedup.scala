@@ -239,6 +239,73 @@ object Dedup {
       .drop("__graft_score")
   }
 
+  /** Duplicated-SPAN detection — substring-level dedup, the within-document
+    * complement of the whole/near-document ops above: per document, the
+    * maximal token spans whose word `n`-grams also occur in at least
+    * `minDocs` distinct documents (counting this one). Whole-doc dedup
+    * misses a page that is 90% boilerplate plus a unique header; span
+    * detection localizes the repeated region so a pipeline can CUT it
+    * instead of dropping (or keeping) the whole document.
+    *
+    * Plan shape, all partial+final / window — no pairwise comparison:
+    *   1. explode positioned n-grams (one row per token position — the same
+    *      gram stream every shingle op here uses, so a 100 TB run shares the
+    *      scan);
+    *   2. grams appearing in ≥ `minDocs` distinct docs — a two-level
+    *      count-distinct aggregate keyed by gram (boilerplate grams are few;
+    *      the aggregate shuffles one row per distinct gram after map-side
+    *      combine);
+    *   3. semi-join positions to duplicated grams (AQE broadcasts the dup
+    *      set when it is small, falls back to shuffle when it is not);
+    *   4. merge hit positions into maximal spans: two windows per doc
+    *      (running max-end, then island numbering) + one group-by — overlap
+    *      merging without self-joining intervals.
+    *
+    * Documents shorter than `n` tokens participate as a single whole-doc
+    * gram (the [[graft.llm.TextFns.wordShingles]] convention), so exact
+    * short-doc copies still surface as full-width spans. Every step is
+    * integer arithmetic over positions — bit-reproducible in any engine.
+    *
+    * Output: (idCol, span_start, span_end, span_tokens, n_grams) — token
+    * positions 0-based inclusive, one row per maximal span.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    require(minDocs >= 2, s"minDocs below 2 would mark every position: $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol), TextFns.wordShingles(col(textCol), n).as("__graft_gs"),
+        size(TextFns.tokens(col(textCol))).as("__graft_ntok"))
+      .select(col(idCol), posexplode(col("__graft_gs")).as(Seq("pos", "__graft_gram")),
+        least(lit(n), col("__graft_ntok")).as("__graft_glen"))
+    val dupGrams = grams
+      .groupBy("__graft_gram")
+      .agg(countDistinct(col(idCol)).as("__graft_nd"))
+      .filter(col("__graft_nd") >= minDocs)
+      .select("__graft_gram")
+    val hits = grams.join(dupGrams, Seq("__graft_gram"), "left_semi")
+      .select(col(idCol), col("pos"), (col("pos") + col("__graft_glen") - 1).as("__graft_e"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("__graft_e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val newIsland = when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0)
+    hits
+      .withColumn("__graft_isl",
+        sum(newIsland).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__graft_isl"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        max(col("__graft_e")).as("span_end"),
+        (max(col("__graft_e")) - min(col("pos")) + 1).as("span_tokens"),
+        count(lit(1)).as("n_grams"))
+      .drop("__graft_isl")
+  }
+
   /** Benchmark decontamination: flag training documents that share word
     * n-grams with a held-out evaluation set (the GPT-3/PaLM-style n-gram
     * overlap check — a training doc containing eval n-grams leaks the

@@ -243,4 +243,46 @@ object Aggregates {
         fractions.map { case (_, out) => col(s"__graft_q.$out") }: _*)
   }
 
+  /** Order-independent per-row hash for [[groupedChecksum]], PORTABLE form:
+    * the mod-prime polynomial fold the portable fingerprint family uses
+    * (h = 7; h = (h·131 + v mod (2³¹−1)) mod (2³¹−1) per column), over
+    * int64-castable columns. Every intermediate stays < 2³⁹, so plain int64
+    * arithmetic reproduces it bit-exactly in ANY SQL engine — that is the
+    * point: both sides of a reconciliation compute it independently. Nulls
+    * fold as the sentinel 2³¹−2 (distinct from every `v mod (2³¹−1)`).
+    */
+  def portableRowHash(cols: Seq[Column]): Column = {
+    require(cols.nonEmpty, "need at least one column to hash")
+    val P = lit(2147483647L)
+    cols.foldLeft(lit(7L): Column)((h, c) =>
+      pmod(h * lit(131L) + coalesce(pmod(c.cast("long"), P), lit(2147483646L)), P))
+  }
+
+  /** Grouped table checksum for RECONCILIATION: verify that two copies of a
+    * table (two clusters, two engines, before/after a migration) hold the
+    * same rows WITHOUT moving data — each side computes per-group
+    * (checksum, row count) from its local copy and only the tiny checksum
+    * tables travel. The row hash is summed mod 10⁶ per group, so the
+    * checksum is insensitive to row order and partitioning; with the
+    * summands bounded by 10⁶, the running sum stays far under int64 even at
+    * 10¹² rows per group — no engine-specific overflow semantics involved.
+    *
+    * One partial+final hash aggregate — a single shuffle of (keys, partial
+    * sum, partial count) per map partition; nothing else moves. Use
+    * [[portableRowHash]] as `rowHash` for cross-engine checks, or any
+    * stronger Spark-side hash (e.g. `xxhash64`, reduced mod 10⁶) when both
+    * sides run Spark. A mismatched group pinpoints where to drill down
+    * (re-checksum at finer key granularity), turning a 100 TB diff into a
+    * log-depth search.
+    */
+  def groupedChecksum(
+      df: DataFrame,
+      keys: Seq[String],
+      rowHash: Column): DataFrame = {
+    val M = lit(1000000L)
+    df.groupBy(keys.map(col): _*)
+      .agg(pmod(sum(pmod(rowHash, M)), M).as("checksum"),
+        count(lit(1)).as("n_rows"))
+  }
+
 }

@@ -159,4 +159,47 @@ object SetOps {
           Seq(col("op")) ++
           compareCols.map(c => col(s"__graft_r_$c").as(s"new_$c")): _*)
   }
+
+  /** Apply a CDC changeset to a snapshot — the inverse of [[snapshotDiff]],
+    * i.e. lakehouse `MERGE INTO` re-expressed join-first. `changes` carries
+    * full row images (the snapshot's columns) plus an op column
+    * (`'I'`/`'U'`/`'D'` — insert/update/delete) and a monotone sequence
+    * column ordering multiple changes to the same key: CDC streams arrive
+    * out of order after any shuffle, and the winner must be the LAST change
+    * per key, not an arbitrary one.
+    *
+    * Plan: one top-1-per-key ranking window over the changeset
+    * ([[graft.operators.Sorts.topKPerGroup]] — `WindowGroupLimit` prunes to
+    * one row per key per partition BEFORE its shuffle), then one anti-join
+    * of the snapshot against the touched keys plus a union of the surviving
+    * insert/update images. The snapshot is scanned exactly once; changesets
+    * are normally a small fraction of the snapshot, so the anti-join
+    * broadcasts. At 100 TB both sides bucket on `keys`
+    * ([[graft.sources.IO.writeBucketed]]) and the merge runs exchange-free —
+    * exactly how lakehouse MERGE executes incremental loads.
+    *
+    * Ties on (key, seq) break toward the op sorting last lexicographically
+    * ('U' > 'I' > 'D' — an update outranks a same-sequence delete); real
+    * pipelines should make `seqCol` unique per key.
+    */
+  def applyChanges(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      opCol: String,
+      seqCol: String): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    val dataCols = snapshot.columns.toSeq
+    require(!dataCols.contains(opCol) && !dataCols.contains(seqCol),
+      s"snapshot must not already contain '$opCol'/'$seqCol'")
+    require(changes.columns.toSet == (dataCols ++ Seq(opCol, seqCol)).toSet,
+      "changes must carry the snapshot's columns plus op and sequence " +
+        s"columns; got ${changes.columns.mkString(",")}")
+    val latest = Sorts.topKPerGroup(changes, keys,
+      Seq(col(seqCol).desc, col(opCol).desc), 1)
+    val kept = snapshot.join(
+      latest.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = latest.filter(col(opCol) =!= "D").select(dataCols.map(col): _*)
+    kept.unionByName(upserts)
+  }
 }

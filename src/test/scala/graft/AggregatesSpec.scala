@@ -183,4 +183,38 @@ class AggregatesSpec extends SparkSuite {
     assert(medAt(1) == medAt(7) && medAt(7) == medAt(32))
     assert(qAt(1) == qAt(7) && qAt(7) == qAt(32))
   }
+
+  test("groupedChecksum: order/partition-invariant, detects any single-row change") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b"), (4L, Long.MinValue, "b"))
+      .toDF("id", "x", "g")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      rows(Aggregates.groupedChecksum(df,
+        Seq("g"), Aggregates.portableRowHash(Seq(col("id"), col("x"))))
+        .orderBy("g")).map(_.toString)
+    // invariant under row order and partitioning (the sum is commutative)
+    assert(sums(base) == sums(base.orderBy(col("x").desc).repartition(7)))
+    // one changed value flips its group's checksum, leaves the other group alone
+    val tweaked = base.withColumn("x",
+      when(col("id") === 2, lit(21L)).otherwise(col("x")))
+    val (b, t) = (sums(base), sums(tweaked))
+    assert(b.head != t.head && b(1) == t(1))
+    // nulls fold as a sentinel distinct from any value, and don't null the hash
+    val withNull = Seq((1L, Option.empty[Long], "a")).toDF("id", "x", "g")
+    val hn = rows(withNull.select(
+      Aggregates.portableRowHash(Seq(col("id"), col("x"))))).head.head
+    assert(hn != null)
+    val withZero = Seq((1L, Some(0L), "a")).toDF("id", "x", "g")
+    val hz = rows(withZero.select(
+      Aggregates.portableRowHash(Seq(col("id"), col("x"))))).head.head
+    assert(hn != hz, "null must hash differently from 0")
+    // negative values (pmod) stay in range and match the arithmetic model
+    val P = 2147483647L
+    val hneg = rows(base.filter(col("id") === 4).select(
+      Aggregates.portableRowHash(Seq(col("id"), col("x"))))).head.head
+    val expected = ((7L * 131 + 4L) % P * 131 +
+      ((Long.MinValue % P) + P) % P) % P
+    assert(hneg == expected)
+  }
 }

@@ -52,6 +52,37 @@ class LlmSpec extends SparkSuite {
     assert(sigs.forall(_ == 0L), s"zero-token simhash: $sigs")
   }
 
+  test("duplicatedSpans finds maximal shared-gram spans; merges overlaps; short docs whole-width") {
+    // doc 1 and 2 share the 8-token run "a b c d e f g h" (3-grams at
+    // positions 0..5 in doc 1 → one maximal span [0,7]); doc 3 is unique;
+    // docs 4 and 5 are identical 2-token docs (< n → whole-doc gram)
+    val d = Seq(
+      (1L, "a b c d e f g h unique1 unique2"),
+      (2L, "pre1 pre2 a b c d e f g h"),
+      (3L, "nothing shared here at all today"),
+      (4L, "tiny doc"),
+      (5L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = rows(Dedup.duplicatedSpans(d, "doc_id", "text", n = 3)
+      .orderBy("doc_id", "span_start"))
+      .map(r => (r(0), r(1), r(2), r(3), r(4)))
+    assert(got == Seq(
+      (1L, 0, 7, 8, 6L),   // grams 0..5, span covers tokens 0..7
+      (2L, 2, 9, 8, 6L),
+      (4L, 0, 1, 2, 1L),   // whole-doc gram of the 2-token copy
+      (5L, 0, 1, 2, 1L)))
+    // disjoint duplicated regions stay separate spans
+    val d2 = Seq(
+      (1L, "x y z GAP1 GAP2 GAP3 GAP4 p q r"),
+      (2L, "x y z other tokens between them p q r")
+    ).toDF("doc_id", "text")
+    val got2 = rows(Dedup.duplicatedSpans(d2, "doc_id", "text", n = 3)
+      .orderBy("doc_id", "span_start")).map(r => (r(0), r(1), r(2)))
+    assert(got2 == Seq((1L, 0, 2), (1L, 7, 9), (2L, 0, 2), (2L, 7, 9)))
+    // minDocs=3: the pairwise-only span disappears
+    assert(Dedup.duplicatedSpans(d2, "doc_id", "text", n = 3, minDocs = 3).isEmpty)
+  }
+
   test("langId picks the language with most stopword hits") {
     val d = Seq(
       "the cat sat on the mat and it was good",

@@ -299,4 +299,33 @@ class SortsSetOpsSpec extends SparkSuite {
     assert(diff.find(_(0) == 6L).get(2) == "f")
     assert(diff.find(_(0) == 5L).get(2) == null)
   }
+
+  test("applyChanges: insert/update/delete, last sequence wins, untouched rows survive") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1L),  // plain update
+      (3L, "c2", "U", 1L),  // update then delete -> gone
+      (3L, "c2", "D", 2L),
+      (4L, "d2", "D", 1L),  // delete then re-insert -> new image wins
+      (4L, "d3", "I", 2L),
+      (5L, "e", "I", 1L),   // insert of an absent key
+      (5L, "e2", "U", 2L)   // ... immediately updated; id 1 untouched
+    ).toDF("id", "v", "op", "seq")
+    val got = rows(SetOps.applyChanges(snap, changes, Seq("id"), "op", "seq")
+      .orderBy("id")).map(r => (r(0), r(1)))
+    assert(got == Seq((1L, "a"), (2L, "b2"), (4L, "d3"), (5L, "e2")))
+    // applying the diff of two snapshots reconstructs the target snapshot
+    val target = Seq((1L, "a"), (2L, "bX"), (6L, "f")).toDF("id", "v")
+    val diff = SetOps.snapshotDiff(snap, target, Seq("id"), Seq("v"))
+      .select(col("id"), col("new_v").as("v"),
+        when(col("op") === "insert", "I").when(col("op") === "delete", "D")
+          .otherwise("U").as("op"),
+        lit(1L).as("seq"))
+    val rebuilt = rows(SetOps.applyChanges(snap, diff, Seq("id"), "op", "seq")
+      .orderBy("id")).map(_.toString)
+    assert(rebuilt == rows(target.orderBy("id")).map(_.toString))
+    // schema guard: changes must carry snapshot columns + op + seq
+    intercept[IllegalArgumentException](
+      SetOps.applyChanges(snap, changes.drop("v"), Seq("id"), "op", "seq"))
+  }
 }
