@@ -1209,6 +1209,29 @@ object SparkEntry {
         how = "left")
       ord(filled.select(col("user_id"), col("h"), col("v")), "user_id", "h")
     }),
+    "q137_asof_directions" -> ((s, dir) => {
+      // the forward and nearest as-of strategies (pandas merge_asof's other
+      // two directions; q76 is backward): each click gets the NEXT purchase
+      // value and the time-CLOSEST purchase value for the same user. Same
+      // one-shuffle union+window plan; the nearest pick computes both
+      // carries over ONE exchange (the second window only re-sorts locally).
+      val ev = Engine.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+        .groupBy("user_id", "tus").agg(max(col("value")).as("pv"))
+      val fwd = Joins.asofJoin(clicks, purchases, Seq("user_id"), "tus", "tus",
+        Seq("pv"), how = "left", direction = "forward")
+        .withColumnRenamed("pv", "pv_fwd")
+      val near = Joins.asofJoin(clicks, purchases, Seq("user_id"), "tus", "tus",
+        Seq("pv"), how = "left", direction = "nearest")
+        .withColumnRenamed("pv", "pv_near")
+      ord(fwd.join(near, Seq("user_id", "tus", "event_id"))
+        .select(col("user_id"), col("tus"), col("event_id"),
+          col("pv_fwd"), col("pv_near")),
+        "user_id", "tus", "event_id")
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2461,6 +2484,27 @@ object SparkEntry {
         |  FROM u)
         |SELECT user_id, h, v FROM f WHERE tag = 1
         |ORDER BY user_id NULLS FIRST, h NULLS FIRST""".stripMargin,
+    "q137_asof_directions" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, max(value) AS pv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, tus),
+        |b AS (
+        |  SELECT c.event_id, p.tus AS bt, p.pv AS bv
+        |  FROM clicks c ASOF LEFT JOIN purchases p
+        |    ON c.user_id = p.user_id AND c.tus >= p.tus),
+        |f AS (
+        |  SELECT c.event_id, p.tus AS ft, p.pv AS fv
+        |  FROM clicks c ASOF LEFT JOIN purchases p
+        |    ON c.user_id = p.user_id AND c.tus <= p.tus)
+        |SELECT c.user_id, c.tus, c.event_id, f.fv AS pv_fwd,
+        |  CASE WHEN b.bt IS NULL THEN f.fv
+        |       WHEN f.ft IS NULL THEN b.bv
+        |       WHEN (c.tus - b.bt) <= (f.ft - c.tus) THEN b.bv ELSE f.fv END AS pv_near
+        |FROM clicks c JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY user_id NULLS FIRST, tus NULLS FIRST, event_id NULLS FIRST""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

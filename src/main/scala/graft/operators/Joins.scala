@@ -134,6 +134,22 @@ object Joins {
     * `Some((l, r) => unix_micros(l) - unix_micros(r) <= lit(30L * 60 * 1000000))`
     * keeps only matches within 30 minutes. Evaluated after the window carry,
     * so the single-shuffle plan shape is unchanged.
+    *
+    * `direction` (pandas merge_asof's three strategies):
+    *   - `"backward"` (default): latest right row with rightTime <= leftTime;
+    *     among same-(keys, time) right rows the LAST in `tieBreak` order wins.
+    *   - `"forward"`: earliest right row with rightTime >= leftTime — the
+    *     same one-shuffle plan with the window frame reflected
+    *     (`first` over [current, following]); among same-time right rows the
+    *     FIRST in `tieBreak` order wins.
+    *   - `"nearest"`: whichever of the two candidates is closer in time,
+    *     ties to backward (pandas convention). Computes both carries over
+    *     the SAME shuffle (the second window only re-sorts locally — no
+    *     extra exchange), applies `tolerance` to each candidate BEFORE
+    *     choosing (a nearer-but-stale match must not shadow a farther valid
+    *     one). Requires a numeric or timestamp time column (distance =
+    *     difference of double casts — exact through 2^53, i.e. past
+    *     year-2200 epoch micros).
     */
   def asofJoin(
       left: DataFrame,
@@ -144,27 +160,61 @@ object Joins {
       valueCols: Seq[String],
       how: String = "inner",
       tieBreak: Seq[String] = Nil,
-      tolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+      tolerance: Option[(Column, Column) => Column] = None,
+      direction: String = "backward"): DataFrame = {
     require(how == "inner" || how == "left", s"asofJoin supports inner/left, got: $how")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin direction must be backward/forward/nearest, got: $direction")
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col => c, last, when}
+    import org.apache.spark.sql.functions.{abs, col => c, first, last, when}
     val (union, lPayload) =
       asofTagged(left, right, keys, leftTime, rightTime, valueCols)
-    // right rows (tag 0) sort before left rows at equal time → inclusive.
-    // The right values travel as ONE struct: non-null marks "a right row
-    // exists" even when its value columns are null, so inner-match detection
-    // and null value semantics are exact.
-    val ordering = (Seq("__graft_t", "__graft_tag") ++ tieBreak).map(c)
-    val w = Window.partitionBy(keys.map(c): _*).orderBy(ordering: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the matched right row's own time travels in the struct so a tolerance
-    // predicate can see it after the carry
-    val carried = union
-      .withColumn("__graft_rv",
-        last(when(c("__graft_tag") === 0, asofRvStruct(valueCols)),
-          ignoreNulls = true).over(w))
-      .filter(c("__graft_tag") === 1)
-    asofFinish(carried, keys, leftTime, lPayload, valueCols, how, tolerance)
+    // Backward: right rows (tag 0) sort before left rows at equal time →
+    // inclusive under the [unboundedPreceding, current] frame. Forward
+    // mirrors it: tag DESC puts right rows after left at equal time, frame
+    // [current, unboundedFollowing], `first` instead of `last`. The right
+    // values travel as ONE struct: non-null marks "a right row exists" even
+    // when its value columns are null, so inner-match detection and null
+    // value semantics are exact.
+    val rvIfRight = when(c("__graft_tag") === 0, asofRvStruct(valueCols))
+    def bwdCol = {
+      val ord = (Seq(c("__graft_t"), c("__graft_tag")) ++ tieBreak.map(c)): Seq[Column]
+      last(rvIfRight, ignoreNulls = true).over(
+        Window.partitionBy(keys.map(c): _*).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    }
+    def fwdCol = {
+      val ord = (Seq(c("__graft_t").asc, c("__graft_tag").desc) ++ tieBreak.map(c)): Seq[Column]
+      first(rvIfRight, ignoreNulls = true).over(
+        Window.partitionBy(keys.map(c): _*).orderBy(ord: _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    }
+    val carried = direction match {
+      case "backward" => union.withColumn("__graft_rv", bwdCol)
+      case "forward" => union.withColumn("__graft_rv", fwdCol)
+      case "nearest" =>
+        val u2 = union
+          .withColumn("__graft_b", bwdCol)
+          .withColumn("__graft_f", fwdCol)
+        // tolerance gates each candidate independently, then the survivor
+        // closer to leftTime wins (tie → backward)
+        def gated(s: Column) = tolerance.fold(s) { f =>
+          when(s.isNotNull && f(c("__graft_t"), s.getField("__graft_rt")), s)
+        }
+        val b = gated(c("__graft_b"))
+        val f = gated(c("__graft_f"))
+        def dist(s: Column) =
+          abs(c("__graft_t").cast("double") - s.getField("__graft_rt").cast("double"))
+        u2.withColumn("__graft_rv",
+            when(b.isNull, f).when(f.isNull, b)
+              .otherwise(when(dist(b) <= dist(f), b).otherwise(f)))
+          .drop("__graft_b", "__graft_f")
+    }
+    val leftOnly = carried.filter(c("__graft_tag") === 1)
+    // nearest already consumed the tolerance; backward/forward apply it in
+    // the shared tail
+    val tailTol = if (direction == "nearest") None else tolerance
+    asofFinish(leftOnly, keys, leftTime, lPayload, valueCols, how, tailTol)
   }
 
   /** Skew-immune as-of join: identical semantics to [[asofJoin]], different

@@ -208,6 +208,51 @@ class JoinsSpec extends SparkSuite {
       Seq(Seq(1L, 10L), Seq(2L, 10L), Seq(3L, 10L), Seq(4L, 30L)))
   }
 
+  test("asofJoin directions: forward/nearest picks, equal-time inclusive, nearest tolerance gating") {
+    import spark.implicits._
+    val trades = Seq(("a", 10L, 1L), ("a", 25L, 2L), ("a", 40L, 3L), ("b", 5L, 4L))
+      .toDF("k", "t", "tid")
+    val quotes = Seq(("a", 10L, 1.0), ("a", 30L, 2.0), ("a", 100L, 3.0), ("b", 1L, 4.0))
+      .toDF("k", "t", "px")
+    def run(dir: String, how: String = "left",
+        tol: Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+          org.apache.spark.sql.Column] = None) =
+      rows(Joins.asofJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"),
+        how = how, tolerance = tol, direction = dir).orderBy("tid"))
+        .map(r => (r(2), r(3)))
+    // forward: earliest quote at-or-after; trade at t=10 takes the equal-time
+    // quote; t=40 jumps to 100; key b has no later quote -> null
+    assert(run("forward") ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, null)))
+    // nearest: t=25 is 15 from quote@10 and 5 from quote@30 -> 2.0;
+    // t=40 is 10 from 30 and 60 from 100 -> 2.0; b only has earlier -> 4.0
+    assert(run("nearest") ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 4.0)))
+    // equidistant tie goes backward: t=20 sits 10 from both 10 and 30
+    val mid = Seq(("a", 20L, 9L)).toDF("k", "t", "tid")
+    assert(rows(Joins.asofJoin(mid, quotes, Seq("k"), "t", "t", Seq("px"),
+      how = "inner", direction = "nearest")).map(_(3)) == Seq(1.0))
+    // nearest + tolerance: for t=40, the nearer quote@30 is outside a
+    // forward-only tolerance while quote@100 is valid -> the farther valid
+    // candidate must win (tolerance gates BEFORE the nearest pick)
+    val fwdOnly: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.Column = (l, r) => r >= l
+    assert(run("nearest", tol = Some(fwdOnly)) ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, null)))
+    // inner drops unmatched
+    assert(run("forward", how = "inner") ==
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    // forward == backward on negated times (the classic reduction)
+    val fwd = Joins.asofJoin(trades, quotes, Seq("k"), "t", "t", Seq("px"),
+      how = "left", direction = "forward")
+    val neg = Joins.asofJoin(
+      trades.withColumn("t", -col("t")), quotes.withColumn("t", -col("t")),
+      Seq("k"), "t", "t", Seq("px"), how = "left")
+      .withColumn("t", -col("t"))
+    assert(rows(fwd.orderBy("tid")).map(_.toString) ==
+      rows(neg.select(fwd.columns.map(col): _*).orderBy("tid")).map(_.toString))
+  }
+
   test("asofJoinBucketed equals asofJoin (hot key, boundaries, empty buckets, tolerance, keys=Nil)") {
     import spark.implicits._
     import org.apache.spark.sql.Column

@@ -283,6 +283,13 @@ class PlanSpec extends SparkSuite {
     // join node at all — the "join" is a running-window carry
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    // nearest computes BOTH carries but must still shuffle exactly once —
+    // the forward window re-sorts locally over the same partitioning
+    val nearPlan = Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+      Seq("value"), direction = "nearest").queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(nearPlan).size == 1, nearPlan)
+    assert(!nearPlan.contains("SortMergeJoin") && !nearPlan.contains("BroadcastHashJoin"),
+      nearPlan)
   }
 
   test("q73 pins first/last without a single-partition exchange") {
