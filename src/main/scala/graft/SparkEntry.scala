@@ -1232,6 +1232,17 @@ object SparkEntry {
           col("pv_fwd"), col("pv_near")),
         "user_id", "tus", "event_id")
     }),
+    "q138_outer_attribution" -> ((s, dir) => {
+      // LEFT OUTER face of the q80 stream-stream attribution join: clicks
+      // with no purchase in the window are kept with null purchase columns.
+      // StreamingSpec proves the watermarked streaming form emits the same
+      // rows (null rows flush once the watermark passes click_ts + window;
+      // state stays bounded by watermark + window exactly as in q80).
+      val ev = Engine.events(s, dir)
+      ordAll(graft.streaming.Events.clickPurchaseJoinOuterBatch(ev, windowMinutes = 60)
+        .withColumn("click_ts", unix_micros(col("click_ts")))
+        .withColumn("p_ts", unix_micros(col("p_ts"))))
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2505,6 +2516,20 @@ object SparkEntry {
         |       WHEN (c.tus - b.bt) <= (f.ft - c.tus) THEN b.bv ELSE f.fv END AS pv_near
         |FROM clicks c JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY user_id NULLS FIRST, tus NULLS FIRST, event_id NULLS FIRST""".stripMargin,
+    // q138: the click-side filter lives in the derived table, NOT the ON
+    // clause — in a LEFT JOIN an ON-clause left-side predicate would keep
+    // non-click events as unmatched rows instead of removing them
+    "q138_outer_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS p_ts,
+        |  p.value AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
+        |ORDER BY ALL""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

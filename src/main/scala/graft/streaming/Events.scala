@@ -205,36 +205,52 @@ object Events {
     * stream-stream join would grow state forever).
     */
   def clickPurchaseJoin(events: DataFrame, windowMinutes: Int = 60,
-      watermark: String = "2 hours"): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
-      .withWatermark("click_ts", watermark)
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("value").as("p_value"))
-      .withWatermark("p_ts", watermark)
-    clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("p_ts") <= col("click_ts") &&
-        col("p_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
-      "inner")
-      .select(col("user_id"), col("click_id"), col("click_ts"), col("p_ts"), col("p_value"))
-  }
+      watermark: String = "2 hours"): DataFrame =
+    intervalJoin(events, windowMinutes, Some(watermark), "inner")
 
   /** Batch twin of `clickPurchaseJoin` (oracle-comparable: equi-join on user
     * + time-range filter — one shuffle, same result as the streaming form).
     */
-  def clickPurchaseJoinBatch(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
-    val purchases = events.filter(col("event_type") === "purchase")
+  def clickPurchaseJoinBatch(events: DataFrame, windowMinutes: Int = 60): DataFrame =
+    intervalJoin(events, windowMinutes, None, "inner")
+
+  /** Stream-stream LEFT OUTER interval join: like [[clickPurchaseJoin]] but
+    * a click with no purchase in its window is KEPT, with null purchase
+    * columns. In streaming, the null row for an unmatched click is emitted
+    * only once the watermark passes `click_ts + window` — the earliest point
+    * at which state can prove no matching purchase can still arrive (Spark's
+    * outer-join-with-watermark contract). State stays bounded by
+    * `watermark + window` per side, exactly as in the inner form — outer
+    * semantics change WHEN unmatched rows flush, not how much state is held.
+    */
+  def clickPurchaseJoinOuter(events: DataFrame, windowMinutes: Int = 60,
+      watermark: String = "2 hours"): DataFrame =
+    intervalJoin(events, windowMinutes, Some(watermark), "leftOuter")
+
+  /** Batch twin of [[clickPurchaseJoinOuter]] (oracle-comparable). */
+  def clickPurchaseJoinOuterBatch(events: DataFrame, windowMinutes: Int = 60): DataFrame =
+    intervalJoin(events, windowMinutes, None, "leftOuter")
+
+  /** Shared shape of the attribution joins: clicks (left) against the same
+    * user's purchases within `windowMinutes` BEFORE each click. `watermark`
+    * present = streaming form (both sides watermarked so the join condition
+    * bounds state); absent = batch twin on the identical plan.
+    */
+  private def intervalJoin(events: DataFrame, windowMinutes: Int,
+      watermark: Option[String], joinType: String): DataFrame = {
+    def wm(df: DataFrame, tsCol: String): DataFrame =
+      watermark.fold(df)(w => df.withWatermark(tsCol, w))
+    val clicks = wm(events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id")), "click_ts")
+    val purchases = wm(events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("value").as("p_value"))
+        col("value").as("p_value")), "p_ts")
     clicks.join(purchases,
       col("user_id") === col("p_user") &&
         col("p_ts") <= col("click_ts") &&
         col("p_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
-      "inner")
+      joinType)
       .select(col("user_id"), col("click_id"), col("click_ts"), col("p_ts"), col("p_value"))
   }
 

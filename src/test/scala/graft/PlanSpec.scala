@@ -449,6 +449,15 @@ class PlanSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${plan.take(3000)}")
   }
 
+  test("outer attribution joins as an equi left-outer join, never a nested loop") {
+    val plan = planOf("q138_outer_attribution")
+    assert(plan.contains("LeftOuter"), plan.take(2000))
+    // the user_id equi key carries the join; the time bounds ride along as
+    // the join condition — a nested loop would mean the equi key was lost
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
+
   test("rangeJoin plans an equi join on the bin key, never a nested loop") {
     import graft.operators.Joins
     val cust = Engine.table(spark, sfDir, "customer")

@@ -128,6 +128,46 @@ class StreamingSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("stream-stream LEFT OUTER interval join == batch twin (null rows flush on watermark)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // An unmatched click emits its null row only once the watermark passes
+    // click_ts + window, so stage the real events plus a far-future flush
+    // click+purchase pair (sentinel user -1) that drags BOTH sides'
+    // watermarks past every real click's flush point; the sentinels are
+    // excluded from the comparison (the flush click itself stays in state
+    // forever — nothing ever advances the watermark past it).
+    val raw = spark.read.schema(Events.rawSchema).parquet(s"$sfDir/events.parquet")
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    val flushTs = maxTs + 4L * 3600L * 1000000000L // +4h > watermark 2h + window 1h
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_outer_stream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, modTimeMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_outer_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTimeMs)
+    }
+    val now = System.currentTimeMillis()
+    stage(raw, "all.parquet", now - 60000)
+    stage(Seq(
+      (-1L, flushTs, -1L, "click", 0.0, "{}"),
+      (-2L, flushTs, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "flush.parquet", now)
+
+    val streamed = Events.clickPurchaseJoinOuter(
+      Events.readStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)))
+    val q = streamed.writeStream.format("memory")
+      .queryName("graft_outer_join").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_outer_join").filter(col("user_id") >= 0)
+    val expected = Events.clickPurchaseJoinOuterBatch(Engine.events(spark, sfDir))
+    assert(rows(got).map(_.toString).sorted == rows(expected).map(_.toString).sorted)
+    assert(got.filter(col("p_ts").isNull).count() > 0) // outer rows present
+  }
+
   test("built-in session_window sessionization == explicit batch sessionization") {
     val ev = Engine.events(spark, sfDir)
     val viaWindow = Events.sessionizeWindow(ev)
