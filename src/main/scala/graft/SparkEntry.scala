@@ -1243,6 +1243,17 @@ object SparkEntry {
         .withColumn("click_ts", unix_micros(col("click_ts")))
         .withColumn("p_ts", unix_micros(col("p_ts"))))
     }),
+    "q139_full_attribution" -> ((s, dir) => {
+      // FULL OUTER face of the attribution join: unmatched clicks AND
+      // unmatched purchases both kept (the "every touchpoint and every
+      // conversion, matched where possible" audit view). Streaming form in
+      // Events.clickPurchaseJoinFull — purchase-only rows flush once the
+      // click-side watermark passes p_ts + window.
+      val ev = Engine.events(s, dir)
+      ordAll(graft.streaming.Events.clickPurchaseJoinFullBatch(ev, windowMinutes = 60)
+        .withColumn("click_ts", unix_micros(col("click_ts")))
+        .withColumn("p_ts", unix_micros(col("p_ts"))))
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2526,6 +2537,17 @@ object SparkEntry {
         |  p.value AS p_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
+        |ORDER BY ALL""".stripMargin,
+    "q139_full_attribution" ->
+      """SELECT COALESCE(c.user_id, p.user_id) AS user_id, c.event_id AS click_id,
+        |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_ts,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS p_ts,
+        |  p.value AS p_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id
         |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
         |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 60 MINUTE

@@ -231,6 +231,21 @@ object Events {
   def clickPurchaseJoinOuterBatch(events: DataFrame, windowMinutes: Int = 60): DataFrame =
     intervalJoin(events, windowMinutes, None, "leftOuter")
 
+  /** FULL OUTER stream-stream interval join: unmatched clicks AND unmatched
+    * purchases are both kept (null columns on the absent side). An unmatched
+    * click flushes once the watermark passes `click_ts + window` (as in the
+    * left-outer form); an unmatched purchase flushes once the CLICK-side
+    * watermark passes `p_ts + window` — the latest click that could still
+    * match it. Same `watermark + window` state bound as the inner form.
+    */
+  def clickPurchaseJoinFull(events: DataFrame, windowMinutes: Int = 60,
+      watermark: String = "2 hours"): DataFrame =
+    intervalJoin(events, windowMinutes, Some(watermark), "fullOuter")
+
+  /** Batch twin of [[clickPurchaseJoinFull]] (oracle-comparable). */
+  def clickPurchaseJoinFullBatch(events: DataFrame, windowMinutes: Int = 60): DataFrame =
+    intervalJoin(events, windowMinutes, None, "fullOuter")
+
   /** Shared shape of the attribution joins: clicks (left) against the same
     * user's purchases within `windowMinutes` BEFORE each click. `watermark`
     * present = streaming form (both sides watermarked so the join condition
@@ -251,7 +266,11 @@ object Events {
         col("p_ts") <= col("click_ts") &&
         col("p_ts") >= col("click_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
       joinType)
-      .select(col("user_id"), col("click_id"), col("click_ts"), col("p_ts"), col("p_value"))
+      // coalesce is the identity for inner/left rows (p_user == user_id when
+      // matched); it only matters for full-outer purchase-only rows, where
+      // the click side is all-null
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("click_id"), col("click_ts"), col("p_ts"), col("p_value"))
   }
 
   /** Sessionization via Spark's built-in `session_window` (gap-based session

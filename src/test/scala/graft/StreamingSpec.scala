@@ -168,6 +168,44 @@ class StreamingSpec extends SparkSuite {
     assert(got.filter(col("p_ts").isNull).count() > 0) // outer rows present
   }
 
+  test("stream-stream FULL OUTER interval join == batch twin (both sides flush)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same flush-sentinel staging as the left-outer test: an unmatched click
+    // flushes when the PURCHASE watermark passes click_ts; an unmatched
+    // purchase flushes when the CLICK watermark passes p_ts + window
+    val raw = spark.read.schema(Events.rawSchema).parquet(s"$sfDir/events.parquet")
+    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
+    val flushTs = maxTs + 4L * 3600L * 1000000000L
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_full_stream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, modTimeMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_full_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTimeMs)
+    }
+    val now = System.currentTimeMillis()
+    stage(raw, "all.parquet", now - 60000)
+    stage(Seq(
+      (-1L, flushTs, -1L, "click", 0.0, "{}"),
+      (-2L, flushTs, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "flush.parquet", now)
+
+    val streamed = Events.clickPurchaseJoinFull(
+      Events.readStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)))
+    val q = streamed.writeStream.format("memory")
+      .queryName("graft_full_join").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_full_join").filter(col("user_id") >= 0)
+    val expected = Events.clickPurchaseJoinFullBatch(Engine.events(spark, sfDir))
+    assert(rows(got).map(_.toString).sorted == rows(expected).map(_.toString).sorted)
+    assert(got.filter(col("p_ts").isNull).count() > 0)     // click-only rows
+    assert(got.filter(col("click_id").isNull).count() > 0) // purchase-only rows
+  }
+
   test("built-in session_window sessionization == explicit batch sessionization") {
     val ev = Engine.events(spark, sfDir)
     val viaWindow = Events.sessionizeWindow(ev)
