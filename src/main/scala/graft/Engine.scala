@@ -30,8 +30,9 @@ object Engine {
       // arithmetic; ANSI mode (Spark 4 default) would instead throw on
       // overflow / bad casts. Match the reference's semantics.
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet stores timestamp[ns], which Spark's parquet reader
-      // rejects natively; read as long nanos (converted in Engine.events).
+      // If events.parquet stores timestamp[ns] (some testdata rounds did),
+      // Spark's parquet reader rejects it natively; read as long nanos
+      // (normalized in Engine.events). Harmless for µs-stored data.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Runtime bloom-filter join pruning: when a shuffle join's build side
       // is selective, inject might_contain(fact_key) into the probe side's
@@ -61,11 +62,26 @@ object Engine {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** The events table with `ts` converted from raw int64 nanoseconds (see
-    * `nanosAsLong` above) to a microsecond TimestampType via integer division
-    * — `div` keeps the math in int64 (a double round-trip would lose precision
-    * on epoch-nanos magnitudes).
+  /** The events table with `ts` normalized to a session-zone TimestampType,
+    * whatever the file's physical type:
+    *  - int64 (ns-precision parquet read with `nanosAsLong`): integer-`div`
+    *    to µs then `timestamp_micros` — `div` keeps the math in int64 (a
+    *    double round-trip would lose precision at epoch-nanos magnitudes);
+    *  - timestamp[us] without timezone (reads as TIMESTAMP_NTZ): cast to
+    *    TimestampType — value-preserving because the session zone is pinned
+    *    to UTC in `configure`, and downstream `unix_micros`/watermarks need
+    *    TimestampType, not NTZ;
+    *  - already TimestampType: pass through.
+    * The testdata generator has shipped both physical types across rounds, so
+    * the engine detects rather than assumes.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case _ => df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+    }
+  }
 }

@@ -25,6 +25,7 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -32,6 +33,7 @@ object Verify {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
+            failed.add(name)
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
         }
@@ -40,6 +42,21 @@ object Verify {
       scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
+    // Loud per-round health report: a query missing from the dump is a
+    // FAILURE, not a skip (the round-6 events-schema drift silently killed 15
+    // queries for two rounds because nothing counted them).
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val danglingOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    if (!failed.isEmpty || noOracle.nonEmpty || danglingOracle.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      System.err.println(
+        s"[verify] *** ${failed.size} QUERIES THREW: ${failed.asScala.toSeq.sorted.mkString(", ")}")
+      if (noOracle.nonEmpty) System.err.println(
+        s"[verify] *** ${noOracle.size} queries lack oracleSql: ${noOracle.toSeq.sorted.mkString(", ")}")
+      if (danglingOracle.nonEmpty) System.err.println(
+        s"[verify] *** ${danglingOracle.size} oracleSql keys lack a query: ${danglingOracle.toSeq.sorted.mkString(", ")}")
+    } else if (only.isEmpty)
+      System.err.println(s"[verify] OK: all ${SparkEntry.queries.size} queries dumped, oracle keys aligned")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -26,17 +26,29 @@ case class SessState(start: Long, end: Long, n: Long, nextId: Long)
   */
 object Events {
 
-  /** events.parquet schema as stored (ts = raw int64 nanoseconds). */
+  /** events.parquet schema as stored: ts = timestamp[us] without timezone
+    * (TIMESTAMP_NTZ). Earlier testdata rounds stored raw int64 nanoseconds —
+    * `withTs` normalizes either physical type, so a stream over old-format
+    * files still works by swapping `ts` to LongType here.
+    */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def withTs(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** Normalize `ts` to session-zone TimestampType from whatever physical type
+    * the source delivered (int64 epoch-ns, TIMESTAMP_NTZ, or already
+    * TimestampType) — same detection as `Engine.events`; the session zone is
+    * UTC so the NTZ cast is value-preserving.
+    */
+  def withTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampType => df
+    case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+  }
 
   /** Open the events directory as a stream (file source discovers new files —
     * the local stand-in for a Kafka-style source).

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.Events
+
+/** Regression guard for the events-ts schema drift (round 6): the testdata
+  * generator has shipped `ts` as BOTH raw int64 epoch-nanoseconds and
+  * timestamp[us] (TIMESTAMP_NTZ) across rounds. `Engine.events` and
+  * `Events.withTs` must normalize EITHER physical type to the same
+  * session-zone TimestampType values, so a future flip cannot silently kill
+  * the 15 event-time queries again.
+  */
+class EngineSpec extends SparkSuite {
+
+  private def dumpAndRead(writeTs: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_fmt").toString
+    Seq((1L, 1577836800123456L, 7L), (2L, 1577840400654321L, 8L))
+      .toDF("event_id", "us", "user_id")
+      .withColumn("ts", writeTs)
+      .select("event_id", "ts", "user_id")
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("Engine.events normalizes int64-ns and timestamp-NTZ storage identically") {
+    val ntzDir = dumpAndRead(timestamp_micros(col("us")).cast("timestamp_ntz"))
+    val nsDir = dumpAndRead((col("us") * 1000L).cast(LongType))
+
+    val fromNtz = Engine.events(spark, ntzDir)
+    val fromNs = Engine.events(spark, nsDir)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNs.schema("ts").dataType == TimestampType)
+
+    def micros(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(unix_micros(col("ts"))).collect().map(_.getLong(0)).sorted.toSeq
+    assert(micros(fromNtz) == Seq(1577836800123456L, 1577840400654321L))
+    assert(micros(fromNs) == micros(fromNtz))
+  }
+
+  test("Events.withTs matches Engine.events on the real testdata and passes TimestampType through") {
+    val viaStream = Events.withTs(
+      spark.read.schema(Events.rawSchema).parquet(s"$sfDir/events.parquet"))
+    val viaEngine = Engine.events(spark, sfDir)
+    assert(viaStream.schema("ts").dataType == TimestampType)
+    val a = viaStream.agg(sum(unix_micros(col("ts")))).head().getLong(0)
+    val b = viaEngine.agg(sum(unix_micros(col("ts")))).head().getLong(0)
+    assert(a == b)
+    // already-TimestampType input is untouched
+    assert(Events.withTs(viaEngine).schema("ts").dataType == TimestampType)
+  }
+}

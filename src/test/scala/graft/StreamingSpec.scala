@@ -34,7 +34,9 @@ class StreamingSpec extends SparkSuite {
     // split the raw events in event-time order into two files => two
     // micro-batches; sessions spanning the cut must merge via GroupState
     val raw = spark.read.schema(Events.rawSchema).parquet(s"$sfDir/events.parquet")
-    val cut = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+    // NTZ column: do the split arithmetic in epoch-micros (session tz = UTC)
+    val tsm = unix_micros(col("ts").cast("timestamp"))
+    val cut = raw.select(tsm.as("tsm")).stat.approxQuantile("tsm", Array(0.5), 0.0)(0).toLong
     val streamDir = java.nio.file.Files.createTempDirectory("graft_sess_stream")
     def stage(df: org.apache.spark.sql.DataFrame, name: String, modTimeMs: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_sess_half").toString
@@ -45,8 +47,8 @@ class StreamingSpec extends SparkSuite {
       dst.toFile.setLastModified(modTimeMs) // file source orders batches by mod time
     }
     val now = System.currentTimeMillis()
-    stage(raw.filter(col("ts") <= cut), "half1.parquet", now - 60000)
-    stage(raw.filter(col("ts") > cut), "half2.parquet", now)
+    stage(raw.filter(tsm <= cut), "half1.parquet", now - 60000)
+    stage(raw.filter(tsm > cut), "half2.parquet", now)
 
     // watermark 0s: after the final (no-data) batch the watermark reaches
     // max(ts), closing every session except those ending within `gap` of it
@@ -58,7 +60,7 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable(); q.stop()
     val got = spark.table("graft_sessions")
 
-    val maxTsMs = raw.agg(max(col("ts"))).head().getLong(0) / 1000000L // ns → ms
+    val maxTsMs = raw.agg(max(tsm)).head().getLong(0) / 1000L // µs → ms
     val gapMs = 30 * 60000L
     val lastPerUser = Window.partitionBy("user_id").orderBy(col("session_id").desc)
     val expected = batch
@@ -79,11 +81,13 @@ class StreamingSpec extends SparkSuite {
     // future event for user 2 that pushes the watermark past everything and
     // times user 1's sessions out. Watermark 2h keeps the late events
     // admissible.
-    val base = 1577836800L * 1000000000L // 2020-01-01 in nanos
-    def ns(min: Long): Long = base + min * 60L * 1000000000L
+    val base = 1577836800L * 1000000L // 2020-01-01 in micros
+    def ns(min: Long): Long = base + min * 60L * 1000000L
     val streamDir = java.nio.file.Files.createTempDirectory("graft_ooo_stream")
     def stage(rows: Seq[(Long, Long, Long)], name: String, modTimeMs: Long): Unit = {
       val df = rows.toDF("event_id", "ts", "user_id")
+        // files must match rawSchema: ts → timestamp[us] NTZ (session tz UTC)
+        .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
         .withColumn("event_type", lit("click"))
         .withColumn("value", lit(1.0))
         .withColumn("props", lit("{}"))
@@ -109,7 +113,7 @@ class StreamingSpec extends SparkSuite {
       .filter(col("user_id") === 1L)
       .select(col("session_id"), col("n_events"),
         unix_micros(col("sess_start")).as("s"), unix_micros(col("sess_end")).as("e"))
-    def us(min: Long): Long = base / 1000L + min * 60L * 1000000L
+    def us(min: Long): Long = base + min * 60L * 1000000L
     assertSameRows(got,
       Seq(Seq(0L, 1L, us(10), us(10)),   // late lone event: own session
           Seq(1L, 2L, us(95), us(100)))) // open session extended backward
@@ -138,8 +142,8 @@ class StreamingSpec extends SparkSuite {
     // excluded from the comparison (the flush click itself stays in state
     // forever — nothing ever advances the watermark past it).
     val raw = spark.read.schema(Events.rawSchema).parquet(s"$sfDir/events.parquet")
-    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
-    val flushTs = maxTs + 4L * 3600L * 1000000000L // +4h > watermark 2h + window 1h
+    val maxTs = raw.agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+    val flushTs = maxTs + 4L * 3600L * 1000000L // +4h (µs) > watermark 2h + window 1h
     val streamDir = java.nio.file.Files.createTempDirectory("graft_outer_stream")
     def stage(df: org.apache.spark.sql.DataFrame, name: String, modTimeMs: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_outer_half").toString
@@ -154,7 +158,8 @@ class StreamingSpec extends SparkSuite {
     stage(Seq(
       (-1L, flushTs, -1L, "click", 0.0, "{}"),
       (-2L, flushTs, -1L, "purchase", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz")),
       "flush.parquet", now)
 
     val streamed = Events.clickPurchaseJoinOuter(
@@ -175,8 +180,8 @@ class StreamingSpec extends SparkSuite {
     // flushes when the PURCHASE watermark passes click_ts; an unmatched
     // purchase flushes when the CLICK watermark passes p_ts + window
     val raw = spark.read.schema(Events.rawSchema).parquet(s"$sfDir/events.parquet")
-    val maxTs = raw.agg(max(col("ts"))).head().getLong(0)
-    val flushTs = maxTs + 4L * 3600L * 1000000000L
+    val maxTs = raw.agg(max(unix_micros(col("ts").cast("timestamp")))).head().getLong(0)
+    val flushTs = maxTs + 4L * 3600L * 1000000L
     val streamDir = java.nio.file.Files.createTempDirectory("graft_full_stream")
     def stage(df: org.apache.spark.sql.DataFrame, name: String, modTimeMs: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft_full_half").toString
@@ -191,7 +196,8 @@ class StreamingSpec extends SparkSuite {
     stage(Seq(
       (-1L, flushTs, -1L, "click", 0.0, "{}"),
       (-2L, flushTs, -1L, "purchase", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz")),
       "flush.parquet", now)
 
     val streamed = Events.clickPurchaseJoinFull(
