@@ -35,6 +35,7 @@ import graft.operators._
 private[graft] object OracleAux {
   @volatile var q45Sigs: Option[Seq[(Long, Long)]] = None // (doc id, simhash64)
   @volatile var q50Cands: Option[Seq[(Long, Long)]] = None // (query_id, neighbor_id)
+  @volatile var q142Assign: Option[Seq[(Long, Long)]] = None // (vec_id, cluster id)
 }
 
 object SparkEntry {
@@ -1253,6 +1254,63 @@ object SparkEntry {
       ordAll(graft.streaming.Events.clickPurchaseJoinFullBatch(ev, windowMinutes = 60)
         .withColumn("click_ts", unix_micros(col("click_ts")))
         .withColumn("p_ts", unix_micros(col("p_ts"))))
+    }),
+    "q140_variant_props" -> ((s, dir) => {
+      // Spark 4 VariantType for semi-structured data: parse events.props
+      // ONCE into the binary variant encoding, then typed-path extraction
+      // (variant_get) — at scale this beats re-running get_json_object per
+      // access (parse once, extract many) and the extraction stays inside
+      // whole-stage codegen. q62 is the per-row string-path twin.
+      val ev = Engine.events(s, dir)
+      ord(ev
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k")),
+        "event_type")
+    }),
+    "q141_ewma" -> ((s, dir) => {
+      // trailing exponentially-weighted moving average per user (half-life
+      // smoothing of event values — the classic online-feature shape).
+      // One shuffle on user_id; the trailing-10 window rides a sort within
+      // partitions, and the EWMA fold is a codegen'd higher-order aggregate
+      // over the frame's collect_list — identical left-fold order to the
+      // DuckDB list_reduce oracle, so doubles match bit-for-bit pre-round.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Engine.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      // Output as floor-quantized 1e-4 units (msum pattern), NOT round(…,4):
+      // halving folds of 2-decimal inputs land exactly on .xxxx5 decimal
+      // boundaries where Spark's BigDecimal HALF_UP and DuckDB's
+      // double-domain round disagree by 1 ulp; floor/×/+ are identical
+      // IEEE ops in both engines.
+      val arr = collect_list(col("value")).over(w)
+      ord(ev
+        .withColumn("arr", arr)
+        .select(col("event_id"), col("user_id"),
+          floor(aggregate(slice(col("arr"), lit(2), size(col("arr")) - 1),
+            element_at(col("arr"), 1),
+            (acc, x) => lit(0.5) * x + lit(0.5) * acc) * 10000 + 0.5)
+            .cast("long").as("ewma_e4")),
+        "event_id")
+    }),
+    "q142_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup (embedding-cosine near-dup at corpus scale): k-means
+      // partition the embedding space, pairwise-compare ONLY within
+      // clusters, keep the lowest id per duplicate neighborhood. The
+      // cluster assignment (the non-SQL-derivable part) is stashed for the
+      // oracle, which independently re-derives the intra-cluster duplicate
+      // closure and survivor set — same split as q45/q50.
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+        nlist = 16, lloydIters = 2)
+      val assigned = Similarity.assignClusters(e, "vec_id", "embedding", cents)
+        .persist()
+      OracleAux.q142Assign = Some(assigned.select("vec_id", "cid").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq)
+      ord(Similarity.dropSemanticDups(assigned, threshold = 0.4), "vec_id")
     }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
@@ -2552,6 +2610,22 @@ object SparkEntry {
         |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP)
         |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 60 MINUTE
         |ORDER BY ALL""".stripMargin,
+    "q140_variant_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+    "q141_ewma" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(list_reduce(l, (a, b) -> 0.5*b + 0.5*a) * 10000 + 0.5) AS BIGINT) AS ewma_e4
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    list(value) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
+        |  FROM events)
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,
@@ -3225,6 +3299,27 @@ object SparkEntry {
            |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
            |FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin
     }
-    (q45.toSeq ++ q50.toSeq).toMap
+    val q142 = OracleAux.q142Assign.filter(_.nonEmpty).map { assign =>
+      "q142_semantic_dedup" ->
+        s"""WITH raw(vid, c) AS (VALUES ${values(assign)}),
+           |assign AS (SELECT CAST(vid AS BIGINT) AS vec_id,
+           |  CAST(c AS INT) AS cid FROM raw),
+           |e AS (
+           |  SELECT a.vec_id, a.cid, emb.embedding,
+           |    sqrt(list_sum(list_transform(emb.embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           |  FROM assign a JOIN embeddings emb USING (vec_id)
+           |), drops AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |    / (a.nrm * b.nrm) >= 0.4
+           |)
+           |SELECT vec_id, cid FROM assign
+           |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+           |ORDER BY vec_id""".stripMargin
+    }
+    (q45.toSeq ++ q50.toSeq ++ q142.toSeq).toMap
   }
 }

@@ -45,8 +45,12 @@ object Verify {
     // Loud per-round health report: a query missing from the dump is a
     // FAILURE, not a skip (the round-6 events-schema drift silently killed 15
     // queries for two rounds because nothing counted them).
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val danglingOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    // key-set diff only meaningful on a full run (a SPARK_GRAFT_ONLY filter
+    // legitimately leaves the other dynamic oracles unpopulated)
+    val noOracle = if (only.isEmpty)
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet else Set.empty[String]
+    val danglingOracle = if (only.isEmpty)
+      SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet else Set.empty[String]
     if (!failed.isEmpty || noOracle.nonEmpty || danglingOracle.nonEmpty) {
       import scala.jdk.CollectionConverters._
       System.err.println(

@@ -110,44 +110,43 @@ object Similarity {
     * matrix (nlist × dim doubles) to the driver — the corpus itself never
     * moves. Scale path: recall comes from nprobe, cost from nlist.
     */
-  def ivfTopK(
+  // Centroid scoring is O(1) in nlist at the EXPRESSION level: the whole
+  // centroid matrix rides in one array<array<double>> literal (a single
+  // codegen reference object) and one array<double> norm literal, scored
+  // with zip_with + the native dot. The previous form inlined nlist
+  // per-centroid struct literals — O(nlist·dim) expression nodes, a
+  // codegen wall at nlist ≥ ~1k. Data volume per task is the same
+  // (nlist × dim doubles, ~0.5 MB at nlist=1024/dim=64); only the plan
+  // shape changed. See tools/ScaleProbe's ivf_nlist section.
+  private[llm] def centroidStructs(vec: Column, cents: Array[Array[Double]]): Column = {
+    val centLit = typedLit(cents.map(_.toSeq).toSeq)
+    val normLit = typedLit(
+      cents.map(c => math.sqrt(c.map(x => x * x).sum).max(1e-12)).toSeq)
+    val scores = zip_with(centLit, normLit, (c, n) => dot(vec, c) / n)
+    // (score, cid) structs: lexicographic max/sort == best score, ties to
+    // the larger cid — the same order the old greatest(struct…) form used
+    zip_with(scores, typedLit(cents.indices.toList),
+      (s, i) => struct(s.as("score"), i.as("cid")))
+  }
+
+  private[llm] def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
+    array_max(centroidStructs(vec, cents)).getField("cid")
+
+  /** Lloyd-iterated k-means centroids over an embedding column, by cosine
+    * assignment. Deterministic init (first `nlist` vectors by id); only the
+    * nlist×dim centroid matrix ever reaches the driver — per-iteration state
+    * is bounded regardless of corpus size.
+    */
+  def trainCentroids(
       corpus: DataFrame,
-      queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
+      nlist: Int,
+      lloydIters: Int = 2): Array[Array[Double]] = {
     val base = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v")).persist()
-
-    // deterministic init: first nlist vectors by id
     var centroids: Array[Array[Double]] = base.orderBy("id").limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray)
-
-    // Centroid scoring is O(1) in nlist at the EXPRESSION level: the whole
-    // centroid matrix rides in one array<array<double>> literal (a single
-    // codegen reference object) and one array<double> norm literal, scored
-    // with zip_with + the native dot. The previous form inlined nlist
-    // per-centroid struct literals — O(nlist·dim) expression nodes, a
-    // codegen wall at nlist ≥ ~1k. Data volume per task is the same
-    // (nlist × dim doubles, ~0.5 MB at nlist=1024/dim=64); only the plan
-    // shape changed. See tools/ScaleProbe's ivf_nlist section.
-    def centroidStructs(vec: Column, cents: Array[Array[Double]]): Column = {
-      val centLit = typedLit(cents.map(_.toSeq).toSeq)
-      val normLit = typedLit(
-        cents.map(c => math.sqrt(c.map(x => x * x).sum).max(1e-12)).toSeq)
-      val scores = zip_with(centLit, normLit, (c, n) => dot(vec, c) / n)
-      // (score, cid) structs: lexicographic max/sort == best score, ties to
-      // the larger cid — the same order the old greatest(struct…) form used
-      zip_with(scores, typedLit(cents.indices.toList),
-        (s, i) => struct(s.as("score"), i.as("cid")))
-    }
-    def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
-      array_max(centroidStructs(vec, cents)).getField("cid")
-
     for (_ <- 0 until lloydIters) {
       val assigned = base.withColumn("cid", nearestCentroid(col("v"), centroids))
       val means = assigned
@@ -160,9 +159,32 @@ object Similarity {
         centroids(r.getInt(0)) = r.getSeq[Double](1).toArray
       }
     }
-    // the Lloyd collects above were base's only consumers — the returned
-    // plan reads `corpus` directly, so release the cache now
     base.unpersist(blocking = false)
+    centroids
+  }
+
+  /** Assign each vector its nearest (by cosine) centroid: one broadcast-
+    * literal scan, no shuffle. Returns (vec_id, v, nrm, cid) with `v` as the
+    * original vector column and `nrm` its L2 norm (computed once).
+    */
+  def assignClusters(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .withColumn("cid",
+        nearestCentroid(transform(col("v"), x => x.cast("double")), cents))
+
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, lloydIters)
 
     val cAssigned = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
@@ -186,6 +208,47 @@ object Similarity {
         .withColumn("cosine", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
         .select("query_id", "neighbor_id", "cosine"),
       k)
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cluster the embedding space, then inside each
+    * cluster drop every vector that has a lower-id neighbor with cosine ≥
+    * `threshold` — one deterministic representative (the lowest id) survives
+    * per duplicate neighborhood.
+    *
+    * Scale shape: pairwise comparisons are confined WITHIN clusters —
+    * O(Σ cᵢ²) instead of O(n²). nlist grows with the corpus so the expected
+    * cluster size stays bounded (SemDeDup used 50k clusters for LAION-440M);
+    * assignment is a broadcast-literal scan (no shuffle), the intra-cluster
+    * self-join shuffles on cid once, and the surviving-set anti-join streams.
+    * Returns (vec_id, cid) of the kept vectors.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nlist: Int = 16,
+      lloydIters: Int = 2): DataFrame =
+    dropSemanticDups(
+      assignClusters(emb, idCol, vecCol,
+        trainCentroids(emb, idCol, vecCol, nlist, lloydIters)),
+      threshold)
+
+  /** The drop stage of `semanticDedup`, over pre-assigned clusters
+    * (`assignClusters` output): kept = vectors with NO lower-id same-cluster
+    * neighbor at cosine ≥ threshold.
+    */
+  def dropSemanticDups(assigned: DataFrame, threshold: Double): DataFrame = {
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val drops = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(drops, Seq("vec_id"), "left_anti").select("vec_id", "cid")
   }
 
   /** Deterministic random hyperplanes: `numTables` tables × `bits` planes of

@@ -163,4 +163,39 @@ class FunctionsSpec extends SparkSuite {
     assert(Types.widenUnsigned("uint64") == DecimalType(20, 0))
     intercept[IllegalArgumentException](Types.widenUnsigned("decimal128"))
   }
+
+  test("variant parse + typed get matches string-path JSON extraction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 87, "s": "x"}"""),
+      (2L, """{"k": -3}"""),
+      (3L, """{"other": 1}"""), // missing path → null
+      (4L, """{"k": null}""")).toDF("id", "props")
+    val got = df.select($"id",
+      variant_get(parse_json($"props"), "$.k", "int").as("k"),
+      get_json_object($"props", "$.k").cast("int").as("k2"))
+    got.collect().foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2))
+      if (!r.isNullAt(1)) assert(r.getInt(1) == r.getInt(2))
+    }
+  }
+
+  test("trailing EWMA fold: hand-computed values, frame shorter than window, per-key isolation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 40.0),
+      (4L, 2L, 100.0)).toDF("event_id", "user_id", "value")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(-9, Window.currentRow)
+    val arr = collect_list($"value").over(w)
+    val ewma = aggregate(slice(arr, lit(2), size(arr) - 1),
+      element_at(arr, 1), (acc, x) => lit(0.5) * x + lit(0.5) * acc)
+    val got = df.select($"event_id", ewma.as("e")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 10.0)              // single-element frame = the value
+    assert(got(2L) == 15.0)              // 0.5*20 + 0.5*10
+    assert(got(3L) == 27.5)              // 0.5*40 + 0.5*15
+    assert(got(4L) == 100.0)             // other key unaffected
+  }
 }

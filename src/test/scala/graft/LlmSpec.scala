@@ -545,4 +545,39 @@ class LlmSpec extends SparkSuite {
     assert(graft.llm.Retrieval.heavyHitterTerms(d, "text", denom = 13L)
       .count() == 7)
   }
+
+  test("semanticDedup keeps the lowest id per duplicate neighborhood, distinct vectors survive") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    // ids 1/2/3 are near-parallel (cosine ≈ 1), id 4 is orthogonal to them,
+    // id 5 is the negation of 4 (cosine -1: never a duplicate)
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.001f)),
+      (3L, Array(0.5f, 0.0f)),
+      (4L, Array(0.0f, 1.0f)),
+      (5L, Array(0.0f, -1.0f))).toDF("vec_id", "embedding")
+    // nlist=1 → a single cluster: the pure pairwise-drop semantics
+    val kept = Similarity.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.9, nlist = 1, lloydIters = 1)
+    assert(rows(kept.select("vec_id")).map(_.head) == Seq(1L, 4L, 5L))
+  }
+
+  test("semanticDedup with clusters only compares within a cluster") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    // two tight groups on orthogonal axes; k-means with nlist=2 separates
+    // them, and each group keeps exactly its lowest id
+    val e = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.01f)),
+      (20L, Array(0.0f, 1.0f)), (21L, Array(0.01f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+      nlist = 2, lloydIters = 2)
+    val assigned = Similarity.assignClusters(e, "vec_id", "embedding", cents)
+    // the two groups land in different clusters
+    assert(assigned.select("cid").distinct().count() == 2)
+    val kept = Similarity.dropSemanticDups(assigned, threshold = 0.95)
+    assert(rows(kept.select("vec_id")).map(_.head).toSet == Set(10L, 20L))
+  }
 }
