@@ -1312,6 +1312,14 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq)
       ord(Similarity.dropSemanticDups(assigned, threshold = 0.4), "vec_id")
     }),
+    "q143_running_totals" -> ((s, dir) => {
+      // batch twin of Events.runningTotalsStream (transformWithState —
+      // Spark 4's arbitrary-stateful API): per-user lifetime running total
+      // in integer cents. Integer accumulation makes stream == batch exact
+      // (StreamingSpec proves it across micro-batches on RocksDB state).
+      val ev = Engine.events(s, dir)
+      ord(graft.streaming.Events.runningTotalsBatch(ev), "event_id")
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2625,6 +2633,13 @@ object SparkEntry {
         |      ORDER BY CAST(ts AS TIMESTAMP), event_id
         |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS l
         |  FROM events)
+        |ORDER BY event_id NULLS FIRST""".stripMargin,
+    "q143_running_totals" ->
+      """SELECT user_id, event_id,
+        |  sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |FROM events
         |ORDER BY event_id NULLS FIRST""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (

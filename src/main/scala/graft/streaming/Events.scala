@@ -15,6 +15,39 @@ case class SessEvent(user_id: Long, ts: java.time.Instant, event_id: Long)
   */
 case class SessState(start: Long, end: Long, n: Long, nextId: Long)
 
+/** Input/output rows for the transformWithState running-total processor
+  * (top-level for Catalyst encoder codegen, like SessEvent).
+  */
+case class RtEvent(user_id: Long, event_id: Long, value: Double)
+case class RtOut(user_id: Long, event_id: Long, running_cents: Long)
+
+/** `StatefulProcessor` keeping one ValueState[Long] per user: the lifetime
+  * total in integer cents. Rows within a micro-batch are folded in event_id
+  * order, so any batch slicing that respects event_id order reproduces the
+  * batch cumulative sum exactly (integer addition — no FP order effects).
+  */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RtEvent, RtOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[RtEvent],
+      timerValues: TimerValues): Iterator[RtOut] = {
+    var acc = if (total.exists()) total.get() else 0L
+    val out = rows.toArray.sortBy(_.event_id).map { e =>
+      acc += math.floor(e.value * 100 + 0.5).toLong
+      RtOut(key, e.event_id, acc)
+    }
+    total.update(acc)
+    out.iterator
+  }
+}
+
 /** Structured Streaming over the `events` table shape (beyond-reference: the
   * reference has no streaming surface, SURVEY §2.9).
   *
@@ -340,6 +373,42 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Per-user running totals via `transformWithState` (Spark 4's arbitrary
+    * stateful processing API — typed per-key state primitives over the
+    * RocksDB state store; the successor to flatMapGroupsWithState used by
+    * `sessionizeStream`). Each event emits the user's lifetime total
+    * INCLUDING that event, in integer cents (floor-quantized once per
+    * event), so stream == batch exactly with no floating-point order
+    * sensitivity. State per key is ONE long — bounded regardless of stream
+    * length; at cluster scale the processor shuffles once on user_id and the
+    * RocksDB store spills past memory.
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider for the streaming form (set per-query in the
+    * caller); the batch twin `runningTotalsBatch` needs nothing special.
+    */
+  def runningTotalsStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"), col("value")).as[RtEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Batch twin of [[runningTotalsStream]]: a cumulative window sum over the
+    * same integer-cents quantization, ordered by event_id within user.
+    */
+  def runningTotalsBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(col("user_id"), col("event_id"),
+      sum(floor(col("value") * 100 + 0.5).cast("long")).over(w).as("running_cents"))
+  }
 
   /** Run a streaming query over the static events dir to completion via the
     * memory sink; returns the materialized result (test harness helper).

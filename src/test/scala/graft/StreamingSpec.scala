@@ -287,6 +287,49 @@ class StreamingSpec extends SparkSuite {
       rows(expected.select("event_id", "user_id", "event_type")).map(_.toString).sorted)
   }
 
+  test("transformWithState running totals == batch twin across micro-batches (RocksDB state)") {
+    import org.apache.spark.sql.functions._
+    // split by event_id so micro-batch order respects the accumulation
+    // order; state (one long per user) carries across the cut
+    val raw = spark.read.schema(Events.rawSchema).parquet(s"$sfDir/events.parquet")
+    val cut = raw.stat.approxQuantile("event_id", Array(0.5), 0.0)(0).toLong
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_rt_stream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, modTimeMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rt_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTimeMs)
+    }
+    val now = System.currentTimeMillis()
+    stage(raw.filter(col("event_id") <= cut), "half1.parquet", now - 60000)
+    stage(raw.filter(col("event_id") > cut), "half2.parquet", now)
+
+    // transformWithState requires the RocksDB state store; scope the
+    // provider override to this query (read at stream start)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = Events.runningTotalsStream(
+        Events.readStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)))
+      val q = streamed.writeStream.format("memory")
+        .queryName("graft_running_totals").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("graft_running_totals")
+      val expected = Events.runningTotalsBatch(Engine.events(spark, sfDir))
+      assert(rows(got).map(_.toString).sorted == rows(expected).map(_.toString).sorted)
+      assert(got.count() > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("incremental corpus screening: foreachBatch stream == batch") {
     import org.apache.spark.sql.functions._
     import graft.llm.Dedup
