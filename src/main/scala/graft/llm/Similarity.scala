@@ -136,15 +136,29 @@ object Similarity {
     * assignment. Deterministic init (first `nlist` vectors by id); only the
     * nlist×dim centroid matrix ever reaches the driver — per-iteration state
     * is bounded regardless of corpus size.
+    *
+    * `sampleCap` > 0 trains on a deterministic hash-sampled subset of about
+    * that many vectors: each Lloyd iteration scores every training vector
+    * against every centroid (O(n·nlist·dim)), and centroid QUALITY converges
+    * long before n — capping the training set bounds iteration cost while the
+    * final full-corpus assignment stays exact for whichever assignment
+    * strategy the caller picks.
     */
   def trainCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nlist: Int,
-      lloydIters: Int = 2): Array[Array[Double]] = {
-    val base = corpus.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v")).persist()
+      lloydIters: Int = 2,
+      sampleCap: Int = 0): Array[Array[Double]] = {
+    val full = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val sampled = if (sampleCap <= 0) full else {
+      val n = corpus.count()
+      if (n <= sampleCap) full
+      else full.filter(pmod(xxhash64(col("id")), lit(math.max(1L, n / sampleCap))) === 0)
+    }
+    val base = sampled.persist()
     var centroids: Array[Array[Double]] = base.orderBy("id").limit(nlist)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 0 until lloydIters) {
@@ -174,6 +188,92 @@ object Similarity {
         l2Norm(col(vecCol)).as("nrm"))
       .withColumn("cid",
         nearestCentroid(transform(col("v"), x => x.cast("double")), cents))
+
+  /** Driver-side Lloyd over a small point set (the fine-centroid matrix —
+    * ≤ a few thousand points × dim doubles). Cosine assignment, mean update,
+    * deterministic init (first k points). Returns (coarse centroids, the
+    * coarse id of each input point).
+    */
+  private def localKMeans(points: Array[Array[Double]], k: Int,
+      iters: Int): (Array[Array[Double]], Array[Int]) = {
+    val dim = points.head.length
+    val cents = points.take(k).map(_.clone)
+    val assign = new Array[Int](points.length)
+    def assignAll(): Unit = {
+      val norms = cents.map(c => math.sqrt(c.map(x => x * x).sum).max(1e-12))
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bs = Double.NegativeInfinity
+        var j = 0
+        while (j < cents.length) {
+          var d = 0.0; var t = 0
+          while (t < dim) { d += points(i)(t) * cents(j)(t); t += 1 }
+          val s = d / norms(j)
+          if (s >= bs) { bs = s; best = j } // ties to the larger j, like array_max
+          j += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+    }
+    for (_ <- 0 until iters) {
+      assignAll()
+      val sums = Array.fill(k, dim)(0.0); val cnt = new Array[Int](k)
+      var i = 0
+      while (i < points.length) {
+        val a = assign(i); cnt(a) += 1
+        var t = 0
+        while (t < dim) { sums(a)(t) += points(i)(t); t += 1 }
+        i += 1
+      }
+      for (j <- 0 until k if cnt(j) > 0) {
+        var t = 0
+        while (t < dim) { cents(j)(t) = sums(j)(t) / cnt(j); t += 1 }
+      }
+    }
+    assignAll()
+    (cents, assign)
+  }
+
+  /** Hierarchical (coarse → fine) cluster assignment: group the fine
+    * centroids into ~√nlist coarse cells with a driver-side k-means (the
+    * matrix is tiny), route each vector to its nearest coarse cell with one
+    * literal scan, then pick the nearest fine centroid WITHIN that cell from
+    * a broadcast (coarse_id → fine centroids) table. Per-row work drops from
+    * O(nlist·dim) to O((√nlist + c̄_fine)·dim) — the difference between 16×
+    * and 4× work when nlist and n grow 4× together (see ScaleProbe
+    * `semdedup`). Approximate at cell boundaries (a vector whose true
+    * nearest fine centroid sits in a different coarse cell gets its cell's
+    * best), the standard IVF-HNSW-style routing trade. Same output columns
+    * as [[assignClusters]].
+    */
+  def assignClustersHierarchical(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]], ncoarse: Int = 0): DataFrame = {
+    val k = if (ncoarse > 0) ncoarse
+      else math.max(1, math.round(math.sqrt(cents.length.toDouble)).toInt)
+    if (k >= cents.length) return assignClusters(df, idCol, vecCol, cents)
+    val (coarse, fineToCoarse) = localKMeans(cents, k, iters = 5)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = cents.zipWithIndex.map { case (c, i) =>
+      (fineToCoarse(i), i,
+        c.toSeq, math.sqrt(c.map(x => x * x).sum).max(1e-12))
+    }.toSeq.toDF("coarse_id", "cid_fine", "centroid", "cnorm")
+      .groupBy("coarse_id")
+      .agg(collect_list(struct(col("cid_fine"), col("centroid"), col("cnorm")))
+        .as("fines"))
+    val base = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .withColumn("vd", transform(col("v"), x => x.cast("double")))
+      .withColumn("coarse_id", nearestCentroid(col("vd"), coarse))
+    base.join(broadcast(groups), Seq("coarse_id"))
+      .withColumn("cid", array_max(transform(col("fines"), f =>
+        struct((dot(col("vd"), f.getField("centroid")) / f.getField("cnorm"))
+          .as("score"), f.getField("cid_fine").as("cid"))))
+        .getField("cid"))
+      .select("vec_id", "v", "nrm", "cid")
+  }
 
   def ivfTopK(
       corpus: DataFrame,
@@ -229,11 +329,15 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       nlist: Int = 16,
-      lloydIters: Int = 2): DataFrame =
-    dropSemanticDups(
-      assignClusters(emb, idCol, vecCol,
-        trainCentroids(emb, idCol, vecCol, nlist, lloydIters)),
-      threshold)
+      lloydIters: Int = 2,
+      sampleCap: Int = 0,
+      hierarchical: Boolean = false): DataFrame = {
+    val cents = trainCentroids(emb, idCol, vecCol, nlist, lloydIters, sampleCap)
+    val assigned =
+      if (hierarchical) assignClustersHierarchical(emb, idCol, vecCol, cents)
+      else assignClusters(emb, idCol, vecCol, cents)
+    dropSemanticDups(assigned, threshold)
+  }
 
   /** The drop stage of `semanticDedup`, over pre-assigned clusters
     * (`assignClusters` output): kept = vectors with NO lower-id same-cluster

@@ -138,6 +138,33 @@ object ScaleProbe {
       println(f"SCALE screen corpus=$n%7d batch=$bCount%5d  index=${tIdx}%6.1f s  screen=${tScreen}%6.1f s  matched=$hits/$bCount")
       idx.release(); base.unpersist(); batch.unpersist()
     }
+    // SemDeDup: nlist grows with the corpus so the expected cluster size
+    // (and hence Σcᵢ² pairwise work per cluster) stays bounded — wall must
+    // scale like the assignment scan + the bounded intra-cluster join, not
+    // like n². Planted dups are scaled copies (cosine exactly 1, and scale-
+    // invariant assignment puts both in the same cluster), so recall must
+    // be total.
+    if (want("semdedup")) for ((n, nlist) <- Seq((20000, 64), (80000, 256), (320000, 1024))) {
+      val base = embeddings(spark, n, 32)
+      val planted = base.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      val all = base.unionAll(planted).persist()
+      val total = all.count()
+      val nPlanted = total - n
+      val (kept, t) = time {
+        graft.llm.Similarity.semanticDedup(all, "vec_id", "embedding",
+          threshold = 0.95, nlist = nlist, lloydIters = 1).count()
+      }
+      // scale path: sample-capped Lloyd + hierarchical coarse→fine routing
+      val (keptH, tH) = time {
+        graft.llm.Similarity.semanticDedup(all, "vec_id", "embedding",
+          threshold = 0.95, nlist = nlist, lloydIters = 1,
+          sampleCap = 50000, hierarchical = true).count()
+      }
+      println(f"SCALE semdedup n=$total%7d nlist=$nlist%5d  flat=${t}%6.1f s (dropped=${total - kept})  hier=${tH}%6.1f s (dropped=${total - keptH}, planted=$nPlanted)")
+      all.unpersist()
+    }
     // decontamination: eval gram set stays FIXED while the training corpus
     // grows — cost must scale with the corpus scan (broadcast membership
     // check + one agg), never with corpus × eval

@@ -563,6 +563,31 @@ class LlmSpec extends SparkSuite {
     assert(rows(kept.select("vec_id")).map(_.head) == Seq(1L, 4L, 5L))
   }
 
+  test("hierarchical assignment matches flat assignment on separated groups; scalable dedup keeps recall") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    // 4 tight groups on distinct axes in dim 4; fine nlist=4, coarse √4=2
+    val e = (0 until 40).map { i =>
+      val g = i % 4
+      val v = Array.fill(4)(0.01f); v(g) = 1.0f + (i / 4) * 0.01f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+      nlist = 4, lloydIters = 3)
+    val flat = Similarity.assignClusters(e, "vec_id", "embedding", cents)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hier = Similarity.assignClustersHierarchical(e, "vec_id", "embedding", cents)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(flat == hier)
+    // scalable path (sampled training + hierarchical routing) still drops
+    // the in-group near-dups down to one representative per group
+    val kept = Similarity.semanticDedup(e, "vec_id", "embedding",
+      threshold = 0.99, nlist = 4, lloydIters = 3,
+      sampleCap = 30, hierarchical = true)
+    assert(kept.count() == 4)
+    assert(rows(kept.select("vec_id")).map(_.head).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("semanticDedup with clusters only compares within a cluster") {
     import spark.implicits._
     import graft.llm.Similarity
