@@ -1320,6 +1320,49 @@ object SparkEntry {
       val ev = Engine.events(s, dir)
       ord(graft.streaming.Events.runningTotalsBatch(ev), "event_id")
     }),
+    "q144_fuzzy_join" -> ((s, dir) => {
+      // blocked edit-distance join (entity resolution): match each part name
+      // against a deterministically misspelled copy (one interior char
+      // deleted at a key-derived position). maxDist=1 makes the first/last-
+      // char blocking EXACT, so the oracle brute-forces all pairs and must
+      // agree — proving the blocked join loses nothing vs O(n²).
+      val a = t(s, dir, "part")
+        .select(col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+      val p0 = t(s, dir, "part")
+      val q = (col("p_partkey") % greatest(length(col("p_name")) - 2, lit(1))) + 2
+      val b = p0.select((col("p_partkey") + 1000000L).as("b_key"),
+        concat(col("p_name").substr(lit(1), q - 1),
+          col("p_name").substr(q + 1, lit(200))).as("b_name"))
+      ord(Joins.fuzzyJoin(a, b, "a_name", "b_name", maxDist = 1),
+        "a_key", "b_key")
+    }),
+    "q145_funnel" -> ((s, dir) => {
+      // multi-stage funnel (signup → click → purchase): per signed-up user,
+      // the earliest qualifying event of each next stage at-or-after the
+      // previous stage's time, plus the stage reached. Three partial+final
+      // aggregates on user_id; the per-stage event subsets are filtered
+      // before the join, so each pass shuffles only its stage's rows.
+      val ev = Engine.events(s, dir)
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t_signup"))
+      val s2 = s1.join(
+          ev.filter(col("event_type") === "click").select("user_id", "ts"),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("t_signup"))
+        .agg(min(when(col("ts") >= col("t_signup"), col("ts"))).as("t_click"))
+      val s3 = s2.join(
+          ev.filter(col("event_type") === "purchase").select("user_id", "ts"),
+          Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("t_signup"), col("t_click"))
+        .agg(min(when(col("ts") >= col("t_click"), col("ts"))).as("t_purchase"))
+      ord(s3.select(col("user_id"),
+        unix_micros(col("t_signup")).as("t_signup"),
+        unix_micros(col("t_click")).as("t_click"),
+        unix_micros(col("t_purchase")).as("t_purchase"),
+        (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+          + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage")),
+        "user_id")
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2641,6 +2684,40 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
         |FROM events
         |ORDER BY event_id NULLS FIRST""".stripMargin,
+    "q144_fuzzy_join" ->
+      """WITH a AS (SELECT p_partkey AS a_key, p_name AS a_name FROM part),
+        |b AS (SELECT p_partkey + 1000000 AS b_key,
+        |  substring(p_name, 1, CAST(p_partkey % greatest(length(p_name)-2, 1) AS INT) + 1)
+        |  || substring(p_name, CAST(p_partkey % greatest(length(p_name)-2, 1) AS INT) + 3, 200) AS b_name
+        |  FROM part)
+        |SELECT a_key, a_name, b_key, b_name,
+        |  CAST(levenshtein(a_name, b_name) AS INT) AS dist
+        |FROM a, b
+        |WHERE levenshtein(a_name, b_name) <= 1
+        |ORDER BY a_key, b_key""".stripMargin,
+    "q145_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT s1.user_id, t_signup,
+        |    min(CASE WHEN CAST(e.ts AS TIMESTAMP) >= t_signup
+        |      THEN CAST(e.ts AS TIMESTAMP) END) AS t_click
+        |  FROM s1 LEFT JOIN events e
+        |    ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |  GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT s2.user_id, t_signup, t_click,
+        |    min(CASE WHEN CAST(e.ts AS TIMESTAMP) >= t_click
+        |      THEN CAST(e.ts AS TIMESTAMP) END) AS t_purchase
+        |  FROM s2 LEFT JOIN events e
+        |    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |  GROUP BY 1, 2, 3)
+        |SELECT user_id, epoch_us(t_signup) AS t_signup,
+        |  epoch_us(t_click) AS t_click, epoch_us(t_purchase) AS t_purchase,
+        |  CAST(1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS stage
+        |FROM s3 ORDER BY user_id""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

@@ -517,4 +517,42 @@ object Joins {
     fact.filter(mightContain)
       .join(dim, fact(factKey) === dim(dimKey), "left_semi")
   }
+
+  /** Blocked fuzzy (edit-distance) join for entity resolution: pairs whose
+    * string keys are within `maxDist` Levenshtein edits.
+    *
+    * Scale shape: NEVER a cross join — two equi-join blocking passes (same
+    * first character; same last character), each a plain hash/sort-merge
+    * join on the block key, then a length pre-filter and a THRESHOLDED
+    * Levenshtein verify (early-exits past `maxDist`, so verifying a
+    * non-match costs O(maxDist·len), not O(len²)) on the candidates only.
+    *
+    * For `maxDist = 1` the blocking is EXACT on strings of length ≥ 2: one
+    * edit cannot change both the first and the last character, so every
+    * qualifying pair collides in at least one pass — the brute-force result,
+    * at blocked-join cost (this is what q144's oracle verifies
+    * independently). For larger maxDist it is the standard recall/cost
+    * blocking trade. Column names must be disjoint across sides; output =
+    * left ++ right columns + `dist`.
+    */
+  def fuzzyJoin(
+      lhs: DataFrame,
+      rhs: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDist: Int = 1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val blk = "__graft_blk"
+    def pass(f: Column => Column): DataFrame =
+      lhs.withColumn(blk, f(col(leftCol)))
+        .join(rhs.withColumn(blk, f(col(rightCol))), Seq(blk))
+        .drop(blk)
+        .filter(abs(length(col(leftCol)) - length(col(rightCol))) <= maxDist)
+        .withColumn("dist", levenshtein(col(leftCol), col(rightCol), maxDist))
+        .filter(col("dist") >= 0) // thresholded form returns -1 past maxDist
+    pass(c => substring(c, 1, 1))
+      .unionByName(pass(c => substring(c, -1, 1)))
+      .distinct()
+  }
 }

@@ -342,6 +342,44 @@ class JoinsSpec extends SparkSuite {
     assert(plan.toLowerCase.contains("subquery"), s"no scalar subquery in plan:\n$plan")
   }
 
+  test("fuzzyJoin maxDist=1 equals brute force; blocking catches first- and last-char edits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.levenshtein
+    val a = Seq((1L, "widget"), (2L, "bolt"), (3L, "ring"), (4L, "x"))
+      .toDF("a_key", "a_name")
+    val b = Seq(
+      (10L, "widget"),  // exact (dist 0)
+      (11L, "widgget"), // interior insertion (dist 1)
+      (12L, "sidget"),  // FIRST char substituted — only the last-char pass collides
+      (13L, "widgex"),  // LAST char substituted — only the first-char pass collides
+      (14L, "bolts"),   // trailing insertion
+      (15L, "rink"),    // substitution
+      (16L, "gadget"),  // dist 3: must not match
+      (17L, "y"))       // len-1 vs len-1: outside the exactness contract
+      .toDF("b_key", "b_name")
+    val got = Joins.fuzzyJoin(a, b, "a_name", "b_name", maxDist = 1)
+      .select("a_key", "b_key", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the pairs INSIDE the exactness contract (both len ≥ 2:
+    // one edit cannot change both first and last char of a ≥2-char string,
+    // but it can rewrite a 1-char string entirely — "x"→"y" is missed, by
+    // documented design)
+    val brute = a.filter(length($"a_name") >= 2)
+      .crossJoin(b.filter(length($"b_name") >= 2))
+      .withColumn("dist", levenshtein($"a_name", $"b_name"))
+      .filter($"dist" <= 1)
+      .select("a_key", "b_key", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 12L, 1)) && got.contains((1L, 13L, 1)))
+    assert(!got.exists(_._2 == 16L))
+    assert(!got.contains((4L, 17L, 1))) // the length-1 boundary, documented
+    // no cartesian product in the plan — both passes are equi joins
+    val plan = Joins.fuzzyJoin(a, b, "a_name", "b_name", maxDist = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cartesian in plan:\n$plan")
+  }
+
   test("salted join equals plain join on skewed keys") {
     import spark.implicits._
     val skewed = (Seq.fill(500)((1L, "hot")) ++ Seq((2L, "a"), (3L, "b")))
