@@ -76,10 +76,10 @@ object TimeFns {
     case "microsecond" =>
       pmod(unix_micros(c), lit(1000L)).cast("int")
     // Spark timestamps are microsecond precision, so the ns-within-µs
-    // component of a TimestampType column is always 0. NOTE: the events
-    // table is STORED as timestamp[ns] and Engine.events truncates to µs —
-    // for true nanosecond components read the raw int64 column and use
-    // `extractComponentNs` below.
+    // component of a TimestampType column is always 0. NOTE: for sources
+    // stored as timestamp[ns] (read via nanosAsLong as raw int64 — some
+    // testdata rounds shipped events that way), true nanosecond components
+    // need the raw column and `extractComponentNs` below.
     case "nanosecond" => lit(0)
     case other => throw new IllegalArgumentException(s"unsupported component: $other")
   }

@@ -355,17 +355,16 @@ class JoinsSpec extends SparkSuite {
       (14L, "bolts"),   // trailing insertion
       (15L, "rink"),    // substitution
       (16L, "gadget"),  // dist 3: must not match
-      (17L, "y"))       // len-1 vs len-1: outside the exactness contract
+      (17L, "y"))       // len-1 substitution: collides on the empty deletion
       .toDF("b_key", "b_name")
     val got = Joins.fuzzyJoin(a, b, "a_name", "b_name", maxDist = 1)
       .select("a_key", "b_key", "dist").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    // brute force over the pairs INSIDE the exactness contract (both len ≥ 2:
-    // one edit cannot change both first and last char of a ≥2-char string,
-    // but it can rewrite a 1-char string entirely — "x"→"y" is missed, by
-    // documented design)
-    val brute = a.filter(length($"a_name") >= 2)
-      .crossJoin(b.filter(length($"b_name") >= 2))
+    // deletion-neighborhood blocking is exact for every length: brute force
+    // over ALL pairs must agree, with no duplicate candidate rows either
+    val gotRows = Joins.fuzzyJoin(a, b, "a_name", "b_name", maxDist = 1).count()
+    assert(gotRows == got.size, "a pair collided in more than one blocking class")
+    val brute = a.crossJoin(b)
       .withColumn("dist", levenshtein($"a_name", $"b_name"))
       .filter($"dist" <= 1)
       .select("a_key", "b_key", "dist").collect()
@@ -373,7 +372,7 @@ class JoinsSpec extends SparkSuite {
     assert(got == brute)
     assert(got.contains((1L, 12L, 1)) && got.contains((1L, 13L, 1)))
     assert(!got.exists(_._2 == 16L))
-    assert(!got.contains((4L, 17L, 1))) // the length-1 boundary, documented
+    assert(got.contains((4L, 17L, 1))) // "x" vs "y" via the empty deletion
     // no cartesian product in the plan — both passes are equi joins
     val plan = Joins.fuzzyJoin(a, b, "a_name", "b_name", maxDist = 1)
       .queryExecution.executedPlan.toString
