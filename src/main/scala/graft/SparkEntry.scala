@@ -1366,6 +1366,40 @@ object SparkEntry {
           + when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage")),
         "user_id")
     }),
+    "q146_group_outliers" -> ((s, dir) => {
+      // per-group z-score outlier detection (data-quality screening): exact
+      // decimal moments → bit-identical mu/sigma in every engine → a safe
+      // count-based oracle. Two co-keyed aggregate passes + one broadcast
+      // join of the per-group moments (Analytics.groupOutliers).
+      ord(Analytics.groupOutliers(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice", 3.0),
+        "l_returnflag")
+    }),
+    "q147_retention" -> ((s, dir) => {
+      // weekly retention cohorts over the event log: first-event aggregate,
+      // co-partitioned join back on user_id, exact two-phase distinct count
+      // per (cohort week, weeks-since) cell. All-hash plan, no windows.
+      ord(Analytics.retentionCohorts(Engine.events(s, dir), "user_id", "ts"),
+        "cohort_us", "week_k")
+    }),
+    "q148_join_cardinality" -> ((s, dir) => {
+      // pre-join cardinality + skew probe: per-key counts on both sides
+      // (shuffle = distinct keys, not rows), joined, one scalar reduce →
+      // {est_rows, matched_keys, max_key_pairs}. Exact integers throughout.
+      Analytics.joinCardinality(
+        t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey")
+    }),
+    "q149_brand_affinity" -> ((s, dir) => {
+      // market-basket lift: which part brands co-occur in an order beyond
+      // chance. distinct(order, brand) bounds the self-join fan-out at
+      // (#brands choose 2) per order; marginals come back via broadcast.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val p = t(s, dir, "part").select("p_partkey", "p_brand")
+      val facts = li.join(p, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      ord(Analytics.cooccurrence(facts, "l_orderkey", "p_brand"),
+        "attr_a", "attr_b")
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2721,6 +2755,57 @@ object SparkEntry {
         |  CAST(1 + (CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)
         |    + (CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS stage
         |FROM s3 ORDER BY user_id""".stripMargin,
+    "q146_group_outliers" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(l_extendedprice) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY 1),
+        |mm AS (
+        |  SELECT l_returnflag, n, s1/n AS mu,
+        |    sqrt(s2/n - (s1/n)*(s1/n)) AS sigma
+        |  FROM m)
+        |SELECT l.l_returnflag, max(mm.n) AS n,
+        |  CAST(sum(CASE WHEN abs(l.l_extendedprice - mm.mu) > 3.0*mm.sigma
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(round(mm.mu, 4)) AS mu_r, max(round(mm.sigma, 4)) AS sigma_r
+        |FROM lineitem l JOIN mm USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q147_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_us(date_trunc('week', f.first_ts)) AS cohort_us,
+        |  (epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(f.first_ts))
+        |    // 604800000000 AS week_k,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q148_join_cardinality" ->
+      """WITH lc AS (SELECT l_partkey AS k, count(*) AS cl FROM lineitem GROUP BY 1),
+        |rc AS (SELECT p_partkey AS k, count(*) AS cr FROM part GROUP BY 1)
+        |SELECT CAST(sum(cl*cr) AS BIGINT) AS est_rows, count(*) AS matched_keys,
+        |  max(cl*cr) AS max_key_pairs
+        |FROM lc JOIN rc USING (k)""".stripMargin,
+    "q149_brand_affinity" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS attr
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |tot AS (SELECT count(DISTINCT bk) AS n_total FROM b),
+        |marg AS (SELECT attr, count(*) AS n_attr FROM b GROUP BY 1),
+        |pr AS (
+        |  SELECT a.attr AS attr_a, c.attr AS attr_b, count(*) AS n_ab
+        |  FROM b a JOIN b c ON a.bk = c.bk AND a.attr < c.attr
+        |  GROUP BY 1, 2)
+        |SELECT attr_a, attr_b, n_ab,
+        |  CAST(floor(CAST(n_ab * tot.n_total AS DOUBLE)
+        |    / CAST(ma.n_attr * mb.n_attr AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |    AS lift_e6
+        |FROM pr
+        |JOIN marg ma ON ma.attr = pr.attr_a
+        |JOIN marg mb ON mb.attr = pr.attr_b
+        |CROSS JOIN tot
+        |ORDER BY attr_a, attr_b""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-diagnostics / BI-analytics operators (beyond-reference, SURVEY
+  * §2.9 "large-scale training-data pipeline" extensions): grouped outlier
+  * detection, retention cohorts, pre-join cardinality estimation, and
+  * co-occurrence (market-basket) affinity.
+  *
+  * All four are pure declarative DataFrame compositions — partial+final
+  * aggregates, co-partitioned or broadcast joins, no UDFs, no collects — so
+  * Catalyst/AQE keep the plans inside whole-stage codegen and re-plan skew at
+  * runtime.
+  */
+object Analytics {
+
+  /** Per-group z-score outlier counts with *deterministic* moments: the mean
+    * and population stddev are computed from exact decimal sums (the input is
+    * fixed-point data, so sum and sum-of-squares are exact in decimal(38,8)),
+    * then converted to double once. Every engine computing the same exact
+    * sums gets bit-identical mu/sigma and hence an identical outlier set —
+    * no FP-associativity boundary flips, which is what makes a count-based
+    * oracle comparison safe.
+    *
+    * Plan: one partial+final aggregate over `groupCols` (exact sums), one
+    * broadcast join of the per-group moments (rows = #groups) back onto the
+    * fact table, one final count aggregate. Two shuffles total on the same
+    * grouping key; the fact table is scanned twice (moments pass + flag
+    * pass) — the standard two-pass shape for exact z-scores, and each pass
+    * is map-side combined.
+    */
+  def groupOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      z: Double = 3.0): DataFrame = {
+    val v = col(valueCol)
+    val gs = groupCols.map(col)
+    val moments = df.groupBy(gs: _*).agg(
+      count(v).as("n"),
+      sum(v.cast("decimal(38,8)")).cast("double").as("s1"),
+      sum((v * v).cast("decimal(38,8)")).cast("double").as("s2"))
+      .select(gs ++ Seq(
+        col("n"),
+        (col("s1") / col("n")).as("mu"),
+        sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+          .as("sigma")): _*)
+    df.join(broadcast(moments), groupCols)
+      .groupBy(gs: _*)
+      .agg(
+        max(col("n")).as("n"),
+        sum(when(abs(v - col("mu")) > lit(z) * col("sigma"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(round(col("mu"), 4)).as("mu_r"),
+        max(round(col("sigma"), 4)).as("sigma_r"))
+  }
+
+  /** Weekly retention cohorts over an event log: cohort = ISO week of each
+    * user's first event, k = whole weeks between the first event and each
+    * later event (exact int64 floor-division on epoch micros), cell value =
+    * distinct active users. The classic product-analytics triangle.
+    *
+    * Plan: first-event aggregate on `userCol` (partial+final), join back on
+    * the SAME key — co-partitioned, so AQE/exchange-reuse keeps it to one
+    * shuffle of each side — then a distinct-count aggregate on (cohort, k),
+    * which Spark expands to the two-phase exact distinct plan. No window
+    * functions, no per-user sort: every step is hash-based and scales
+    * linearly with the event count.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val firsts = events.groupBy(userCol)
+      .agg(min(col(tsCol)).as("first_ts"))
+    val weekMicros = 7L * 86400L * 1000000L
+    events.select(col(userCol), col(tsCol))
+      .join(firsts, Seq(userCol))
+      .select(
+        unix_micros(date_trunc("week", col("first_ts"))).as("cohort_us"),
+        expr(s"(unix_micros($tsCol) - unix_micros(first_ts)) div ${weekMicros}L")
+          .as("week_k"),
+        col(userCol))
+      .groupBy("cohort_us", "week_k")
+      .agg(countDistinct(col(userCol)).as("users"))
+  }
+
+  /** Exact pre-join cardinality estimation — the planner-side "how big will
+    * this join be, and is it skewed?" probe, answered WITHOUT running the
+    * join: per-key row counts on each side (map-side combined, so the
+    * shuffle carries one row per distinct key, not per input row), joined on
+    * the distinct keys, then one scalar reduce:
+    * est_rows = Σ_k cL(k)·cR(k), matched_keys = #keys on both sides, and
+    * max_key_pairs = max_k cL(k)·cR(k) — the hot-key skew indicator that
+    * tells you whether to salt before running the real join.
+    */
+  def joinCardinality(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    lc.join(rc, "k")
+      .agg(
+        sum(col("cl") * col("cr")).as("est_rows"),
+        count(lit(1)).as("matched_keys"),
+        max(col("cl") * col("cr")).as("max_key_pairs"))
+  }
+
+  /** Brand/category affinity (market-basket co-occurrence with lift): which
+    * item attributes are bought together more often than chance. Input is a
+    * (basket, item) fact; output one row per unordered attribute pair with
+    * the co-occurrence count and lift·1e6 (quantized — lift is one int→double
+    * division, deterministic IEEE given identical integer counts).
+    *
+    * Plan shape and why it scales: distinct (basket, attr) first — this
+    * BOUNDS the self-join fan-out at (#attrs choose 2) per basket regardless
+    * of basket size. The self-join shuffles on the basket key (both sides
+    * identically partitioned, one exchange reused), pair counts are
+    * partial+final aggregated, and the per-attr marginals (#attrs rows) come
+    * back via broadcast joins. No step is quadratic in data size; the output
+    * is at most (#attrs choose 2) rows.
+    */
+  def cooccurrence(facts: DataFrame, basketCol: String, attrCol: String)
+      : DataFrame = {
+    val baskets = facts.select(col(basketCol).as("b"), col(attrCol).as("attr"))
+      .distinct()
+    val nBaskets = baskets.agg(countDistinct(col("b")).as("n_total"))
+    val marg = baskets.groupBy(col("attr")).agg(count(lit(1)).as("n_attr"))
+    val l = baskets.select(col("b"), col("attr").as("attr_a"))
+    val r = baskets.select(col("b"), col("attr").as("attr_b"))
+    val pairs = l.join(r, Seq("b"))
+      .filter(col("attr_a") < col("attr_b"))
+      .groupBy("attr_a", "attr_b")
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("attr").as("attr_a"), col("n_attr").as("n_a"))), "attr_a")
+      .join(broadcast(marg.select(col("attr").as("attr_b"), col("n_attr").as("n_b"))), "attr_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("attr_a"), col("attr_b"), col("n_ab"),
+        floor((col("n_ab") * col("n_total")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double") * 1e6 + 0.5)
+          .cast("long").as("lift_e6"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("groupOutliers flags exactly the >3-sigma points per group") {
+    // group "a": 10 points at 1.0 plus one extreme point. With the outlier
+    // included, sigma is large; hand-check via the same exact-moment math.
+    val vals = Seq.fill(30)(10.0) ++ Seq(10.5, 9.5) ++ Seq(1000.0)
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val out = Analytics.groupOutliers(df, Seq("g"), "v").collect().head
+    val n = vals.size
+    val mu = vals.sum / n
+    val sigma = math.sqrt(vals.map(x => x * x).sum / n - mu * mu)
+    val expectedOutliers = vals.count(x => math.abs(x - mu) > 3 * sigma)
+    assert(out.getAs[Long]("n") == n)
+    assert(out.getAs[Long]("n_outliers") == expectedOutliers)
+    assert(math.abs(out.getAs[Double]("mu_r") - mu) < 1e-3)
+    assert(math.abs(out.getAs[Double]("sigma_r") - sigma) < 1e-3)
+  }
+
+  test("groupOutliers keeps groups independent") {
+    val df = (Seq.fill(20)(("a", 5.0)) ++ Seq(("a", 500.0)) ++
+      Seq.fill(20)(("b", 5.0))).toDF("g", "v")
+    val m = Analytics.groupOutliers(df, Seq("g"), "v").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_outliers")).toMap
+    assert(m("a") >= 1L)
+    assert(m("b") == 0L)
+  }
+
+  test("retentionCohorts computes exact week offsets from first event") {
+    val us = 1000000L
+    val day = 86400L * us
+    // user 1 first event Mon 2024-01-01; active day 0, day 6 (week 0) and
+    // day 8 (week 1). user 2 first event Thu 2024-01-04 (same cohort week),
+    // active day 13 (week 1). user 3 first event Mon 2024-01-08 (next week).
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    def ts(off: Long) = new java.sql.Timestamp((base + off) / 1000L)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(6 * day)), (1L, ts(8 * day)),
+      (2L, ts(3 * day)), (2L, ts(3 * day + 13 * day)),
+      (3L, ts(7 * day))).toDF("user_id", "ts")
+    val got = Analytics.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_us", "week_k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w1 = base // cohort week of 2024-01-01 (a Monday)
+    val w2 = base + 7 * day
+    assert(got == Seq((w1, 0L, 2L), (w1, 1L, 2L), (w2, 0L, 1L)))
+  }
+
+  test("joinCardinality predicts the exact inner-join row count and hot key") {
+    val l = Seq(1, 1, 1, 2, 3, 3, 9).map(k => (k, "x")).toDF("lk", "pl")
+    val r = Seq(1, 1, 2, 3, 4).map(k => (k, "y")).toDF("rk", "pr")
+    val row = Analytics.joinCardinality(l, "lk", r, "rk").collect().head
+    val actual = l.join(r, col("lk") === col("rk")).count()
+    assert(row.getAs[Long]("est_rows") == actual) // 3*2 + 1*1 + 2*1 = 9
+    assert(row.getAs[Long]("matched_keys") == 3L)
+    assert(row.getAs[Long]("max_key_pairs") == 6L) // key 1: 3*2
+  }
+
+  test("cooccurrence counts unordered pairs once and computes lift") {
+    // baskets: {A,B}, {A,B}, {A,C}, {B} → n_total=4, nA=3, nB=3, nC=1
+    val facts = Seq(
+      (1, "A"), (1, "B"), (1, "B"), // dup (1,B) must collapse
+      (2, "A"), (2, "B"),
+      (3, "A"), (3, "C"),
+      (4, "B")).toDF("b", "attr")
+    val got = Analytics.cooccurrence(facts, "b", "attr")
+      .orderBy("attr_a", "attr_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // lift(A,B) = (2*4)/(3*3) = 0.888889 → 888889
+    assert(got.toSeq == Seq(
+      ("A", "B", 2L, 888889L),
+      ("A", "C", 1L, 1333333L)))
+  }
+}
