@@ -107,24 +107,42 @@ object Analytics {
     * the co-occurrence count and lift·1e6 (quantized — lift is one int→double
     * division, deterministic IEEE given identical integer counts).
     *
-    * Plan shape and why it scales: distinct (basket, attr) first — this
-    * BOUNDS the self-join fan-out at (#attrs choose 2) per basket regardless
-    * of basket size. The self-join shuffles on the basket key (both sides
-    * identically partitioned, one exchange reused), pair counts are
-    * partial+final aggregated, and the per-attr marginals (#attrs rows) come
-    * back via broadcast joins. No step is quadratic in data size; the output
-    * is at most (#attrs choose 2) rows.
+    * Plan shape and why it scales: ONE scan of the fact table into a
+    * `collect_set` per basket (map-side partial collection; state is bounded
+    * by the attribute-domain size, e.g. 25 brands — documented buffering
+    * aggregate), then every downstream quantity comes from that one pass:
+    * pairs are generated row-locally by array `transform` over the sorted
+    * set ((#attrs choose 2) per basket, never quadratic in basket size or
+    * data size), marginals by exploding the same array, the basket total by
+    * a count. A naive self-join formulation scans the fact table 4× and
+    * shuffles it twice; this shuffles the fact once. Marginals (#attrs rows)
+    * come back via broadcast joins; the output is at most
+    * (#attrs choose 2) rows.
+    *
+    * `baskets` is persisted (MEMORY_AND_DISK): three consumers (pairs,
+    * marginals, total) derive from it, and Catalyst's per-branch column
+    * pruning specializes each subplan enough that exchange reuse never
+    * canonicalizes them equal (measured: 3 full fact re-scans without the
+    * persist). The cached relation is one row per basket with a
+    * domain-bounded array — orders of magnitude smaller than the fact
+    * table, and it spills to disk rather than OOM at scale.
     */
   def cooccurrence(facts: DataFrame, basketCol: String, attrCol: String)
       : DataFrame = {
-    val baskets = facts.select(col(basketCol).as("b"), col(attrCol).as("attr"))
-      .distinct()
-    val nBaskets = baskets.agg(countDistinct(col("b")).as("n_total"))
-    val marg = baskets.groupBy(col("attr")).agg(count(lit(1)).as("n_attr"))
-    val l = baskets.select(col("b"), col("attr").as("attr_a"))
-    val r = baskets.select(col("b"), col("attr").as("attr_b"))
-    val pairs = l.join(r, Seq("b"))
-      .filter(col("attr_a") < col("attr_b"))
+    val baskets = facts
+      .groupBy(col(basketCol).as("b"))
+      .agg(sort_array(collect_set(col(attrCol))).as("attrs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBaskets = baskets.agg(count(lit(1)).as("n_total"))
+    val marg = baskets.select(explode(col("attrs")).as("attr"))
+      .groupBy("attr").agg(count(lit(1)).as("n_attr"))
+    // all i<j pairs of the sorted set, generated in place: for element i,
+    // struct it with each element of the tail slice starting at i+2 (1-based)
+    val pairs = baskets.select(explode(expr(
+        """flatten(transform(attrs, (x, i) ->
+          |  transform(slice(attrs, i + 2, size(attrs)), y ->
+          |    struct(x AS attr_a, y AS attr_b))))""".stripMargin)).as("p"))
+      .select(col("p.attr_a"), col("p.attr_b"))
       .groupBy("attr_a", "attr_b")
       .agg(count(lit(1)).as("n_ab"))
     pairs
