@@ -1400,6 +1400,14 @@ object SparkEntry {
       ord(Analytics.cooccurrence(facts, "l_orderkey", "p_brand"),
         "attr_a", "attr_b")
     }),
+    "q150_ohlc_bars" -> ((s, dir) => {
+      // OHLC hourly bars per user: time-series downsampling as one
+      // partial+final min_by/max_by aggregate — no per-key sort, no window.
+      // open/high/low/close are value selections → bit-exact cross-engine.
+      ord(Analytics.ohlcBars(Engine.events(s, dir), Seq("user_id"), "ts",
+        "value", "event_id", 3600L * 1000000L),
+        "user_id", "bucket_us")
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2806,6 +2814,16 @@ object SparkEntry {
         |JOIN marg mb ON mb.attr = pr.attr_b
         |CROSS JOIN tot
         |ORDER BY attr_a, attr_b""".stripMargin,
+    "q150_ohlc_bars" ->
+      """SELECT user_id,
+        |  (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000
+        |    AS bucket_us,
+        |  arg_min(value, CAST(ts AS TIMESTAMP)) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, CAST(ts AS TIMESTAMP)) AS close,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

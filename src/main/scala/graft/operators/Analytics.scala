@@ -101,6 +101,35 @@ object Analytics {
         max(col("cl") * col("cr")).as("max_key_pairs"))
   }
 
+  /** OHLC time-bar downsampling (the financial/telemetry resample-to-bars
+    * op): per key and fixed-width time bucket, the first (open) and last
+    * (close) observation plus min/low, max/high and count. One partial+final
+    * hash aggregate — `min_by`/`max_by` carry (value, order-key) pairs
+    * through the combiner, so there is no per-key sort and no window
+    * function anywhere; the plan scales like any grouped agg.
+    *
+    * Determinism: the order key is struct(ts, tiebreak) — lexicographic
+    * struct comparison makes open/close well-defined even with duplicate
+    * timestamps per key. open/high/low/close are SELECTIONS of input values
+    * (no arithmetic), so cross-engine comparison is bit-exact with no
+    * rounding needed. Bucketing assumes non-negative epoch micros (`div`
+    * truncates toward zero; for pre-1970 data a floor-div would be needed).
+    */
+  def ohlcBars(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, tiebreakCol: String, barMicros: Long): DataFrame = {
+    val v = col(valCol)
+    val ord = struct(col(tsCol), col(tiebreakCol))
+    df.groupBy(keyCols.map(col) :+
+        (expr(s"(unix_micros($tsCol) div ${barMicros}L) * ${barMicros}L")
+          .as("bucket_us")): _*)
+      .agg(
+        min_by(v, ord).as("open"),
+        max(v).as("high"),
+        min(v).as("low"),
+        max_by(v, ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Brand/category affinity (market-basket co-occurrence with lift): which
     * item attributes are bought together more often than chance. Input is a
     * (basket, item) fact; output one row per unordered attribute pair with

@@ -61,6 +61,32 @@ class AnalyticsSpec extends SparkSuite {
     assert(row.getAs[Long]("max_key_pairs") == 6L) // key 1: 3*2
   }
 
+  test("ohlcBars picks open/close by (ts, tiebreak) and buckets exactly") {
+    val us = 1000000L
+    val hour = 3600L * us
+    def ts(u: Long) = new java.sql.Timestamp(u / 1000L)
+    val ev = Seq(
+      // key 1, hour 0: open=first by ts, close=last; includes a ts TIE at
+      // 30min where the higher event_id must win close
+      (1L, ts(5 * 60 * us), 3L, 10.0),
+      (1L, ts(30 * 60 * us), 1L, 99.0),
+      (1L, ts(30 * 60 * us), 2L, 7.0), // tie: event_id 2 > 1 → close=7.0
+      // key 1, hour 1: single point
+      (1L, ts(hour + 60 * us), 4L, 42.0),
+      // key 2, hour 0
+      (2L, ts(10 * 60 * us), 5L, -1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Analytics.ohlcBars(ev, Seq("user_id"), "ts", "value",
+      "event_id", hour)
+      .orderBy("user_id", "bucket_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 10.0, 99.0, 7.0, 7.0, 3L),
+      (1L, hour, 42.0, 42.0, 42.0, 42.0, 1L),
+      (2L, 0L, -1.0, -1.0, -1.0, -1.0, 1L)))
+  }
+
   test("cooccurrence counts unordered pairs once and computes lift") {
     // baskets: {A,B}, {A,B}, {A,C}, {B} → n_total=4, nA=3, nB=3, nC=1
     val facts = Seq(
