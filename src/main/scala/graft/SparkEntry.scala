@@ -1408,6 +1408,17 @@ object SparkEntry {
         "value", "event_id", 3600L * 1000000L),
         "user_id", "bucket_us")
     }),
+    "q151_exactly_once_sink" -> ((s, dir) => {
+      // checkpointed streaming parquet sink with a RESTART in the middle:
+      // half the events are committed, the query "dies", the rest arrive,
+      // and a fresh query resumes from the checkpoint alone. The oracle
+      // (plain projection of events) passes only if the replay neither
+      // duplicates the first half nor drops the tail — exactly-once,
+      // hash-match-gated.
+      val work = java.nio.file.Files.createTempDirectory("graft_e1s").toString
+      ordAll(graft.streaming.Events.exactlyOnceReplay(
+        s, Engine.events(s, dir), work))
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2824,6 +2835,10 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q151_exactly_once_sink" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |FROM events ORDER BY ALL""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

@@ -410,6 +410,58 @@ object Events {
       sum(floor(col("value") * 100 + 0.5).cast("long")).over(w).as("running_cents"))
   }
 
+  /** Exactly-once checkpointed parquet sink: the streaming write path with
+    * end-to-end recovery semantics. The file sink commits each micro-batch
+    * to the `_spark_metadata` transaction log; a reader of `outDir` sees
+    * ONLY committed files, and on restart from `checkpointDir` the source
+    * resumes after the last committed batch — already-processed input files
+    * are never re-emitted, partially-written output files are never visible.
+    * Together: exactly-once from source offsets to sink contents across
+    * arbitrary kill/restart, with no sink-side dedup needed.
+    *
+    * `Trigger.AvailableNow` drains everything currently in the source then
+    * stops — the batch-boundary-preserving way to run a stream to quiescence
+    * (unlike a `processAllAvailable` + `stop`, it also works for a fresh
+    * process that only has the checkpoint).
+    */
+  def toParquetSink(streamed: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** End-to-end exactly-once demonstration over the static events table:
+    * stage half the events, run the checkpointed sink to quiescence, stage
+    * the rest (with the first half still listed in the source directory),
+    * RESTART the query from the checkpoint alone, and read back the sink.
+    * The first half must appear exactly once — the restart must neither
+    * re-emit it (source offset replay) nor lose the tail. Returns the
+    * committed sink contents quantized to integer cents.
+    */
+  def exactlyOnceReplay(spark: SparkSession, events: DataFrame,
+      workDir: String): DataFrame = {
+    val src = s"$workDir/src"; val out = s"$workDir/out"; val ck = s"$workDir/ck"
+    val proj = events.select(col("event_id"), col("user_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val half1 = proj.filter(col("event_id") % 2 === 0)
+    val half2 = proj.filter(col("event_id") % 2 =!= 0)
+    half1.write.mode("overwrite").parquet(s"$src/h1")
+    def run(): Unit = {
+      val st = spark.readStream.schema(proj.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*")
+      toParquetSink(st, out, ck).awaitTermination()
+    }
+    run() // first process: commits half1, then "dies"
+    half2.write.mode("overwrite").parquet(s"$src/h2")
+    run() // restart from checkpoint: must emit ONLY half2
+    spark.read.parquet(out)
+  }
+
   /** Run a streaming query over the static events dir to completion via the
     * memory sink; returns the materialized result (test harness helper).
     */

@@ -373,4 +373,21 @@ class StreamingSpec extends SparkSuite {
     idx.release()
     assert(buf.sorted.toSeq == batchOut)
   }
+
+  test("exactly-once parquet sink: restart from checkpoint neither duplicates nor drops") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft_e1s_spec").toString
+    val ev = Engine.events(spark, sfDir)
+    val got = Events.exactlyOnceReplay(spark, ev, work)
+    // every event exactly once — a replayed first half would double these
+    val dupes = got.groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+    assert(got.count() == ev.count())
+    // the sink reader must go through the _spark_metadata commit log
+    assert(new java.io.File(s"$work/out/_spark_metadata").exists())
+    // values survive the round trip
+    val expected = ev.select(sum(floor(col("value") * 100 + 0.5).cast("long")))
+      .head().getLong(0)
+    assert(got.select(sum(col("cents"))).head().getLong(0) == expected)
+  }
 }
