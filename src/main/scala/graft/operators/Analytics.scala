@@ -101,6 +101,39 @@ object Analytics {
         max(col("cl") * col("cr")).as("max_key_pairs"))
   }
 
+  /** Sketch-only companion to [[joinCardinality]]: the same "how big will
+    * this join be?" estimate from ONE pass per side with O(1) state and NO
+    * shuffle at all — each side reduces to (row count, HLL key sketch), the
+    * sketches merge via `hll_union`, and under a uniform-frequency
+    * assumption est ≈ (nL/dL)·(nR/dR)·|keys∩| with
+    * |keys∩| = dL + dR − |keys∪| by inclusion-exclusion. This is the form
+    * that works when even the per-key count table of [[joinCardinality]] is
+    * too big to shuffle (billions of distinct keys); accuracy is the HLL
+    * rsd (~2%) plus the uniformity error — spec-gated against the exact
+    * probe rather than a cross-engine oracle because sketch estimates are
+    * implementation-specific.
+    */
+  def joinCardinalityApprox(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val l = left.agg(count(lit(1)).as("n_l"),
+      hll_sketch_agg(col(leftKey)).as("sk_l"))
+    val r = right.agg(count(lit(1)).as("n_r"),
+      hll_sketch_agg(col(rightKey)).as("sk_r"))
+    l.crossJoin(r)
+      .select(col("n_l"), col("n_r"),
+        hll_sketch_estimate(col("sk_l")).as("d_l"),
+        hll_sketch_estimate(col("sk_r")).as("d_r"),
+        hll_sketch_estimate(hll_union(col("sk_l"), col("sk_r"))).as("d_u"))
+      .select(col("n_l"), col("n_r"), col("d_l"), col("d_r"),
+        greatest(col("d_l") + col("d_r") - col("d_u"), lit(0L))
+          .as("d_common_est"))
+      .select(
+        floor(col("n_l").cast("double") / col("d_l")
+          * (col("n_r").cast("double") / col("d_r"))
+          * col("d_common_est")).cast("long").as("est_rows_approx"),
+        col("d_common_est").as("matched_keys_est"))
+  }
+
   /** OHLC time-bar downsampling (the financial/telemetry resample-to-bars
     * op): per key and fixed-width time bucket, the first (open) and last
     * (close) observation plus min/low, max/high and count. One partial+final

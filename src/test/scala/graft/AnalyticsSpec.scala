@@ -61,6 +61,22 @@ class AnalyticsSpec extends SparkSuite {
     assert(row.getAs[Long]("max_key_pairs") == 6L) // key 1: 3*2
   }
 
+  test("joinCardinalityApprox tracks the exact estimate within sketch+uniformity error") {
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val p = Engine.table(spark, sfDir, "part")
+    val exact = Analytics.joinCardinality(li, "l_partkey", p, "p_partkey")
+      .collect().head
+    val approx = Analytics.joinCardinalityApprox(li, "l_partkey", p, "p_partkey")
+      .collect().head
+    val estRows = approx.getAs[Long]("est_rows_approx").toDouble
+    val exactRows = exact.getAs[Long]("est_rows").toDouble
+    assert(math.abs(estRows - exactRows) / exactRows < 0.15,
+      s"approx $estRows vs exact $exactRows")
+    val mk = approx.getAs[Long]("matched_keys_est").toDouble
+    val mkExact = exact.getAs[Long]("matched_keys").toDouble
+    assert(math.abs(mk - mkExact) / mkExact < 0.15, s"keys $mk vs $mkExact")
+  }
+
   test("ohlcBars picks open/close by (ts, tiebreak) and buckets exactly") {
     val us = 1000000L
     val hour = 3600L * us
