@@ -1419,6 +1419,14 @@ object SparkEntry {
       ordAll(graft.streaming.Events.exactlyOnceReplay(
         s, Engine.events(s, dir), work))
     }),
+    "q152_histogram" -> ((s, dir) => {
+      // grouped equal-width histogram: 1-row min/max reduce broadcast back +
+      // one partial+final count agg; bin = one deterministic IEEE
+      // divide+floor from the same two doubles in every engine.
+      ord(Analytics.histogram(
+        t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice", 16),
+        "l_returnflag", "bin")
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2839,6 +2847,17 @@ object SparkEntry {
       """SELECT event_id, user_id,
         |  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
         |FROM events ORDER BY ALL""".stripMargin,
+    "q152_histogram" ->
+      """WITH s AS (
+        |  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  CASE WHEN s.hi = s.lo THEN 0 ELSE CAST(least(
+        |    floor((l_extendedprice - s.lo) / ((s.hi - s.lo) / 16)),
+        |    15) AS BIGINT) END AS bin,
+        |  count(*) AS n
+        |FROM lineitem CROSS JOIN s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

@@ -101,6 +101,31 @@ object Analytics {
         max(col("cl") * col("cr")).as("max_key_pairs"))
   }
 
+  /** Grouped equal-width histogram (the dashboard binning op): bin values
+    * into `bins` buckets over the GLOBAL [min, max] range (global so the
+    * buckets align across groups), count per (group, bin). Two passes: a
+    * 1-row min/max reduce broadcast back, then one partial+final count agg —
+    * no sort, no per-group state. Bin edges are derived from the same two
+    * doubles in every engine and the bin index is one deterministic IEEE
+    * divide+floor, so counts are oracle-exact. Degenerate range (min==max)
+    * puts everything in bin 0.
+    */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      bins: Int): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.agg(min(v).as("lo"), max(v).as("hi"))
+    val gs = groupCols.map(col)
+    df.crossJoin(broadcast(stats))
+      .select(gs :+
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(least(
+            floor((v - col("lo")) / ((col("hi") - col("lo")) / bins)),
+            lit(bins - 1)).cast("long"))
+          .as("bin"): _*)
+      .groupBy(gs :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Sketch-only companion to [[joinCardinality]]: the same "how big will
     * this join be?" estimate from ONE pass per side with O(1) state and NO
     * shuffle at all — each side reduces to (row count, HLL key sketch), the

@@ -103,6 +103,23 @@ class AnalyticsSpec extends SparkSuite {
       (2L, 0L, -1.0, -1.0, -1.0, -1.0, 1L)))
   }
 
+  test("histogram bins over the global range, clamps the max into the last bin") {
+    val df = (Seq(("a", 0.0), ("a", 1.0), ("a", 3.999), ("a", 4.0),
+      ("b", 2.0))).toDF("g", "v") // range [0,4], 4 bins of width 1
+    val got = Analytics.histogram(df, Seq("g"), "v", 4)
+      .orderBy("g", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("a", 0L, 1L), ("a", 1L, 1L), ("a", 3L, 2L), // 4.0 clamped into bin 3
+      ("b", 2L, 1L)))
+  }
+
+  test("histogram degenerate range lands in bin 0") {
+    val df = Seq(("a", 7.0), ("a", 7.0)).toDF("g", "v")
+    val got = Analytics.histogram(df, Seq("g"), "v", 8).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 0L && got.head.getLong(2) == 2L)
+  }
+
   test("cooccurrence counts unordered pairs once and computes lift") {
     // baskets: {A,B}, {A,B}, {A,C}, {B} → n_total=4, nA=3, nB=3, nC=1
     val facts = Seq(
