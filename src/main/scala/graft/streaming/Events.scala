@@ -410,6 +410,30 @@ object Events {
       sum(floor(col("value") * 100 + 0.5).cast("long")).over(w).as("running_cents"))
   }
 
+  /** Streaming OHLC bars: the live face of `Analytics.ohlcBars` — per-key
+    * tumbling-window open/high/low/close as a watermarked streaming
+    * aggregate. `min_by`/`max_by` are ordinary declarative aggregates, so
+    * the state per (user, window) is a constant five values; the watermark
+    * bounds how many windows stay open. Bucket output matches the batch
+    * form's epoch-micros bucketing (tumbling windows are epoch-aligned).
+    */
+  def ohlcStream(events: DataFrame, bar: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), bar), col("user_id"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("window.start")).as("bucket_us"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+  }
+
   /** Exactly-once checkpointed parquet sink: the streaming write path with
     * end-to-end recovery semantics. The file sink commits each micro-batch
     * to the `_spark_metadata` transaction log; a reader of `outDir` sees

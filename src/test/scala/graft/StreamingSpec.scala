@@ -374,6 +374,17 @@ class StreamingSpec extends SparkSuite {
     assert(buf.sorted.toSeq == batchOut)
   }
 
+  test("streaming OHLC bars == batch ohlcBars") {
+    val streamed = Events.ohlcStream(Events.readStream(spark, eventsDir))
+    val got = Events.runToMemory(spark, streamed, "graft_ohlc_stream")
+    val expected = graft.operators.Analytics.ohlcBars(
+      Engine.events(spark, sfDir), Seq("user_id"), "ts", "value",
+      "event_id", 3600L * 1000000L)
+      .select("user_id", "bucket_us", "open", "high", "low", "close", "n")
+    assert(rows(got).map(_.toString).sorted == rows(expected).map(_.toString).sorted)
+    assert(got.count() > 0)
+  }
+
   test("exactly-once parquet sink: restart from checkpoint neither duplicates nor drops") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft_e1s_spec").toString
