@@ -251,6 +251,59 @@ object ScaleProbe {
         println(f"SCALE median n=$n%9d values=$label%-8s histogram=$hist  builtin=$builtin")
       }
     }
+    // analytics ops (q146-q152 family) at 4× steps: all-hash plans, so wall
+    // and shuffle must scale ~linearly with rows (cooccurrence output is
+    // attr-domain-bounded; retention cells bounded by cohorts×weeks)
+    if (want("analytics")) {
+      val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleWrite.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def probe(label: String, n: Long)(out: => org.apache.spark.sql.DataFrame): Unit = {
+        shuffleWrite.set(0)
+        val (rows, t) = time {
+          out.write.mode("overwrite").format("noop").save(); out.count()
+        }
+        Thread.sleep(500)
+        val gib = shuffleWrite.get / math.pow(2, 30)
+        println(f"SCALE analytics $label%-12s n=$n%9d  wall=${t}%6.1f s  shuffle=${gib}%6.2f GiB  out_rows=$rows")
+      }
+      for (n <- Seq(2000000L, 8000000L, 32000000L)) {
+        val nUsers = n / 50
+        val base = 1700000000000000L // epoch micros
+        val ev = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(nUsers)).as("user_id"),
+          timestamp_micros(lit(base) + pmod(xxhash64(col("id"), lit(1)),
+            lit(90L * 86400L * 1000000L))).as("ts"),
+          col("id").as("event_id"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(100000)) / 100.0).as("value"))
+          .persist()
+        ev.count()
+        probe("retention", n)(graft.operators.Analytics
+          .retentionCohorts(ev, "user_id", "ts"))
+        probe("ohlc_daily", n)(graft.operators.Analytics
+          .ohlcBars(ev, Seq("user_id"), "ts", "value", "event_id",
+            86400L * 1000000L))
+        probe("outliers", n)(graft.operators.Analytics
+          .groupOutliers(ev.withColumn("g", pmod(col("user_id"), lit(8))),
+            Seq("g"), "value"))
+        ev.unpersist()
+        val facts = spark.range(n).select(
+          (col("id") / 4).cast("long").as("b"),
+          concat(lit("attr"), pmod(xxhash64(col("id")), lit(40))).as("attr"))
+          .persist()
+        facts.count()
+        probe("cooccurrence", n)(graft.operators.Analytics
+          .cooccurrence(facts, "b", "attr"))
+        facts.unpersist()
+        spark.sharedState.cacheManager.clearCache() // cooccurrence's persist
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
     spark.stop()
   }
 }
