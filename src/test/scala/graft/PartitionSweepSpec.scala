@@ -15,7 +15,9 @@ class PartitionSweepSpec extends SparkSuite {
     "q95_boilerplate", "q98_corpus_screen", "q99_quantized_top1",
     "q101_decontaminate", "q102_pack_sequences",
     "q73_first_last", "q107_arrow_roundtrip", "q108_slice_negative",
-    "q109_simhash_portable", "q110_sort_nulls")
+    "q109_simhash_portable", "q110_sort_nulls",
+    "q146_group_outliers", "q147_retention", "q148_join_cardinality",
+    "q149_brand_affinity", "q150_ohlc_bars", "q152_histogram")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
