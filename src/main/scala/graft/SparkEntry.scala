@@ -1427,6 +1427,13 @@ object SparkEntry {
         t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice", 16),
         "l_returnflag", "bin")
     }),
+    "q153_rolling_anomaly" -> ((s, dir) => {
+      // trailing-window z-score anomaly flags per user: integer-cents
+      // moments in the frame → bit-deterministic flag in both engines.
+      ord(Analytics.rollingAnomalies(Engine.events(s, dir), Seq("user_id"),
+        "ts", "event_id", "value", 10, 2.0),
+        "event_id")
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2858,6 +2865,23 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem CROSS JOIN s
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q153_rolling_anomaly" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, cents,
+        |    CAST(sum(cents) OVER win AS DOUBLE) AS s1,
+        |    CAST(sum(cents*cents) OVER win AS DOUBLE) AS s2,
+        |    count(cents) OVER win AS cnt
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY tsx, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, cents,
+        |  abs(CAST(cents AS DOUBLE) - s1/cnt)
+        |    > 2.0 * sqrt(greatest(s2/cnt - (s1/cnt)*(s1/cnt), 0)) AS anom
+        |FROM w ORDER BY event_id""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-diagnostics / BI-analytics operators (beyond-reference, SURVEY
@@ -99,6 +100,41 @@ object Analytics {
         sum(col("cl") * col("cr")).as("est_rows"),
         count(lit(1)).as("matched_keys"),
         max(col("cl") * col("cr")).as("max_key_pairs"))
+  }
+
+  /** Rolling (trailing-window) anomaly detection over an event series: per
+    * key, each observation is flagged when it sits more than `z` trailing
+    * standard deviations from the trailing mean of the last `window`
+    * observations (itself included). The time-series cousin of
+    * [[groupOutliers]] — local context instead of global moments, so level
+    * shifts don't poison the whole key.
+    *
+    * Determinism across engines: values are quantized to integer cents
+    * FIRST, the window carries exact int64 sum / sum-of-squares / count,
+    * and mean/sigma are derived from those ints with the identical IEEE
+    * expression in the oracle SQL — the flag is bit-deterministic, never a
+    * victim of FP summation order. The window frame is ordered by
+    * (ts, tiebreak): total order, so the frame contents are unique.
+    *
+    * Scale: one window pass — shuffle on the key, per-key sort, O(1) state
+    * per row (running frame aggregates). No self-join, no collect.
+    */
+  def rollingAnomalies(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      tiebreakCol: String, valueCol: String, window: Int = 10,
+      z: Double = 2.0): DataFrame = {
+    val cents = floor(col(valueCol) * 100 + 0.5).cast("long")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tiebreakCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val s1 = sum(cents).over(w)
+    val s2 = sum(cents * cents).over(w)
+    val cnt = count(cents).over(w)
+    val mu = s1.cast("double") / cnt
+    val sigma = sqrt(greatest(s2.cast("double") / cnt - mu * mu, lit(0.0)))
+    df.select(keyCols.map(col) ++ Seq(
+      col(tiebreakCol),
+      cents.as("cents"),
+      (abs(cents.cast("double") - mu) > lit(z) * sigma).as("anom")): _*)
   }
 
   /** Grouped equal-width histogram (the dashboard binning op): bin values

@@ -103,6 +103,28 @@ class AnalyticsSpec extends SparkSuite {
       (2L, 0L, -1.0, -1.0, -1.0, -1.0, 1L)))
   }
 
+  test("rollingAnomalies flags a spike against its trailing context only") {
+    val us = 1000000L
+    def ts(i: Long) = new java.sql.Timestamp(i * 60000L) // minute i
+    // user 1: steady 10.0 with one 100.0 spike, then steady again — only
+    // the spike is anomalous. user 2: two points, never enough spread.
+    val ev = ((1 to 8).map(i => (1L, ts(i), i.toLong, 10.0)) ++
+      Seq((1L, ts(9), 9L, 100.0)) ++
+      (10 to 12).map(i => (1L, ts(i), i.toLong, 10.0)) ++
+      Seq((2L, ts(1), 100L, 5.0), (2L, ts(2), 101L, 6.0)))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Analytics.rollingAnomalies(ev, Seq("user_id"), "ts",
+      "event_id", "value", 10, 2.0)
+      .orderBy("event_id").collect()
+      .map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(got(9L)) // the spike
+    assert((1L to 8L).forall(i => !got(i)))
+    // 10..12: spike still in the trailing window inflates sigma, values sit
+    // near the mean — not anomalous; and user 2 is all-false
+    assert((10L to 12L).forall(i => !got(i)))
+    assert(!got(100L) && !got(101L))
+  }
+
   test("histogram bins over the global range, clamps the max into the last bin") {
     val df = (Seq(("a", 0.0), ("a", 1.0), ("a", 3.999), ("a", 4.0),
       ("b", 2.0))).toDF("g", "v") // range [0,4], 4 bins of width 1
