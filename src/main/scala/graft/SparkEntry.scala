@@ -1434,6 +1434,27 @@ object SparkEntry {
         "ts", "event_id", "value", 10, 2.0),
         "event_id")
     }),
+    "q154_schema_evolution" -> ((s, dir) => {
+      // lakehouse schema evolution: half the orders are written with the
+      // ORIGINAL schema (no o_orderpriority), half with the evolved one;
+      // a mergeSchema read reconciles per file — old rows surface the new
+      // column as null without any rewrite of history.
+      val o = t(s, dir, "orders")
+      val base = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      sources.IO.parquetWrite(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        s"$base/v1")
+      sources.IO.parquetWrite(
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+        s"$base/v2")
+      val merged = sources.IO.parquetReadMergedSchema(
+        s, Seq(s"$base/v1", s"$base/v2"))
+      ord(merged.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
+        "o_orderpriority")
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2882,6 +2903,13 @@ object SparkEntry {
         |  abs(CAST(cents AS DOUBLE) - s1/cnt)
         |    > 2.0 * sqrt(greatest(s2/cnt - (s1/cnt)*(s1/cnt), 0)) AS anom
         |FROM w ORDER BY event_id""".stripMargin,
+    "q154_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |    ELSE o_orderpriority END AS o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

@@ -26,6 +26,16 @@ object IO {
   def parquetWrite(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite").parquet(dir)
 
+  /** Schema-evolution read: merge the footers of EVERY file instead of
+    * sampling one, so files written before a column existed read as null in
+    * the evolved schema — the lakehouse "add a column without rewriting
+    * history" path. Spark does the reconciliation per file at scan time
+    * (by-name matching); only the footer of each file is extra I/O, the
+    * data pages still prune to the requested columns.
+    */
+  def parquetReadMergedSchema(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** Hive-partitioned parquet write: one directory per distinct value of
     * `partitionCols` (`dir/col=value/part-*.parquet`). At 100 TB this is the
     * difference between scanning everything and scanning one partition:

@@ -213,4 +213,24 @@ class IOSpec extends SparkSuite {
     val empty = IO.fromArrow(spark, IO.toArrow(df.limit(0)))
     assert(empty.schema == df.schema && empty.count() == 0)
   }
+
+  test("mergeSchema read reconciles evolved files; pre-evolution rows read null") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_evo_spec").toString
+    val o = Engine.table(spark, sfDir, "orders")
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+    val v2 = o.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    IO.parquetWrite(v1, s"$base/a"); IO.parquetWrite(v2, s"$base/b")
+    val merged = IO.parquetReadMergedSchema(spark, Seq(s"$base/a", s"$base/b"))
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_orderstatus"))
+    assert(merged.filter(col("o_orderstatus").isNull).count() == v1.count())
+    assert(merged.count() == o.count())
+    // a plain (single-footer-sample) read of the mixed directory set must
+    // NOT silently widen: reading only v1's dir misses the evolved column
+    val plain = spark.read.parquet(s"$base/a")
+    assert(!plain.columns.contains("o_orderstatus"))
+  }
 }
