@@ -1455,6 +1455,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q155_incremental_agg" -> ((s, dir) => {
+      // incremental MV maintenance: per-user aggregate table kept current
+      // across three arrival batches + a restart, dynamic-partition-
+      // overwriting only touched shards. Final view must equal the
+      // from-scratch aggregate bit-for-bit (integer cents).
+      val work = java.nio.file.Files.createTempDirectory("graft_incr").toString
+      ord(graft.streaming.Incremental.demo(s, Engine.events(s, dir), work),
+        "user_id")
+    }),
     "q134_winsorize" -> ((s, dir) => {
       // per-group winsorization (outlier clipping — the robust-stats floor/
       // ceiling step of quality curation): clamp l_extendedprice into its
@@ -2910,6 +2919,10 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    "q155_incremental_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

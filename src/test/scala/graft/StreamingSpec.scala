@@ -385,6 +385,37 @@ class StreamingSpec extends SparkSuite {
     assert(got.count() > 0)
   }
 
+  test("incremental agg maintenance: replayed batch is a no-op, untouched shards keep their files") {
+    import graft.streaming.Incremental
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val state = java.nio.file.Files.createTempDirectory("graft_incr_spec")
+      .toString + "/state"
+    val b0 = Seq((1L, 10L, 100L), (2L, 11L, 200L), (17L, 12L, 300L))
+      .toDF("user_id", "event_id", "cents")
+    Incremental.applyBatch(spark, b0, 0L, state, nShards = 16)
+    val after0 = rows(spark.read.parquet(state)
+      .select("user_id", "n", "cents")).map(_.toString).sorted
+    // replay of batch 0 (at-least-once retry) must not double-count
+    Incremental.applyBatch(spark, b0, 0L, state, nShards = 16)
+    val afterReplay = rows(spark.read.parquet(state)
+      .select("user_id", "n", "cents")).map(_.toString).sorted
+    assert(afterReplay == after0)
+    // batch 1 touches only shard 2 (user 18); shard-1 files stay untouched
+    def files(shard: Long) = new java.io.File(s"$state/shard=$shard")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    val shard1Before = files(1L)
+    Incremental.applyBatch(spark,
+      Seq((18L, 13L, 50L)).toDF("user_id", "event_id", "cents"),
+      1L, state, nShards = 16)
+    assert(files(1L) == shard1Before) // dynamic overwrite left shard 1 alone
+    val m = spark.read.parquet(state).select("user_id", "n", "cents")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m == Map(1L -> (1L, 100L), 2L -> (1L, 200L),
+      17L -> (1L, 300L), 18L -> (1L, 50L)))
+  }
+
   test("exactly-once parquet sink: restart from checkpoint neither duplicates nor drops") {
     import org.apache.spark.sql.functions._
     val work = java.nio.file.Files.createTempDirectory("graft_e1s_spec").toString
