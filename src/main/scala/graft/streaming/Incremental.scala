@@ -101,10 +101,12 @@ object Incremental {
     val ck = s"$workDir/ck"
     val proj = events.select(col("user_id"), col("event_id"),
       floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    proj.filter(col("event_id") % 3 === 0).write.parquet(s"$src/b0")
-    proj.filter(col("event_id") % 3 === 1).write.parquet(s"$src/b1")
+    // one file per arrival batch → one micro-batch each (coalesce(1): the
+    // staging is the simulated upstream, not the measured operator)
+    proj.filter(col("event_id") % 3 === 0).coalesce(1).write.parquet(s"$src/b0")
+    proj.filter(col("event_id") % 3 === 1).coalesce(1).write.parquet(s"$src/b1")
     maintain(spark, s"$src/*", state, ck, proj.schema) // first process
-    proj.filter(col("event_id") % 3 === 2).write.parquet(s"$src/b2")
+    proj.filter(col("event_id") % 3 === 2).coalesce(1).write.parquet(s"$src/b2")
     maintain(spark, s"$src/*", state, ck, proj.schema) // restart: only b2
   }
 }
