@@ -1455,6 +1455,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q156_asof_bucketed" -> ((s, dir) => {
+      // skew-immune bucketed as-of carry (Joins.asofJoinBucketed): same
+      // backward-inclusive semantics as q76, but the per-user running carry
+      // runs inside fixed 6-hour time buckets plus a tiny per-(user,bucket)
+      // carry-in pass — the variant that keeps one hot user's timeline from
+      // serializing onto a single task at 100 TB (8M-row skew probe in
+      // BASELINE.md: 4× faster than the flat carry, flat scaling). Oracled
+      // with the same DuckDB ASOF mirror as q76: identical output proves
+      // the bucketed decomposition is exact, not approximate.
+      val ev = Engine.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("value"))
+        .groupBy("user_id", "tus").agg(max(col("value")).as("p_value"))
+      val joined = operators.Joins.asofJoinBucketed(clicks, purchases,
+        Seq("user_id"), "tus", "tus", Seq("p_value"),
+        bucket = tcol => floor(tcol / lit(6L * 3600 * 1000000L)))
+      ord(joined.withColumnRenamed("tus", "ts"), "event_id")
+    }),
     "q155_incremental_agg" -> ((s, dir) => {
       // incremental MV maintenance: per-user aggregate table kept current
       // across three arrival batches + a restart, dynamic-partition-
@@ -2923,6 +2943,18 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q156_asof_bucketed" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT c.user_id, epoch_us(c.ts) AS ts, c.event_id, p.p_value
+        |FROM clicks c ASOF JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
     "q134_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag,

@@ -233,4 +233,58 @@ class IOSpec extends SparkSuite {
     val plain = spark.read.parquet(s"$base/a")
     assert(!plain.columns.contains("o_orderstatus"))
   }
+
+  test("parquet read splits one file across row groups (parquet.cpp:507-606 shape)") {
+    // The reference assigns row groups round-robin to ranks inside ONE file
+    // (cpp/src/parquet.cpp:507-606). Spark's analogue: FileSourceScanExec
+    // splits a single file into byte-range partitions of maxPartitionBytes,
+    // and the parquet reader assigns each row group to the split holding its
+    // midpoint. Write a single multi-row-group file (small parquet.block
+    // .size), then prove (a) the footer really has >1 row group, (b) a read
+    // capped at ~one-row-group maxPartitionBytes fans the ONE file out to as
+    // many non-empty partitions as there are row groups — intra-file
+    // parallelism, not one-task-per-file — and (c) content is intact.
+    val dir = tmp()
+    val n = 400000L
+    spark.range(n).selectExpr("id", "id * 2 as v",
+        "repeat(cast(id % 97 as string), 8) as pad")
+      .coalesce(1)
+      .write.option("parquet.block.size", 256 * 1024)
+      .mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val rowGroups = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.size finally r.close()
+    }
+    assert(rowGroups > 1, s"test setup: expected multi-row-group file, got $rowGroups")
+    val perSplit = (file.length() / rowGroups).max(1)
+    withSQLConf(
+      "spark.sql.files.maxPartitionBytes" -> perSplit.toString,
+      "spark.sql.files.openCostInBytes" -> "0") {
+      val back = spark.read.parquet(dir)
+      val counts = back.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size))).collect()
+      val nonEmpty = counts.count(_._2 > 0)
+      assert(counts.length >= rowGroups,
+        s"expected >= $rowGroups byte-range splits, got ${counts.length}")
+      assert(nonEmpty == rowGroups,
+        s"expected $rowGroups non-empty partitions (one per row group), got $nonEmpty")
+      assert(back.count() == n)
+      assert(back.agg(sum("id")).head.getLong(0) == n * (n - 1) / 2)
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
