@@ -1455,6 +1455,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q157_skipping_index" -> ((s, dir) => {
+      // file-level min/max skipping index (the Delta/Iceberg manifest-stats
+      // pattern, footer-only build — sources/Skipping.scala): cluster
+      // lineitem by ship date into range-disjoint files, harvest per-file
+      // footer stats distributed, and answer a 3-month range query by
+      // reading ONLY files the index can't rule out. The oracle is the
+      // plain full-scan filter — identical rows prove skipping is an
+      // optimization, never a semantics change; IOSpec asserts the
+      // candidate set is a strict subset of the files. At 100 TB the index
+      // is ~1 row per file per column (megabytes) and the scan cost drops
+      // to O(selectivity × files) instead of O(files).
+      val base = java.nio.file.Files.createTempDirectory("graft_skip").toString
+      val li = t(s, dir, "lineitem")
+      li.repartitionByRange(16, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(base)
+      val stats = sources.Skipping.buildStats(s, base, Seq("l_shipdate")).cache()
+      def us(iso: String): Double =
+        java.time.Instant.parse(iso).getEpochSecond * 1e6
+      val out = sources.Skipping.readPruned(s, base, stats, "l_shipdate",
+        lo = us("1996-06-01T00:00:00Z"), hi = us("1996-09-01T00:00:00Z"),
+        pred = df => df
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-06-01 00:00:00")) &&
+            col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-09-01 00:00:00")))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us")))
+      ordAll(out)
+    }),
     "q156_asof_bucketed" -> ((s, dir) => {
       // skew-immune bucketed as-of carry (Joins.asofJoinBucketed): same
       // backward-inclusive semantics as q76, but the per-user running carry
@@ -2943,6 +2971,13 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q157_skipping_index" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ship_us
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-09-01 00:00:00'
+        |ORDER BY ALL""".stripMargin,
     "q156_asof_bucketed" ->
       """WITH clicks AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -278,6 +278,39 @@ class IOSpec extends SparkSuite {
     }
   }
 
+  test("skipping index prunes range-clustered files and stays conservative") {
+    import graft.sources.Skipping
+    val dir = tmp()
+    val li = Engine.table(spark, sfDir, "lineitem")
+    li.repartitionByRange(8, col("l_shipdate")).sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dir)
+    val stats = Skipping.buildStats(spark, dir, Seq("l_shipdate", "l_returnflag")).cache()
+    assert(stats.filter(col("column") === "l_shipdate").count() == 8)
+    def us(sqlTs: String): Double =
+      java.sql.Timestamp.valueOf(sqlTs).getTime * 1000.0
+    val lo = "1996-06-01 00:00:00"; val hi = "1996-09-01 00:00:00"
+    val cands = Skipping.candidateFiles(stats, "l_shipdate", us(lo), us(hi))
+    // range-disjoint files + ~4% selectivity ⇒ strictly fewer than all files
+    assert(cands.nonEmpty && cands.size < 8,
+      s"expected a strict subset of 8 files, got ${cands.size}")
+    val pred = (df: org.apache.spark.sql.DataFrame) => df.filter(
+      col("l_shipdate") >= lit(java.sql.Timestamp.valueOf(lo)) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf(hi)))
+    val pruned = Skipping.readPruned(spark, dir, stats, "l_shipdate",
+      us(lo), us(hi), pred)
+    assert(pruned.count() == pred(li).count())
+    // string stats drive the string prune; 'A' rows exist in every file of
+    // an unclustered-on-returnflag layout → conservative full candidate set
+    val rf = Skipping.candidateFilesStr(stats, "l_returnflag", "A", "A")
+    assert(rf.size == 8)
+    // a range wholly outside the data prunes everything, and readPruned
+    // still returns a well-formed empty frame
+    assert(Skipping.candidateFiles(stats, "l_shipdate", 0.0, 1.0).isEmpty)
+    assert(Skipping.readPruned(spark, dir, stats, "l_shipdate", 0.0, 1.0,
+      df => df.filter(lit(false))).count() == 0)
+    stats.unpersist()
+  }
+
   private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val conf = spark.conf
     val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
