@@ -1455,6 +1455,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q158_jaro_winkler" -> ((s, dir) => {
+      // record-linkage pair scoring with the native codegen Jaro-Winkler
+      // expression (functions/StringSim.scala): candidate pairs from
+      // equi-join blocking on (brand, type) — the stage that follows
+      // SymSpell/LSH blocking (q144) in an entity-resolution pipeline —
+      // scored inside whole-stage codegen, survivors ≥ 0.8 kept. The
+      // oracle mirrors with DuckDB's jaro_winkler_similarity (semantics
+      // pinned in FunctionsSpec: strict-0.7 boost threshold, prefix cap 4,
+      // empty ⇒ 0). Blocking keeps the pair count at
+      // O(Σ block² ), never |part|² — the 100 TB shape.
+      val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
+      val a = p.toDF("ak", "an", "p_brand", "p_type")
+      val b = p.toDF("bk", "bn", "p_brand", "p_type")
+      val pairs = a.join(b, Seq("p_brand", "p_type")).filter(col("ak") < col("bk"))
+      ord(pairs.select(col("ak"), col("bk"),
+          round(Registry.jaroWinkler(col("an"), col("bn")), 4).as("jw"))
+        .filter(col("jw") >= 0.8), "ak", "bk")
+    }),
     "q157_skipping_index" -> ((s, dir) => {
       // file-level min/max skipping index (the Delta/Iceberg manifest-stats
       // pattern, footer-only build — sources/Skipping.scala): cluster
@@ -2971,6 +2989,14 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q158_jaro_winkler" ->
+      """SELECT a.p_partkey AS ak, b.p_partkey AS bk,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.8
+        |ORDER BY ak, bk""".stripMargin,
     "q157_skipping_index" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ship_us

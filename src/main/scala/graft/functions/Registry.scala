@@ -40,6 +40,10 @@ object Registry {
       exprs => JaccardSortedExpr(exprs(0), exprs(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro_winkler",
+      exprs => JaroWinklerExpr(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
       exprs => {
         requireFoldable(exprs(1), "graft_minhash", "num_hashes must be a literal int")
@@ -105,6 +109,12 @@ object Registry {
   /** Merge-pass Jaccard of two sorted array<long> columns. */
   def jaccardSorted(a: Column, b: Column): Column =
     call_function("graft_jaccard_sorted", a, b)
+
+  /** Jaro-Winkler similarity of two string columns (DuckDB-compatible
+    * semantics — see [[JaroWinkler]]).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("graft_jaro_winkler", a, b)
 
   /** Positional match fraction of two equal-length array<long> columns
     * (MinHash Jaccard estimator).

@@ -198,4 +198,33 @@ class FunctionsSpec extends SparkSuite {
     assert(got(3L) == 27.5)              // 0.5*40 + 0.5*15
     assert(got(4L) == 100.0)             // other key unaffected
   }
+
+  test("jaro_winkler matches DuckDB fixtures (threshold, prefix cap, empties)") {
+    import graft.functions.Registry
+    // expected values pinned from DuckDB jaro_winkler_similarity this round
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),   // classic transposition
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),  // 2-char prefix boost
+      ("appel", "apple", 0.9533333333333333),
+      ("aaaaaabc", "aaaaaabd", 0.95),             // 7-char prefix capped at 4
+      ("CRATE", "TRACE", 0.7333333333333334),     // above 0.7 but 0 prefix
+      ("large gear", "red gear", 0.8107142857142856), // odd mismatches: floor(t/2)
+      ("abqqqqqq", "abzzzzzz", 0.5),              // prefix but jaro ≤ 0.7: NO boost
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0),                          // window 0 ⇒ no matches
+      ("", "", 0.0),                              // DuckDB: empty ⇒ 0, not 1
+      ("a", "", 0.0))
+    val df = cases.toDF("a", "b", "exp")
+    val got = df.select(Registry.jaroWinkler(col("a"), col("b")).as("jw"),
+      col("exp")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+      s"jw=${r.getDouble(0)} expected ${r.getDouble(1)}"))
+    // SQL surface + null propagation
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA'), graft_jaro_winkler('x', NULL)")
+      .head
+    assert(math.abs(viaSql.getDouble(0) - 0.9611111111111111) < 1e-12)
+    assert(viaSql.isNullAt(1))
+  }
 }
