@@ -173,6 +173,52 @@ class StreamingSpec extends SparkSuite {
     assert(got.filter(col("p_ts").isNull).count() > 0) // outer rows present
   }
 
+  test("left-outer null row is WITHHELD until the watermark passes click_ts + window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Flush-timing semantics, not just final equivalence: an unmatched
+    // click's null row must appear only once the global watermark
+    // (min across both sides, each = max_event_time − 2h) strictly passes
+    // click_ts + 60min. Three staged micro-batches:
+    //   b1: click u10 @ t0          → no output (nothing matched, no flush)
+    //   b2: events @ t0+2h          → watermark t0, still ≤ t0+1h → withheld
+    //   b3: events @ t0+3.5h        → watermark t0+1.5h > t0+1h  → flush
+    // Each batch carries a purchase row too: a side that sees no rows never
+    // advances its watermark, and the global watermark is the min.
+    val t0 = 1700000000000000L // µs
+    val dir = java.nio.file.Files.createTempDirectory("graft_flush_timing")
+    def stage(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_flush_half").toString
+      rows.map { case (id, ts, uid, typ) => (id, ts, uid, typ, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(col("ts")).cast("timestamp_ntz"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+    }
+    val h = 3600L * 1000000L
+    stage("b1.parquet", Seq((1L, t0, 10L, "click"), (2L, t0, 99L, "purchase")))
+    val q = Events.clickPurchaseJoinOuter(
+      Events.readStream(spark, dir.toString, maxFilesPerTrigger = Some(1)))
+      .writeStream.format("memory").queryName("graft_flush_timing")
+      .outputMode("append").start()
+    def nullRows(): Long =
+      spark.table("graft_flush_timing").filter(col("p_ts").isNull).count()
+    q.processAllAvailable()
+    assert(nullRows() == 0, "null row leaked before any watermark advance")
+    stage("b2.parquet", Seq((3L, t0 + 2 * h, 12L, "click"), (4L, t0 + 2 * h, 99L, "purchase")))
+    q.processAllAvailable()
+    assert(nullRows() == 0, "null row leaked at watermark == t0 (needs > t0+window)")
+    stage("b3.parquet", Seq(
+      (5L, t0 + 7 * h / 2, 13L, "click"), (6L, t0 + 7 * h / 2, 99L, "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val flushed = spark.table("graft_flush_timing").filter(col("p_ts").isNull)
+    assert(flushed.count() == 1, "exactly u10's click should have flushed")
+    assert(flushed.head.getLong(flushed.columns.indexOf("user_id")) == 10L)
+  }
+
   test("stream-stream FULL OUTER interval join == batch twin (both sides flush)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
