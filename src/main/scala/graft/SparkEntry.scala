@@ -1455,6 +1455,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q159_observed_profile" -> ((s, dir) => {
+      // zero-extra-pass profiling (Analytics.observed / CollectMetrics):
+      // quality metrics accumulate ON THE SIDE of the frame's real action
+      // (here a noop write standing in for the production sink), so the
+      // profile costs no second scan — at 100 TB that's an entire saved
+      // pass vs a separate agg. The metrics frame is the query output and
+      // the oracle recomputes the same aggregates from scratch.
+      val li = t(s, dir, "lineitem")
+      val (observedDf, metrics) = Analytics.observed(li,
+        "n" -> count(lit(1)),
+        "qty_sum" -> sum(col("l_quantity")),
+        "price_min" -> min(col("l_extendedprice")),
+        "price_max" -> max(col("l_extendedprice")),
+        "null_flags" -> sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)))
+      observedDf.write.mode("overwrite").format("noop").save()
+      metrics()
+    }),
+    "q160_transitions" -> ((s, dir) => {
+      // session-flow transition matrix (Markov counts): for each user's
+      // time-ordered event sequence, count (event_type → next event_type)
+      // pairs. One window shuffle partitioned by user (the natural key —
+      // skew-bounded by per-user event counts) + one partial+final count
+      // aggregate; ties broken on event_id so both engines see the same
+      // sequence.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Engine.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ord(ev.select(col("user_id"), col("event_type"),
+          lead("event_type", 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n")),
+        "event_type", "next_type")
+    }),
     "q158_jaro_winkler" -> ((s, dir) => {
       // record-linkage pair scoring with the native codegen Jaro-Winkler
       // expression (functions/StringSim.scala): candidate pairs from
@@ -2989,6 +3022,24 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q159_observed_profile" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(l_quantity) AS qty_sum,
+        |  min(l_extendedprice) AS price_min,
+        |  max(l_extendedprice) AS price_max,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_flags
+        |FROM lineitem""".stripMargin,
+    "q160_transitions" ->
+      """SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        |  FROM events)
+        |WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY event_type, next_type""".stripMargin,
     "q158_jaro_winkler" ->
       """SELECT a.p_partkey AS ak, b.p_partkey AS bk,
         |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw

@@ -16,6 +16,52 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Zero-extra-pass data profiling via `Dataset.observe`: the metric
+    * aggregates are accumulated ON THE SIDE of whatever action the caller
+    * drives over the returned frame (a write, a downstream join, …), so at
+    * 100 TB the profile costs no second scan — the difference between this
+    * and a separate `df.agg(...)` is an entire pass over the input. Returns
+    * the observed frame plus a thunk that yields the metrics as a one-row
+    * DataFrame once an action has run (Observation.get blocks until then).
+    *
+    * Restrictions inherited from CollectMetrics: aggregates only, no
+    * distinct aggregates — use approx sketches for cardinality.
+    */
+  def observed(df: DataFrame, metrics: (String, Column)*)
+      : (DataFrame, () => DataFrame) = {
+    require(metrics.nonEmpty, "observed: at least one metric required")
+    val obs = org.apache.spark.sql.Observation()
+    val named = metrics.map { case (n, c) => c.as(n) }
+    val out = df.observe(obs, named.head, named.tail: _*)
+    val spark = df.sparkSession
+    val fetch = () => {
+      val got = obs.get
+      val row = org.apache.spark.sql.Row(metrics.map { case (n, _) => got(n) }: _*)
+      val fields = metrics.map { case (n, _) =>
+        val dt = got(n) match {
+          case _: java.lang.Long | _: java.lang.Integer =>
+            org.apache.spark.sql.types.LongType
+          case _: java.lang.Double => org.apache.spark.sql.types.DoubleType
+          case _: java.math.BigDecimal =>
+            org.apache.spark.sql.types.DataTypes.createDecimalType(38, 8)
+          case _ => org.apache.spark.sql.types.StringType
+        }
+        org.apache.spark.sql.types.StructField(n, dt)
+      }
+      val cast = org.apache.spark.sql.Row(metrics.zip(fields).map {
+        case ((n, _), f) => got(n) match {
+          case i: java.lang.Integer if f.dataType == org.apache.spark.sql.types.LongType =>
+            java.lang.Long.valueOf(i.longValue())
+          case v => v
+        }
+      }: _*)
+      spark.createDataFrame(
+        java.util.Collections.singletonList(cast),
+        org.apache.spark.sql.types.StructType(fields))
+    }
+    (out, fetch)
+  }
+
   /** Per-group z-score outlier counts with *deterministic* moments: the mean
     * and population stddev are computed from exact decimal sums (the input is
     * fixed-point data, so sum and sum-of-squares are exact in decimal(38,8)),

@@ -157,4 +157,20 @@ class AnalyticsSpec extends SparkSuite {
       ("A", "B", 2L, 888889L),
       ("A", "C", 1L, 1333333L)))
   }
+
+  test("observed metrics piggyback on the frame's own action and match direct aggs") {
+    val li = Engine.table(spark, sfDir, "lineitem")
+    val (obsDf, fetch) = Analytics.observed(li,
+      "n" -> count(lit(1)),
+      "qmax" -> max(col("l_quantity")),
+      "nulls" -> sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)))
+    obsDf.write.mode("overwrite").format("noop").save()
+    val m = fetch()
+    assert(m.columns.toSeq == Seq("n", "qmax", "nulls"))
+    val row = m.head
+    assert(row.getLong(0) == li.count())
+    assert(row.getDouble(1) ==
+      li.agg(max(col("l_quantity"))).head.getDouble(0))
+    assert(row.getLong(2) == 0L)
+  }
 }
