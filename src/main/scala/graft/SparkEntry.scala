@@ -1455,6 +1455,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q162_equidepth_hist" -> ((s, dir) => {
+      // equi-depth histogram (equal-frequency buckets — the optimizer-
+      // statistics / feature-binning primitive): exact quintile boundaries
+      // from the scalable counts+window quantile plan, bucket assignment in
+      // codegen, one count aggregate. DuckDB mirrors with quantile_cont
+      // scalar subqueries.
+      ord(Analytics.equiDepthHistogram(t(s, dir, "lineitem"), "l_quantity", 5),
+        "bucket")
+    }),
+    "q161_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 (large-volume customers): aggregate-then-semi-join
+      // replaces the correlated HAVING subquery — the big-orders key set is
+      // one partial+final agg, the semi join prunes orders BEFORE the
+      // customer join and re-aggregation, and the final top-k is a
+      // TakeOrderedAndProject (no global sort). All three joins shuffle on
+      // their natural keys; nothing here needs a broadcast hint (AQE
+      // demotes the tiny big-orders side itself).
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sq")).filter(col("sq") > 300)
+        .select("l_orderkey")
+      val oBig = o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      oBig.join(c, oBig("o_custkey") === c("c_custkey"))
+        .join(li, oBig("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("odate_us"),
+          col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
     "q159_observed_profile" -> ((s, dir) => {
       // zero-extra-pass profiling (Analytics.observed / CollectMetrics):
       // quality metrics accumulate ON THE SIDE of the frame's real action
@@ -3022,6 +3055,26 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q162_equidepth_hist" ->
+      """SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT (CASE WHEN l_quantity > (SELECT quantile_cont(l_quantity, 0.2) FROM lineitem) THEN 1 ELSE 0 END
+        |        + CASE WHEN l_quantity > (SELECT quantile_cont(l_quantity, 0.4) FROM lineitem) THEN 1 ELSE 0 END
+        |        + CASE WHEN l_quantity > (SELECT quantile_cont(l_quantity, 0.6) FROM lineitem) THEN 1 ELSE 0 END
+        |        + CASE WHEN l_quantity > (SELECT quantile_cont(l_quantity, 0.8) FROM lineitem) THEN 1 ELSE 0 END) AS bucket
+        |  FROM lineitem WHERE l_quantity IS NOT NULL)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q161_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS odate_us,
+        |  o_totalprice, sum(l_quantity) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, odate_us, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "q159_observed_profile" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  sum(l_quantity) AS qty_sum,

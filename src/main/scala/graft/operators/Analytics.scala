@@ -62,6 +62,25 @@ object Analytics {
     (out, fetch)
   }
 
+  /** Equi-depth (equal-frequency) histogram: interior boundaries from the
+    * scale-safe exact-quantile plan ([[Aggregates.quantilesExactScalable]] —
+    * counts pass + window, never a single sort-based reducer), then one
+    * partial+final count per bucket. The boundary collect is `buckets − 1`
+    * doubles — bounded at any input size. Bucket i holds values in
+    * (b_i-1, b_i]; rows equal to a boundary go left, nulls are dropped.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need at least 2 buckets, got $buckets")
+    val fracs = (1 until buckets).map(i => (i.toDouble / buckets, s"__graft_b$i"))
+    val bRow = Aggregates.quantilesExactScalable(
+      df.withColumn("__graft_k", lit(1)), Seq("__graft_k"), valueCol, fracs).head()
+    val bs = (1 until buckets).map(i => bRow.getDouble(bRow.fieldIndex(s"__graft_b$i")))
+    val bucket = bs.foldLeft(lit(0))((acc, b) =>
+      acc + when(col(valueCol).cast("double") > b, 1).otherwise(0))
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+  }
+
   /** Per-group z-score outlier counts with *deterministic* moments: the mean
     * and population stddev are computed from exact decimal sums (the input is
     * fixed-point data, so sum and sum-of-squares are exact in decimal(38,8)),

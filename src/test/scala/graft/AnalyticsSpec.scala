@@ -158,6 +158,18 @@ class AnalyticsSpec extends SparkSuite {
       ("A", "C", 1L, 1333333L)))
   }
 
+  test("equi-depth histogram: distinct values balance; ties collapse to the left bucket") {
+    val even = spark.range(1, 101).toDF("v") // 1..100 distinct
+    val gotEven = Analytics.equiDepthHistogram(even, "v", 4)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(gotEven.toSeq == Seq((0, 25L), (1, 25L), (2, 25L), (3, 25L)))
+    // heavy ties: median of {1,1,1,1,2} is 1 → values ≤ 1 all go left
+    val ties = Seq(1, 1, 1, 1, 2).toDF("v")
+    val gotTies = Analytics.equiDepthHistogram(ties, "v", 2)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(gotTies.toSeq == Seq((0, 4L), (1, 1L)))
+  }
+
   test("observed metrics piggyback on the frame's own action and match direct aggs") {
     val li = Engine.table(spark, sfDir, "lineitem")
     val (obsDf, fetch) = Analytics.observed(li,
