@@ -304,6 +304,31 @@ object ScaleProbe {
       }
       spark.sparkContext.removeSparkListener(listener)
     }
+    // skipping index (q157): footer-only build over growing file counts —
+    // build time must scale with FILE COUNT (footers), not data volume, and
+    // a 5%-selectivity range over range-clustered files must prune ~95%.
+    if (want("skipping")) for (nFiles <- Seq(64, 256)) {
+      val rows = 4000000L
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_skipprobe").toString
+      spark.range(rows).select(col("id"),
+          (col("id") % 997).as("payload"))
+        .repartitionByRange(nFiles, col("id")).sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(dir)
+      val (stats, tBuild) = time {
+        val s = graft.sources.Skipping.buildStats(spark, dir, Seq("id")).persist()
+        s.count(); s
+      }
+      val lo = rows * 0.40; val hi = rows * 0.45 // 5% slice
+      val (cands, tPrune) = time {
+        graft.sources.Skipping.candidateFiles(stats, "id", lo, hi)
+      }
+      val kept = graft.sources.Skipping.readPruned(spark, dir, stats, "id", lo, hi,
+        df => df.filter(col("id") >= lo && col("id") <= hi)).count()
+      val full = rows * 5 / 100 + 1
+      println(f"SCALE skipping files=$nFiles%4d rows=$rows%9d  build=${tBuild}%6.1f s  " +
+        f"prune=${tPrune}%5.2f s  candidates=${cands.size}%4d/${nFiles}%d  rows_ok=${kept == full}")
+      stats.unpersist()
+    }
     spark.stop()
   }
 }

@@ -480,4 +480,28 @@ class PlanSpec extends SparkSuite {
     assert(scan.contains("ReadSchema: struct<l_quantity:double,l_tax:double>"),
       s"scan not pruned:\n$scan")
   }
+
+  test("runtime bloom filter is injected on the probe side of a selective join") {
+    // Catalyst's InjectRuntimeFilter: when one join side is filtered hard,
+    // the big probe side gets a bloom-filter predicate built from the small
+    // side at RUNTIME — at 100 TB this prunes shuffle input before the join
+    // without any manual bloom plumbing (the hand-built variant is q127 for
+    // the semi-join case). Thresholds forced low here because the sf0.001
+    // tables are below the production defaults.
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = Engine.table(spark, sfDir, "lineitem")
+      val o = Engine.table(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(joined.collect().nonEmpty) // and the filtered plan still answers
+    }
+  }
 }
