@@ -1455,6 +1455,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q163_pagerank" -> ((s, dir) => {
+      // damped PageRank (3 power iterations) over the symmetric
+      // supplier↔customer trade graph from lineitem⋈orders — weighted
+      // influence scoring, the companion to connected components (q81).
+      // Customer node ids offset by 1e6 so the two key spaces can't
+      // collide. The symmetric edge set has no dangling nodes, but the
+      // operator still applies the uniform dangling correction (a 1-scalar
+      // driver read per iteration). Oracle: the same three iterations as
+      // chained CTEs in DuckDB; ranks rounded to 8 (FP-associativity is
+      // the only cross-engine difference).
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val sc2 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst")).distinct()
+      val edges = sc2.union(sc2.select(col("dst").as("src"), col("src").as("dst")))
+      ord(Graph.pageRank(edges, "src", "dst", iters = 3)
+        .withColumn("r", round(col("r"), 8)), "id")
+    }),
     "q162_equidepth_hist" -> ((s, dir) => {
       // equi-depth histogram (equal-frequency buckets — the optimizer-
       // statistics / feature-binning primitive): exact quintile boundaries
@@ -3055,6 +3074,28 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q163_pagerank" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+        |nn AS (SELECT CAST(count(DISTINCT src) AS DOUBLE) AS cnt FROM edges),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+        |r0 AS (SELECT src AS id, 1.0/(SELECT cnt FROM nn) AS r
+        |       FROM (SELECT DISTINCT src FROM edges)),
+        |r1 AS (SELECT e.dst AS id,
+        |    (1 - 0.85)/(SELECT cnt FROM nn) + 0.85*sum(r0.r/deg.d) AS r
+        |  FROM edges e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS id,
+        |    (1 - 0.85)/(SELECT cnt FROM nn) + 0.85*sum(r1.r/deg.d) AS r
+        |  FROM edges e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS id,
+        |    (1 - 0.85)/(SELECT cnt FROM nn) + 0.85*sum(r2.r/deg.d) AS r
+        |  FROM edges e JOIN r2 ON e.src = r2.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst)
+        |SELECT id, round(r, 8) AS r FROM r3 ORDER BY id""".stripMargin,
     "q162_equidepth_hist" ->
       """SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT (CASE WHEN l_quantity > (SELECT quantile_cont(l_quantity, 0.2) FROM lineitem) THEN 1 ELSE 0 END

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms over plain edge-list DataFrames
+  * (beyond-reference, SURVEY §2.9). Complements the large-star/small-star
+  * connected components in `llm/Dedup`: CC gives membership, PageRank gives
+  * weighted influence — the standard pair for entity graphs (dedup clusters,
+  * citation/link authority, seller-buyer importance).
+  */
+object Graph {
+
+  /** Damped PageRank with a fixed iteration count.
+    *
+    * Scale shape per iteration: one join of the rank vector onto the edge
+    * list (both hash-partitioned on `src`) + one partial+final sum by `dst`
+    * — the classic two-shuffle power-iteration step; nothing is ever
+    * collected except the DANGLING MASS, a single scalar per iteration
+    * (nodes with no out-edges donate their rank uniformly — the standard
+    * correction, and a 1-row driver read is bounded at any graph size).
+    * Each iteration's rank vector is persisted and the previous one
+    * unpersisted, so lineage stays one step deep and memory one vector
+    * wide. Determinism: the per-node sum is over doubles, so cross-engine
+    * agreement is to FP-associativity (~1e-15 relative); gate outputs round
+    * accordingly.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("deg")).persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val n = nodes.count()
+    var ranks = nodes.withColumn("r", lit(1.0 / n)).persist()
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("c"))
+      val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0))).head().getDouble(0)
+      prev = ranks
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("r"))
+        .persist()
+      ranks.count()
+      prev.unpersist()
+    }
+    e.unpersist(); deg.unpersist(); nodes.unpersist()
+    ranks
+  }
+}
