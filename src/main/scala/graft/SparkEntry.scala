@@ -36,6 +36,8 @@ private[graft] object OracleAux {
   @volatile var q45Sigs: Option[Seq[(Long, Long)]] = None // (doc id, simhash64)
   @volatile var q50Cands: Option[Seq[(Long, Long)]] = None // (query_id, neighbor_id)
   @volatile var q142Assign: Option[Seq[(Long, Long)]] = None // (vec_id, cluster id)
+  @volatile var q164Codes: Option[Seq[(Long, Seq[Int])]] = None // (vec_id, PQ codes)
+  @volatile var q164Books: Option[Seq[Seq[Seq[Double]]]] = None // m × k × subdim
 }
 
 object SparkEntry {
@@ -1454,6 +1456,26 @@ object SparkEntry {
       ord(merged.groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
+    }),
+    "q164_pq_ann" -> ((s, dir) => {
+      // product-quantization ANN (completes the family: exact q49, LSH q50,
+      // IVF q75, int8 q99): per-subspace L2 codebooks (m=8, k=16 → 32×
+      // compression of 64-dim float), asymmetric-distance top-1 over the
+      // coded corpus. The oracle reconstructs each vector from the stashed
+      // codes + codebooks in DuckDB and must reproduce the identical
+      // ranking — everything downstream of Lloyd (encoding, ADC scores,
+      // tie-breaks) is cross-engine-verified; codebook quality itself is
+      // LlmSpec-asserted. persist(): the collect and the returned plan
+      // share one computation of the code table.
+      val e = t(s, dir, "embeddings")
+      val books = Similarity.trainPQ(e, "vec_id", "embedding", m = 8, k = 16)
+      val codes = Similarity.encodePQ(e, "vec_id", "embedding", books).persist()
+      OracleAux.q164Codes =
+        Some(codes.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq)
+      OracleAux.q164Books = Some(books.map(_.map(_.toSeq).toSeq).toSeq)
+      val out = Similarity.pqTop1(codes, e.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", books)
+      ord(out.withColumn("score", round(col("score"), 4)), "query_id")
     }),
     "q163_pagerank" -> ((s, dir) => {
       // damped PageRank (3 power iterations) over the symmetric
@@ -3855,6 +3877,42 @@ object SparkEntry {
            |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
            |ORDER BY vec_id""".stripMargin
     }
-    (q45.toSeq ++ q50.toSeq ++ q142.toSeq).toMap
+    val q164 = for {
+      codes <- OracleAux.q164Codes.filter(_.nonEmpty)
+      books <- OracleAux.q164Books.filter(_.nonEmpty)
+    } yield {
+      val cbRows = for {
+        (sub, sIdx) <- books.zipWithIndex
+        (vec, kIdx) <- sub.zipWithIndex
+      } yield s"($sIdx,$kIdx,[${vec.mkString(",")}])"
+      val codeRows = codes.map { case (id, cs) => s"($id,[${cs.mkString(",")}])" }
+      "q164_pq_ann" ->
+        s"""WITH cb(s, k, v) AS (VALUES ${cbRows.mkString(",")}),
+           |codes(vec_id, cs) AS (VALUES ${codeRows.mkString(",")}),
+           |parts AS (
+           |  SELECT c.vec_id, t.i AS s, cb.v
+           |  FROM codes c CROSS JOIN range(1, ${books.length + 1}) t(i)
+           |  JOIN cb ON cb.s = t.i - 1 AND cb.k = c.cs[t.i]),
+           |recon AS (
+           |  SELECT vec_id, flatten(list(v ORDER BY s)) AS rv
+           |  FROM parts GROUP BY vec_id),
+           |queries AS (
+           |  SELECT vec_id AS query_id, embedding
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |scored AS (
+           |  SELECT q.query_id, r.vec_id AS neighbor_id,
+           |    list_sum(list_transform(list_zip(q.embedding, r.rv),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS score
+           |  FROM queries q CROSS JOIN recon r),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, score,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, neighbor_id ASC) AS rk
+           |  FROM scored)
+           |SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           |  round(score, 4) AS score
+           |FROM ranked WHERE rk = 1 ORDER BY query_id""".stripMargin
+    }
+    (q45.toSeq ++ q50.toSeq ++ q142.toSeq ++ q164.toSeq).toMap
   }
 }

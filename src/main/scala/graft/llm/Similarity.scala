@@ -492,6 +492,107 @@ object Similarity {
         col("best.cosine").as("cosine"))
   }
 
+  // ───────────────────────── product quantization ─────────────────────────
+
+  /** k-entry codebook scored by negative squared L2 distance:
+    * argmin‖v−c‖² = argmax 2·v·c − c·c (v·v constant per row). Same
+    * one-literal/zip_with shape as [[centroidStructs]] — O(1) expression
+    * nodes in k, ties to the larger code id.
+    */
+  private def nearestCodeL2(vec: Column, codes: Array[Array[Double]]): Column = {
+    val codeLit = typedLit(codes.map(_.toSeq).toSeq)
+    val ccLit = typedLit(codes.map(c => c.map(x => x * x).sum).toSeq)
+    val scores = zip_with(codeLit, ccLit, (c, cc) => lit(2.0) * dot(vec, c) - cc)
+    array_max(zip_with(scores, typedLit(codes.indices.toList),
+      (s, i) => struct(s.as("score"), i.as("cid")))).getField("cid")
+  }
+
+  /** Distributed Lloyd with L2 assignment over (id, array<double>) rows;
+    * deterministic init = first k vectors by id. Only k×dim doubles ever
+    * reach the driver.
+    */
+  private def lloydL2(base: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    val cents = base.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until iters) {
+      val means = base.withColumn("cid", nearestCodeL2(col("v"), cents))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("centroid"))
+        .collect()
+      means.foreach(r => cents(r.getInt(0)) = r.getSeq[Double](1).toArray)
+    }
+    cents
+  }
+
+  /** Product-quantization training (the Jégou-style PQ memory-compression
+    * path for billion-scale ANN): split each dim-D vector into `m`
+    * contiguous subvectors and Lloyd a k-entry L2 codebook per subspace.
+    * Returns m × k × (dim/m) codebooks — the only thing collected; the
+    * corpus never moves. Storage per vector drops from dim×4 bytes to
+    * m×⌈log₂k/8⌉ bytes (64-dim float → 8 bytes at m=8, k=16: 32×).
+    */
+  def trainPQ(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      lloydIters: Int = 2): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subdim = dim / m
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    (0 until m).map { s =>
+      val sub = corpus.select(col(idCol).as("id"),
+        slice(vd, s * subdim + 1, subdim).as("v")).persist()
+      val cb = lloydL2(sub, k, lloydIters)
+      sub.unpersist(blocking = false)
+      cb
+    }.toArray
+  }
+
+  /** Encode each vector as its m per-subspace nearest code ids
+    * (`array<int>`, one broadcast-literal scan, no shuffle).
+    */
+  def encodePQ(df: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val subdim = books(0)(0).length
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val codeCols = books.indices.map(s =>
+      nearestCodeL2(slice(vd, s * subdim + 1, subdim), books(s)))
+    df.select(col(idCol).as("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-1: approximate dot(q, x) = Σ_s q_s · cb[s][code_s(x)]
+    * — m codebook lookups and sub-dots per pair instead of a dim-wide dot
+    * over decompressed vectors; the codebook rides as ONE literal. Ties to
+    * the SMALLER neighbor id (as [[quantizedTop1]]). The cross join is the
+    * bounded probe shape (small query set × coded corpus); at scale the
+    * per-query distance TABLE (m×k doubles) replaces the sub-dots, same
+    * plan otherwise.
+    */
+  def pqTop1(codes: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val subdim = books(0)(0).length
+    val cbLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv")))
+    codes.crossJoin(q)
+      .withColumn("score",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + dot(
+            slice(col("qv"), s * lit(subdim) + 1, lit(subdim)),
+            element_at(element_at(cbLit, s + 1),
+              element_at(col("codes"), s + 1) + 1))))
+      .groupBy("query_id")
+      .agg(max(struct(col("score"), (-col("vec_id")).as("neg_id"))).as("best"))
+      .select(col("query_id"), (-col("best.neg_id")).as("neighbor_id"),
+        col("best.score").as("score"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val maxAbs = array_max(transform(col(vecCol), x => abs(x)))
     val scale = when(maxAbs > lit(0.0f), lit(127.0) / maxAbs).otherwise(lit(0.0))
