@@ -1457,7 +1457,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
-    "q164_pq_ann" -> ((s, dir) => {
+    "q165_string_agg" -> ((s, dir) => {
+      // deterministic grouped string aggregation (listagg/string_agg): the
+      // per-group concat order is pinned by sort_array over (key, value)
+      // structs, so the result is reproducible on any partitioning — the
+      // unordered collect_list a naive implementation uses is not. One
+      // partial+final collect per group; group payload bounded by the
+      // nation domain.
+      val n = t(s, dir, "nation")
+      ord(n.groupBy("n_regionkey")
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(col("n_name"), col("n_nationkey")))),
+            x => x.getField("n_name")),
+          ",").as("names")), "n_regionkey")
+    }),
+    "q166_mad" -> ((s, dir) => {
+      // per-group median absolute deviation (robust scale estimate — the
+      // outlier-resistant alternative to stddev for quality gates): two
+      // passes of the scalable counts+window exact-median plan (never a
+      // sort-based single reducer), joined back broadcast-small.
+      val li = t(s, dir, "lineitem")
+      val med = Aggregates.quantilesExactScalable(li, Seq("l_returnflag"),
+        "l_extendedprice", Seq((0.5, "med")))
+      val dev = li.join(med, Seq("l_returnflag"))
+        .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+      ord(Aggregates.quantilesExactScalable(dev, Seq("l_returnflag"),
+          "adev", Seq((0.5, "mad")))
+        .withColumn("mad", round(col("mad"), 4)), "l_returnflag")
+    }),
+    "q167_mode" -> ((s, dir) => {
+      // per-group mode with EXPLICIT tie-breaks (count desc, then smallest
+      // value): count agg + one window argmax — engines' built-in mode()
+      // functions leave ties unspecified, so the deterministic form is the
+      // only oracle-safe one.
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val counts = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      ord(counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n").as("n")), "l_returnflag")
+    }),
+    "q164_pq_ann" -> ((s, dir) => { // (oracle generated dynamically — see dynamicOracles)
       // product-quantization ANN (completes the family: exact q49, LSH q50,
       // IVF q75, int8 q99): per-subspace L2 codebooks (m=8, k=16 → 32×
       // compression of 64-dim float), asymmetric-distance top-1 over the
@@ -3096,6 +3141,26 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q165_string_agg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name, n_nationkey) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q166_mad" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 4) AS mad
+        |FROM lineitem l JOIN med m USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q167_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n DESC, l_quantity) AS rk FROM c)
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
     "q163_pagerank" ->
       """WITH eb AS (
         |  SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
