@@ -1457,6 +1457,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q168_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+      // EXISTS / NOT-EXISTS double correlation planned as one LEFT SEMI +
+      // one LEFT ANTI join on the same shuffle key (l_orderkey) — no
+      // correlated re-execution, no cartesian. Adapted predicate for this
+      // schema (no commit/receipt dates): a line "blocks" a multi-supplier
+      // order when no OTHER supplier shipped on/after it.
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l2 = li.toDF("o2", "s2", "d2")
+      val multi = li.join(l2,
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      val blocking = multi.join(l2,
+        col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2") &&
+          col("d2") >= col("l_shipdate"), "left_anti")
+      val sup = t(s, dir, "supplier")
+      blocking.groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("s_suppkey"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey").asc)
+        .limit(20)
+    }),
+    "q169_tpch_q11" -> ((s, dir) => {
+      // TPC-H Q11 shape (important stock): per-part revenue against a
+      // GLOBAL share threshold — grouped agg + 1-row scalar broadcast
+      // (cross join of the single-row total; no second scan, no collect).
+      // Decimal sums and decimal division keep the HAVING comparison
+      // bit-deterministic cross-engine.
+      val li = t(s, dir, "lineitem")
+      val total = li.agg(
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("tot"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("v"))
+      ord(perPart.crossJoin(broadcast(total))
+        .filter(col("v") > col("tot") / lit(2500))
+        .select(col("l_partkey"), col("v").cast("double").as("value")),
+        "l_partkey")
+    }),
     "q165_string_agg" -> ((s, dir) => {
       // deterministic grouped string aggregation (listagg/string_agg): the
       // per-group concat order is pinned by sort_array over (key, value)
@@ -3141,6 +3178,30 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q168_tpch_q21" ->
+      """SELECT s_name, s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate >= l1.l_shipdate)
+        |GROUP BY s_name, s_suppkey
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
+    "q169_tpch_q11" ->
+      """WITH t AS (
+        |  SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS tot
+        |  FROM lineitem)
+        |SELECT l_partkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS value
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice AS DECIMAL(18,4))) > (SELECT tot FROM t) / 2500
+        |ORDER BY l_partkey""".stripMargin,
     "q165_string_agg" ->
       """SELECT n_regionkey,
         |  string_agg(n_name, ',' ORDER BY n_name, n_nationkey) AS names

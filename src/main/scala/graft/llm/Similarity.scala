@@ -507,30 +507,23 @@ object Similarity {
       (s, i) => struct(s.as("score"), i.as("cid")))).getField("cid")
   }
 
-  /** Distributed Lloyd with L2 assignment over (id, array<double>) rows;
-    * deterministic init = first k vectors by id. Only k×dim doubles ever
-    * reach the driver.
+  /** [[nearestCodeL2]] with the codebook as COLUMNS (selected per-row, e.g.
+    * by subspace id) instead of a fixed literal — same math and tie rule.
     */
-  private def lloydL2(base: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    val cents = base.orderBy("id").limit(k)
-      .collect().map(_.getSeq[Double](1).toArray)
-    for (_ <- 0 until iters) {
-      val means = base.withColumn("cid", nearestCodeL2(col("v"), cents))
-        .select(col("cid"), posexplode(col("v")))
-        .groupBy("cid", "pos").agg(avg("col").as("m"))
-        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("centroid"))
-        .collect()
-      means.foreach(r => cents(r.getInt(0)) = r.getSeq[Double](1).toArray)
-    }
-    cents
+  private def nearestCodeL2Col(vec: Column, codes: Column, cc: Column): Column = {
+    val scores = zip_with(codes, cc, (c, ccv) => lit(2.0) * dot(vec, c) - ccv)
+    array_max(zip_with(scores, sequence(lit(0), size(codes) - 1),
+      (sc, i) => struct(sc.as("score"), i.as("cid")))).getField("cid")
   }
 
   /** Product-quantization training (the Jégou-style PQ memory-compression
     * path for billion-scale ANN): split each dim-D vector into `m`
     * contiguous subvectors and Lloyd a k-entry L2 codebook per subspace.
-    * Returns m × k × (dim/m) codebooks — the only thing collected; the
-    * corpus never moves. Storage per vector drops from dim×4 bytes to
+    * ALL m subspaces train in one pass per iteration — the corpus explodes
+    * to (id, s, subvector) rows once and every iteration is ONE assignment
+    * scan + ONE means aggregate + ONE m×k×subdim collect, instead of m
+    * separate Lloyd loops (4× fewer driver round-trips; identical
+    * codebooks). Storage per vector drops from dim×4 bytes to
     * m×⌈log₂k/8⌉ bytes (64-dim float → 8 bytes at m=8, k=16: 32×).
     */
   def trainPQ(
@@ -540,17 +533,38 @@ object Similarity {
       m: Int,
       k: Int,
       lloydIters: Int = 2): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.expressions.Window
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subdim = dim / m
     val vd = transform(col(vecCol), x => x.cast("double"))
-    (0 until m).map { s =>
-      val sub = corpus.select(col(idCol).as("id"),
-        slice(vd, s * subdim + 1, subdim).as("v")).persist()
-      val cb = lloydL2(sub, k, lloydIters)
-      sub.unpersist(blocking = false)
-      cb
-    }.toArray
+    val sub = corpus.select(col(idCol).as("id"), vd.as("full"))
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("full"))
+      .select(col("id"), col("s"),
+        slice(col("full"), col("s") * lit(subdim) + lit(1), lit(subdim)).as("v"))
+      .persist()
+    // deterministic init: first k vectors by id, per subspace, in one job
+    val wInit = Window.partitionBy("s").orderBy("id")
+    val books: Array[Array[Array[Double]]] = Array.ofDim(m, k)
+    sub.withColumn("rk", row_number().over(wInit)).filter(col("rk") <= k)
+      .select("s", "rk", "v").collect()
+      .foreach(r => books(r.getInt(0))(r.getInt(1) - 1) = r.getSeq[Double](2).toArray)
+    for (_ <- 0 until lloydIters) {
+      val cbLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      val ccLit = typedLit(books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+      val means = sub.withColumn("cid", nearestCodeL2Col(col("v"),
+          element_at(cbLit, col("s") + 1), element_at(ccLit, col("s") + 1)))
+        .select(col("s"), col("cid"), posexplode(col("v")))
+        .groupBy("s", "cid", "pos").agg(avg("col").as("mv"))
+        .groupBy("s", "cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("s"), col("cid"),
+          transform(col("pm"), p => p.getField("mv")).as("centroid"))
+        .collect()
+      means.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    }
+    sub.unpersist(blocking = false)
+    books
   }
 
   /** Encode each vector as its m per-subspace nearest code ids

@@ -304,6 +304,22 @@ object ScaleProbe {
       }
       spark.sparkContext.removeSparkListener(listener)
     }
+    // PageRank (q163): two shuffles per iteration, one scalar collect →
+    // wall must scale ~linearly in edges at fixed iterations, and total
+    // rank mass must stay 1.0 (dangling correction) at every size.
+    if (want("graph")) for (nEdges <- Seq(1000000L, 4000000L)) {
+      val nNodes = nEdges / 10
+      val edges = spark.range(nEdges).select(
+        pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+        pmod(xxhash64(col("id"), lit(7)), lit(nNodes)).as("dst")).persist()
+      edges.count()
+      val (mass, t) = time {
+        graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+          .agg(sum(col("r"))).head().getDouble(0)
+      }
+      println(f"SCALE graph edges=$nEdges%9d nodes=$nNodes%8d  pagerank3=${t}%6.1f s  mass=${mass}%.6f")
+      edges.unpersist()
+    }
     // skipping index (q157): footer-only build over growing file counts —
     // build time must scale with FILE COUNT (footers), not data volume, and
     // a 5%-selectivity range over range-clustered files must prune ~95%.
