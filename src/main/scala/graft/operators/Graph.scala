@@ -48,12 +48,15 @@ object Graph {
       val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0.0))).head().getDouble(0)
       prev = ranks
+      // localCheckpoint (eager) rather than persist+count: it MATERIALIZES
+      // the vector AND truncates lineage, so the plan stays one iteration
+      // deep at any iteration count (persist alone leaves the logical tree
+      // growing per iteration — a stack/planning hazard at iters ≫ 10).
       ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("r"))
-        .persist()
-      ranks.count()
+        .localCheckpoint(true)
       prev.unpersist()
     }
     e.unpersist(); deg.unpersist(); nodes.unpersist()
