@@ -1457,6 +1457,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q170_simjoin_exact" -> ((s, dir) => {
+      // EXACT Jaccard similarity self-join via prefix filtering
+      // (Dedup.similarityJoinExact — the AllPairs/PPJoin family): the
+      // oracle recomputes the FULL token-overlap join in DuckDB, so any
+      // pair the prefix filter dropped would fail the gate — exactness is
+      // verified, not assumed. Complements q46 (MinHash-LSH, probabilistic)
+      // with the zero-false-negative path.
+      // bounded to a fixed 1000-doc slice (q47's convention): this corpus
+      // is template-dense, so the TRUE pair set itself grows quadratically
+      // with corpus size — an output-cost property of the data, not the
+      // algorithm. The slice keeps the bench flat per SF while the oracle
+      // still proves zero false negatives; LSH (q46) remains the lossy
+      // scale path for dense corpora.
+      val d = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      ord(llm.Dedup.similarityJoinExact(d, "doc_id", "text", threshold = 0.9)
+        .withColumn("jaccard", round(col("jaccard"), 4)), "id_a", "id_b")
+    }),
     "q168_tpch_q21" -> ((s, dir) => {
       // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
       // EXISTS / NOT-EXISTS double correlation planned as one LEFT SEMI +
@@ -3178,6 +3195,26 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q170_simjoin_exact" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |    FROM documents WHERE doc_id < 1000)
+        |  WHERE tok <> ''
+        |), sizes AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n FROM toks GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS INT) AS i
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "q168_tpch_q21" ->
       """SELECT s_name, s_suppkey, CAST(count(*) AS BIGINT) AS numwait
         |FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey

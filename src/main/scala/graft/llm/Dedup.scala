@@ -562,6 +562,59 @@ object Dedup {
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
+  /** EXACT Jaccard set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family): unlike the MinHash-LSH path (probabilistic
+    * recall), this finds EVERY pair with word-token Jaccard ≥ `threshold` —
+    * zero false negatives — while never forming the all-pairs product.
+    *
+    * Under a single global token order, any pair with J ≥ τ must share a
+    * token inside each side's first `L − ⌈τ·L⌉ + 1` tokens (L = set size):
+    * if a set's whole intersection sat in its last `⌈τ·L⌉ − 1 < τ·L ≤ |A∩B|`
+    * positions, the intersection wouldn't fit. Candidates therefore come
+    * from an equi join on PREFIX tokens only, pruned by the length-ratio
+    * bound `τ·|a| ≤ |b| ≤ |a|/τ`, then verified with the native merge-pass
+    * `jaccardSorted`. The order is rarest-first, so prefixes land on rare
+    * tokens and candidate fan-out tracks true similarity, not stopword
+    * frequency.
+    *
+    * Scale notes: the global rank is a VOCABULARY-sized sort (a dictionary
+    * build — orders of magnitude smaller than the corpus; at 100 TB,
+    * range-partition the sort or bucket document frequencies). Everything
+    * else shuffles only (prefix-token, id) pairs and candidate ids.
+    */
+  def similarityJoinExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val toks = df.select(col(idCol).as("id"),
+        explode(array_distinct(TextFns.tokens(col(textCol)))).as("tok"))
+      .filter(col("tok") =!= "")
+    val ranked = toks.groupBy("tok").agg(count(lit(1)).as("tdf"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("tdf"), col("tok"))).cast("long"))
+      .select("tok", "rk")
+    val docArr = toks.join(ranked, "tok")
+      .groupBy("id").agg(sort_array(collect_list(col("rk"))).as("ranks"))
+      .withColumn("sz", size(col("ranks")))
+      .withColumn("plen",
+        (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int"))
+    val pref = docArr.select(col("id"), col("ranks"), col("sz"),
+      explode(slice(col("ranks"), lit(1), col("plen"))).as("ptok"))
+    val a = pref.toDF("id_a", "ra", "sa", "ptok")
+    val b = pref.toDF("id_b", "rb", "sb", "ptok")
+    a.join(b, Seq("ptok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sb") >= col("sa") * threshold && col("sa") >= col("sb") * threshold)
+      .select("id_a", "id_b", "ra", "rb").distinct()
+      .withColumn("jaccard",
+        graft.functions.Registry.jaccardSorted(col("ra"), col("rb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Brute-force all-pairs Jaccard (testing oracle; O(n²) — small inputs only). */
   def bruteForcePairs(
       df: DataFrame,

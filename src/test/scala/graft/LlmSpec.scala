@@ -606,6 +606,29 @@ class LlmSpec extends SparkSuite {
     assert(rows(kept.select("vec_id")).map(_.head).toSet == Set(10L, 20L))
   }
 
+  test("similarityJoinExact equals the naive token-Jaccard join (zero false negatives)") {
+    import graft.llm.{Dedup, TextFns}
+    val d = Engine.table(spark, sfDir, "documents").filter(col("doc_id") < 200)
+    val tau = 0.6
+    val got = Dedup.similarityJoinExact(d, "doc_id", "text", tau)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive: full token-overlap join, no prefix filter
+    val toks = d.select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("tok"))
+      .filter(col("tok") =!= "").persist()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val naive = toks.toDF("a", "tok").join(toks.toDF("b", "tok"), "tok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(sizes.toDF("a", "na"), "a").join(sizes.toDF("b", "nb"), "b")
+      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= tau)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    toks.unpersist()
+    assert(got == naive,
+      s"missed=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+    assert(got.nonEmpty)
+  }
+
   test("PQ codes are in range, encoding is deterministic, and ADC self-recall holds") {
     val e = Engine.table(spark, sfDir, "embeddings")
     val books = Similarity.trainPQ(e, "vec_id", "embedding", m = 8, k = 16)
