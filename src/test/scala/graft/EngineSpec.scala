@@ -53,4 +53,36 @@ class EngineSpec extends SparkSuite {
     // already-TimestampType input is untouched
     assert(Events.withTs(viaEngine).schema("ts").dataType == TimestampType)
   }
+
+  test("UTC session-tz pin is load-bearing for NTZ decode (non-UTC audit)") {
+    // Engine.configure pins spark.sql.session.timeZone=UTC; that pin is WHY
+    // NTZ→LTZ casting is value-preserving. This test (a) asserts the pin is
+    // in effect, (b) demonstrates the exact hazard it guards against: under
+    // America/New_York the same NTZ wall-clock decodes to a different
+    // absolute instant, shifted by the NY offset — so every
+    // unix_micros/window/withWatermark site is safe exactly as long as the
+    // engine session is used.
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    val utc = Engine.events(spark, sfDir)
+      .agg(sum(unix_micros(col("ts")))).head().getLong(0)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val ny = Engine.events(spark, sfDir)
+        .agg(sum(unix_micros(col("ts")))).head().getLong(0)
+      val n = Engine.events(spark, sfDir).count()
+      // NY is UTC−5h (winter) / −4h (summer): each row shifts by a whole
+      // number of hours; total shift = n × offset — nonzero and hour-aligned
+      assert(ny != utc, "NTZ decode unexpectedly tz-independent")
+      // every row shifts by a whole number of hours (4 or 5 depending on
+      // DST), so the total is hour-aligned and bounded by n × 5h
+      val shift = ny - utc
+      assert(shift % 3600000000L == 0 &&
+        shift >= n * 4L * 3600000000L && shift <= n * 5L * 3600000000L,
+        s"unexpected shift: total=$shift rows=$n")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // restored: values match the pinned-UTC reading again
+    val back = Engine.events(spark, sfDir)
+      .agg(sum(unix_micros(col("ts")))).head().getLong(0)
+    assert(back == utc)
+  }
 }
