@@ -1457,6 +1457,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q171_fk_audit" -> ((s, dir) => {
+      // referential-integrity audit (the post-load warehouse check): per-FK
+      // orphan counts via LEFT ANTI joins, unioned into one tidy report.
+      // Dims are audited as DAMAGED snapshots (every key ≡3 mod 7 dropped,
+      // simulating a partial dim load) so the counts are non-trivial. Each
+      // anti join shuffles only its key column; the four audits share no
+      // state and run as independent stages.
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      def dmg(dim: DataFrame, pk: String) = dim.filter(col(pk) % 7 =!= 3)
+      def orphans(name: String, fact: DataFrame, fk: String,
+          dim: DataFrame, pk: String) =
+        fact.select(col(fk)).join(dmg(dim, pk).select(col(pk)),
+            col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("orphans")).withColumn("fk", lit(name))
+      ord(orphans("lineitem.orderkey", li, "l_orderkey", t(s, dir, "orders"), "o_orderkey")
+        .unionByName(orphans("lineitem.partkey", li, "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(orphans("lineitem.suppkey", li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+        .unionByName(orphans("orders.custkey", o, "o_custkey", t(s, dir, "customer"), "c_custkey")),
+        "fk")
+    }),
     "q170_simjoin_exact" -> ((s, dir) => {
       // EXACT Jaccard similarity self-join via prefix filtering
       // (Dedup.similarityJoinExact — the AllPairs/PPJoin family): the
@@ -3195,6 +3216,24 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q171_fk_audit" ->
+      """SELECT fk, orphans FROM (
+        |  SELECT 'lineitem.orderkey' AS fk, CAST(count(*) AS BIGINT) AS orphans
+        |  FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_orderkey % 7 <> 3 AND o_orderkey = l_orderkey)
+        |  UNION ALL
+        |  SELECT 'lineitem.partkey', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part
+        |    WHERE p_partkey % 7 <> 3 AND p_partkey = l_partkey)
+        |  UNION ALL
+        |  SELECT 'lineitem.suppkey', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier
+        |    WHERE s_suppkey % 7 <> 3 AND s_suppkey = l_suppkey)
+        |  UNION ALL
+        |  SELECT 'orders.custkey', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer
+        |    WHERE c_custkey % 7 <> 3 AND c_custkey = o_custkey))
+        |ORDER BY fk""".stripMargin,
     "q170_simjoin_exact" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, tok FROM (
