@@ -1457,6 +1457,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q172_recursive_cte" -> ((s, dir) => {
+      // recursive CTE (Spark 4.1 WITH RECURSIVE): hierarchy walk-to-root
+      // over a deterministic parent function (parent = key DIV 10 — a
+      // ten-ary tree), flattening each customer's ancestor chain with depth
+      // — the org-chart/BOM-explosion shape. UNION ALL + strictly
+      // decreasing key guarantees termination at ~log10(N) iterations;
+      // DuckDB mirrors with its own WITH RECURSIVE (// for integer div).
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        WITH RECURSIVE walk(custkey, anc, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer_v
+          UNION ALL
+          SELECT custkey, anc DIV 10, depth + 1 FROM walk WHERE anc > 0
+        )
+        SELECT custkey, CAST(max(depth) AS INT) AS depth,
+               CAST(count(*) AS BIGINT) AS chain_rows
+        FROM walk GROUP BY custkey ORDER BY custkey""")
+    }),
     "q171_fk_audit" -> ((s, dir) => {
       // referential-integrity audit (the post-load warehouse check): per-FK
       // orphan counts via LEFT ANTI joins, unioned into one tidy report.
@@ -3216,6 +3234,15 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q172_recursive_cte" ->
+      """WITH RECURSIVE walk(custkey, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT custkey, anc // 10, depth + 1 FROM walk WHERE anc > 0
+        |)
+        |SELECT custkey, CAST(max(depth) AS INT) AS depth,
+        |       CAST(count(*) AS BIGINT) AS chain_rows
+        |FROM walk GROUP BY custkey ORDER BY custkey""".stripMargin,
     "q171_fk_audit" ->
       """SELECT fk, orphans FROM (
         |  SELECT 'lineitem.orderkey' AS fk, CAST(count(*) AS BIGINT) AS orphans
