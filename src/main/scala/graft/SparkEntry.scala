@@ -1457,6 +1457,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q173_term_map" -> ((s, dir) => {
+      // MapType end-to-end: per-document term-frequency MAP built with
+      // map_from_entries over one grouped pass, probed with element_at and
+      // size — nested MAP columns are Spark-native surface the flat-schema
+      // reference can't express (SURVEY §1.2: nested types unsupported
+      // there). The map is the real deliverable shape for feature stores;
+      // the gate projects scalar probes so the oracle stays SQL-flat.
+      val d = t(s, dir, "documents")
+      val tf = d.select(col("doc_id"),
+          explode(llm.TextFns.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).cast("int").as("freq"))
+        .groupBy("doc_id")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("tok"), col("freq"))))).as("tf"))
+      ord(tf.select(col("doc_id"),
+        coalesce(element_at(col("tf"), "the"), lit(0)).as("f_the"),
+        coalesce(element_at(col("tf"), "data"), lit(0)).as("f_data"),
+        size(col("tf")).as("n_terms")), "doc_id")
+    }),
+    "q174_nested_struct" -> ((s, dir) => {
+      // nested STRUCT round-trip: pack order fields into a two-level struct,
+      // write parquet, read back selecting nested leaves — PlanSpec asserts
+      // the scan prunes to exactly those leaves (nestedSchemaPruning).
+      // Beyond the reference's flat-only data model.
+      val o = t(s, dir, "orders")
+      val base = java.nio.file.Files.createTempDirectory("graft_nested").toString
+      o.select(col("o_orderkey"),
+          struct(col("o_custkey").as("cust"), col("o_totalprice").as("price"),
+            struct(col("o_orderstatus").as("status")).as("meta")).as("info"))
+        .write.mode("overwrite").parquet(base)
+      ord(s.read.parquet(base).select(col("o_orderkey"),
+        col("info.meta.status").as("status"),
+        col("info.price").as("price")), "o_orderkey")
+    }),
     "q172_recursive_cte" -> ((s, dir) => {
       // recursive CTE (Spark 4.1 WITH RECURSIVE): hierarchy walk-to-root
       // over a deterministic parent function (parent = key DIV 10 — a
@@ -3234,6 +3269,22 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q173_term_map" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS INT) AS freq
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  COALESCE(max(CASE WHEN tok = 'the' THEN freq END), 0) AS f_the,
+        |  COALESCE(max(CASE WHEN tok = 'data' THEN freq END), 0) AS f_data,
+        |  CAST(count(*) AS INT) AS n_terms
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q174_nested_struct" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q172_recursive_cte" ->
       """WITH RECURSIVE walk(custkey, anc, depth) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM customer

@@ -481,6 +481,22 @@ class PlanSpec extends SparkSuite {
       s"scan not pruned:\n$scan")
   }
 
+  test("nested-struct scan prunes to the selected leaves (nestedSchemaPruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nested_plan").toString
+    Engine.table(spark, sfDir, "orders").select(col("o_orderkey"),
+        struct(col("o_custkey").as("cust"), col("o_totalprice").as("price"),
+          struct(col("o_orderstatus").as("status")).as("meta")).as("info"))
+      .write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+      .select(col("o_orderkey"), col("info.meta.status"))
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // pruned: no `cust`/`price` leaves in the read schema
+    assert(scan.contains("ReadSchema"), scan)
+    assert(!scan.contains("cust") && !scan.contains("price"),
+      s"nested leaves not pruned:\n$scan")
+    assert(scan.contains("status"), s"selected leaf missing:\n$scan")
+  }
+
   test("runtime bloom filter is injected on the probe side of a selective join") {
     // Catalyst's InjectRuntimeFilter: when one join side is filtered hard,
     // the big probe side gets a bloom-filter predicate built from the small
