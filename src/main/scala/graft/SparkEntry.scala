@@ -1457,6 +1457,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
         "o_orderpriority")
     }),
+    "q175_class_centroids" -> ((s, dir) => {
+      // per-class embedding centroids (nearest-class-mean / feature-store
+      // building block): element-wise mean of each language's vectors via
+      // posexplode + ONE partial+final agg — never a per-class collect.
+      // Quantized integer sums (the msum pattern) make every mean
+      // bit-deterministic cross-engine despite FP-order differences.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val e = t(s, dir, "embeddings")
+      ord(d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("lang"), posexplode(col("embedding")))
+        .groupBy("lang", "pos")
+        .agg((sum(floor(col("col") * lit(1e6) + lit(0.5)).cast("long")).cast("double") /
+          count(lit(1)) / lit(1e6)).as("c")),
+        "lang", "pos")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3269,6 +3284,17 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q175_class_centroids" ->
+      """WITH j AS (
+        |  SELECT d.lang, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |), x AS (
+        |  SELECT lang, CAST(i - 1 AS INT) AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+        |  FROM j CROSS JOIN range(1, 65) t(i))
+        |SELECT lang, pos,
+        |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
+        |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
     "q173_term_map" ->
       """WITH toks AS (
         |  SELECT doc_id,
