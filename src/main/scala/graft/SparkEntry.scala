@@ -1472,6 +1472,226 @@ object SparkEntry {
           count(lit(1)) / lit(1e6)).as("c")),
         "lang", "pos")
     }),
+    // ───────────── TPC-H decision-support shapes (round 8 cont.) ─────────────
+    "q176_tpch_q13" -> ((s, dir) => {
+      // TPC-H Q13 (customer order-count distribution): the priority filter
+      // lives on the orders side BEFORE the left join (≡ the spec's ON-clause
+      // filter — customers whose only orders are 5-LOW still appear with
+      // count 0), then two cascaded hash aggs. count(o_orderkey) counts only
+      // matched rows, so the null row from the outer join contributes 0.
+      // Both aggs are partial+final; the second agg's key space is tiny
+      // (distinct order counts), so the re-shuffle is negligible at any SF.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+      val counts = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+      ord(counts.groupBy("c_count").agg(count(lit(1)).as("custdist")),
+        "c_count")
+    }),
+    "q177_tpch_q14" -> ((s, dir) => {
+      // TPC-H Q14 (promo revenue share): date filter pushed to the parquet
+      // scan, one hash join part⋈lineitem, one conditional agg — the
+      // numerator is a CASE inside the same partial+final agg as the
+      // denominator, so the share costs a single pass. Revenue quantized to
+      // exact 1e-4 units (int64) before summing: the final double division
+      // of two exact int64 sums is bit-deterministic cross-engine.
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-03-01"))
+      val p = t(s, dir, "part")
+      val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)).cast("long")
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .agg((sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).cast("double") /
+          sum(rev).cast("double") * 100).as("promo_share"))
+    }),
+    "q178_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+      // subquery `l_quantity < 0.2 * avg(l_quantity per part)` is
+      // decorrelated into ONE per-partkey agg + an equi-join — no per-row
+      // re-execution. The threshold compare is rewritten to pure int64
+      // (`qty*5*cnt < sum_qty`, quantities are integral doubles): no FP
+      // boundary can flip between engines. Brand filter prunes parts before
+      // the join; the per-part agg shuffles once on l_partkey, the same key
+      // as the join — AQE can reuse the exchange.
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#1")
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sq"), count(lit(1)).as("cnt"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(perPart, Seq("l_partkey"))
+        .filter(col("l_quantity").cast("long") * 5 * col("cnt") < col("sq"))
+        .agg((sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+          .cast("double") / 100 / 7).as("avg_yearly"))
+    }),
+    "q179_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22 shape (wealthy inactive customers): the global
+      // avg-positive-acctbal scalar subquery becomes a 1-row broadcast cross
+      // join, the threshold compare is exact int64 cents (`bal_cents * n >
+      // sum_cents` ⇔ bal > avg, count > 0), and NOT EXISTS over urgent
+      // orders is a left-anti hash join on the pre-filtered (tiny) urgent
+      // key set. Grouped by mktsegment (the testdata has no phone column).
+      val c = t(s, dir, "customer")
+      val cents = floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+      val glob = c.filter(col("c_acctbal") > 0)
+        .agg(sum(cents).as("sc"), count(lit(1)).as("nc"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      ord(c.crossJoin(broadcast(glob))
+        .filter(cents * col("nc") > col("sc"))
+        .join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          (sum(cents).cast("double") / 100).as("totacctbal")),
+        "c_mktsegment")
+    }),
+    "q180_tpch_q4" -> ((s, dir) => {
+      // TPC-H Q4 shape (order-priority checking): EXISTS(lineitem …) is a
+      // left-semi hash join against the pre-filtered returned-lines key set
+      // — each order counted once no matter how many lines match, no
+      // distinct needed. Date filter pushed to the orders scan. (The
+      // testdata lacks commit/receipt dates; l_returnflag='R' stands in as
+      // the line-level predicate.)
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+      val ret = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      ord(o.join(ret, o("o_orderkey") === ret("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count")),
+        "o_orderpriority")
+    }),
+    "q181_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 (volume shipping): both nation dims are filtered to the
+      // two nations of interest BEFORE their broadcast joins — the fact
+      // table is pruned by dimension filters early (suppliers and customers
+      // outside the pair drop at the broadcast probe), and only the cheap
+      // cross-pair residual (sn ≠ cn) remains. One wide hash-join pipeline,
+      // one partial+final agg on (supp_nation, cust_nation, year).
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)).cast("long")
+      ord(li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg((sum(rev).cast("double") / 10000).as("revenue")),
+        "supp_nation", "cust_nation", "l_year")
+    }),
+    "q182_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8 (national market share): revenue restricted to ASIA-region
+      // customers 1996–1998; the share of NATION_2 suppliers per order year
+      // is a CASE numerator inside the same agg as the denominator — the
+      // "two sums over the same rows" pattern costs one pass, not two
+      // subqueries. Region→nation→customer is a broadcast-dim cascade;
+      // supplier-nation name arrives via a second broadcast dim.
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1999-01-01"))
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val asiaNat = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val supNat = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)).cast("long")
+      ord(li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(asiaNat), col("c_nationkey") === col("cn_key"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(supNat), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_2", rev).otherwise(0L)).cast("double") /
+          sum(rev).cast("double")).as("mkt_share")),
+        "o_year")
+    }),
+    "q183_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19 (discounted revenue, disjunctive predicates): the join
+      // condition is `equi-key AND (OR-of-ANDs)`. Catalyst extracts the
+      // equi-key for a shuffled hash join and keeps the disjunction as a
+      // post-join residual — NOT a nested-loop join (asserted in PlanSpec).
+      // Each disjunct ties part attrs (brand, size) to lineitem attrs
+      // (quantity), so neither side alone can pre-filter completely; the
+      // per-side implied bounds (size ≤ 40, quantity ≤ 40) could be derived
+      // but Spark leaves them — acceptable: the join is the cost anyway.
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem")
+      val cond = li("l_partkey") === p("p_partkey") && (
+        (p("p_brand") === "Brand#1" && p("p_size").between(1, 15) && li("l_quantity").between(1, 15)) ||
+        (p("p_brand") === "Brand#12" && p("p_size").between(1, 25) && li("l_quantity").between(10, 25)) ||
+        (p("p_brand") === "Brand#13" && p("p_size").between(1, 40) && li("l_quantity").between(20, 40)))
+      val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)).cast("long")
+      li.join(p, cond)
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(rev).cast("double") / 10000).as("revenue"))
+    }),
+    "q184_tpch_q10" -> ((s, dir) => {
+      // TPC-H Q10 (returned-item reporting): date window on orders,
+      // returnflag filter on lineitem — both pushed to their scans before
+      // the 3-way join; nation is a broadcast dim. Revenue summed in exact
+      // 1e-4 units so the DESC ranking and the LIMIT-20 cut are
+      // deterministic cross-engine (c_custkey tiebreak). TakeOrdered, no
+      // global sort.
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name"))
+      val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)).cast("long")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(nat), c("c_nationkey") === col("nk"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg((sum(rev).cast("double") / 10000).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+    "q186_tpch_q12" -> ((s, dir) => {
+      // TPC-H Q12 shape (priority mix per line status): one hash join
+      // orders⋈lineitem in a shipdate window, then conditional counts —
+      // high/low priority split as CASE sums in a single partial+final agg.
+      // (The testdata has no l_shipmode; l_linestatus is the grouping
+      // stand-in.)
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+      val o = t(s, dir, "orders")
+      ord(li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count")),
+        "l_linestatus")
+    }),
+    "q185_group_entropy" -> ((s, dir) => {
+      // corpus-mix diagnostics: Shannon entropy of the source distribution
+      // per language — the drift/balance metric a training-data pipeline
+      // tracks per shard. Two cascaded aggs (counts per (lang,source), then
+      // H = ln(N) − Σ n·ln n / N per lang); the inner sum has ≤|sources|
+      // terms so FP error is ~1e-12, rounded to 6 dp. No collect, no UDF —
+      // pure codegen'd built-ins, linear shuffle.
+      val d = t(s, dir, "documents")
+      val counts = d.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      ord(counts.groupBy("lang")
+        .agg(round(log(sum(col("n"))) -
+          sum(col("n").cast("double") * log(col("n"))) / sum(col("n")), 6).as("entropy"),
+          sum(col("n")).as("n_docs")),
+        "lang")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3295,6 +3515,126 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q176_tpch_q13" ->
+      """WITH co AS (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q177_tpch_q14" ->
+      """WITH x AS (
+        |  SELECT CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT) AS rev,
+        |         p_type = 'PROMO' AS promo
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-03-01')
+        |SELECT CAST(sum(CASE WHEN promo THEN rev ELSE 0 END) AS DOUBLE)
+        |     / CAST(sum(rev) AS DOUBLE) * 100 AS promo_share
+        |FROM x""".stripMargin,
+    "q178_tpch_q17" ->
+      """WITH a AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |       / 100 / 7 AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+        |JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE CAST(l.l_quantity AS BIGINT) * 5 * a.cnt < a.sq""".stripMargin,
+    "q179_tpch_q22" ->
+      """WITH g AS (
+        |  SELECT CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+        |         CAST(count(*) AS BIGINT) AS nc
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS totacctbal
+        |FROM customer, g
+        |WHERE CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) * nc > sc
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q180_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q181_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 10000 AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1','NATION_2')
+        |  AND n2.n_name IN ('NATION_1','NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q182_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+        |    THEN CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q183_tpch_q19" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 10000 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1  AND 15)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 40 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q184_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 10000 AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q186_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q185_group_entropy" ->
+      """WITH c AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang,
+        |  round(ln(sum(n)) - sum(CAST(n AS DOUBLE) * ln(n)) / sum(n), 6) AS entropy,
+        |  CAST(sum(n) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q173_term_map" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -520,4 +520,36 @@ class PlanSpec extends SparkSuite {
       assert(joined.collect().nonEmpty) // and the filtered plan still answers
     }
   }
+
+  test("q183 disjunctive join predicate keeps the equi hash join (residual OR, no BNLJ)") {
+    // TPC-H Q19's OR-of-ANDs condition must not cost the equi key: Catalyst
+    // extracts l_partkey = p_partkey for the hash join and evaluates the
+    // disjunction as a post-join residual. A nested loop here would be
+    // quadratic at scale.
+    val plan = planOf("q183_tpch_q19")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    assert(plan.contains("HashJoin"), plan.take(3000))
+  }
+
+  test("q178 decorrelated avg-threshold join: one per-part agg, no per-row subquery") {
+    // the `qty < 0.2*avg(per part)` predicate runs as ONE aggregate joined
+    // back — the plan must contain exactly one HashAggregate pair feeding a
+    // join, not a correlated re-execution per probe row.
+    val plan = planOf("q178_tpch_q17")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+    assert(plan.contains("HashJoin"), plan.take(3000))
+  }
+
+  test("q179 global-threshold scalar is a 1-row broadcast, urgent-orders anti join is hash") {
+    val plan = planOf("q179_tpch_q22")
+    // the 1-row global agg rides a BroadcastNestedLoopJoin (cartesian with a
+    // single row — the cheap, correct shape); the anti join must be a hash
+    // join on o_custkey, and the wealthy-filter must sit below it.
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert("HashJoin.*LeftAnti".r.findFirstIn(plan.replaceAll("\n", " ")).isDefined ||
+      plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
