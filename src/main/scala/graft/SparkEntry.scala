@@ -1692,6 +1692,138 @@ object SparkEntry {
           sum(col("n")).as("n_docs")),
         "lang")
     }),
+    "q187_gaps_islands" -> ((s, dir) => {
+      // gaps-and-islands: per-user runs of consecutive active DAYS (the
+      // classic warehouse streak query). Islands via the row_number
+      // difference trick — day_n − rank is constant within a consecutive
+      // run — entirely in integer arithmetic (epoch days), so
+      // cross-engine exact. Two window passes partitioned by user (same
+      // key → one shuffle reused) + one agg; no self-join, no per-user
+      // iteration. Skew-bounded by per-user distinct-day counts.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Engine.events(s, dir)
+      val days = ev.select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_n"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day_n")
+      val runs = days.withColumn("grp", col("day_n") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      ord(runs.groupBy("user_id").agg(
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("max_streak"),
+        sum(col("len")).as("active_days")),
+        "user_id")
+    }),
+    "q188_scd2" -> ((s, dir) => {
+      // SCD Type-2 dimension build from an event log: collapse each user's
+      // event_type timeline into validity intervals [valid_from, valid_to).
+      // Change detection via lag, interval close via lead ON THE FILTERED
+      // change rows — both windows share the (user_id) partitioning, so the
+      // whole build is one shuffle + two window passes, never a self-join.
+      // Open intervals close with a sentinel (Long.MaxValue µs is not
+      // representable in DuckDB TIMESTAMP arithmetic; 253402300799000000 =
+      // 9999-12-31 is the conventional SCD high-date).
+      import org.apache.spark.sql.expressions.Window
+      val ev = Engine.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val changes = ev
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      val w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ord(changes.select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"),
+        coalesce(lead("ts_us", 1).over(w2), lit(253402300799000000L)).as("valid_to_us")),
+        "user_id", "valid_from_us")
+    }),
+    "q189_column_profile" -> ((s, dir) => {
+      // one-pass column profiling (the data-quality `describe` a pipeline
+      // runs per shard): row count, null count, exact distinct, min/max for
+      // a numeric+string column mix — ONE aggregate over one scan (the
+      // multi-count-distinct expands via Expand, still a single pass), then
+      // stack() pivots the stats into one row per column. At 100 TB the
+      // exact distincts are the only non-O(1)-state aggregates; the
+      // documented approx fallback is HLL (q17's approx kinds).
+      val li = t(s, dir, "lineitem")
+      val a = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("nn_rf"),
+        countDistinct(col("l_returnflag")).as("nd_rf"),
+        min(col("l_returnflag")).as("min_rf"),
+        max(col("l_returnflag")).as("max_rf"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("nn_q"),
+        countDistinct(col("l_quantity")).as("nd_q"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("nn_o"),
+        countDistinct(col("l_orderkey")).as("nd_o"),
+        min(col("l_orderkey")).as("min_o"),
+        max(col("l_orderkey")).as("max_o"))
+      a.selectExpr(
+        """stack(3,
+          |  'l_returnflag', n, nn_rf, nd_rf, cast(null as double), cast(null as double), min_rf, max_rf,
+          |  'l_quantity',   n, nn_q,  nd_q,  min_q, max_q, cast(null as string), cast(null as string),
+          |  'l_orderkey',   n, nn_o,  nd_o,  cast(min_o as double), cast(max_o as double), cast(null as string), cast(null as string)
+          |) as (column_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+        .orderBy("column_name")
+    }),
+    "q190_hof_arrays" -> ((s, dir) => {
+      // higher-order array-function surface over embeddings — the
+      // row-local vector ops (filter/transform/aggregate/sort/zip_with)
+      // that precede any shuffle in an embedding pipeline. All arithmetic
+      // is per-element quantized to int64 BEFORE any sum, so left-to-right
+      // accumulation is exact in both engines. Everything stays inside
+      // whole-stage codegen; zero data movement.
+      val e = t(s, dir, "embeddings")
+      val arr = col("embedding")
+      ord(e.select(col("vec_id"),
+        size(filter(arr, x => x > 0)).cast("long").as("n_pos"),
+        aggregate(transform(arr, x => floor(abs(x.cast("double")) * 1e6 + lit(0.5)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_abs_q"),
+        concat_ws(",",
+          slice(sort_array(transform(arr, x => floor(x.cast("double") * 1e6 + lit(0.5)).cast("long"))), 1, 3))
+          .as("low3"),
+        aggregate(zip_with(arr, reverse(arr),
+            (a, b) => floor(a.cast("double") * b * 1e6 + lit(0.5)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("revdot_q")),
+        "vec_id")
+    }),
+    "q191_grid_radius_join" -> ((s, dir) => {
+      // 2D radius self-join via grid bucketing (the spatial-join shape:
+      // geohash/S2 cells at production scale). Cell width = radius, build
+      // side keeps its own cell, probe side explodes the 3×3 neighborhood —
+      // every near pair meets in EXACTLY one (cell, neighbor-offset)
+      // combination, so no post-join distinct. The join is a plain hash
+      // join on (cx, cy): linear shuffle, candidate work bounded to 9
+      // cells/point; a hot cell would salt like any skewed key. Distance
+      // math in double (float→double is exact) is bit-identical
+      // cross-engine; d² is quantized for the min output.
+      val r = 0.05
+      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding").getItem(0).cast("double").as("x"),
+        col("embedding").getItem(1).cast("double").as("y"))
+        .withColumn("cellx", floor(col("x") / r).cast("long"))
+        .withColumn("celly", floor(col("y") / r).cast("long"))
+      val offs = (for { dx <- -1 to 1; dy <- -1 to 1 } yield
+        struct(lit(dx).as("dx"), lit(dy).as("dy")))
+      val probe = pts.select(col("vec_id").as("b_id"),
+        col("x").as("bx"), col("y").as("by"),
+        explode(array(offs: _*)).as("o"),
+        col("cellx").as("bcx"), col("celly").as("bcy"))
+        .select(col("b_id"), col("bx"), col("by"),
+          (col("bcx") + col("o.dx")).as("cx"),
+          (col("bcy") + col("o.dy")).as("cy"))
+      val d2 = (pts("x") - col("bx")) * (pts("x") - col("bx")) +
+        (pts("y") - col("by")) * (pts("y") - col("by"))
+      ord(pts.join(probe,
+          pts("cellx") === col("cx") && pts("celly") === col("cy") &&
+          pts("vec_id") =!= col("b_id") && d2 <= lit(r * r))
+        .groupBy(pts("vec_id"))
+        .agg(count(lit(1)).as("n_neighbors"),
+          min(floor(d2 * 1e12).cast("long")).as("min_d2_q")),
+        "vec_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3515,6 +3647,78 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q187_gaps_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_n
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, day_n,
+        |    day_n - row_number() OVER (PARTITION BY user_id ORDER BY day_n) AS grp
+        |  FROM days),
+        |islands AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS max_streak,
+        |  CAST(sum(len) AS BIGINT) AS active_days
+        |FROM islands GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q188_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM ev)
+        |SELECT user_id, event_type, ts_us AS valid_from_us,
+        |  coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |           253402300799000000) AS valid_to_us
+        |FROM chg
+        |WHERE prev_type IS NULL OR prev_type <> event_type
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+    "q189_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_returnflag' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(l_returnflag) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
+        |    CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+        |    min(l_returnflag) AS min_str, max(l_returnflag) AS max_str
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_quantity) AS BIGINT),
+        |    CAST(count(DISTINCT l_quantity) AS BIGINT),
+        |    min(l_quantity), max(l_quantity),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(*) - count(l_orderkey) AS BIGINT),
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT),
+        |    CAST(min(l_orderkey) AS DOUBLE), CAST(max(l_orderkey) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
+    "q190_hof_arrays" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(abs(CAST(x AS DOUBLE))*1000000 + 0.5) AS BIGINT))) AS BIGINT) AS sum_abs_q,
+        |  array_to_string((list_sort(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT))))[1:3], ',') AS low3,
+        |  CAST(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+        |    t -> CAST(floor(CAST(t[1] AS DOUBLE)*t[2]*1000000 + 0.5) AS BIGINT))) AS BIGINT) AS revdot_q
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q191_grid_radius_join" ->
+      """SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+        |  CAST(min(floor(((CAST(a.embedding[1] AS DOUBLE) - b.embedding[1])^2
+        |                 + (CAST(a.embedding[2] AS DOUBLE) - b.embedding[2])^2) * 1e12)) AS BIGINT) AS min_d2_q
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id <> b.vec_id
+        | AND ((CAST(a.embedding[1] AS DOUBLE) - b.embedding[1])^2
+        |    + (CAST(a.embedding[2] AS DOUBLE) - b.embedding[2])^2) <= 0.0025
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q176_tpch_q13" ->
       """WITH co AS (
         |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
