@@ -1824,6 +1824,45 @@ object SparkEntry {
           min(floor(d2 * 1e12).cast("long")).as("min_d2_q")),
         "vec_id")
     }),
+    "q192_rolling_distinct" -> ((s, dir) => {
+      // rolling 7-day distinct users per day — the DAU/WAU warehouse metric
+      // that windowed count(DISTINCT) can't express in Spark. Exact and
+      // linear instead: dedup to (user, day), expand each active day to the
+      // ≤7 report days it covers (bounded ×7, clipped at the observed max),
+      // dedup again, count. Three hash shuffles, no window buffering, no
+      // per-day set state — at 100 TB the ×7 expansion of the DEDUPED
+      // (user, day) pairs is far smaller than the raw event stream.
+      val days = Engine.events(s, dir).select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_n"))
+        .distinct()
+      val maxDay = days.agg(max("day_n").as("max_d"))
+      val cover = days
+        .select(col("user_id"),
+          explode(sequence(col("day_n"), col("day_n") + lit(6))).as("cover_day"))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("cover_day") <= col("max_d"))
+        .select("user_id", "cover_day").distinct()
+      ord(cover.groupBy("cover_day").agg(count(lit(1)).as("active_users_7d")),
+        "cover_day")
+    }),
+    "q193_bigram_lm" -> ((s, dir) => {
+      // bigram language-model statistics (count-based LM for perplexity-ish
+      // quality filtering): adjacent-token pairs via lead over each doc's
+      // position order (one doc_id shuffle — tokens never self-join), then
+      // bigram counts and the conditional P(w2|w1) as EXACT integer
+      // per-million (n·1e6 div n(w1,·)) — no FP division to drift. Top-100
+      // by count with full tiebreak is a TakeOrderedAndProject.
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w1")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = toks.withColumn("w2", lead("w1", 1).over(w))
+        .filter(col("w2").isNotNull)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      big.withColumn("cond_pm", expr("(n * 1000000) div sum(n) over (partition by w1)"))
+        .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+        .limit(100)
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3647,6 +3686,37 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q192_rolling_distinct" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_n
+        |  FROM events),
+        |m AS (SELECT max(day_n) AS max_d FROM days),
+        |cover AS (
+        |  SELECT DISTINCT user_id, cover_day FROM (
+        |    SELECT user_id, unnest(generate_series(day_n, day_n + 6)) AS cover_day
+        |    FROM days) c, m
+        |  WHERE c.cover_day <= m.max_d)
+        |SELECT cover_day, CAST(count(*) AS BIGINT) AS active_users_7d
+        |FROM cover GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q193_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.token AS w1 FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, length(tk)),
+        |      i -> {'pos': i - 1, 'token': tk[i]})) AS u
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |          FROM documents))),
+        |pairs AS (
+        |  SELECT w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        |big AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE w2 IS NOT NULL GROUP BY 1, 2)
+        |SELECT w1, w2, n,
+        |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY w1) AS BIGINT) AS cond_pm
+        |FROM big
+        |ORDER BY n DESC, w1, w2
+        |LIMIT 100""".stripMargin,
     "q187_gaps_islands" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,
