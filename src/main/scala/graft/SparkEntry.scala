@@ -1799,29 +1799,13 @@ object SparkEntry {
       // cells/point; a hot cell would salt like any skewed key. Distance
       // math in double (float→double is exact) is bit-identical
       // cross-engine; d² is quantized for the min output.
-      val r = 0.05
-      val pts = t(s, dir, "embeddings").select(col("vec_id"),
+      val pts = t(s, dir, "embeddings").select(col("vec_id").as("id"),
         col("embedding").getItem(0).cast("double").as("x"),
         col("embedding").getItem(1).cast("double").as("y"))
-        .withColumn("cellx", floor(col("x") / r).cast("long"))
-        .withColumn("celly", floor(col("y") / r).cast("long"))
-      val offs = (for { dx <- -1 to 1; dy <- -1 to 1 } yield
-        struct(lit(dx).as("dx"), lit(dy).as("dy")))
-      val probe = pts.select(col("vec_id").as("b_id"),
-        col("x").as("bx"), col("y").as("by"),
-        explode(array(offs: _*)).as("o"),
-        col("cellx").as("bcx"), col("celly").as("bcy"))
-        .select(col("b_id"), col("bx"), col("by"),
-          (col("bcx") + col("o.dx")).as("cx"),
-          (col("bcy") + col("o.dy")).as("cy"))
-      val d2 = (pts("x") - col("bx")) * (pts("x") - col("bx")) +
-        (pts("y") - col("by")) * (pts("y") - col("by"))
-      ord(pts.join(probe,
-          pts("cellx") === col("cx") && pts("celly") === col("cy") &&
-          pts("vec_id") =!= col("b_id") && d2 <= lit(r * r))
-        .groupBy(pts("vec_id"))
+      ord(Spatial.radiusJoin(pts, 0.05)
+        .groupBy(col("id_a").as("vec_id"))
         .agg(count(lit(1)).as("n_neighbors"),
-          min(floor(d2 * 1e12).cast("long")).as("min_d2_q")),
+          min(floor(col("d2") * 1e12).cast("long")).as("min_d2_q")),
         "vec_id")
     }),
     "q192_rolling_distinct" -> ((s, dir) => {

@@ -345,6 +345,38 @@ object ScaleProbe {
         f"prune=${tPrune}%5.2f s  candidates=${cands.size}%4d/${nFiles}%d  rows_ok=${kept == full}")
       stats.unpersist()
     }
+    // grid radius join at constant density: box side grows with √n so each
+    // r-cell holds ~2 points at every size — per-point candidate work is
+    // O(1), pairs and shuffle must scale linearly, wall sub-linearly (the
+    // quadratic trap would be a fixed box, where density → n and pairs → n²)
+    if (want("spatial")) {
+      val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleWrite.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      for (n <- Seq(250000L, 1000000L, 4000000L)) {
+        val r = 1.0
+        val side = math.sqrt(n / 2.0) * r
+        val pts = spark.range(n).select(col("id"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(1000000)) / 1000000.0 * side).as("x"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(1000000)) / 1000000.0 * side).as("y"))
+          .persist()
+        pts.count()
+        shuffleWrite.set(0)
+        val (pairs, t) = time {
+          graft.operators.Spatial.radiusJoin(pts, r).count()
+        }
+        Thread.sleep(1000) // listener events drain async
+        val gib = shuffleWrite.get / math.pow(2, 30)
+        println(f"SCALE spatial n=$n%8d  radius_join=${t}%6.1f s  shuffle=${gib}%6.2f GiB  pairs=$pairs (${pairs.toDouble / n}%4.1f/pt)")
+        pts.unpersist()
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
     spark.stop()
   }
 }

@@ -390,4 +390,38 @@ class JoinsSpec extends SparkSuite {
     val left = Joins.saltedJoin(skewed, dim, Seq("k"), "left", saltBuckets = 8)
     assert(left.count() == skewed.count())
   }
+
+  test("grid radius join == brute-force pairs, including cell-boundary points") {
+    import graft.operators.Spatial
+    // hash-scattered points plus adversarial fixtures: exact cell corners,
+    // pairs straddling a cell boundary at distance == r (inclusive), and a
+    // pair just over r
+    val scattered = spark.range(200).select(col("id"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("x"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(1000)) / 100.0).as("y"))
+    val edgeCases = Seq(
+      (1000L, 0.0, 0.0), (1001L, 0.5, 0.0),   // exactly r apart across a boundary
+      (1002L, 2.0, 2.0), (1003L, 2.0, 2.5),   // exactly r apart, corner points
+      (1004L, 7.0, 7.0), (1005L, 7.0, 7.5001) // just over r
+    ).toDF("id", "x", "y")
+    val pts = scattered.unionByName(edgeCases)
+    val r = 0.5
+    val got = Spatial.radiusJoin(pts, r)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val a = pts.select(col("id").as("ia"), col("x").as("xa"), col("y").as("ya"))
+    val b = pts.select(col("id").as("ib"), col("x").as("xb"), col("y").as("yb"))
+    val brute = a.crossJoin(b)
+      .filter(col("ia") =!= col("ib") &&
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(r * r))
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(got.contains((1000L, 1001L)) && got.contains((1002L, 1003L)))
+    assert(!got.contains((1004L, 1005L)))
+    // and the plan is a hash join on the cell key, never a nested loop
+    val plan = Spatial.radiusJoin(pts, r).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
 }
