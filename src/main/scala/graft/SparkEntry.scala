@@ -1847,6 +1847,23 @@ object SparkEntry {
         .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
         .limit(100)
     }),
+    "q194_feature_hashing" -> ((s, dir) => {
+      // the hashing trick (feature hashing): token → fixed 64-bucket space
+      // via the native codegen'd portable hash (PortableTokenHashExpr), then
+      // per-(doc, bucket) counts — the unbounded-vocabulary-to-fixed-width
+      // featurizer every large-scale text model front-end uses. No
+      // vocabulary broadcast, no dictionary state: the feature space is
+      // O(1) regardless of corpus size, and the bucket assignment is
+      // bit-reproducible in ANY engine (DuckDB re-derives it below).
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        explode(TextFns.portableTokens(col("text"))).as("tok"))
+      ord(toks
+        .select(col("doc_id"),
+          pmod(graft.functions.Registry.tokenHash(col("tok")), lit(64L)).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n")),
+        "doc_id", "bucket")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3670,6 +3687,18 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q194_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 131 + c) % 2147483647) % 64 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q192_rolling_distinct" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

@@ -32,8 +32,11 @@ object HashExprs {
     *   tokenHash: h = 7;          h = (h·131 + codepoint) mod (2^31 − 1)
     *   document:  H = 1469598103; H = (H·65599 + tokenHash) mod (2^31 − 1)
     */
-  /** The shared per-token fold: h = 7; h = (h·131 + codepoint) mod (2^31−1). */
-  @inline private def portableTokenHash(s: String): Long = {
+  /** The shared per-token fold: h = 7; h = (h·131 + codepoint) mod (2^31−1).
+    * Public and static so [[PortableTokenHashExpr]]'s generated code can
+    * call it directly.
+    */
+  @inline def portableTokenHash(s: String): Long = {
     var h = 7L
     var j = 0
     while (j < s.length) {
@@ -94,6 +97,41 @@ object HashExprs {
   * which puts the fingerprint under the cross-engine correctness gate
   * instead of a rows-only check.
   */
+/** Cross-engine per-token hash (string → int64 in [0, 2^31−1)): the same
+  * mod-prime polynomial fold the portable simhash/fingerprint use, exposed
+  * as a scalar so feature-hashing / bucketing pipelines can reproduce the
+  * bucket assignment in ANY engine (DuckDB mirror: `list_reduce` over
+  * `string_split` + `unicode`, as in the q109 oracle). Codegen'd; null in →
+  * null out.
+  */
+case class PortableTokenHashExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "graft_token_hash"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_token_hash expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      HashExprs.portableTokenHash(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HashExprs.portableTokenHash($s.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableTokenHashExpr =
+    copy(child = newChild)
+}
+
 case class PortableFingerprintExpr(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "graft_fingerprint_portable"

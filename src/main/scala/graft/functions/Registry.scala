@@ -36,6 +36,10 @@ object Registry {
       exprs => PortableSimHashExpr(exprs.head),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_hash",
+      exprs => PortableTokenHashExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaccard_sorted",
       exprs => JaccardSortedExpr(exprs(0), exprs(1)),
       "built-in")
@@ -130,6 +134,12 @@ object Registry {
     */
   def fingerprintPortable(tokens: Column): Column =
     call_function("graft_fingerprint_portable", tokens)
+
+  /** Cross-engine per-token hash (mod-prime polynomial fold, [0, 2^31−1))
+    * for feature-hashing / bucketing (requires [[register]] on the session).
+    */
+  def tokenHash(token: Column): Column =
+    call_function("graft_token_hash", token)
 
   /** Cross-engine 31-bit simhash over an array<string> token column
     * (requires [[register]] on the session).

@@ -220,7 +220,8 @@ class PlanSpec extends SparkSuite {
         Registry.dupFracs(col("toks"), Seq((2, 1), (3, 2))),
         Registry.wordShingles(col("toks"), 3),
         Registry.jaccardSorted(col("hashes"), col("hashes")),
-        Registry.matchFraction(col("hashes"), col("hashes"))).collect()
+        Registry.matchFraction(col("hashes"), col("hashes")),
+        Registry.tokenHash(element_at(col("toks"), 1))).collect()
       e.select(
         Registry.dot(col("embedding"), col("embedding")),
         Registry.dotInt(col("codes"), col("codes"))).collect()
