@@ -1864,6 +1864,39 @@ object SparkEntry {
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n")),
         "doc_id", "bucket")
     }),
+    "q195_row_index" -> ((s, dir) => {
+      // with_row_index (polars Scan.row_index, ldf_polars dsl/ir.py:340-375)
+      // in explicit key order: range-partitioned zipWithIndex — the count-
+      // only first pass sizes per-partition offsets, so no single-partition
+      // sort and no unpartitioned window. offset=1 exercises the reference's
+      // (name, offset) tuple form.
+      val o = t(s, dir, "orders")
+      ord(RowOps.withRowIndex(o.select("o_orderkey", "o_totalprice"),
+        "row_idx", Seq(col("o_orderkey")), offset = 1)
+        .select("o_orderkey", "row_idx"),
+        "o_orderkey")
+    }),
+    "q196_lateral_topk" -> ((s, dir) => {
+      // correlated LATERAL subquery with LIMIT (SQL-surface parity; Spark
+      // 4 decorrelates it into a WindowGroupLimit-shaped plan, not a
+      // per-row re-execution): for each region, the top-2 nations by
+      // customer count — the canonical "top-k per dim row" join shape.
+      t(s, dir, "region").createOrReplaceTempView("region_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT r.r_name, t.n_name, t.n_customers
+        FROM region_v r,
+        LATERAL (
+          SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+          FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_customers DESC, n.n_name
+          LIMIT 2
+        ) t
+        ORDER BY r.r_name, t.n_customers DESC, t.n_name""")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3687,6 +3720,22 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q195_row_index" ->
+      """SELECT o_orderkey,
+        |  row_number() OVER (ORDER BY o_orderkey) AS row_idx
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q196_lateral_topk" ->
+      """SELECT r.r_name, t.n_name, t.n_customers
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_customers DESC, n.n_name
+        |  LIMIT 2
+        |) t
+        |ORDER BY r.r_name, t.n_customers DESC, t.n_name""".stripMargin,
     "q194_feature_hashing" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -62,6 +62,33 @@ object RowOps {
     * computes each partition's slice from its offset exactly like
     * `evenly_partition_work` (utils.cpp:243).
     */
+  /** `with_row_index` (polars Scan.row_index, ldf_polars dsl/ir.py:340-375):
+    * add a 0-based (+`offset`) global index column in `sortCols` order.
+    *
+    * The reference indexes rows in single-scan order; a distributed scan has
+    * no stable order, so the Spark-first contract makes the order EXPLICIT —
+    * callers name the (ideally unique) sort key, mirroring polars'
+    * `.sort(...).with_row_index()`. Scale path: range-partition on the key,
+    * sort within partitions, then `zipWithIndex` — a count-only first pass
+    * to size the per-partition offsets, no global single-partition sort, no
+    * window over an unpartitioned frame (the classic driver-choke
+    * anti-pattern for this op). Index = rank in sort order regardless of
+    * where the range boundaries land; ties order arbitrarily within equal
+    * keys (document keys should be unique for full determinism).
+    */
+  def withRowIndex(
+      df: DataFrame, name: String, sortCols: Seq[Column],
+      offset: Long = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+ StructField(name, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + offset))
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
+  }
+
   def sequence(spark: SparkSession, size: Long, init: Long = 0): DataFrame =
     spark.range(init, init + size).toDF("id")
 

@@ -328,4 +328,23 @@ class SortsSetOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       SetOps.applyChanges(snap, changes.drop("v"), Seq("id"), "op", "seq"))
   }
+
+  test("withRowIndex: rank order across many partitions, offset, descending key") {
+    import graft.operators.RowOps
+    // shuffled unique keys across 16 input partitions: index must equal
+    // rank in sort order, contiguous from offset, whatever the input layout
+    val n = 5000
+    val df = spark.range(n).repartition(16)
+      .select((pmod(col("id") * 2654435761L, lit(n.toLong))).as("k"))
+    val idx = RowOps.withRowIndex(df, "idx", Seq(col("k")), offset = 10)
+    val got = idx.orderBy("k").select("k", "idx").as[(Long, Long)].collect()
+    assert(got.length == n)
+    got.zipWithIndex.foreach { case ((k, i), pos) =>
+      assert(k == pos && i == pos + 10, s"at $pos: key=$k idx=$i")
+    }
+    // descending order flips the index
+    val desc = RowOps.withRowIndex(df, "idx", Seq(col("k").desc))
+      .filter(col("k") === 0).select("idx").as[Long].head()
+    assert(desc == n - 1)
+  }
 }
