@@ -22,7 +22,8 @@ object Engine {
     * AQE coalesces down.
     */
   def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", cores.toString)
+    b.withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

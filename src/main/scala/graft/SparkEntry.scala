@@ -1897,6 +1897,29 @@ object SparkEntry {
         ) t
         ORDER BY r.r_name, t.n_customers DESC, t.n_name""")
     }),
+    "q197_auto_range_join" -> ((s, dir) => {
+      // the NAIVE point-in-interval join, written exactly the way a user
+      // would (no manual binning): plans.RangeJoinRewrite — a custom
+      // Rule[LogicalPlan] injected via SparkSessionExtensions — rewrites it
+      // into the binned equi-join (bin = floor(v/16), interval side
+      // exploded to covered bins, original predicate as residual). Stock
+      // Spark would BNLJ this at O(|L|·|R|); the rewrite makes it a plain
+      // hash join (PlanSpec-asserted). The conf is the opt-in knob and
+      // stays set for the session: the rule only fires on cross-side
+      // interval predicates with NO equi conjunct, a shape no other query
+      // produces un-binned.
+      s.conf.set(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY, "16")
+      val li = t(s, dir, "lineitem")
+      val bands = t(s, dir, "part").select(col("p_partkey"),
+        (col("p_retailprice") * 0.99).as("lo"),
+        (col("p_retailprice") * 1.01).as("hi"))
+      ord(li.join(bands,
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_in_band"),
+          sum(col("l_quantity").cast("long")).as("qty_in_band")),
+        "p_partkey")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3720,6 +3743,13 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q197_auto_range_join" ->
+      """SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_in_band,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_in_band
+        |FROM lineitem l JOIN part p
+        |  ON l.l_extendedprice >= p.p_retailprice * 0.99
+        | AND l.l_extendedprice <= p.p_retailprice * 1.01
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q195_row_index" ->
       """SELECT o_orderkey,
         |  row_number() OVER (ORDER BY o_orderkey) AS row_idx

@@ -391,6 +391,44 @@ class JoinsSpec extends SparkSuite {
     assert(left.count() == skewed.count())
   }
 
+  test("RangeJoinRewrite: naive interval join == brute force; strict bounds; point on either side; empty intervals") {
+    import graft.plans.RangeJoinRewrite
+    val pts = Seq((1L, 5.0), (2L, 10.0), (3L, 10.5), (4L, -3.0), (5L, 100.0))
+      .toDF("pid", "v")
+    val ivs = Seq(
+      (10L, 5.0, 10.0),   // inclusive hits both boundary points
+      (20L, -4.0, -2.5),  // negative range
+      (30L, 50.0, 40.0),  // empty interval (lo > hi) — must not match, must not throw
+      (40L, 10.4, 10.6)
+    ).toDF("iid", "lo", "hi")
+    def run(cond: org.apache.spark.sql.Column) = {
+      val withRule = pts.join(ivs, cond).select("pid", "iid")
+        .as[(Long, Long)].collect().toSet
+      withRule
+    }
+    spark.conf.set(RangeJoinRewrite.BIN_WIDTH_KEY, "4")
+    try {
+      val inclusive = run(col("v") >= col("lo") && col("v") <= col("hi"))
+      assert(inclusive == Set((1L, 10L), (2L, 10L), (4L, 20L), (3L, 40L)), inclusive)
+      // strict bounds stay strict (residual keeps the original predicate)
+      val strict = run(col("v") > col("lo") && col("v") < col("hi"))
+      assert(strict == Set((4L, 20L), (3L, 40L)), strict)
+      // point side on the RIGHT of the join
+      val flipped = ivs.join(pts, col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(flipped == Set((1L, 10L), (2L, 10L), (4L, 20L), (3L, 40L)), flipped)
+      // the rewritten plan is a hash join, not a nested loop
+      val plan = pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        plan.take(2000))
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(2000))
+    } finally spark.conf.unset(RangeJoinRewrite.BIN_WIDTH_KEY)
+    // rule disabled → same rows (via BNLJ), proving the rewrite changed only the plan
+    val off = run(col("v") >= col("lo") && col("v") <= col("hi"))
+    assert(off == Set((1L, 10L), (2L, 10L), (4L, 20L), (3L, 40L)), off)
+  }
+
   test("grid radius join == brute-force pairs, including cell-boundary points") {
     import graft.operators.Spatial
     // hash-scattered points plus adversarial fixtures: exact cell corners,
