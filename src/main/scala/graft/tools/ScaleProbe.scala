@@ -345,6 +345,28 @@ object ScaleProbe {
         f"prune=${tPrune}%5.2f s  candidates=${cands.size}%4d/${nFiles}%d  rows_ok=${kept == full}")
       stats.unpersist()
     }
+    // RangeJoinRewrite at scale: the naive point-in-interval join written
+    // with zero manual binning, sized so a BNLJ would be ~10^11 compares —
+    // only the rewritten binned hash join finishes. Intervals span ~2 bins;
+    // matches per interval held constant by fixed point density, so output
+    // and shuffle must scale linearly.
+    if (want("rangejoin")) {
+      spark.conf.set(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY, "100")
+      for (n <- Seq(1000000L, 4000000L)) {
+        val pts = spark.range(n).select(col("id").as("pid"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(n)) / 10.0).as("v")).persist()
+        val ivs = spark.range(n / 10).select(col("id").as("iid"),
+          (pmod(xxhash64(col("id"), lit(2)), lit(n)) / 10.0).as("lo"))
+          .withColumn("hi", col("lo") + 15.0).persist()
+        pts.count(); ivs.count()
+        val (matches, t) = time {
+          pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi")).count()
+        }
+        println(f"SCALE rangejoin pts=$n%8d ivs=${n / 10}%7d  join=${t}%6.1f s  matches=$matches (${matches.toDouble / (n / 10)}%5.1f/iv)")
+        pts.unpersist(); ivs.unpersist()
+      }
+      spark.conf.unset(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY)
+    }
     // grid radius join at constant density: box side grows with √n so each
     // r-cell holds ~2 points at every size — per-point candidate work is
     // O(1), pairs and shuffle must scale linearly, wall sub-linearly (the
