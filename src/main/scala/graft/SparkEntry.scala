@@ -1920,6 +1920,64 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("qty_in_band")),
         "p_partkey")
     }),
+    "q198_union_evolve" -> ((s, dir) => {
+      // schema-evolving union (unionByName + allowMissingColumns): the
+      // "append a new batch whose schema grew a column" pattern. Old batch
+      // rows surface the new column as null; column ORDER differences
+      // between batches are reconciled by name, not position. Row-local,
+      // no shuffle beyond the final agg.
+      val o = t(s, dir, "orders")
+      val oldBatch = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val newBatch = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      ord(oldBatch.unionByName(newBatch, allowMissingColumns = true)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")),
+        "o_orderpriority")
+    }),
+    "q199_pct_of_total" -> ((s, dir) => {
+      // percent-of-total / ratio_to_report: each nation's share of its
+      // region's customer account balance — one agg + one window sum over
+      // the region partition (tiny key space; the window re-shuffle moves
+      // only the aggregated rows, never the fact table). Share as exact
+      // integer per-million of cents sums — no FP division drift.
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val cents = floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+      val perNation = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_regionkey", "n_name").agg(sum(cents).as("bal_cents"))
+      ord(perNation.withColumn("share_pm",
+          expr("(bal_cents * 1000000) div sum(bal_cents) over (partition by n_regionkey)"))
+        .select(col("n_regionkey"), col("n_name"),
+          (col("bal_cents").cast("double") / 100).as("balance"), col("share_pm")),
+        "n_regionkey", "n_name")
+    }),
+    "q200_date_spine" -> ((s, dir) => {
+      // date-spine zero-fill: report EVERY day in the observed range per
+      // event_type, including days with no events (the gap a naive groupBy
+      // silently drops). Spine = cross join of the distinct type dim with a
+      // 1-row broadcast min/max reduce exploded to days; left join +
+      // zero-fill. The spine is |types|×|days| — tiny next to the fact
+      // table at any scale.
+      val ev = Engine.events(s, dir)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_n"),
+          col("value"))
+      val bounds = ev.agg(min("day_n").as("lo"), max("day_n").as("hi"))
+      val daysDim = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day_n"))
+      val typesDim = ev.select("event_type").distinct()
+      val spine = typesDim.crossJoin(broadcast(daysDim))
+      val daily = ev.groupBy("event_type", "day_n")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      ord(spine.join(daily, Seq("event_type", "day_n"), "left_outer")
+        .select(col("event_type"), col("day_n"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("cents"), lit(0L)).as("cents")),
+        "event_type", "day_n")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3743,6 +3801,46 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q198_union_evolve" ->
+      """WITH u AS (
+        |  SELECT CAST(NULL AS VARCHAR) AS o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM u GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    "q199_pct_of_total" ->
+      """WITH pn AS (
+        |  SELECT n_regionkey, n_name,
+        |    CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_regionkey, n_name,
+        |  CAST(bal_cents AS DOUBLE) / 100 AS balance,
+        |  CAST((bal_cents * 1000000) // sum(bal_cents) OVER (PARTITION BY n_regionkey) AS BIGINT) AS share_pm
+        |FROM pn ORDER BY n_regionkey, n_name""".stripMargin,
+    "q200_date_spine" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_n,
+        |    value
+        |  FROM events),
+        |b AS (SELECT min(day_n) AS lo, max(day_n) AS hi FROM ev),
+        |spine AS (
+        |  SELECT t.event_type, d.day_n
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day_n FROM b) d),
+        |daily AS (
+        |  SELECT event_type, day_n, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT s.event_type, s.day_n,
+        |  coalesce(d.n, 0) AS n, coalesce(d.cents, 0) AS cents
+        |FROM spine s LEFT JOIN daily d
+        |  ON s.event_type = d.event_type AND s.day_n = d.day_n
+        |ORDER BY s.event_type, s.day_n""".stripMargin,
     "q197_auto_range_join" ->
       """SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_in_band,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_in_band
