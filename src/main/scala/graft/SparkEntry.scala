@@ -1978,6 +1978,125 @@ object SparkEntry {
           coalesce(col("cents"), lit(0L)).as("cents")),
         "event_type", "day_n")
     }),
+    "q201_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15 (top supplier): quarterly revenue per supplier, then the
+      // supplier(s) achieving THE maximum — the scalar-subquery max is a
+      // 1-row broadcast joined back (ties kept, per spec). The revenue agg
+      // is computed ONCE and reused for both the max and the final filter
+      // (same plan subtree → ReuseExchange-eligible).
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5))
+          .cast("long")).as("rev_u"))
+      val maxRev = rev.agg(max("rev_u").as("max_u"))
+      val sup = t(s, dir, "supplier")
+      ord(rev.crossJoin(broadcast(maxRev))
+        .filter(col("rev_u") === col("max_u"))
+        .join(sup, col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_u").cast("double") / 10000).as("total_revenue")),
+        "s_suppkey")
+    }),
+    "q202_tpch_q9" -> ((s, dir) => {
+      // TPC-H Q9 (product-type profit): profit = revenue − cost, by
+      // supplier nation and order year, for parts whose name carries a
+      // substring (pushed scan filter on the dim, broadcast). Cost proxy is
+      // p_retailprice·qty (no partsupp table in the testdata). Both sides
+      // of the profit quantized to exact 1e-4 units pre-sum.
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val p = t(s, dir, "part").filter(col("p_name").contains("red"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk"), col("n_name").as("nation"))
+      val profit = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)).cast("long") -
+        floor(col("p_retailprice") * col("l_quantity") * 10000 + lit(0.5)).cast("long")
+      ord(li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("nk"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(profit).cast("double") / 10000).as("sum_profit")),
+        "nation", "o_year")
+    }),
+    "q203_tpch_q16" -> ((s, dir) => {
+      // TPC-H Q16 (supplier relationship count): distinct suppliers per
+      // (brand, type, size-bucket) part class, excluding one brand
+      // (dim-side filter) and excluding flagged suppliers via NOT IN →
+      // left-anti join (the testdata's stand-in for the complaints
+      // predicate: negative account balance). The part-supplier link is
+      // lineitem (no partsupp table). count_distinct is partial+final.
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      val p = t(s, dir, "part").filter(col("p_brand") =!= "Brand#1")
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_key"))
+      ord(li.join(bad, li("l_suppkey") === col("bad_key"), "left_anti")
+        .join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), (col("p_size") % 10).as("size_bucket"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt")),
+        "p_brand", "p_type", "size_bucket")
+    }),
+    "q204_tpch_q2" -> ((s, dir) => {
+      // TPC-H Q2 (min-cost supplier): for each EUROPE-region part (parts
+      // linked via lineitem — no partsupp), the supplier(s) achieving the
+      // MINIMUM account balance — the correlated min subquery decorrelated
+      // into one per-part min agg joined back, ties kept. Supplier set per
+      // part comes from the lineitem link, deduped before the min so the
+      // agg shuffles (part, supp) pairs, not raw lineitems.
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      val sup = t(s, dir, "supplier")
+      val eurNat = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("nk"))
+      val link = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(eurNat), col("s_nationkey") === col("nk"))
+        .filter(col("l_partkey") < 200)
+        .select(col("l_partkey"), col("s_suppkey"), col("s_name"),
+          floor(col("s_acctbal") * 100 + lit(0.5)).cast("long").as("bal_c"))
+      val minBal = link.groupBy(col("l_partkey").as("mk"))
+        .agg(min("bal_c").as("min_c"))
+      ord(link.join(minBal,
+          link("l_partkey") === col("mk") && col("bal_c") === col("min_c"))
+        .select(col("l_partkey"), col("s_suppkey"), col("s_name"),
+          (col("bal_c").cast("double") / 100).as("s_acctbal")),
+        "l_partkey", "s_suppkey")
+    }),
+    "q205_tpch_q6" -> ((s, dir) => {
+      // TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg —
+      // every predicate pushed to the parquet scan (PlanSpec asserts
+      // pushdown for this shape via q01/q02), one partial+final agg, zero
+      // joins. The baseline "how fast can the engine move bytes" query.
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      li.agg((sum(floor(col("l_extendedprice") * col("l_discount") * 10000 + lit(0.5)).cast("long"))
+        .cast("double") / 10000).as("revenue"))
+    }),
+    "q206_tpch_q20" -> ((s, dir) => {
+      // TPC-H Q20 (potential part promotion): the nested-IN chain — parts
+      // by name prefix → their 1997 shipments grouped by (supp, part)
+      // HAVING qty > threshold → distinct suppliers → supplier names. Each
+      // IN level is a semi join on the already-aggregated (small) key set,
+      // so the chain never re-touches the fact table.
+      val p = t(s, dir, "part").filter(col("p_name").startsWith("small"))
+        .select("p_partkey")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+      val qual = li.join(p, li("l_partkey") === p("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sq"))
+        .filter(col("sq") > 50)
+        .select("l_suppkey").distinct()
+      val sup = t(s, dir, "supplier")
+      ord(sup.join(qual, sup("s_suppkey") === qual("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name"),
+        "s_suppkey")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3801,6 +3920,70 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q201_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_u
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_u AS DOUBLE) / 10000 AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_u = (SELECT max(rev_u) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q202_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(
+        |    CAST(floor(l_extendedprice*(1.0-l_discount)*10000 + 0.5) AS BIGINT)
+        |    - CAST(floor(p_retailprice*l_quantity*10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 10000 AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q203_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size % 10 AS size_bucket,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand <> 'Brand#1'
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q204_tpch_q2" ->
+      """WITH link AS (
+        |  SELECT DISTINCT l.l_partkey, s.s_suppkey, s.s_name,
+        |    CAST(floor(s.s_acctbal*100 + 0.5) AS BIGINT) AS bal_c
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation ON s.s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  WHERE l.l_partkey < 200)
+        |SELECT l_partkey, s_suppkey, s_name,
+        |  CAST(bal_c AS DOUBLE) / 100 AS s_acctbal
+        |FROM link x
+        |WHERE bal_c = (SELECT min(bal_c) FROM link y WHERE y.l_partkey = x.l_partkey)
+        |ORDER BY l_partkey, s_suppkey""".stripMargin,
+    "q205_tpch_q6" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice*l_discount*10000 + 0.5) AS BIGINT)) AS DOUBLE)
+        |  / 10000 AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q206_tpch_q20" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+        |ORDER BY s_suppkey""".stripMargin,
     "q198_union_evolve" ->
       """WITH u AS (
         |  SELECT CAST(NULL AS VARCHAR) AS o_orderpriority, o_orderkey, o_totalprice
