@@ -23,7 +23,16 @@ class PartitionSweepSpec extends SparkSuite {
     // digits, far above the 1e-15 partition-order jitter); the rest are
     // exact integer/count/rounded-per-row outputs.
     "q156_asof_bucketed", "q158_jaro_winkler", "q160_transitions",
-    "q162_equidepth_hist", "q163_pagerank")
+    "q162_equidepth_hist", "q163_pagerank",
+    // round-8 continuation: TPC-H shapes with int64-exact thresholds
+    // (q178/q179), the grid radius join (double-exact distance compares),
+    // row index (rank under explicit total order), SCD2/gaps-islands
+    // (integer window arithmetic), feature hashing (portable fold), and
+    // the RangeJoinRewrite path (q197 leaves its conf set; the rewrite
+    // must be partition-invariant like the manual q82)
+    "q178_tpch_q17", "q179_tpch_q22", "q187_gaps_islands", "q188_scd2",
+    "q191_grid_radius_join", "q194_feature_hashing", "q195_row_index",
+    "q197_auto_range_join", "q204_tpch_q2")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
