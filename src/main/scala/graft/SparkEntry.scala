@@ -2097,6 +2097,39 @@ object SparkEntry {
         .select("s_suppkey", "s_name"),
         "s_suppkey")
     }),
+    "q207_rolling_median" -> ((s, dir) => {
+      // rolling 7-row median of daily revenue per event type — the robust
+      // trailing statistic Spark has no window function for. Exact via a
+      // BOUNDED collect_list over the 7-row frame (state is 7 int64s per
+      // row, not a per-group history) + sort_array + middle pick; even
+      // frames interpolate like quantile_cont. The frame rides the daily
+      // aggregate (tiny), never the raw events.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Engine.events(s, dir)
+      val daily = ev.groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_n"))
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      val w = Window.partitionBy("event_type").orderBy("day_n").rowsBetween(-6, 0)
+      val vals = sort_array(collect_list(col("cents")).over(w))
+      val n = size(vals)
+      ord(daily.select(col("event_type"), col("day_n"),
+        when(n % 2 === 1, element_at(vals, ((n + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at(vals, (n / 2).cast("int")) +
+            element_at(vals, (n / 2 + 1).cast("int"))) / 2.0)
+          .as("roll_med")),
+        "event_type", "day_n")
+    }),
+    "q208_content_hash" -> ((s, dir) => {
+      // content-addressed keys (md5 + sha2-256 hex): the byte-exact
+      // identity a pipeline dedups/caches shards by — both engines must
+      // produce identical digests for identical text. Row-local, codegen,
+      // no shuffle; the distinct-digest count doubles as an exact-dedup
+      // cross-check against q40.
+      val d = t(s, dir, "documents")
+      ord(d.select(col("doc_id"), md5(col("text")).as("md5_hex"),
+        sha2(col("text"), 256).as("sha256_hex")),
+        "doc_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3920,6 +3953,19 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q207_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_n,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day_n,
+        |  CAST(median(cents) OVER (PARTITION BY event_type ORDER BY day_n
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_med
+        |FROM daily ORDER BY event_type, day_n""".stripMargin,
+    "q208_content_hash" ->
+      """SELECT doc_id, md5(text) AS md5_hex, sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q201_tpch_q15" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
