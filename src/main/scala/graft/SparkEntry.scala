@@ -2130,6 +2130,45 @@ object SparkEntry {
         sha2(col("text"), 256).as("sha256_hex")),
         "doc_id")
     }),
+    "q209_skipgrams" -> ((s, dir) => {
+      // skip-gram pair extraction (word2vec-style context windows, k=2):
+      // each token emits its ±k context POSITIONS (bounded ×2k explode, the
+      // 1-D analogue of the grid join's neighbor cells), then an equi join
+      // on (doc_id, pos) — never a positional self-theta-join. Top-50
+      // center→context pairs by count; ordering ties broken on the pair.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w")))
+      val ctx = toks.select(col("doc_id").as("c_doc"),
+        explode(array((-2 to 2).filter(_ != 0).map(lit): _*)).as("off"),
+        col("pos").as("c_pos"), col("w").as("center"))
+        .select(col("c_doc"), (col("c_pos") + col("off")).as("t_pos"), col("center"))
+      ctx.join(toks, col("c_doc") === toks("doc_id") && col("t_pos") === toks("pos"))
+        .groupBy(col("center"), col("w").as("context"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("center").asc, col("context").asc)
+        .limit(50)
+    }),
+    "q210_length_batching" -> ((s, dir) => {
+      // length-bucketed inference batching: docs bucketed by token-length
+      // band (pads waste ∝ in-batch length spread, so batch WITHIN bands),
+      // then deterministic batch ids per bucket via (rank−1) div batchSize.
+      // One shuffle on the bucket key; rank ordered by (len, doc_id) so the
+      // assignment is total-order deterministic. Output: per (bucket,
+      // batch) the batch size and the padded-token cost (batch_max_len ×
+      // rows — what the serving engine actually allocates).
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("len"))
+        .withColumn("bucket", (col("len") / 16).cast("long"))
+      val w = Window.partitionBy("bucket").orderBy("len", "doc_id")
+      val batched = d.withColumn("batch_id",
+        ((row_number().over(w) - 1) / 8).cast("long"))
+      ord(batched.groupBy("bucket", "batch_id")
+        .agg(count(lit(1)).as("n_docs"),
+          max("len").as("batch_max_len"),
+          (max("len") * count(lit(1))).as("padded_tokens")),
+        "bucket", "batch_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3953,6 +3992,32 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q209_skipgrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.token AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, length(tk)),
+        |      i -> {'pos': i - 1, 'token': tk[i]})) AS u
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |          FROM documents)))
+        |SELECT a.w AS center, b.w AS context, CAST(count(*) AS BIGINT) AS n
+        |FROM toks a JOIN toks b
+        |  ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 2 AND a.pos <> b.pos
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, center, context
+        |LIMIT 50""".stripMargin,
+    "q210_length_batching" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS len
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, len, len // 16 AS bucket,
+        |    (row_number() OVER (PARTITION BY len // 16 ORDER BY len, doc_id) - 1) // 8 AS batch_id
+        |  FROM d)
+        |SELECT bucket, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(len) AS BIGINT) AS batch_max_len,
+        |  CAST(max(len) * count(*) AS BIGINT) AS padded_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q207_rolling_median" ->
       """WITH daily AS (
         |  SELECT event_type,
