@@ -2169,6 +2169,23 @@ object SparkEntry {
           (max("len") * count(lit(1))).as("padded_tokens")),
         "bucket", "batch_id")
     }),
+    "q211_file_paths" -> ((s, dir) => {
+      // include_file_paths (reference Scan option, dsl/ir.py:342-343):
+      // Spark's `_metadata.file_path` hidden column, gated semantically —
+      // a hive-partitioned write then a read that recovers each row's
+      // partition value FROM ITS FILE PATH alone must reproduce the source
+      // column exactly. The metadata column is planning-time (no I/O cost);
+      // at scale it's the provenance/debugging column every multi-source
+      // ingest keeps.
+      val d = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fpath").toString
+      sources.IO.parquetWritePartitioned(d, tmp, Seq("lang"))
+      ord(sources.IO.parquetRead(s, Seq(tmp))
+        .select(col("doc_id"),
+          regexp_extract(col("_metadata.file_path"), "lang=([^/]+)/", 1)
+            .as("lang_from_path")),
+        "doc_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -3992,6 +4009,9 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q211_file_paths" ->
+      """SELECT doc_id, lang AS lang_from_path
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q209_skipgrams" ->
       """WITH toks AS (
         |  SELECT doc_id, u.pos AS pos, u.token AS w FROM (
