@@ -522,6 +522,36 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("suite-wide: no nested-loop or cartesian join outside documented 1-row scalar broadcasts") {
+    // the invariant that matters most at 100 TB: nothing in the 211-query
+    // surface plans an O(|L|·|R|) join. The allowlist is exactly the
+    // queries whose BNLJ is a 1-row broadcast scalar (global stats/bounds
+    // cross-joined onto a frame — the cheap, correct shape) or a
+    // documented bounded oracle (q47/q49/q59: exact similarity over a
+    // capped slice, with LSH/IVF as the production paths).
+    val scalarBroadcast = Set(
+      "q21_reduce_global", "q47_ngram_jaccard", "q49_cosine_top1",
+      "q59_embedding_neardup", "q84_normalize", "q92_bm25",
+      "q99_quantized_top1", "q100_curation", "q121_tfidf",
+      "q124_heavy_hitters", "q125_best_representative", "q134_winsorize",
+      "q142_semantic_dedup", "q146_group_outliers", "q149_brand_affinity",
+      "q152_histogram",
+      "q153_rolling_anomaly", "q162_equidepth_hist", "q164_pq_ann",
+      "q169_tpch_q11", "q179_tpch_q22", "q192_rolling_distinct",
+      "q200_date_spine", "q201_tpch_q15")
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      try {
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val hasLoop = plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct")
+        if (hasLoop && !scalarBroadcast.contains(name)) offenders += name
+      } catch { case e: Throwable => offenders += s"$name (threw: ${e.getMessage.take(80)})" }
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop plans: $offenders")
+  }
+
   test("q183 disjunctive join predicate keeps the equi hash join (residual OR, no BNLJ)") {
     // TPC-H Q19's OR-of-ANDs condition must not cost the equi key: Catalyst
     // extracts l_partkey = p_partkey for the hash join and evaluates the
