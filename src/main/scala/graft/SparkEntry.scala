@@ -2056,10 +2056,13 @@ object SparkEntry {
         .filter(col("l_partkey") < 200)
         .select(col("l_partkey"), col("s_suppkey"), col("s_name"),
           floor(col("s_acctbal") * 100 + lit(0.5)).cast("long").as("bal_c"))
-      val minBal = link.groupBy(col("l_partkey").as("mk"))
-        .agg(min("bal_c").as("min_c"))
-      ord(link.join(minBal,
-          link("l_partkey") === col("mk") && col("bal_c") === col("min_c"))
+      // per-part min + tie-keeping filter as ONE window over the join key —
+      // one shuffle; the agg-then-join-back alternative computed the link
+      // subtree twice (12 exchanges → 5)
+      import org.apache.spark.sql.expressions.Window
+      val wmin = Window.partitionBy("l_partkey")
+      ord(link.withColumn("min_c", min("bal_c").over(wmin))
+        .filter(col("bal_c") === col("min_c"))
         .select(col("l_partkey"), col("s_suppkey"), col("s_name"),
           (col("bal_c").cast("double") / 100).as("s_acctbal")),
         "l_partkey", "s_suppkey")
@@ -2185,6 +2188,29 @@ object SparkEntry {
           regexp_extract(col("_metadata.file_path"), "lang=([^/]+)/", 1)
             .as("lang_from_path")),
         "doc_id")
+    }),
+    "q212_triangles" -> ((s, dir) => {
+      // triangle counting (graph clustering-coefficient numerator) over a
+      // deterministic hash-derived graph: canonical a<b edges dedup'd, then
+      // wedge join (a,b)⋈(b,c) — a<b<c falls out of canonical orientation,
+      // each triangle counted exactly once — closed by a SEMI join against
+      // the edge set (never materializing non-triangle wedges past the
+      // probe). Two equi joins, no BNLJ. At scale the classic refinement
+      // orients edges low-degree→high so wedge fan-out is bounded by
+      // degeneracy, not max degree; the join shape is identical.
+      val li = t(s, dir, "lineitem")
+      val edges = li.select(
+          least(col("l_suppkey") % 200, col("l_partkey") % 200).as("a"),
+          greatest(col("l_suppkey") % 200, col("l_partkey") % 200).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val e2 = edges.select(col("a").as("b2"), col("b").as("c"))
+      val wedges = edges.join(e2, col("b") === col("b2"))
+        .select(col("a"), col("b"), col("c"))
+      val closing = edges.select(col("a").as("ca"), col("b").as("cb"))
+      val tri = wedges.join(closing,
+        col("a") === col("ca") && col("c") === col("cb"), "left_semi")
+      tri.agg(count(lit(1)).as("n_triangles"))
+        .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
     }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
@@ -4009,6 +4035,17 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q212_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT least(l_suppkey % 200, l_partkey % 200) AS a,
+        |         greatest(l_suppkey % 200, l_partkey % 200) AS b
+        |  FROM lineitem
+        |  WHERE l_suppkey % 200 <> l_partkey % 200)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges""".stripMargin,
     "q211_file_paths" ->
       """SELECT doc_id, lang AS lang_from_path
         |FROM documents ORDER BY doc_id""".stripMargin,
