@@ -311,6 +311,42 @@ class IOSpec extends SparkSuite {
     stats.unpersist()
   }
 
+  test("parquet compression codec matrix round-trips byte-identically") {
+    // zstd/snappy/gzip/lz4/none all ship in /opt/spark/jars — a 100 TB
+    // deployment picks zstd for cold data and lz4/snappy for hot; the
+    // engine must read any of them back exactly
+    val src = Engine.table(spark, sfDir, "documents")
+    val expected = rows(src.orderBy("doc_id")).map(_.toString)
+    for (codec <- Seq("zstd", "snappy", "gzip", "lz4", "none")) {
+      val dir = tmp()
+      src.write.mode("overwrite").option("compression", codec).parquet(dir)
+      val back = rows(spark.read.parquet(dir).orderBy("doc_id")).map(_.toString)
+      assert(back == expected, s"codec $codec round-trip mismatch")
+    }
+  }
+
+  test("operators tolerate empty inputs (no rows ≠ no plan)") {
+    // filter-to-empty frames must flow through joins, aggs, windows, and
+    // the custom operators without throwing — the every-shard-empty case a
+    // partition-pruned 100 TB read hits routinely
+    import org.apache.spark.sql.expressions.Window
+    val li = Engine.table(spark, sfDir, "lineitem").filter(lit(false))
+    val o = Engine.table(spark, sfDir, "orders")
+    assert(li.groupBy("l_returnflag").agg(sum("l_quantity")).count() == 0)
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey")).count() == 0)
+    assert(o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi").count() == 0)
+    assert(li.select(row_number().over(
+      Window.partitionBy("l_returnflag").orderBy("l_orderkey"))).count() == 0)
+    assert(graft.operators.SetOps.distinct(li, Seq("l_orderkey")).count() == 0)
+    val emptyDocs = Engine.table(spark, sfDir, "documents").filter(lit(false))
+    assert(graft.llm.Dedup.exact(emptyDocs, Seq("text"), "doc_id").count() == 0)
+    val emptyPts = Engine.table(spark, sfDir, "embeddings").filter(lit(false))
+      .select(col("vec_id").as("id"), lit(0.0).as("x"), lit(0.0).as("y"))
+    assert(graft.operators.Spatial.radiusJoin(emptyPts, 0.5).count() == 0)
+    assert(graft.operators.RowOps.withRowIndex(li.select("l_orderkey"), "idx",
+      Seq(col("l_orderkey"))).count() == 0)
+  }
+
   private def withSQLConf(pairs: (String, String)*)(body: => Unit): Unit = {
     val conf = spark.conf
     val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
