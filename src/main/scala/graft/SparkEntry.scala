@@ -2212,6 +2212,25 @@ object SparkEntry {
       tri.agg(count(lit(1)).as("n_triangles"))
         .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
     }),
+    "q213_token_budget_mix" -> ((s, dir) => {
+      // training-mixture construction: sample each SOURCE down to a token
+      // budget (not a row cap — the unit that matters for training) in a
+      // deterministic pseudo-random order (multiplicative hash of doc_id —
+      // pure int64 arithmetic, replicable in any engine; products stay
+      // < 2^63 at gate scale). One window cumsum per source, prefix filter,
+      // per-source report. The companion to q93's row cap and q102's
+      // sequence packing.
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(TextFns.tokens(col("text"))).cast("long").as("len"))
+        .withColumn("rnd", pmod(col("doc_id") * 2654435761L, lit(1000000007L)))
+      val w = Window.partitionBy("source").orderBy("rnd", "doc_id")
+      ord(d.withColumn("cum", sum("len").over(w))
+        .filter(col("cum") <= 20000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("tokens")),
+        "source")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4035,6 +4054,20 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q213_token_budget_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS len,
+        |    (doc_id * 2654435761) % 1000000007 AS rnd
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, len,
+        |    sum(len) OVER (PARTITION BY source ORDER BY rnd, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len) AS BIGINT) AS tokens
+        |FROM c WHERE cum <= 20000 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q212_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT least(l_suppkey % 200, l_partkey % 200) AS a,
