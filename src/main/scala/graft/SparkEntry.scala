@@ -2231,6 +2231,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("len").as("tokens")),
         "source")
     }),
+    "q214_source_overlap" -> ((s, dir) => {
+      // cross-source contamination matrix: for every source pair, how many
+      // distinct leading-prefix digests (the cheap first-pass fingerprint —
+      // this corpus has prefix collisions but zero full-text dups) appear
+      // in BOTH — the provenance diagnostic before near-dedup. Per-digest
+      // sorted distinct-source sets, then in-place i<j pair explode (the
+      // cooccurrence shape) + one count agg; the digest groupBy bounds
+      // per-key state at |sources|.
+      val d = t(s, dir, "documents")
+      val byHash = d.groupBy(md5(substring(col("text"), 1, 50)).as("h"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) > 1)
+      ord(byHash.select(explode(expr(
+          """flatten(transform(srcs, (x, i) ->
+            |  transform(slice(srcs, i + 2, size(srcs)), y ->
+            |    struct(x AS src_a, y AS src_b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("n_shared")),
+        "src_a", "src_b")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4054,6 +4074,18 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q214_source_overlap" ->
+      """WITH s AS (
+        |  SELECT md5(substr(text, 1, 50)) AS h, list_sort(list(DISTINCT source)) AS srcs
+        |  FROM documents GROUP BY 1
+        |  HAVING len(list(DISTINCT source)) > 1),
+        |pairs AS (
+        |  SELECT u.a AS src_a, u.b AS src_b FROM (
+        |    SELECT unnest(flatten(list_transform(srcs, (x, i) ->
+        |      list_transform(srcs[i+1:], y -> {'a': x, 'b': y})))) AS u
+        |    FROM s))
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q213_token_budget_mix" ->
       """WITH d AS (
         |  SELECT doc_id, source,
