@@ -2251,6 +2251,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_shared")),
         "src_a", "src_b")
     }),
+    "q215_topk_aggregator" -> ((s, dir) => {
+      // per-group top-3 via the typed Aggregator UDAF (operators/TopKAgg) —
+      // map-side-combinable k-row partial state instead of a post-shuffle
+      // per-group sort (the window route is q77; this form also composes
+      // into agg/cube). Output serialized to a string so the array<struct>
+      // never reaches the cross-engine comparator.
+      val li = t(s, dir, "lineitem")
+      val top3 = operators.TopKAgg.topK(3)
+      ord(li.groupBy("l_returnflag")
+        .agg(top3(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
+          col("l_orderkey")).as("tk"))
+        .select(col("l_returnflag"),
+          concat_ws(";", expr("transform(tk, x -> concat(x.v, ':', x.id))")).as("top3")),
+        "l_returnflag")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4074,6 +4089,16 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q215_topk_aggregator" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v, l_orderkey AS id,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) DESC, l_orderkey) AS rn
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  string_agg(v || ':' || id, ';' ORDER BY rn) AS top3
+        |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q214_source_overlap" ->
       """WITH s AS (
         |  SELECT md5(substr(text, 1, 50)) AS h, list_sort(list(DISTINCT source)) AS srcs

@@ -217,4 +217,27 @@ class AggregatesSpec extends SparkSuite {
       ((Long.MinValue % P) + P) % P) % P
     assert(hneg == expected)
   }
+
+  test("TopKAgg: partial buffers merge across partitions; ties cut on (v desc, id asc)") {
+    import graft.operators.TopKAgg
+    import spark.implicits._
+    // 1000 rows scattered over 16 partitions, values with deliberate ties
+    val df = spark.range(1000).repartition(16)
+      .select((col("id") % 7).as("g"), (col("id") % 50).as("v"), col("id").as("k"))
+    val top3 = TopKAgg.topK(3)
+    val got = df.groupBy("g").agg(top3(col("v"), col("k")).as("tk"))
+      .select(col("g"), expr("transform(tk, x -> concat(x.v, ':', x.id))").as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    // brute force in Scala: per group sort by (v desc, id asc), take 3
+    val brute = (0L until 1000L).map(i => (i % 7, (i % 50, i)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)
+        .sortBy { case (v, k) => (-v, k) }.take(3)
+        .map { case (v, k) => s"$v:$k" }).toMap
+    for (g <- 0L until 7L) assert(got(g) == brute(g), s"group $g: ${got(g)} vs ${brute(g)}")
+    // k larger than the group returns everything, still ordered
+    val small = Seq((1L, 5L, 10L), (1L, 9L, 11L)).toDF("g", "v", "k")
+    val all = small.groupBy("g").agg(TopKAgg.topK(5)(col("v"), col("k")).as("tk"))
+      .select(expr("transform(tk, x -> concat(x.v, ':', x.id))")).as[Seq[String]].head()
+    assert(all == Seq("9:11", "5:10"))
+  }
 }
