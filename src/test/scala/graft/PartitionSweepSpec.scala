@@ -32,7 +32,8 @@ class PartitionSweepSpec extends SparkSuite {
     // must be partition-invariant like the manual q82)
     "q178_tpch_q17", "q179_tpch_q22", "q187_gaps_islands", "q188_scd2",
     "q191_grid_radius_join", "q194_feature_hashing", "q195_row_index",
-    "q197_auto_range_join", "q204_tpch_q2")
+    "q197_auto_range_join", "q204_tpch_q2", "q212_triangles",
+    "q213_token_budget_mix", "q215_topk_aggregator")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
