@@ -2266,6 +2266,29 @@ object SparkEntry {
           concat_ws(";", expr("transform(tk, x -> concat(x.v, ':', x.id))")).as("top3")),
         "l_returnflag")
     }),
+    "q216_cogroup" -> ((s, dir) => {
+      // typed KeyValueGroupedDataset.cogroup — the Dataset API's custom
+      // per-key merge (SURVEY §2.9's typed extension surface, batch
+      // sibling of the fMGWS/transformWithState state ops): both sides
+      // hash-shuffle once on the key, each key's two row groups meet in a
+      // single function call. Here: per-order reconciliation (line count +
+      // exact cents total vs the order header). SQL-expressible (the
+      // oracle's outer-join-of-aggs), so the gate checks the cogroup
+      // plumbing bit-for-bit.
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("hdr_c"))
+        .as[(Long, Long)].groupByKey(_._1)
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("line_c"))
+        .as[(Long, Long)].groupByKey(_._1)
+      ord(o.cogroup(l) { (k, os, ls) =>
+        val hdr = os.map(_._2).reduceOption((a: Long, b: Long) => math.max(a, b)) // orderkey unique; max = the value
+        val lines = ls.map(_._2).toSeq
+        Iterator((k, hdr.getOrElse(-1L), lines.length.toLong, lines.sum))
+      }.toDF("o_orderkey", "hdr_cents", "n_lines", "line_cents"),
+        "o_orderkey")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4089,6 +4112,20 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q216_cogroup" ->
+      """WITH lh AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS line_c
+        |  FROM lineitem GROUP BY 1),
+        |oh AS (
+        |  SELECT o_orderkey, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS hdr_c
+        |  FROM orders)
+        |SELECT coalesce(oh.o_orderkey, lh.l_orderkey) AS o_orderkey,
+        |  coalesce(oh.hdr_c, -1) AS hdr_cents,
+        |  coalesce(lh.n_lines, 0) AS n_lines,
+        |  coalesce(lh.line_c, 0) AS line_cents
+        |FROM oh FULL OUTER JOIN lh ON oh.o_orderkey = lh.l_orderkey
+        |ORDER BY 1""".stripMargin,
     "q215_topk_aggregator" ->
       """WITH r AS (
         |  SELECT l_returnflag,
