@@ -93,8 +93,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val wStr = conf.getConfString(BIN_WIDTH_KEY, "")
     if (wStr.isEmpty) return plan
-    val w = wStr.toDouble
-    require(w > 0, s"$BIN_WIDTH_KEY must be positive: $w")
+    // a malformed/non-positive width disables the rule rather than failing
+    // every optimization pass in the session
+    val w = scala.util.Try(wStr.toDouble).getOrElse(0.0)
+    if (!(w > 0) || w.isInfinite) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if !hasEquiAcross(j) =>
         findBounds(splitConjunctivePredicates(cond), left, right) match {
