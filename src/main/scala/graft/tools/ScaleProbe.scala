@@ -367,6 +367,29 @@ object ScaleProbe {
       }
       spark.conf.unset(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY)
     }
+    // triangle counting at scale: sparse random graphs (avg degree 8 held
+    // constant), wedge join + semi closure (q212's shape). Wedge count per
+    // node ~ degree² — with bounded average degree the wedge set scales
+    // linearly; the hub-skew failure mode (one high-degree node → wedge
+    // blow-up) is what the degeneracy-ordering refinement fixes.
+    if (want("triangles")) for (nNodes <- Seq(250000L, 1000000L)) {
+      val nEdges = nNodes * 4
+      val edges = spark.range(nEdges).select(
+          pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("x"),
+          pmod(xxhash64(col("id"), lit(2)), lit(nNodes)).as("y"))
+        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .filter(col("a") =!= col("b")).distinct().persist()
+      val ne = edges.count()
+      val (tri, t) = time {
+        val e2 = edges.select(col("a").as("b2"), col("b").as("c"))
+        val wedges = edges.join(e2, col("b") === col("b2"))
+          .select(col("a"), col("c"))
+        wedges.join(edges.select(col("a").as("ca"), col("b").as("cb")),
+          col("a") === col("ca") && col("c") === col("cb"), "left_semi").count()
+      }
+      println(f"SCALE triangles nodes=$nNodes%8d edges=$ne%8d  count=${t}%6.1f s  triangles=$tri")
+      edges.unpersist()
+    }
     // grid radius join at constant density: box side grows with √n so each
     // r-cell holds ~2 points at every size — per-point candidate work is
     // O(1), pairs and shuffle must scale linearly, wall sub-linearly (the
