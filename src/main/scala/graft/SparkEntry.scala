@@ -2289,6 +2289,25 @@ object SparkEntry {
       }.toDF("o_orderkey", "hdr_cents", "n_lines", "line_cents"),
         "o_orderkey")
     }),
+    "q217_calendar_fns" -> ((s, dir) => {
+      // calendar-function surface beyond q31/q70's component extraction:
+      // date_trunc to week/month/quarter (the reporting-grain truncations),
+      // last_day (month-end bucketing), ISO week number, and day-of-week
+      // (Spark's 1=Sunday mapped to DuckDB's 0=Sunday by −1). All emitted
+      // as epoch-day/int64 so the compare is calendar-exact, no tz or
+      // format ambiguity.
+      val o = t(s, dir, "orders").filter(col("o_orderkey") < 3000)
+      def days(c: Column): Column =
+        datediff(to_date(c), lit("1970-01-01")).cast("long")
+      ord(o.select(col("o_orderkey"),
+        days(date_trunc("week", col("o_orderdate"))).as("week_start"),
+        days(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        days(date_trunc("quarter", col("o_orderdate"))).as("quarter_start"),
+        days(last_day(col("o_orderdate"))).as("month_end"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0")),
+        "o_orderkey")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4112,6 +4131,16 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q217_calendar_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(date_trunc('week', o_orderdate) AS DATE)) AS BIGINT) AS week_start,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(date_trunc('month', o_orderdate) AS DATE)) AS BIGINT) AS month_start,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(date_trunc('quarter', o_orderdate) AS DATE)) AS BIGINT) AS quarter_start,
+        |  CAST(date_diff('day', DATE '1970-01-01', last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS month_end,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0
+        |FROM orders WHERE o_orderkey < 3000
+        |ORDER BY o_orderkey""".stripMargin,
     "q216_cogroup" ->
       """WITH lh AS (
         |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
