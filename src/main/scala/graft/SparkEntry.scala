@@ -2308,6 +2308,35 @@ object SparkEntry {
         (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0")),
         "o_orderkey")
     }),
+    "q218_edit_distance" -> ((s, dir) => {
+      // built-in Levenshtein pair scoring over equi-blocked candidates —
+      // the exhaustive-distance companion to q144's SymSpell ≤1 blocking
+      // and q158's Jaro-Winkler: same blocking join shape, full edit
+      // distance, survivors ≤ 5. Codegen'd built-in on both engines.
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"),
+        col("p_brand"), col("p_type"))
+      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+        col("p_brand").as("ba"), col("p_type").as("ta"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+        col("p_brand").as("bb"), col("p_type").as("tb"))
+      ord(a.join(b, col("ba") === col("bb") && col("ta") === col("tb") &&
+          col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 5),
+        "id_a", "id_b")
+    }),
+    "q219_bit_aggs" -> ((s, dir) => {
+      // bitwise aggregate family (bit_and/bit_or/bit_xor) — the flag-mask
+      // roll-up kinds (which permission bits are common to / present in /
+      // odd-count across a group). Partial+final like any hash agg.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      ord(li.groupBy("l_returnflag")
+        .agg(bit_and(col("q")).as("and_q"), bit_or(col("q")).as("or_q"),
+          bit_xor(col("q")).as("xor_q")),
+        "l_returnflag")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4131,6 +4160,20 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q218_edit_distance" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q219_bit_aggs" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS and_q,
+        |  CAST(bit_or(CAST(l_quantity AS BIGINT)) AS BIGINT) AS or_q,
+        |  CAST(bit_xor(CAST(l_quantity AS BIGINT)) AS BIGINT) AS xor_q
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q217_calendar_fns" ->
       """SELECT o_orderkey,
         |  CAST(date_diff('day', DATE '1970-01-01', CAST(date_trunc('week', o_orderdate) AS DATE)) AS BIGINT) AS week_start,
