@@ -2337,6 +2337,23 @@ object SparkEntry {
           bit_xor(col("q")).as("xor_q")),
         "l_returnflag")
     }),
+    "q220_grouped_regression" -> ((s, dir) => {
+      // per-group OLS (price-elasticity-style fit per brand): grouped
+      // regr_slope/intercept/r2/count — one partial+final agg, moment
+      // sketches merge associatively so the shuffle carries 6 doubles per
+      // group. Rounded to 5 dp: the moments are sums of ~1e3-magnitude
+      // doubles over ≤3k rows; FP-order jitter sits at ~1e-9, far below
+      // the rounding grain.
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      ord(li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(regr_slope(col("l_extendedprice"), col("l_quantity")), 5).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 5).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 5).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n")),
+        "p_brand")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4160,6 +4177,14 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q220_grouped_regression" ->
+      """SELECT p_brand,
+        |  round(regr_slope(l_extendedprice, l_quantity), 5) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 5) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 5) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q218_edit_distance" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
