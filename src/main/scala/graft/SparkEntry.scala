@@ -2354,6 +2354,32 @@ object SparkEntry {
           regr_count(col("l_extendedprice"), col("l_quantity")).as("n")),
         "p_brand")
     }),
+    "q221_map_merge" -> ((s, dir) => {
+      // map ALGEBRA (closing the q173 MapType surface): two shard-level
+      // term-frequency maps per language (even/odd doc ids — the
+      // "aggregate per shard, merge maps later" pattern of distributed
+      // feature building) merged with map_zip_with(sum). The gate explodes
+      // the merged map back to rows, which must equal the single-pass
+      // counts — proving merge ≡ global aggregation. Per-language maps
+      // stay bounded by vocabulary, not corpus.
+      val d = t(s, dir, "documents")
+      def shardMap(parity: Int) = d.filter(col("doc_id") % 2 === parity)
+        .select(col("lang"), explode(llm.TextFns.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+        .groupBy("lang")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("tok"), col("freq"))))).as("m"))
+      val merged = shardMap(0).as("a")
+        .join(shardMap(1).as("b"), Seq("lang"), "full_outer")
+        .select(col("lang"),
+          map_zip_with(
+            coalesce(col("a.m"), map()),
+            coalesce(col("b.m"), map()),
+            (_, x, y) => coalesce(x, lit(0L)) + coalesce(y, lit(0L))).as("tf"))
+      ord(merged.select(col("lang"), explode(col("tf")).as(Seq("tok", "n"))),
+        "lang", "tok")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4177,6 +4203,13 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q221_map_merge" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents)
+        |SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+        |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q220_grouped_regression" ->
       """SELECT p_brand,
         |  round(regr_slope(l_extendedprice, l_quantity), 5) AS slope,
