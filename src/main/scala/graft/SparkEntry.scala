@@ -2380,6 +2380,98 @@ object SparkEntry {
       ord(merged.select(col("lang"), explode(col("tf")).as(Seq("tok", "n"))),
         "lang", "tok")
     }),
+    "q222_connected_components" -> ((s, dir) => {
+      // Standalone gate for the small-star/large-star connected-components
+      // iteration (llm/Dedup.connectedComponents — until now exercised only
+      // INSIDE the LSH dedup clustering of q81): a part co-purchase graph
+      // (parts sharing an order; orders subsampled 1/97 so the oracle's
+      // transitive closure stays bounded) resolved to min-id components.
+      // Scale shape: each round is two self-join+agg passes over a SHRINKING
+      // edge set, O(log n) rounds to converge, lineage cut per round by lazy
+      // localCheckpoint — the standard MapReduce-CC of Kiveris et al. The
+      // oracle is DuckDB's recursive min-label closure: an INDEPENDENT
+      // algorithm on the same graph must produce the identical labeling.
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
+        .distinct()
+      ord(Dedup.connectedComponents(pairs), "id")
+    }),
+    "q223_benford" -> ((s, dir) => {
+      // Benford first-significant-digit audit per order status — the
+      // standard fraud / synthetic-data screen over a money column. Exact
+      // integer digit counts from one partial+final agg, shares in integer
+      // parts-per-million (n·10⁶ div total — no FP division near the gate).
+      // floor() before the long cast on BOTH engines: Spark's double→long
+      // cast truncates while DuckDB's ROUNDS, so the floor is the contract.
+      val o = t(s, dir, "orders")
+      val d1 = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int")
+      val counts = o.groupBy(col("o_orderstatus").as("status"), d1.as("digit"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("status")
+      ord(counts.withColumn("ppm",
+          (col("n") * lit(1000000L)).cast("long") / sum("n").over(w))
+        .withColumn("ppm", floor(col("ppm")).cast("long")),
+        "status", "digit")
+    }),
+    "q224_shingle_explode" -> ((s, dir) => {
+      // Custom Catalyst GENERATOR (functions/GeneratorExprs.ShingleExplodeExpr):
+      // graft_shingle_explode streams (pos, shingle) windows row-by-row via
+      // a lazy iterator instead of materializing the whole window array per
+      // document before explode — O(tokens) peak memory per row instead of
+      // O(tokens·n), the difference that keeps 100 MB documents shingle-able
+      // per executor. Bounded to 60 docs only because the oracle re-derives
+      // every window in SQL; the operator itself is row-local and scan-wide.
+      val d = t(s, dir, "documents").filter(col("doc_id") < 60)
+      ord(d.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+          .selectExpr("doc_id", "graft_shingle_explode(toks, 3) AS (pos, shingle)"),
+        "doc_id", "pos")
+    }),
+    "q225_array_setops" -> ((s, dir) => {
+      // Array set algebra over token sets (closing the §2.8 higher-order
+      // surface beside q190's fold/zip family): intersect/except/overlap
+      // against a broadcast literal vocabulary — all row-local, codegen'd,
+      // shuffle-free. Outputs are sorted-deduped joins so the result is a
+      // canonical string both engines produce bit-identically.
+      val stop = typedlit(TextFns.EnglishStopwords)
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val toks = array_distinct(TextFns.tokens(col("text")))
+      ord(d.select(col("doc_id"),
+          array_join(array_sort(array_intersect(toks, stop)), ",").as("stop_hits"),
+          size(array_except(toks, stop)).as("n_content"),
+          arrays_overlap(toks, stop).as("has_stop")),
+        "doc_id")
+    }),
+    "q226_host_cap" -> ((s, dir) => {
+      // Web-curation host governance: parse_url HOST/PATH/QUERY extraction
+      // over a deterministic URL column + per-host document caps — the
+      // CommonCrawl-style "no domain dominates the mixture" rule. Caps are
+      // assigned by rank over doc_id INSIDE each host partition (one window
+      // over the host shuffle), then aggregated to a per-host report; at
+      // 100 TB the host key is the natural partition and the cap is a
+      // map-side-truncatable top-k per key (cf. q215's Aggregator).
+      val d = t(s, dir, "documents")
+      val url = concat(lit("https://"), col("source"), lit("-"),
+        (col("doc_id") % 50).cast("string"), lit(".example.com/docs/"),
+        col("doc_id").cast("string"), lit("?lang="), col("lang"))
+      val parsed = d.select(col("doc_id"), col("lang"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("lang")).as("qlang"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("host").orderBy("doc_id")
+      ord(parsed.withColumn("rk", row_number().over(w))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rk") <= 20, 1L).otherwise(0L)).as("n_kept"),
+          min(col("path")).as("first_path"),
+          countDistinct(col("qlang")).as("n_langs")),
+        "host")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4203,6 +4295,75 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q222_connected_components" ->
+      """WITH RECURSIVE
+        |sel AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 97 = 0),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+        |  FROM sel a JOIN sel b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id AS node, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+        |SELECT node AS id, min(r) AS cluster_id FROM reach
+        |GROUP BY node ORDER BY id""".stripMargin,
+    "q223_benford" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT status, digit, n,
+        |  CAST(floor(CAST(n * 1000000 AS DOUBLE) /
+        |    sum(n) OVER (PARTITION BY status)) AS BIGINT) AS ppm
+        |FROM c ORDER BY status, digit""".stripMargin,
+    "q224_shingle_explode" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 60),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, length(toks)-2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS grams
+        |  FROM tk)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(0, length(grams)-1)) AS INT) AS pos,
+        |  unnest(grams) AS shingle
+        |FROM sh ORDER BY doc_id, pos""".stripMargin,
+    "q225_array_setops" ->
+      """WITH stop AS (SELECT ['the','a','an','and','or','of','to','in','is','it',
+        |  'that','for','on','with','as','was','at','by','be','this'] AS sw),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_intersect(toks, sw))), ','), '') AS stop_hits,
+        |  CAST(length(list_filter(toks, t -> NOT list_contains(sw, t))) AS INT)
+        |    AS n_content,
+        |  length(list_intersect(toks, sw)) > 0 AS has_stop
+        |FROM tk, stop ORDER BY doc_id""".stripMargin,
+    "q226_host_cap" ->
+      """WITH parsed AS (
+        |  SELECT doc_id, lang,
+        |    concat(source, '-', CAST(doc_id % 50 AS VARCHAR), '.example.com') AS host,
+        |    concat('/docs/', CAST(doc_id AS VARCHAR)) AS path,
+        |    lang AS qlang
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rk
+        |  FROM parsed)
+        |SELECT host, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min(path) AS first_path,
+        |  count(DISTINCT qlang) AS n_langs
+        |FROM ranked GROUP BY host ORDER BY host""".stripMargin,
     "q221_map_merge" ->
       """WITH toks AS (
         |  SELECT lang, unnest(list_filter(

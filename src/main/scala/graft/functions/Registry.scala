@@ -96,6 +96,14 @@ object Registry {
         WordShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_explode",
+      exprs => {
+        requireFoldable(exprs(1), "graft_shingle_explode",
+          "shingle size must be a literal int")
+        ShingleExplodeExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])
+      },
+      "built-in")
   }
 
   /** SQL-surface guard: these builders eval() an argument at resolution time,
