@@ -2472,6 +2472,66 @@ object SparkEntry {
           countDistinct(col("qlang")).as("n_langs")),
         "host")
     }),
+    "q227_twap" -> ((s, dir) => {
+      // Time-weighted average (TWAP — the time-series mean that is correct
+      // under irregular sampling, unlike row-mean): per-user Σ value·Δt / ΣΔt
+      // with Δt from ONE lead window over the (user, time) shuffle. Exactness
+      // contract: Δt in whole seconds (floor of the µs gap — int64), value
+      // quantized to cents, so both sums are exact int64 and the final
+      // divide is one IEEE op on exact operands. Tie order pinned by
+      // (ts, event_id) so lead is deterministic under duplicate timestamps.
+      val e = Engine.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val gapS = floor((lead(unix_micros(col("ts")), 1).over(w) -
+        unix_micros(col("ts"))) / 1000000.0).cast("long")
+      val qv = floor(col("value") * 100 + 0.5).cast("long")
+      ord(e.select(col("user_id"), gapS.as("gap_s"), qv.as("qv"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("qv") * col("gap_s")).as("num"), sum(col("gap_s")).as("den"))
+        .filter(col("den") > 0)
+        .select(col("user_id"),
+          round(col("num") / col("den") / 100.0, 6).as("twap"),
+          col("den").as("dur_s")),
+        "user_id")
+    }),
+    "q228_pipe_syntax" -> ((s, dir) => {
+      // Spark 4 SQL PIPE syntax (|> WHERE/EXTEND/AGGREGATE/ORDER BY): the
+      // modern linear query form, planned to the IDENTICAL Catalyst tree as
+      // the classic Q1 shape — same pushed scan filter, same partial+final
+      // hash agg. The oracle is the classic-SQL spelling of the same query,
+      // so the gate proves pipe syntax is pure surface.
+      t(s, dir, "lineitem").createOrReplaceTempView("li_pipe")
+      s.sql(
+        """FROM li_pipe
+          ||> WHERE l_shipdate <= DATE '1998-09-02'
+          ||> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+          ||> AGGREGATE
+          |     CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |     CAST(sum(CAST(floor(disc_price * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+          |       / 10000.0 AS sum_disc,
+          |     count(*) AS n
+          |   GROUP BY l_returnflag, l_linestatus
+          ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
+    "q229_collation" -> ((s, dir) => {
+      // Spark 4 COLLATION surface: case-insensitive distinct counting via
+      // UTF8_LCASE directly in the aggregate — no lower() materialization,
+      // and (at scale) collation-aware comparison happens inside codegen
+      // rather than allocating a lowered copy of every string. Case variance
+      // is injected deterministically (even part keys upper-cased); the
+      // oracle reproduces n_ci with an explicit lower() — collation must
+      // equal the rewrite it replaces.
+      val p = t(s, dir, "part")
+      val mixed = when(col("p_partkey") % 2 === 0, upper(col("p_name")))
+        .otherwise(col("p_name"))
+      ord(p.select(col("p_brand"), mixed.as("name_mixed"))
+        .groupBy("p_brand")
+        .agg(countDistinct(col("name_mixed")).as("n_exact"),
+          countDistinct(collate(col("name_mixed"), "UTF8_LCASE")).as("n_ci")),
+        "p_brand")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4295,6 +4355,40 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q227_twap" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(floor((lead(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts))
+        |      / 1000000.0) AS BIGINT) AS gap_s,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, sum(qv * gap_s) AS num, sum(gap_s) AS den
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id)
+        |SELECT user_id,
+        |  round(CAST(num AS DOUBLE) / den / 100.0, 6) AS twap,
+        |  CAST(den AS BIGINT) AS dur_s
+        |FROM a WHERE den > 0 ORDER BY user_id""".stripMargin,
+    "q228_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |    AS BIGINT)) / 10000.0 AS sum_disc,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q229_collation" ->
+      """WITH m AS (
+        |  SELECT p_brand,
+        |    CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END
+        |      AS name_mixed
+        |  FROM part)
+        |SELECT p_brand,
+        |  count(DISTINCT name_mixed) AS n_exact,
+        |  count(DISTINCT lower(name_mixed)) AS n_ci
+        |FROM m GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q222_connected_components" ->
       """WITH RECURSIVE
         |sel AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 97 = 0),
