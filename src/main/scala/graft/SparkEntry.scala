@@ -2532,6 +2532,56 @@ object SparkEntry {
           countDistinct(collate(col("name_mixed"), "UTF8_LCASE")).as("n_ci")),
         "p_brand")
     }),
+    "q230_sql_udf" -> ((s, dir) => {
+      // Spark 4.1 SQL-defined scalar UDF (CREATE FUNCTION ... RETURN expr):
+      // the declarative extension mechanism between built-ins and JVM UDFs.
+      // The body is INLINED into the plan at analysis (it is not a black-box
+      // closure), so codegen, pushdown, and constant folding all still apply
+      // — at scale the UDF costs exactly its expression. The gate proves
+      // equivalence to the hand-inlined formula.
+      t(s, dir, "lineitem").createOrReplaceTempView("li_udf")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_rev(p DOUBLE, d DOUBLE)
+          |RETURNS DOUBLE RETURN p * (1 - d)""".stripMargin)
+      s.sql(
+        """SELECT l_returnflag,
+          |  CAST(sum(CAST(floor(graft_disc_rev(l_extendedprice, l_discount)
+          |    * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+          |  count(*) AS n
+          |FROM li_udf GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+    "q231_try_arith" -> ((s, dir) => {
+      // try_* NULL-on-error arithmetic (the ANSI-mode-safe surface: this
+      // engine runs ANSI off for wrapping hash math, and try_divide is how
+      // user queries opt into total semantics regardless of mode). Division
+      // whose denominator crosses zero → NULL rows, counted and summed
+      // exactly via the cents-quantized int64 path. Oracle: DuckDB double
+      // division already yields NULL on /0 — the mirror is plain division.
+      val li = t(s, dir, "lineitem")
+      val ratio = try_divide(col("l_extendedprice"), col("l_quantity") - 30)
+      ord(li.select(col("l_linestatus"), ratio.as("r"))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("r").isNull, 1L).otherwise(0L)).as("n_null"),
+          (sum(floor(col("r") * 100 + 0.5).cast("long")) / 100.0).as("rsum")),
+        "l_linestatus")
+    }),
+    "q232_regex_extract" -> ((s, dir) => {
+      // Full regex-extraction surface beside q30/q69's match/replace:
+      // regexp_count, first-match regexp_extract, and regexp_extract_all →
+      // canonical sorted-deduped join — all row-local codegen'd ops the
+      // curation layer uses for entity/tag harvesting. Pattern is RE2-safe
+      // (no lookaround) so Java regex and DuckDB RE2 agree; no-match
+      // first_cap is '' in BOTH engines (probed).
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val pat = "[A-Z][a-z]{3,}"
+      ord(d.select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).as("n_caps"),
+          regexp_extract(col("text"), pat, 0).as("first_cap"),
+          array_join(array_sort(array_distinct(
+            regexp_extract_all(col("text"), lit(pat), lit(0)))), ",").as("caps")),
+        "doc_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4355,6 +4405,28 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q230_sql_udf" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q231_try_arith" ->
+      """WITH r AS (
+        |  SELECT l_linestatus,
+        |    l_extendedprice / (l_quantity - 30) AS r
+        |  FROM lineitem)
+        |SELECT l_linestatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN r IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CAST(floor(r * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS rsum
+        |FROM r GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q232_regex_extract" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text, '[A-Z][a-z]{3,}')) AS INT) AS n_caps,
+        |  regexp_extract(text, '[A-Z][a-z]{3,}') AS first_cap,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    regexp_extract_all(text, '[A-Z][a-z]{3,}'))), ','), '') AS caps
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     "q227_twap" ->
       """WITH g AS (
         |  SELECT user_id,
