@@ -2319,8 +2319,16 @@ object SparkEntry {
         col("p_brand").as("ba"), col("p_type").as("ta"))
       val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
         col("p_brand").as("bb"), col("p_type").as("tb"))
+      // result-preserving prune: |len(a)−len(b)| ≤ 5 (edit distance is
+      // bounded below by the length difference) cuts pairs before any DP
+      // runs — neutral on this data (names are near-uniform length) but
+      // load-bearing when lengths vary, and free either way. NOTE: the
+      // thresholded levenshtein(l, r, 5) built-in was A/B-measured SLOWER
+      // here (3.5 s vs 2.7 s at sf0.1) — its banded path only pays off on
+      // strings much longer than these ~30-char names; keep the plain DP.
       ord(a.join(b, col("ba") === col("bb") && col("ta") === col("tb") &&
-          col("id_a") < col("id_b"))
+          col("id_a") < col("id_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 5)
         .select(col("id_a"), col("id_b"),
           levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
         .filter(col("dist") <= 5),

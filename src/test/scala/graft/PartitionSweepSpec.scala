@@ -33,7 +33,13 @@ class PartitionSweepSpec extends SparkSuite {
     "q178_tpch_q17", "q179_tpch_q22", "q187_gaps_islands", "q188_scd2",
     "q191_grid_radius_join", "q194_feature_hashing", "q195_row_index",
     "q197_auto_range_join", "q204_tpch_q2", "q212_triangles",
-    "q213_token_budget_mix", "q215_topk_aggregator")
+    "q213_token_budget_mix", "q215_topk_aggregator",
+    // round-9: CC (iterative star contraction must converge to the same
+    // labeling on any partitioning), Benford ppm (integer window shares),
+    // host caps (row_number under explicit total order), TWAP (lead over
+    // a pinned (ts, event_id) tie order), try_* agg (exact int64 sums)
+    "q222_connected_components", "q223_benford", "q226_host_cap",
+    "q227_twap", "q231_try_arith")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
