@@ -2590,6 +2590,68 @@ object SparkEntry {
             regexp_extract_all(col("text"), lit(pat), lit(0)))), ",").as("caps")),
         "doc_id")
     }),
+    "q233_bigram_familiarity" -> ((s, dir) => {
+      // LM-free "perplexity proxy" quality signal (the cheap stand-in for a
+      // KenLM pass in curation pipelines): score every document by the mean
+      // corpus-wide per-million frequency of its character bigrams — junk
+      // (base64 blobs, mojibake, boilerplate markup) scores low because its
+      // bigrams are rare in the corpus. Integer-exact end to end: bigram
+      // counts → ppm by int64 div, per-doc mean by int64 div; NO log-prob
+      // floats (ln differs across engines), so the gate is a hash match.
+      // Scale shape: one linear explode of the text, one bounded-vocab agg
+      // (charset² entries), one BROADCAST join of the tiny freq table back
+      // onto the bigram stream, one per-doc agg. The vocabulary table, not
+      // the corpus, is the only global state.
+      val d = t(s, dir, "documents").select(col("doc_id"), lower(col("text")).as("tl"))
+      val bi = d.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(length(col("tl")) - 1, lit(1))),
+            i => col("tl").substr(i, lit(2)))).as("bg"))
+        .filter(length(col("bg")) === 2)
+      val counts = bi.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      val freq = counts.crossJoin(broadcast(counts.agg(sum("cnt").as("tot"))))
+        .selectExpr("bg", "cnt * 1000000 div tot AS ppm")
+      ord(bi.join(broadcast(freq), "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"), sum("ppm").as("sum_ppm"))
+        .selectExpr("doc_id", "n_bi", "sum_ppm", "sum_ppm div n_bi AS mean_ppm"),
+        "doc_id")
+    }),
+    "q234_quantile_norm" -> ((s, dir) => {
+      // Quantile normalization (microarray-style): map each document's
+      // n_chars to the GLOBAL distribution's value at the doc's
+      // within-source percent_rank — per-source distributions become
+      // identical up to rank, the standard cross-source drift correction.
+      // Scale design: the global CDF is held as per-DISTINCT-VALUE position
+      // intervals (value-cardinality-bounded state, the q19/q162 plan — no
+      // global row_number over the corpus), and the position→value lookup
+      // is the BINNED range join (q82's operator), never a BNLJ; the only
+      // unpartitioned window runs over distinct values, not rows.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      val wv = org.apache.spark.sql.expressions.Window.orderBy("n_chars")
+      val dist = d.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+        .select(col("n_chars").as("gval"),
+          (sum("cnt").over(wv) - col("cnt")).as("spos"),
+          (sum("cnt").over(wv) - 1).as("epos"))
+      val pr = percent_rank().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("n_chars"))
+      val scored = d.withColumn("pr", pr)
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("n_tot"))))
+        .withColumn("h", col("pr") * (col("n_tot") - 1))
+        .withColumn("lo", floor(col("h")).cast("long"))
+        .withColumn("frac", col("h") - col("lo"))
+        .withColumn("hi", least(col("lo") + 1, col("n_tot") - 1))
+      val withLo = Joins.rangeJoin(scored, dist
+          .select(col("gval").as("v_lo"), col("spos"), col("epos")),
+        "lo", "spos", "epos", 64).drop("spos", "epos")
+      val withHi = Joins.rangeJoin(withLo, dist
+          .select(col("gval").as("v_hi"), col("spos"), col("epos")),
+        "hi", "spos", "epos", 64).drop("spos", "epos")
+      ord(withHi.select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("v_lo").cast("double") +
+          col("frac") * (col("v_hi") - col("v_lo")).cast("double"), 6).as("norm")),
+        "doc_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4413,6 +4475,32 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q233_bigram_familiarity" ->
+      """WITH ch AS (SELECT doc_id, lower(text) AS tl FROM documents),
+        |bi0 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(length(tl)-1, 1)),
+        |    i -> substr(tl, CAST(i AS INT), 2))) AS bg FROM ch),
+        |bi AS (SELECT doc_id, bg FROM bi0 WHERE length(bg) = 2),
+        |c AS (SELECT bg, count(*) AS cnt FROM bi GROUP BY bg),
+        |f AS (SELECT bg, (cnt * 1000000) // (SELECT sum(cnt) FROM c) AS ppm FROM c),
+        |a AS (SELECT doc_id, count(*) AS n_bi, sum(ppm) AS sum_ppm
+        |      FROM bi JOIN f USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_bi AS BIGINT) AS n_bi,
+        |  CAST(sum_ppm AS BIGINT) AS sum_ppm,
+        |  CAST(sum_ppm // n_bi AS BIGINT) AS mean_ppm
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q234_quantile_norm" ->
+      """WITH g AS (SELECT list_sort(list(n_chars)) AS l, count(*) AS n
+        |           FROM documents),
+        |p AS (SELECT doc_id, source, n_chars,
+        |        percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+        |      FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  round(CAST(l[CAST(floor(pr*(n-1)) AS BIGINT)+1] AS DOUBLE) +
+        |    (pr*(n-1) - floor(pr*(n-1))) *
+        |    (l[least(CAST(floor(pr*(n-1)) AS BIGINT)+1, n-1)+1]
+        |     - l[CAST(floor(pr*(n-1)) AS BIGINT)+1]), 6) AS norm
+        |FROM p, g ORDER BY doc_id""".stripMargin,
     "q230_sql_udf" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)

@@ -39,7 +39,10 @@ class PartitionSweepSpec extends SparkSuite {
     // host caps (row_number under explicit total order), TWAP (lead over
     // a pinned (ts, event_id) tie order), try_* agg (exact int64 sums)
     "q222_connected_components", "q223_benford", "q226_host_cap",
-    "q227_twap", "q231_try_arith")
+    "q227_twap", "q231_try_arith",
+    // bigram ppm (pure int64 arithmetic) and quantile normalization
+    // (IEEE-fixed interpolation over the partition-invariant global CDF)
+    "q233_bigram_familiarity", "q234_quantile_norm")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
