@@ -38,6 +38,7 @@ private[graft] object OracleAux {
   @volatile var q142Assign: Option[Seq[(Long, Long)]] = None // (vec_id, cluster id)
   @volatile var q164Codes: Option[Seq[(Long, Seq[Int])]] = None // (vec_id, PQ codes)
   @volatile var q164Books: Option[Seq[Seq[Seq[Double]]]] = None // m × k × subdim
+  @volatile var q236Ivf: Option[Seq[(Long, Long)]] = None // (query_id, IVF top-5 neighbor)
 }
 
 object SparkEntry {
@@ -2652,6 +2653,48 @@ object SparkEntry {
           col("frac") * (col("v_hi") - col("v_lo")).cast("double"), 6).as("norm")),
         "doc_id")
     }),
+    "q235_join_hints" -> ((s, dir) => {
+      // SQL join-strategy HINT surface (/*+ SHUFFLE_HASH */ here; PlanSpec
+      // asserts BROADCAST/MERGE/SHUFFLE_HASH are each honored and
+      // result-identical) — the SQL-side twin of q29's BroadcastInput API
+      // mapping (reference join.hpp:26). SHUFFLE_HASH builds a hash table
+      // per partition instead of sorting both sides — the right call when
+      // one side is far smaller than the other but too big to broadcast.
+      t(s, dir, "lineitem").createOrReplaceTempView("li_h")
+      t(s, dir, "orders").createOrReplaceTempView("o_h")
+      s.sql(
+        """SELECT /*+ SHUFFLE_HASH(o) */ o.o_orderpriority,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+          |FROM li_h l JOIN o_h o ON l.l_orderkey = o.o_orderkey
+          |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)
+    }),
+    "q236_ann_recall" -> ((s, dir) => {
+      // ANN EVALUATION harness — the recall report every index rollout
+      // needs: recall@5 of the PRODUCTION IVF setting (nprobe=4 < nlist=16;
+      // q75 gates the exhaustive-probe case where recall must be 1) against
+      // the exact brute-force top-5 on a bounded query slice. The IVF
+      // result set rides into the oracle as a VALUES literal (q50's stash
+      // pattern — Lloyd centroids are FP-sum artifacts no SQL engine
+      // re-derives); DuckDB independently recomputes the EXACT top-5 and
+      // the recall arithmetic, so the metric itself is cross-engine-
+      // verified, not self-graded.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 40 === 0)
+      val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id")).persist()
+      OracleAux.q236Ivf =
+        Some(ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      ord(q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / 5.0).as("recall")),
+        "query_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4475,6 +4518,11 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q235_join_hints" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q233_bigram_familiarity" ->
       """WITH ch AS (SELECT doc_id, lower(text) AS tl FROM documents),
         |bi0 AS (SELECT doc_id, unnest(list_transform(
@@ -6054,6 +6102,41 @@ object SparkEntry {
            |  round(score, 4) AS score
            |FROM ranked WHERE rk = 1 ORDER BY query_id""".stripMargin
     }
-    (q45.toSeq ++ q50.toSeq ++ q142.toSeq ++ q164.toSeq).toMap
+    val q236 = OracleAux.q236Ivf.filter(_.nonEmpty).map { ivf =>
+      "q236_ann_recall" ->
+        s"""WITH raw(qid, nid) AS (VALUES ${values(ivf)}),
+           |ivf AS (SELECT CAST(qid AS BIGINT) AS query_id,
+           |  CAST(nid AS BIGINT) AS neighbor_id FROM raw),
+           |norms AS (
+           |  SELECT vec_id, embedding,
+           |    sqrt(list_sum(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           |  FROM embeddings
+           |), sims AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |      / (q.nrm * n.nrm) AS cosine
+           |  FROM norms q JOIN norms n ON n.vec_id <> q.vec_id
+           |  WHERE q.vec_id % 40 = 0
+           |), ranked AS (
+           |  SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id ASC) AS rk
+           |  FROM sims
+           |), hits AS (
+           |  SELECT e.query_id, count(*) AS n_hits
+           |  FROM (SELECT query_id, neighbor_id FROM ranked WHERE rk <= 5) e
+           |  JOIN ivf USING (query_id, neighbor_id)
+           |  GROUP BY e.query_id
+           |)
+           |SELECT q.vec_id AS query_id,
+           |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall
+           |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 40 = 0) q
+           |LEFT JOIN hits h ON h.query_id = q.vec_id
+           |ORDER BY query_id""".stripMargin
+    }
+    (q45.toSeq ++ q50.toSeq ++ q142.toSeq ++ q164.toSeq ++ q236.toSeq).toMap
   }
 }

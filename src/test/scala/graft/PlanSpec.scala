@@ -540,8 +540,10 @@ class PlanSpec extends SparkSuite {
       "q169_tpch_q11", "q179_tpch_q22", "q192_rolling_distinct",
       "q200_date_spine", "q201_tpch_q15", "q212_triangles",
       // round-9: q233's corpus-total and q234's global-N are 1-row
-      // broadcast scalars crossed onto the frame (the allowed shape)
-      "q233_bigram_familiarity", "q234_quantile_norm")
+      // broadcast scalars crossed onto the frame (the allowed shape);
+      // q236's exact-recall reference is q49's documented bounded
+      // brute-force (broadcast query slice), scored against the IVF path
+      "q233_bigram_familiarity", "q234_quantile_norm", "q236_ann_recall")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
@@ -553,6 +555,28 @@ class PlanSpec extends SparkSuite {
       } catch { case e: Throwable => offenders += s"$name (threw: ${e.getMessage.take(80)})" }
     }
     assert(offenders.isEmpty, s"unexpected nested-loop plans: $offenders")
+  }
+
+  test("q235 join-strategy hints are honored and result-identical") {
+    // the SQL-side twin of q29's BroadcastInput mapping: each hint must
+    // select its physical strategy, and the strategy must not change the
+    // answer. (SHUFFLE_HASH is what the reference's per-partition hash join
+    // IS; MERGE is Spark's sample-sort merge; BROADCAST skips the shuffle.)
+    Engine.table(spark, sfDir, "lineitem").createOrReplaceTempView("li_h")
+    Engine.table(spark, sfDir, "orders").createOrReplaceTempView("o_h")
+    def q(hint: String) = spark.sql(
+      s"""SELECT /*+ $hint(o) */ o.o_orderpriority, count(*) AS n
+         |FROM li_h l JOIN o_h o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin)
+    val expect = Map("SHUFFLE_HASH" -> "ShuffledHashJoin",
+      "MERGE" -> "SortMergeJoin", "BROADCAST" -> "BroadcastHashJoin")
+    val results = expect.map { case (hint, op) =>
+      val df = q(hint)
+      assert(df.queryExecution.executedPlan.toString.contains(op),
+        s"hint $hint did not plan $op")
+      rows(df)
+    }
+    assert(results.toSeq.distinct.size == 1, "hinted results differ")
   }
 
   test("q183 disjunctive join predicate keeps the equi hash join (residual OR, no BNLJ)") {
