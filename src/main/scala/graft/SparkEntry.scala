@@ -2695,6 +2695,69 @@ object SparkEntry {
           (coalesce(col("n_hits"), lit(0L)) / 5.0).as("recall")),
         "query_id")
     }),
+    "q237_survivorship" -> ((s, dir) => {
+      // Golden-record survivorship (the MDM merge step after dedup): per
+      // user, the LAST NON-NULL value of each sparse field under the event
+      // time order — one IGNORE NULLS carry window + one reverse-rank
+      // pick, a single user-key shuffle. This is field-level merge;
+      // q125's best-representative is row-level pick — the two halves of
+      // record consolidation. No FP arithmetic: values are carried, not
+      // computed, so the gate is exact on raw doubles.
+      val ev = Engine.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Long.MinValue, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val wDesc = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      ord(ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          when(col("event_type") === "purchase", col("value")).as("pv"))
+        .withColumn("last_purchase", last(col("pv"), ignoreNulls = true).over(w))
+        .withColumn("n_events", count(lit(1)).over(wAll))
+        .withColumn("rk", row_number().over(wDesc))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("last_event"),
+          col("last_purchase"), col("n_events")),
+        "user_id")
+    }),
+    "q238_linear_interp" -> ((s, dir) => {
+      // Linear interpolation over calendar gaps (the time-series fill
+      // beyond q133's forward-fill): daily purchase totals on a full date
+      // spine, missing days reconstructed from the bracketing known points.
+      // Exactness: totals in int64 cents, day distances are ints, and the
+      // interpolation is the fixed IEEE sequence long·int/int — identical
+      // in any engine. The only unpartitioned windows run over the SPINE
+      // (calendar-bounded, q200's documented shape), never over events.
+      val ev = Engine.events(s, dir).filter(col("event_type") === "purchase")
+      val daily = ev.groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val spine = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("day"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .orderBy("day").rowsBetween(Long.MinValue, 0)
+      val wNext = org.apache.spark.sql.expressions.Window
+        .orderBy("day").rowsBetween(0, Long.MaxValue)
+      val j = spine.join(daily, Seq("day"), "left")
+        .withColumn("prev_c", last(col("cents"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_d",
+          last(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+        .withColumn("next_c", first(col("cents"), ignoreNulls = true).over(wNext))
+        .withColumn("next_d",
+          first(when(col("cents").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      val interp = when(col("cents").isNotNull, col("cents").cast("double"))
+        .when(col("prev_c").isNull, col("next_c").cast("double"))
+        .when(col("next_c").isNull, col("prev_c").cast("double"))
+        .otherwise(col("prev_c") +
+          (col("next_c") - col("prev_c")) * datediff(col("day"), col("prev_d")) /
+            datediff(col("next_d"), col("prev_d")))
+      // epoch-day int64 output (q200's precedent: cross-engine DATE dtype
+      // round-trips diverge in pandas; the integer day does not)
+      ord(j.select(unix_date(col("day")).cast("long").as("day_n"),
+        col("cents").isNotNull.as("observed"),
+        round(interp / 100.0, 6).as("daily_value")),
+        "day_n")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4518,6 +4581,49 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q237_survivorship" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events),
+        |w AS (SELECT user_id, event_type,
+        |    last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase,
+        |    count(*) OVER (PARTITION BY user_id) AS n_events,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM e)
+        |SELECT user_id, event_type AS last_event, last_purchase,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM w WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "q238_linear_interp" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT d0 + CAST(unnest(generate_series(0, d1 - d0)) AS INT)
+        |            AS day FROM b),
+        |j AS (SELECT s.day, d.cents FROM spine s LEFT JOIN daily d USING (day)),
+        |w AS (SELECT day, cents,
+        |    last_value(cents IGNORE NULLS) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+        |    first_value(cents IGNORE NULLS) OVER (ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER (ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        |  FROM j)
+        |SELECT CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS day_n,
+        |  cents IS NOT NULL AS observed,
+        |  round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+        |    WHEN prev_c IS NULL THEN CAST(next_c AS DOUBLE)
+        |    WHEN next_c IS NULL THEN CAST(prev_c AS DOUBLE)
+        |    ELSE prev_c + (next_c - prev_c) * (day - prev_d) / (next_d - prev_d)
+        |  END / 100.0, 6) AS daily_value
+        |FROM w ORDER BY day_n""".stripMargin,
     "q235_join_hints" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty

@@ -42,7 +42,10 @@ class PartitionSweepSpec extends SparkSuite {
     "q227_twap", "q231_try_arith",
     // bigram ppm (pure int64 arithmetic) and quantile normalization
     // (IEEE-fixed interpolation over the partition-invariant global CDF)
-    "q233_bigram_familiarity", "q234_quantile_norm")
+    "q233_bigram_familiarity", "q234_quantile_norm",
+    // survivorship (IGNORE NULLS carry under pinned tie order) and
+    // linear interpolation (spine windows, int64-exact arithmetic)
+    "q237_survivorship", "q238_linear_interp")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
