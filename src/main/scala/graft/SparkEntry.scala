@@ -2758,6 +2758,69 @@ object SparkEntry {
         round(interp / 100.0, 6).as("daily_value")),
         "day_n")
     }),
+    "q239_skyline" -> ((s, dir) => {
+      // Pareto skyline (multi-objective non-dominated set — candidate
+      // pruning for any quality/cost trade-off): parts maximizing BOTH
+      // p_size and p_retailprice. Scale design: the staircase algorithm —
+      // per-size max-price prune FIRST (size has a bounded small-int
+      // domain, so this is the corpus→tiny reduction), then one running-max
+      // window over the ≤|domain| staircase rows, then a join back to
+      // recover ties. The oracle is the DEFINITION (NOT EXISTS dominator) —
+      // an independent quadratic formulation DuckDB can afford at sf; the
+      // two algorithms must agree exactly.
+      val p = t(s, dir, "part")
+      val m = p.groupBy("p_size").agg(max("p_retailprice").as("mp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("p_size").desc).rangeBetween(Long.MinValue, -1)
+      val sky = m.withColumn("m1", max("mp").over(w))
+        .filter(col("m1").isNull || col("mp") > col("m1"))
+        .select(col("p_size").as("sk_size"), col("mp"))
+      ord(p.join(sky, p("p_size") === sky("sk_size") &&
+          p("p_retailprice") === sky("mp"))
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice")),
+        "p_partkey")
+    }),
+    "q240_ab_lift" -> ((s, dir) => {
+      // A/B test readout (two-proportion pooled z): deterministic variant
+      // assignment by user-id parity (q78's split-assignment idea), exact
+      // integer user/conversion counts from one partial+final agg, and the
+      // z statistic as a FIXED IEEE expression tree over those ints —
+      // sqrt/divide are correctly-rounded ops, so both engines produce the
+      // identical double, rounded 6dp at the gate.
+      val ev = Engine.events(s, dir)
+      val perUser = ev.groupBy((col("user_id") % 2).as("variant"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      val g = perUser.groupBy()
+        .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
+      val p0 = col("c0").cast("double") / col("n0")
+      val p1 = col("c1").cast("double") / col("n1")
+      val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+      g.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round((p1 - p0) * 1000000.0, 0).cast("long").as("lift_ppm"),
+        round((p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6).as("z"))
+    }),
+    "q241_gini" -> ((s, dir) => {
+      // Token-share Gini coefficient (training-mixture inequality
+      // diagnostic, companion to q185's entropy and q213's budget mixer):
+      // G = 2·Σ i·xᵢ / (n·Σ xᵢ) − (n+1)/n over sources sorted by token
+      // count. Per-source totals are exact int64; the rank weights ride a
+      // window over the ≤|sources| aggregate rows (bounded state), and the
+      // final expression is a fixed IEEE tree rounded 6dp.
+      val d = t(s, dir, "documents")
+      val bySource = d.groupBy("source")
+        .agg(sum(TextFns.tokenCount(col("text")).cast("long")).as("toks"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("toks", "source")
+      val ranked = bySource.withColumn("i", row_number().over(w))
+      ranked.agg(count(lit(1)).as("n_sources"), sum("toks").as("total_tokens"),
+          sum(col("i") * col("toks")).as("s1"))
+        .select(col("n_sources"), col("total_tokens"),
+          round((lit(2.0) * col("s1")) / (col("n_sources") * col("total_tokens")) -
+            (col("n_sources") + lit(1.0)) / col("n_sources"), 6).as("gini"))
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4581,6 +4644,47 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q239_skyline" ->
+      """SELECT a.p_partkey, a.p_size, a.p_retailprice
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_size >= a.p_size AND b.p_retailprice >= a.p_retailprice
+        |    AND (b.p_size > a.p_size OR b.p_retailprice > a.p_retailprice))
+        |ORDER BY p_partkey""".stripMargin,
+    "q240_ab_lift" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 AS variant, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM pu)
+        |SELECT n0, c0, n1, c1,
+        |  CAST(round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0)
+        |    * 1000000.0, 0) AS BIGINT) AS lift_ppm,
+        |  round((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
+        |    sqrt((CAST(c0+c1 AS DOUBLE)/(n0+n1))
+        |      * (1.0 - CAST(c0+c1 AS DOUBLE)/(n0+n1))
+        |      * (1.0/n0 + 1.0/n1)), 6) AS z
+        |FROM g""".stripMargin,
+    "q241_gini" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CAST(sum(length(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, toks,
+        |        row_number() OVER (ORDER BY toks, source) AS i FROM s)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  round((2.0 * CAST(sum(i * toks) AS BIGINT))
+        |      / (count(*) * CAST(sum(toks) AS BIGINT))
+        |    - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM r""".stripMargin,
     "q237_survivorship" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN event_type = 'purchase' THEN value END AS pv FROM events),

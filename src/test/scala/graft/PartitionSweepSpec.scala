@@ -45,7 +45,10 @@ class PartitionSweepSpec extends SparkSuite {
     "q233_bigram_familiarity", "q234_quantile_norm",
     // survivorship (IGNORE NULLS carry under pinned tie order) and
     // linear interpolation (spine windows, int64-exact arithmetic)
-    "q237_survivorship", "q238_linear_interp")
+    "q237_survivorship", "q238_linear_interp",
+    // skyline (exact staircase), A/B z and Gini (fixed IEEE trees over
+    // exact int64 aggregates)
+    "q239_skyline", "q240_ab_lift", "q241_gini")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
