@@ -2629,28 +2629,9 @@ object SparkEntry {
       // is the BINNED range join (q82's operator), never a BNLJ; the only
       // unpartitioned window runs over distinct values, not rows.
       val d = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
-      val wv = org.apache.spark.sql.expressions.Window.orderBy("n_chars")
-      val dist = d.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
-        .select(col("n_chars").as("gval"),
-          (sum("cnt").over(wv) - col("cnt")).as("spos"),
-          (sum("cnt").over(wv) - 1).as("epos"))
-      val pr = percent_rank().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("n_chars"))
-      val scored = d.withColumn("pr", pr)
-        .crossJoin(broadcast(d.agg(count(lit(1)).as("n_tot"))))
-        .withColumn("h", col("pr") * (col("n_tot") - 1))
-        .withColumn("lo", floor(col("h")).cast("long"))
-        .withColumn("frac", col("h") - col("lo"))
-        .withColumn("hi", least(col("lo") + 1, col("n_tot") - 1))
-      val withLo = Joins.rangeJoin(scored, dist
-          .select(col("gval").as("v_lo"), col("spos"), col("epos")),
-        "lo", "spos", "epos", 64).drop("spos", "epos")
-      val withHi = Joins.rangeJoin(withLo, dist
-          .select(col("gval").as("v_hi"), col("spos"), col("epos")),
-        "hi", "spos", "epos", 64).drop("spos", "epos")
-      ord(withHi.select(col("doc_id"), col("source"), col("n_chars"),
-        round(col("v_lo").cast("double") +
-          col("frac") * (col("v_hi") - col("v_lo")).cast("double"), 6).as("norm")),
+      ord(Analytics.quantileNormalize(d, "source", "n_chars")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("norm"), 6).as("norm")),
         "doc_id")
     }),
     "q235_join_hints" -> ((s, dir) => {

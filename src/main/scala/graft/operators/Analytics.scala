@@ -16,6 +16,54 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Quantile normalization: map each row's `valueCol` to the GLOBAL
+    * distribution's interpolated value (quantile_cont semantics) at the
+    * row's percent_rank WITHIN its `groupCol` — after which every group's
+    * distribution is identical up to rank, the standard cross-source drift
+    * correction (microarray normalization, feature alignment).
+    *
+    * Scale design: the global CDF is carried as per-DISTINCT-VALUE position
+    * intervals (state bounded by value cardinality, the same trick as the
+    * scalable exact-median plan) — there is NO corpus-wide row_number; the
+    * only unpartitioned window runs over distinct values. The position →
+    * value lookup is the binned range join ([[Joins.rangeJoin]]), a plain
+    * hash join — never a BNLJ. The global row count rides in as a 1-row
+    * broadcast scalar.
+    *
+    * Determinism: percent_rank depends only on (group, value); h/frac/
+    * interpolation are fixed IEEE trees, so output is partition-invariant
+    * and engine-reproducible given exact inputs. Returns the input columns
+    * plus `norm` (double, unrounded — callers round at their gate).
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      binWidth: Double = 64): DataFrame = {
+    val v = col(valueCol)
+    val wv = Window.orderBy(valueCol)
+    val dist = df.groupBy(valueCol).agg(count(lit(1)).as("cnt"))
+      .select(v.as("gval"),
+        (sum("cnt").over(wv) - col("cnt")).as("spos"),
+        (sum("cnt").over(wv) - 1).as("epos"))
+    val pr = percent_rank().over(Window.partitionBy(groupCol).orderBy(valueCol))
+    val scored = df.withColumn("pr", pr)
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_tot"))))
+      .withColumn("h", col("pr") * (col("n_tot") - 1))
+      .withColumn("lo", floor(col("h")).cast("long"))
+      .withColumn("frac", col("h") - col("lo"))
+      .withColumn("hi", least(col("lo") + 1, col("n_tot") - 1))
+    val withLo = Joins.rangeJoin(scored,
+      dist.select(col("gval").as("v_lo"), col("spos"), col("epos")),
+      "lo", "spos", "epos", binWidth).drop("spos", "epos")
+    val withHi = Joins.rangeJoin(withLo,
+      dist.select(col("gval").as("v_hi"), col("spos"), col("epos")),
+      "hi", "spos", "epos", binWidth).drop("spos", "epos")
+    withHi.select(df.columns.map(col) :+
+      (col("v_lo").cast("double") +
+        col("frac") * (col("v_hi") - col("v_lo")).cast("double")).as("norm"): _*)
+  }
+
   /** Zero-extra-pass data profiling via `Dataset.observe`: the metric
     * aggregates are accumulated ON THE SIDE of whatever action the caller
     * drives over the returned frame (a write, a downstream join, …), so at

@@ -69,6 +69,46 @@ object ScaleProbe {
       println(f"SCALE cc nodes=$nNodes%7d edges=${nEdges + nNodes / 10}%7d  cc=${tCc}%6.1f s (components=$nComp)")
       edges.unpersist()
     }
+    // streamed Generator vs array-then-explode shingling at constant total
+    // window count but growing words-per-doc: both are linear in windows,
+    // but the array form materializes all W windows per row before explode
+    // (peak O(W·n) per row) while the generator holds one window — the
+    // probe shows the generator's wall time stays flat as per-doc size
+    // grows 64×, i.e. no per-row blowup to amortize.
+    if (want("generator")) for ((nDocs, wpd) <- Seq((2048L, 512), (256L, 4096), (32L, 32768))) {
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        split(array_join(transform(sequence(lit(0), lit(wpd - 1)),
+          i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(5000)))), " "),
+          " ").as("toks")).persist()
+      docs.count()
+      val (nGen, tGen) = time {
+        docs.selectExpr("doc_id", "graft_shingle_explode(toks, 3) AS (pos, shingle)")
+          .agg(count(lit(1)), max(length(col("shingle")))).head().getLong(0)
+      }
+      val (nArr, tArr) = time {
+        docs.select(col("doc_id"),
+            posexplode(graft.functions.Registry.wordShingles(col("toks"), 3)))
+          .agg(count(lit(1)), max(length(col("col")))).head().getLong(0)
+      }
+      require(nGen == nArr, s"generator/array window counts differ: $nGen vs $nArr")
+      println(f"SCALE generator docs=$nDocs%5d words/doc=$wpd%6d windows=$nGen%9d  gen=${tGen}%6.1f s  array=${tArr}%6.1f s")
+      docs.unpersist()
+    }
+    // quantile normalization: 4× rows per step; the global CDF state is
+    // value-cardinality-bounded (5000 distinct values throughout), so wall
+    // should track the row count (two shuffles + binned lookups), not n².
+    if (want("qnorm")) for (n <- Seq(200000L, 800000L, 3200000L)) {
+      val df = spark.range(n).select(col("id"),
+        concat(lit("s"), pmod(xxhash64(col("id"), lit(3)), lit(8))).as("grp"),
+        pmod(xxhash64(col("id"), lit(5)), lit(5000)).as("v")).persist()
+      df.count()
+      val (chk, t) = time {
+        graft.operators.Analytics.quantileNormalize(df, "grp", "v")
+          .agg(count(lit(1)), sum(floor(col("norm") * 100)).cast("long")).head().getLong(0)
+      }
+      println(f"SCALE qnorm rows=$n%8d  t=${t}%6.1f s (rows_out=$chk)")
+      df.unpersist()
+    }
     if (want("lsh")) for (n <- Seq(5000, 20000, 80000)) {
       val docs = corpus(spark, n).persist()
       val total = docs.count()
