@@ -2802,6 +2802,78 @@ object SparkEntry {
           round((lit(2.0) * col("s1")) / (col("n_sources") * col("total_tokens")) -
             (col("n_sources") + lit(1.0)) / col("n_sources"), 6).as("gini"))
     }),
+    "q242_calibration" -> ((s, dir) => {
+      // Model-calibration bins (the reliability diagram behind every ranker
+      // rollout): a deterministic synthetic score (multiplicative-hash of
+      // event_id — pure int64 arithmetic, reproducible in ANY engine; the
+      // testdata ships no model) binned into deciles, with exact per-bin
+      // counts, mean score in integer milli-units, and conversion rate in
+      // ppm. One partial+final agg; no FP until the gate-rounded ratios.
+      val ev = Engine.events(s, dir)
+      val milli = (col("event_id") * 2654435761L) % 1000
+      val b = ev.select(milli.as("score_milli"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+        .withColumn("bin", floor(col("score_milli") / 100).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("score_milli").as("sum_milli"),
+          sum("conv").as("n_conv"))
+      ord(b.selectExpr("bin", "n", "sum_milli div n AS mean_milli",
+        "n_conv", "n_conv * 1000000 div n AS conv_ppm"), "bin")
+    }),
+    "q243_trending" -> ((s, dir) => {
+      // Rank-movement trend detection (top-mover reports): per-brand revenue
+      // rank in 1997-H1 vs 1997-H2 and the rank delta. Revenue is the exact
+      // decimal-cents sum; ranks ride two windows over the BRAND aggregate
+      // (bounded key space), tie-broken by brand for determinism; the two
+      // halves come from ONE scan with conditional aggregation — not two
+      // passes over the fact table.
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val half = when(col("l_shipdate") < lit("1997-07-01").cast("date"), 0).otherwise(1)
+      val agg = li.filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+          col("l_shipdate") < lit("1998-01-01").cast("date"))
+        .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(when(half === 0, floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .otherwise(0L)).as("rev_a"),
+          sum(when(half === 1, floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+            .otherwise(0L)).as("rev_b"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev_a").desc, col("p_brand"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rev_b").desc, col("p_brand"))
+      ord(agg.withColumn("rank_a", row_number().over(wA))
+        .withColumn("rank_b", row_number().over(wB))
+        .select(col("p_brand"), col("rev_a"), col("rev_b"),
+          col("rank_a"), col("rank_b"),
+          (col("rank_a") - col("rank_b")).as("rank_gain")),
+        "p_brand")
+    }),
+    "q244_knn_classify" -> ((s, dir) => {
+      // k-NN classification eval (the third ML-eval op beside q236's recall
+      // and q242's calibration): 5-NN majority vote over the embedding
+      // space predicts each held-out query's label; ties break (count desc,
+      // label asc) — the only oracle-safe vote. The exact top-5 is q49's
+      // documented bounded brute force; at scale the same vote runs over
+      // IVF/LSH candidates instead (q75/q50 machinery). label comes from
+      // the embeddings table itself, so the oracle re-derives everything.
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 40 === 0)
+      val top5 = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      val labels = e.select(col("vec_id").as("neighbor_id"), col("label"))
+      val votes = top5.join(labels, "neighbor_id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      val wv = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label"))
+      val pred = votes.withColumn("rk", row_number().over(wv))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("label").as("pred_label"))
+      ord(pred.join(e.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          (col("true_label") === col("pred_label")).as("correct")),
+        "query_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4625,6 +4697,68 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q242_calibration" ->
+      """WITH e AS (SELECT (event_id * 2654435761) % 1000 AS score_milli,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        |  FROM events),
+        |b AS (SELECT CAST(floor(score_milli / 100) AS INT) AS bin,
+        |    count(*) AS n, sum(score_milli) AS sum_milli, sum(conv) AS n_conv
+        |  FROM e GROUP BY 1)
+        |SELECT bin, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_milli // n AS BIGINT) AS mean_milli,
+        |  CAST(n_conv AS BIGINT) AS n_conv,
+        |  CAST((n_conv * 1000000) // n AS BIGINT) AS conv_ppm
+        |FROM b ORDER BY bin""".stripMargin,
+    "q243_trending" ->
+      """WITH agg AS (
+        |  SELECT p_brand,
+        |    sum(CASE WHEN l_shipdate < DATE '1997-07-01'
+        |        THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS rev_a,
+        |    sum(CASE WHEN l_shipdate >= DATE '1997-07-01'
+        |        THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        ELSE 0 END) AS rev_b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  GROUP BY p_brand)
+        |SELECT p_brand, CAST(rev_a AS BIGINT) AS rev_a,
+        |  CAST(rev_b AS BIGINT) AS rev_b,
+        |  CAST(row_number() OVER (ORDER BY rev_a DESC, p_brand) AS INT) AS rank_a,
+        |  CAST(row_number() OVER (ORDER BY rev_b DESC, p_brand) AS INT) AS rank_b,
+        |  CAST(row_number() OVER (ORDER BY rev_a DESC, p_brand)
+        |     - row_number() OVER (ORDER BY rev_b DESC, p_brand) AS INT) AS rank_gain
+        |FROM agg ORDER BY p_brand""".stripMargin,
+    "q244_knn_classify" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding, label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), sims AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (q.nrm * n.nrm) AS cosine
+        |  FROM norms q JOIN norms n ON n.vec_id <> q.vec_id
+        |  WHERE q.vec_id % 40 = 0
+        |), top5 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |    FROM sims) WHERE rk <= 5
+        |), votes AS (
+        |  SELECT t.query_id, e.label, count(*) AS votes
+        |  FROM top5 t JOIN embeddings e ON e.vec_id = t.neighbor_id
+        |  GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT query_id, label AS pred_label FROM (
+        |    SELECT query_id, label, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY votes DESC, label) AS rk
+        |    FROM votes) WHERE rk = 1)
+        |SELECT p.query_id, e.label AS true_label, p.pred_label,
+        |  e.label = p.pred_label AS correct
+        |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+        |ORDER BY query_id""".stripMargin,
     "q239_skyline" ->
       """SELECT a.p_partkey, a.p_size, a.p_retailprice
         |FROM part a

@@ -48,7 +48,10 @@ class PartitionSweepSpec extends SparkSuite {
     "q237_survivorship", "q238_linear_interp",
     // skyline (exact staircase), A/B z and Gini (fixed IEEE trees over
     // exact int64 aggregates)
-    "q239_skyline", "q240_ab_lift", "q241_gini")
+    "q239_skyline", "q240_ab_lift", "q241_gini",
+    // calibration (pure int64) and trending (exact cents + bounded-set
+    // rank windows)
+    "q242_calibration", "q243_trending")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

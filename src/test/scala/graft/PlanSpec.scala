@@ -543,7 +543,10 @@ class PlanSpec extends SparkSuite {
       // broadcast scalars crossed onto the frame (the allowed shape);
       // q236's exact-recall reference is q49's documented bounded
       // brute-force (broadcast query slice), scored against the IVF path
-      "q233_bigram_familiarity", "q234_quantile_norm", "q236_ann_recall")
+      "q233_bigram_familiarity", "q234_quantile_norm", "q236_ann_recall",
+      // q244's exact top-5 reference is the same documented bounded
+      // brute-force slice as q49/q236
+      "q244_knn_classify")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
