@@ -170,6 +170,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(gotTies.toSeq == Seq((0, 4L), (1, 1L)))
   }
 
+  test("quantileNormalize: hand-computed interpolation, ties, single-row groups") {
+    // global sorted values [1,2,3,4]; A=[1,3], B=[2,4]. percent_rank within
+    // each group is {0, 1}; h = pr·3 ∈ {0, 3} → both groups map exactly to
+    // the global extremes [1, 4] — identical post-normalization, the op's
+    // defining property.
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 4L)).toDF("g", "v")
+    val got = Analytics.quantileNormalize(df, "g", "v")
+      .orderBy("g", "v").collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 1.0), ("a", 4.0), ("b", 1.0), ("b", 4.0)))
+
+    // interpolation mid-gap: A=[10,20,30] → pr {0, .5, 1}, h over the global
+    // sorted [5,10,20,30,40,45] (n=6): h=2.5 → between 20 and 30 → 25
+    val df2 = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 5L), ("b", 40L), ("c", 45L)).toDF("g", "v")
+    val mid = Analytics.quantileNormalize(df2, "g", "v")
+      .filter(col("g") === "a" && col("v") === 20L).head.getDouble(2)
+    assert(mid == 25.0, s"expected 25.0, got $mid")
+    // single-row group c → pr 0 → global minimum
+    val single = Analytics.quantileNormalize(df2, "g", "v")
+      .filter(col("g") === "c").head.getDouble(2)
+    assert(single == 5.0)
+
+    // ties within a group share percent_rank → identical normalized value
+    val df3 = Seq(("a", 7L), ("a", 7L), ("a", 9L), ("b", 1L)).toDF("g", "v")
+    val ties = Analytics.quantileNormalize(df3, "g", "v")
+      .filter(col("v") === 7L).collect().map(_.getDouble(2)).toSeq
+    assert(ties.distinct.size == 1)
+  }
+
   test("observed metrics piggyback on the frame's own action and match direct aggs") {
     val li = Engine.table(spark, sfDir, "lineitem")
     val (obsDf, fetch) = Analytics.observed(li,
