@@ -2874,6 +2874,41 @@ object SparkEntry {
           (col("true_label") === col("pred_label")).as("correct")),
         "query_id")
     }),
+    "q245_setops_all" -> ((s, dir) => {
+      // BAG-semantics set algebra (duplicate-preserving intersectAll /
+      // exceptAll — the multiset complement of q38's distinct set ops):
+      // multiplicities matter (intersect keeps min(count), except keeps
+      // count_L − count_R), which is what dataset-diff tooling actually
+      // needs when rows legitimately repeat. Catalyst plans both as a
+      // count-compare aggregate + generate — one shuffle, no join blow-up.
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_linenumber") === 1)
+        .select(col("l_quantity").cast("long").as("q"))
+      val b = li.filter(col("l_linenumber") === 2)
+        .select(col("l_quantity").cast("long").as("q"))
+      val i = a.intersectAll(b).groupBy("q").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect_all"))
+      val e = a.exceptAll(b).groupBy("q").agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+      ord(i.unionAll(e), "op", "q")
+    }),
+    "q246_percentile_disc" -> ((s, dir) => {
+      // SQL-standard PERCENTILE_DISC / PERCENTILE_CONT ... WITHIN GROUP
+      // (ordered-set aggregates — the inverse-distribution surface): disc
+      // returns an ACTUAL data value (smallest with cume_dist ≥ p), cont
+      // interpolates. The oracle re-derives disc from its cume_dist
+      // DEFINITION in a window (DuckDB's quantile_disc uses a different
+      // boundary rule, so mirroring the definition — not the builtin — is
+      // the correct gate) and cont via quantile_cont, which does match.
+      t(s, dir, "lineitem").createOrReplaceTempView("li_pd")
+      s.sql(
+        """SELECT l_returnflag,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1_disc,
+          |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS q90_disc,
+          |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med_cont,
+          |  count(*) AS n
+          |FROM li_pd GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4697,6 +4732,37 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q245_setops_all" ->
+      """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+        |           WHERE l_linenumber = 1),
+        |b AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+        |      WHERE l_linenumber = 2),
+        |i AS (SELECT q FROM a INTERSECT ALL SELECT q FROM b),
+        |e AS (SELECT q FROM a EXCEPT ALL SELECT q FROM b)
+        |SELECT q, CAST(count(*) AS BIGINT) AS n, 'intersect_all' AS op
+        |FROM i GROUP BY q
+        |UNION ALL
+        |SELECT q, CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+        |FROM e GROUP BY q
+        |ORDER BY op, q""".stripMargin,
+    "q246_percentile_disc" ->
+      """WITH cd AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+        |  FROM lineitem),
+        |disc AS (
+        |  SELECT l_returnflag,
+        |    min(CASE WHEN cd >= 0.25 THEN l_quantity END) AS q1_disc,
+        |    min(CASE WHEN cd >= 0.9 THEN l_quantity END) AS q90_disc
+        |  FROM cd GROUP BY l_returnflag),
+        |cont AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_quantity, 0.5) AS med_cont, count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT d.l_returnflag, d.q1_disc, d.q90_disc, c.med_cont,
+        |  CAST(c.n AS BIGINT) AS n
+        |FROM disc d JOIN cont c USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "q242_calibration" ->
       """WITH e AS (SELECT (event_id * 2654435761) % 1000 AS score_milli,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv

@@ -51,7 +51,10 @@ class PartitionSweepSpec extends SparkSuite {
     "q239_skyline", "q240_ab_lift", "q241_gini",
     // calibration (pure int64) and trending (exact cents + bounded-set
     // rank windows)
-    "q242_calibration", "q243_trending")
+    "q242_calibration", "q243_trending",
+    // bag set ops (exact multiplicities) and ordered-set aggregates
+    // (exact quantities per group)
+    "q245_setops_all", "q246_percentile_disc")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
