@@ -2909,6 +2909,63 @@ object SparkEntry {
           |  count(*) AS n
           |FROM li_pd GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
+    "q247_bfs_distance" -> ((s, dir) => {
+      // Single-source BFS (operators/Graph.bfsDistances — completes the
+      // graph family beside CC/PageRank/triangles): hop distances from the
+      // minimum part id over q222's co-purchase graph, ≤ 8 hops. One
+      // frontier-join shuffle per hop, frontier-only (not whole-table)
+      // expansion, early stop on an empty round. Oracle: DuckDB's bounded
+      // recursive walk takes min depth per node — independent algorithm,
+      // identical distances.
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
+        .distinct().persist()
+      // source = the max-degree hub (tie-break min id): lands in the giant
+      // component, so the gate exercises multi-hop frontiers, not a islet
+      val deg = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val source = deg.orderBy(col("deg").desc, col("id")).limit(1)
+        .head().getLong(0)
+      ord(Graph.bfsDistances(pairs, "id_a", "id_b", source, maxDepth = 8),
+        "id")
+    }),
+    "q248_mask" -> ((s, dir) => {
+      // Data-governance masking (the column-redaction view a warehouse
+      // applies before export — structured sibling of q86's free-text PII
+      // redaction): mask() maps upper→X, lower→x, digit→n, preserving
+      // format without leaking content. Row-local codegen'd; the oracle
+      // re-derives the masking rule as regexp chains.
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 500)
+      ord(p.select(col("p_partkey"), mask(col("p_name")).as("masked_name"),
+        mask(concat(col("p_brand"), lit("#"), col("p_partkey").cast("string")))
+          .as("masked_ref")),
+        "p_partkey")
+    }),
+    "q249_pattern_match" -> ((s, dir) => {
+      // Behavioral sequence-pattern matching (MATCH_RECOGNIZE-style funnel
+      // regex without the operator): each user's event history collapses to
+      // an initials string in (ts, event_id) order — the q165 deterministic
+      // string_agg shape — and regex predicates classify journeys (direct
+      // click→purchase, error-before-first-purchase, never-converted). The
+      // per-user string is bounded by the user's history; flags are
+      // row-local regexes on it.
+      val ev = Engine.events(s, dir)
+      val path0 = ev.groupBy("user_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")))),
+          x => x.getField("c")), "").as("path"))
+      ord(path0.select(col("user_id"), length(col("path")).as("n_events"),
+          col("path").rlike("cp").as("direct_conversion"),
+          col("path").rlike("^[^p]*e[^p]*p").as("error_then_convert"),
+          (!col("path").rlike("p")).as("never_converted")),
+        "user_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4732,6 +4789,44 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q247_bfs_distance" ->
+      """WITH RECURSIVE
+        |sel AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 97 = 0),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS id_a, b.l_partkey AS id_b
+        |  FROM sel a JOIN sel b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |s AS (SELECT src AS sid FROM edges
+        |      GROUP BY src ORDER BY count(*) DESC, src LIMIT 1),
+        |walk(node, d) AS (
+        |  SELECT sid, 0 FROM s
+        |  UNION
+        |  SELECT e.dst, walk.d + 1 FROM walk JOIN edges e ON e.src = walk.node
+        |  WHERE walk.d < 8)
+        |SELECT node AS id, CAST(min(d) AS INT) AS d FROM walk
+        |GROUP BY node ORDER BY id""".stripMargin,
+    "q248_mask" ->
+      """SELECT p_partkey,
+        |  regexp_replace(regexp_replace(regexp_replace(p_name,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS masked_name,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    concat(p_brand, '#', CAST(p_partkey AS VARCHAR)),
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS masked_ref
+        |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin,
+    "q249_pattern_match" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(path) AS INT) AS n_events,
+        |  regexp_matches(path, 'cp') AS direct_conversion,
+        |  regexp_matches(path, '^[^p]*e[^p]*p') AS error_then_convert,
+        |  NOT regexp_matches(path, 'p') AS never_converted
+        |FROM p ORDER BY user_id""".stripMargin,
     "q245_setops_all" ->
       """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
         |           WHERE l_linenumber = 1),

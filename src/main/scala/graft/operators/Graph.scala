@@ -62,4 +62,42 @@ object Graph {
     e.unpersist(); deg.unpersist(); nodes.unpersist()
     ranks
   }
+
+  /** Single-source BFS distances over an undirected edge list, up to
+    * `maxDepth` hops. The classic frontier expansion: each round joins the
+    * CURRENT frontier (nodes first reached last round — not the whole
+    * distance table) onto the edge list, one hash shuffle per hop; newly
+    * reached nodes get depth d (their true BFS minimum, since every
+    * shallower node was already in the table). Lineage is cut per round
+    * with an eager localCheckpoint; the loop stops early when a round
+    * discovers nothing (all further rounds are then empty too).
+    * Unreachable nodes are absent from the result.
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      source: Long,
+      maxDepth: Int): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val e = fwd.union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0)).toDF("id", "d").localCheckpoint(true)
+    var frontier = dist
+    var depth = 0
+    while (depth < maxDepth && frontier.limit(1).count() > 0) {
+      depth += 1
+      val next = frontier.join(e, frontier("id") === e("u"))
+        .select(col("v").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("d", lit(depth))
+        .localCheckpoint(true)
+      dist = dist.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    e.unpersist()
+    dist
+  }
 }

@@ -54,7 +54,10 @@ class PartitionSweepSpec extends SparkSuite {
     "q242_calibration", "q243_trending",
     // bag set ops (exact multiplicities) and ordered-set aggregates
     // (exact quantities per group)
-    "q245_setops_all", "q246_percentile_disc")
+    "q245_setops_all", "q246_percentile_disc",
+    // BFS (deterministic frontier expansion), masking (row-local), and
+    // journey regexes (pinned string_agg order)
+    "q247_bfs_distance", "q248_mask", "q249_pattern_match")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
