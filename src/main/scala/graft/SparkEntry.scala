@@ -2966,6 +2966,26 @@ object SparkEntry {
           (!col("path").rlike("p")).as("never_converted")),
         "user_id")
     }),
+    "q250_bootstrap_ci" -> ((s, dir) => {
+      // Hash-bootstrap (statistics at scale, RNG-free): 100 deterministic
+      // resamples of mean(l_quantity), each row's per-replicate weight ∈
+      // {0,1,2} from a portable integer hash of (orderkey, linenumber, b)
+      // — mean 1, the Poisson-bootstrap approximation, reproducible in any
+      // engine with plain int64 arithmetic (every intermediate < 2^63, no
+      // wrap needed). Shape: one row-local ×100 explode (NOT a cartesian
+      // join) + one partial+final agg by replicate — the distribution of
+      // the mean from a single pass; CI extraction is a trivial rank
+      // filter downstream. All outputs exact int64.
+      val li = t(s, dir, "lineitem")
+      val h1 = (col("l_orderkey") * 1000003 + col("l_linenumber")) % 1000000007L
+      ord(li.select(h1.as("h1"), col("l_quantity").cast("long").as("x"))
+        .withColumn("b", explode(sequence(lit(1), lit(100))))
+        .withColumn("w", (col("h1") * 2654435761L + col("b") * 97003) % 3)
+        .groupBy("b")
+        .agg(sum(col("w") * col("x")).as("num"), sum("w").as("den"))
+        .selectExpr("b", "den", "num * 1000 div den AS mean_milli"),
+        "b")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4789,6 +4809,19 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q250_bootstrap_ci" ->
+      """WITH r AS (
+        |  SELECT (l_orderkey * 1000003 + l_linenumber) % 1000000007 AS h1,
+        |    CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem),
+        |e AS (SELECT h1, x, unnest(generate_series(1, 100)) AS b FROM r),
+        |a AS (SELECT CAST(b AS INT) AS b,
+        |    sum(((h1 * 2654435761 + b * 97003) % 3) * x) AS num,
+        |    sum((h1 * 2654435761 + b * 97003) % 3) AS den
+        |  FROM e GROUP BY 1)
+        |SELECT b, CAST(den AS BIGINT) AS den,
+        |  CAST((num * 1000) // den AS BIGINT) AS mean_milli
+        |FROM a ORDER BY b""".stripMargin,
     "q247_bfs_distance" ->
       """WITH RECURSIVE
         |sel AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 97 = 0),

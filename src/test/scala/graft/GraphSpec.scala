@@ -34,4 +34,18 @@ class GraphSpec extends SparkSuite {
       .agg(sum("r")).head().getDouble(0)
     assert(math.abs(r3 - 1.0) < 1e-9)
   }
+
+  test("bfsDistances: chain + branch distances, depth cap, unreachable absent") {
+    import spark.implicits._
+    // 1-2-3-4-5 chain, 2-6 branch, 8-9 disconnected
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 6L), (8L, 9L))
+      .toDF("a", "b")
+    val got = Graph.bfsDistances(edges, "a", "b", source = 1L, maxDepth = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 6L -> 2, 4L -> 3, 5L -> 4))
+    // depth cap truncates the frontier; undirected: works from the far end
+    val capped = Graph.bfsDistances(edges, "a", "b", source = 5L, maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(5L -> 0, 4L -> 1, 3L -> 2))
+  }
 }

@@ -57,7 +57,9 @@ class PartitionSweepSpec extends SparkSuite {
     "q245_setops_all", "q246_percentile_disc",
     // BFS (deterministic frontier expansion), masking (row-local), and
     // journey regexes (pinned string_agg order)
-    "q247_bfs_distance", "q248_mask", "q249_pattern_match")
+    "q247_bfs_distance", "q248_mask", "q249_pattern_match",
+    // bootstrap replicates are pure int64 hash arithmetic
+    "q250_bootstrap_ci")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
