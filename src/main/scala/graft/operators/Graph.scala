@@ -45,17 +45,23 @@ object Graph {
         .join(deg, "src")
         .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
         .groupBy("id").agg(sum(col("c")).as("c"))
-      val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0.0))).head().getDouble(0)
+      // dangling mass rides as a 1-ROW BROADCAST inside the update plan
+      // (the q200/q233 scalar shape) instead of a per-iteration .head()
+      // collect — ONE Spark action per iteration (the checkpoint) instead
+      // of two, and the identical IEEE expression tree (dang/n is still a
+      // double divide), so ranks are bit-unchanged.
+      val danglingDf = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0.0)).as("dang"))
       prev = ranks
       // localCheckpoint (eager) rather than persist+count: it MATERIALIZES
       // the vector AND truncates lineage, so the plan stays one iteration
       // deep at any iteration count (persist alone leaves the logical tree
       // growing per iteration — a stack/planning hazard at iters ≫ 10).
       ranks = nodes.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(danglingDf))
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("r"))
+            (coalesce(col("c"), lit(0.0)) + col("dang") / n)).as("r"))
         .localCheckpoint(true)
       prev.unpersist()
     }

@@ -545,8 +545,9 @@ class PlanSpec extends SparkSuite {
       // brute-force (broadcast query slice), scored against the IVF path
       "q233_bigram_familiarity", "q234_quantile_norm", "q236_ann_recall",
       // q244's exact top-5 reference is the same documented bounded
-      // brute-force slice as q49/q236
-      "q244_knn_classify")
+      // brute-force slice as q49/q236; q163's dangling mass is a 1-row
+      // broadcast scalar inside the power-iteration update
+      "q244_knn_classify", "q163_pagerank")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
