@@ -109,6 +109,19 @@ object ScaleProbe {
       println(f"SCALE qnorm rows=$n%8d  t=${t}%6.1f s (rows_out=$chk)")
       df.unpersist()
     }
+    // BFS: 4× edges per step over the chain-worst-case graph; per-hop cost
+    // is one frontier-join shuffle, so wall tracks (hops × shuffle cost),
+    // with the frontier — not the full distance table — driving each join.
+    if (want("bfs")) for ((nNodes, nEdges) <- Seq((50000L, 25000L), (200000L, 100000L), (800000L, 400000L))) {
+      val edges = graph(spark, nNodes, nEdges).persist()
+      edges.count()
+      val (reached, tBfs) = time {
+        graft.operators.Graph.bfsDistances(edges, "a", "b", source = 0L, maxDepth = 8)
+          .count()
+      }
+      println(f"SCALE bfs nodes=$nNodes%7d edges=${nEdges + nNodes / 10}%7d  bfs8=${tBfs}%6.1f s (reached=$reached)")
+      edges.unpersist()
+    }
     if (want("lsh")) for (n <- Seq(5000, 20000, 80000)) {
       val docs = corpus(spark, n).persist()
       val total = docs.count()
