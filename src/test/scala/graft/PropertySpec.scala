@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Graph, Joins}
+
+/** Property-based differential tests: core operators vs naive in-memory
+  * models on scalacheck-generated inputs (fixed seeds — deterministic runs).
+  * The DuckDB oracle gates each op on the real tables; these close the gap
+  * on adversarial shapes the testdata never produces (duplicate timestamps,
+  * empty keys, degenerate intervals, self-loops, disconnected forests).
+  */
+class PropertySpec extends SparkSuite {
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("asofJoin backward matches the naive model on random inputs") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0, 3)
+      t <- Gen.choose(0L, 20L)
+      v <- Gen.choose(0, 99)
+    } yield (k, t, v)
+    for (round <- 0 until 5) {
+      val lRows = samples(rowGen, 40, 1000 * round).map { case (k, t, _) => (k, t) }
+      val rRows = samples(rowGen, 30, 7000 * round + 13)
+      val l = lRows.toDF("k", "lt")
+      val r = rRows.toDF("k", "rt", "v")
+      val got = Joins.asofJoin(l, r, Seq("k"), "lt", "rt", Seq("v"),
+          how = "left", tieBreak = Seq("v"))
+        .collect()
+        .map(x => (x.getInt(0), x.getLong(1),
+          if (x.isNullAt(2)) None else Some(x.getInt(2)))).toSeq.sorted
+      // naive: per left row, the right row with max rt <= lt; ties on rt
+      // resolved by the (rt, v) order the tieBreak pins (largest v wins
+      // under `last` over ascending order)
+      val expect = lRows.map { case (k, lt) =>
+        val cand = rRows.filter(rr => rr._1 == k && rr._2 <= lt)
+        val best = if (cand.isEmpty) None
+          else Some(cand.maxBy(rr => (rr._2, rr._3))._3)
+        (k, lt, best)
+      }.sorted
+      assert(got == expect, s"round $round mismatch")
+    }
+  }
+
+  test("rangeJoin matches the naive point-in-interval join on random inputs") {
+    import spark.implicits._
+    val ptGen = Gen.choose(0L, 100L)
+    val ivGen = for {
+      lo <- Gen.choose(0L, 100L)
+      len <- Gen.choose(-5L, 20L) // includes empty (lo > hi) intervals
+    } yield (lo, lo + len)
+    for (round <- 0 until 5) {
+      val pts = samples(ptGen, 50, 31 * round).zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }
+      val ivs = samples(ivGen, 25, 77 * round + 5).zipWithIndex
+        .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+      val l = pts.toDF("pid", "p")
+      val r = ivs.toDF("iid", "lo", "hi")
+      val got = Joins.rangeJoin(l, r, "p", "lo", "hi", binWidth = 8)
+        .select("pid", "iid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      val expect = (for {
+        (pid, p) <- pts
+        (iid, lo, hi) <- ivs
+        if p >= lo && p <= hi
+      } yield (pid, iid)).sorted
+      assert(got == expect, s"round $round mismatch")
+    }
+  }
+
+  test("connectedComponents matches union-find on random graphs with self-loops") {
+    import spark.implicits._
+    val edgeGen = for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L)
+    } yield (a, b) // includes self-loops (filtered by the op) and dups
+    for (round <- 0 until 5) {
+      val edges = samples(edgeGen, 35, 500 * round + 3)
+      val got = graft.llm.Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // union-find model
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = nodes.map(x => x -> find(x)).toMap
+      // canonicalize both labelings to min-of-component
+      def canon(m: Map[Long, Long]): Map[Long, Long] = {
+        val byComp = m.groupBy(_._2).map { case (_, kv) => (kv.keys.min, kv.keys.toSet) }
+        byComp.flatMap { case (mn, ids) => ids.map(_ -> mn) }
+      }
+      assert(canon(got) == canon(expect), s"round $round mismatch")
+    }
+  }
+
+  test("quantileNormalize is rank-preserving and bounded by the global extremes") {
+    import spark.implicits._
+    val vGen = Gen.choose(0L, 50L)
+    for (round <- 0 until 3) {
+      val rows = samples(vGen, 60, 90 * round + 7).zipWithIndex
+        .map { case (v, i) => (s"g${i % 4}", v, i.toLong) }
+      val df = rows.toDF("g", "v", "id")
+      val out = graft.operators.Analytics.quantileNormalize(df, "g", "v")
+        .select("g", "v", "norm").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val (mn, mx) = (rows.map(_._2).min.toDouble, rows.map(_._2).max.toDouble)
+      assert(out.forall(o => o._3 >= mn && o._3 <= mx))
+      // within a group, larger v never maps to a smaller normalized value
+      out.groupBy(_._1).foreach { case (_, g) =>
+        val sorted = g.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 <= b._3, s"rank inversion in $sorted")
+          case _ =>
+        }
+      }
+    }
+  }
+}
