@@ -21,6 +21,48 @@ case class SessState(start: Long, end: Long, n: Long, nextId: Long)
 case class RtEvent(user_id: Long, event_id: Long, value: Double)
 case class RtOut(user_id: Long, event_id: Long, running_cents: Long)
 
+/** Input/output/state rows for the streaming TWAP processor (top-level for
+  * Catalyst encoder codegen). State is the user's LAST seen sample — one
+  * (epoch-micros, cents) pair, bounded regardless of stream length.
+  */
+case class TwEvent(user_id: Long, event_id: Long, us: Long, value: Double)
+case class TwState(us: Long, qv: Long)
+case class TwOut(user_id: Long, event_id: Long, gap_s: Long, w_cents: Long)
+
+/** Streaming TWAP intervals: each arriving event CLOSES the interval opened
+  * by the user's previous event, emitting (Δt seconds, prev-value·Δt) in
+  * exact integers — downstream Σw/Σgap is the time-weighted average (the
+  * live face of q227). Rows within a micro-batch fold in (us, event_id)
+  * order, so any batch slicing that respects event-time order reproduces
+  * the batch lag-window twin exactly.
+  */
+class TwapProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwEvent, TwOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var last: ValueState[TwState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[TwState]("last", Encoders.product[TwState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[TwEvent],
+      timerValues: TimerValues): Iterator[TwOut] = {
+    var st = if (last.exists()) Option(last.get()) else None
+    val out = rows.toArray.sortBy(e => (e.us, e.event_id)).flatMap { e =>
+      val qv = math.floor(e.value * 100 + 0.5).toLong
+      val emitted = st.map { p =>
+        val gapS = math.floorDiv(e.us - p.us, 1000000L)
+        TwOut(key, e.event_id, gapS, p.qv * gapS)
+      }
+      st = Some(TwState(e.us, qv))
+      emitted
+    }
+    st.foreach(last.update)
+    out.iterator
+  }
+}
+
 /** `StatefulProcessor` keeping one ValueState[Long] per user: the lifetime
   * total in integer cents. Rows within a micro-batch are folded in event_id
   * order, so any batch slicing that respects event_id order reproduces the
@@ -397,6 +439,43 @@ object Events {
       .transformWithState(new RunningTotalProcessor,
         TimeMode.None(), OutputMode.Append())
       .toDF()
+  }
+
+  /** Streaming TWAP intervals via [[TwapProcessor]] (transformWithState,
+    * RocksDB provider required — set by the caller like
+    * [[runningTotalsStream]]). Each event closes its predecessor's interval;
+    * Σ w_cents / Σ gap_s downstream is the live time-weighted average, and
+    * the per-interval rows equal [[twapBatch]] exactly (integer arithmetic,
+    * event-time fold order).
+    */
+  def twapStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value")).as[TwEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TwapProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Batch twin of [[twapStream]]: one lag window per user in (ts, event_id)
+    * order — the q227 TWAP decomposition attributed to the closing event.
+    */
+  def twapBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("qv"))
+      .select(col("user_id"), col("event_id"),
+        floor((col("us") - lag(col("us"), 1).over(w)) / 1000000.0)
+          .cast("long").as("gap_s"),
+        lag(col("qv"), 1).over(w).as("prev_qv"))
+      .filter(col("gap_s").isNotNull)
+      .select(col("user_id"), col("event_id"), col("gap_s"),
+        (col("prev_qv") * col("gap_s")).as("w_cents"))
   }
 
   /** Batch twin of [[runningTotalsStream]]: a cumulative window sum over the
