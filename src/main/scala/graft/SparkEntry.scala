@@ -2990,6 +2990,55 @@ object SparkEntry {
         .selectExpr("b", "den", "num * 1000 div den AS mean_milli"),
         "b")
     }),
+    "q251_temporal_dim_join" -> ((s, dir) => {
+      // Temporal dimension lookup — the standard SCD2 warehouse read path
+      // (q188 builds the history; this consumes it): each purchase joins to
+      // the user's context segment (latest non-purchase activity) ACTIVE AT
+      // its timestamp. Because SCD2 segments partition the timeline per
+      // key, the point-in-interval lookup IS a backward as-of join — one
+      // shuffle via the q76 carry, with NO interval explosion (the naive
+      // rangeJoin would replicate open-ended segments across every time
+      // bin). Same-µs change ties collapse to the last change (max
+      // event_id), matching the oracle's zero-length-interval exclusion.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Engine.events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val seg = ev.filter(col("event_type") =!= "purchase")
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .groupBy(col("user_id"), col("ts_us").as("from_us"))
+        .agg(max_by(col("event_type"), col("event_id")).as("context"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val joined = Joins.asofJoin(facts, seg, Seq("user_id"),
+        "ts_us", "from_us", Seq("context"), how = "inner")
+      ord(joined.groupBy("context")
+        .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents")),
+        "context")
+    }),
+    "q252_dup_rate_by_source" -> ((s, dir) => {
+      // Provenance near-dup contamination matrix — the NEAR-dup complement
+      // of q214's exact-digest overlap report: confirmed ≥0.8
+      // trigram-Jaccard pairs (q46's LSH regime, banding recall ~1)
+      // attributed to their (source, source) pair — which corpora duplicate
+      // into which, the report that decides mixture weights before
+      // training. Pairs come from the banded LSH candidate join + exact
+      // verification (never all-pairs); sources ride in via two joins on
+      // doc id.
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.nearDuplicates(d, "doc_id", "text",
+        threshold = 0.8, bands = 16, rowsPerBand = 2)
+      val src = d.select(col("doc_id"), col("source"))
+      val withSrc = pairs
+        .join(src.withColumnsRenamed(Map("doc_id" -> "id_a", "source" -> "src_a")), "id_a")
+        .join(src.withColumnsRenamed(Map("doc_id" -> "id_b", "source" -> "src_b")), "id_b")
+      ord(withSrc.select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs")),
+        "source_a", "source_b")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4813,6 +4862,52 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q252_dup_rate_by_source" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, length(toks)-2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS tri
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |        FROM documents)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(length(list_intersect(a.tri, b.tri)) AS DOUBLE) /
+        |    length(list_distinct(list_concat(a.tri, b.tri))) >= 0.8
+        |), ps AS (
+        |  SELECT least(da.source, db.source) AS source_a,
+        |    greatest(da.source, db.source) AS source_b
+        |  FROM pairs
+        |  JOIN documents da ON da.doc_id = pairs.id_a
+        |  JOIN documents db ON db.doc_id = pairs.id_b)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM ps GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q251_temporal_dim_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts_us, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |seg AS (
+        |  SELECT user_id, event_type AS context, ts_us AS from_us,
+        |    coalesce(lead(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id), 253402300799000000) AS to_us
+        |  FROM chg WHERE prev IS NULL OR prev <> event_type),
+        |f AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM ev WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT s.context, f.cents FROM f JOIN seg s
+        |    ON f.user_id = s.user_id
+        |   AND f.ts_us >= s.from_us AND f.ts_us < s.to_us)
+        |SELECT context, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM j GROUP BY context ORDER BY context""".stripMargin,
     "q250_bootstrap_ci" ->
       """WITH r AS (
         |  SELECT (l_orderkey * 1000003 + l_linenumber) % 1000000007 AS h1,

@@ -59,7 +59,10 @@ class PartitionSweepSpec extends SparkSuite {
     // journey regexes (pinned string_agg order)
     "q247_bfs_distance", "q248_mask", "q249_pattern_match",
     // bootstrap replicates are pure int64 hash arithmetic
-    "q250_bootstrap_ci")
+    "q250_bootstrap_ci",
+    // SCD2 as-of lookup (deterministic carry under pinned tie order) and
+    // the source contamination matrix (exact verified pair set)
+    "q251_temporal_dim_join", "q252_dup_rate_by_source")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
