@@ -3039,6 +3039,29 @@ object SparkEntry {
         .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs")),
         "source_a", "source_b")
     }),
+    "q253_time_to_convert" -> ((s, dir) => {
+      // Time-to-convert distribution (the latency metric behind q145's
+      // funnel counts): per user, seconds from first signup to the first
+      // subsequent purchase; summarized as exact interpolated quantiles
+      // (the q83 percentile surface over int64 deltas) + exact bounds.
+      // Two partial+final aggs and one co-keyed join — no window over raw
+      // events needed since only the per-user minima matter.
+      val ev = Engine.events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("us").as("su_us"))
+      val deltas = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("us") >= col("su_us"))
+        .groupBy("user_id")
+        .agg(floor((min(col("us") - col("su_us"))) / 1000000.0)
+          .cast("long").as("secs"))
+      deltas.agg(count(lit(1)).as("n_converted"),
+        min("secs").as("min_s"),
+        round(percentile(col("secs"), lit(0.5)), 4).as("median_s"),
+        round(percentile(col("secs"), lit(0.9)), 4).as("p90_s"),
+        max("secs").as("max_s"))
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4862,6 +4885,24 @@ object SparkEntry {
         |SELECT lang, pos,
         |  CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS c
         |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+    "q253_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |su AS (
+        |  SELECT user_id, min(us) AS su_us FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |d AS (
+        |  SELECT ev.user_id,
+        |    CAST(floor(min(us - su_us) / 1000000.0) AS BIGINT) AS secs
+        |  FROM ev JOIN su USING (user_id)
+        |  WHERE event_type = 'purchase' AND us >= su_us
+        |  GROUP BY ev.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  min(secs) AS min_s,
+        |  round(quantile_cont(secs, 0.5), 4) AS median_s,
+        |  round(quantile_cont(secs, 0.9), 4) AS p90_s,
+        |  max(secs) AS max_s
+        |FROM d""".stripMargin,
     "q252_dup_rate_by_source" ->
       """WITH sh AS (
         |  SELECT doc_id,
