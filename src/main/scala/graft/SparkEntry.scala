@@ -3062,6 +3062,25 @@ object SparkEntry {
         round(percentile(col("secs"), lit(0.9)), 4).as("p90_s"),
         max("secs").as("max_s"))
     }),
+    "q254_asof_exec" -> ((s, dir) => {
+      // as-of join as a FIRST-CLASS PHYSICAL OPERATOR (AsOfJoinNode →
+      // AsOfJoinStrategy → AsOfMergeJoinExec, injected through
+      // SparkSessionExtensions — SURVEY §7.2 preference (c), the one
+      // extension mechanism the composed forms can't demonstrate):
+      // left-outer backward-inclusive as-of; each click takes the latest
+      // preceding purchase of its user, clicks with no prior purchase kept
+      // with a null value. One exchange per side (EnsureRequirements
+      // plans them), O(1) merge state per partition — contrast with q76's
+      // window-composed plan of the same semantics.
+      val ev = Engine.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("p_value"))
+      val joined = graft.plans.AsOfMergeJoin.join(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("p_value"), how = "left")
+      ord(joined.withColumn("ts", unix_micros(col("ts"))), "event_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4903,6 +4922,18 @@ object SparkEntry {
         |  round(quantile_cont(secs, 0.9), 4) AS p90_s,
         |  max(secs) AS max_s
         |FROM d""".stripMargin,
+    "q254_asof_exec" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT c.user_id, epoch_us(c.ts) AS ts, c.event_id, p.p_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY event_id""".stripMargin,
     "q252_dup_rate_by_source" ->
       """WITH sh AS (
         |  SELECT doc_id,

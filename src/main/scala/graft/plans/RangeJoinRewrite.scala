@@ -136,6 +136,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   * into the operator-optimization batch.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }

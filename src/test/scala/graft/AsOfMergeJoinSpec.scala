@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.operators.Joins
+import graft.plans.{AsOfMergeJoin, AsOfMergeJoinExec}
+
+/** The custom physical as-of join (AsOfJoinNode → AsOfJoinStrategy →
+  * AsOfMergeJoinExec): semantics identical to the window-composed
+  * Joins.asofJoin (backward inclusive), plan shape asserted (one exchange
+  * per side, no union/window machinery).
+  */
+class AsOfMergeJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  // trades/quotes shape: duplicate times, keys missing on either side
+  private lazy val trades = Seq(
+    (1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 20L, "t2b"), (1L, 5L, "t0"),
+    (2L, 15L, "t3"), (3L, 7L, "t4"))
+    .toDF("k", "t", "trade")
+  private lazy val quotes = Seq(
+    (1L, 8L, 100.0), (1L, 20L, 101.0), (1L, 20L, 102.0), (1L, 25L, 103.0),
+    (2L, 16L, 200.0), (4L, 1L, 400.0))
+    .toDF("k", "t", "px")
+
+  test("backward inclusive, last same-time right row wins; inner drops unmatched") {
+    val got = AsOfMergeJoin.join(trades, quotes, Seq("k"), "t", "t", Seq("px"))
+    assertSameRows(got, Seq(
+      Seq(1L, 10L, "t1", 100.0),
+      Seq(1L, 20L, "t2", 102.0), // equal time matches, later sort row wins
+      Seq(1L, 20L, "t2b", 102.0)))
+    // t0 (before first quote), k=2 t=15 (quote at 16), k=3 (no quotes) dropped
+  }
+
+  test("left outer keeps unmatched left rows with null values") {
+    val got = AsOfMergeJoin.join(trades, quotes, Seq("k"), "t", "t", Seq("px"), how = "left")
+    assertSameRows(got, Seq(
+      Seq(1L, 5L, "t0", null),
+      Seq(1L, 10L, "t1", 100.0),
+      Seq(1L, 20L, "t2", 102.0),
+      Seq(1L, 20L, "t2b", 102.0),
+      Seq(2L, 15L, "t3", null),
+      Seq(3L, 7L, "t4", null)))
+  }
+
+  test("empty right side: inner empty, left all-null") {
+    val noQuotes = quotes.filter(col("k") < 0)
+    assert(AsOfMergeJoin.join(trades, noQuotes, Seq("k"), "t", "t", Seq("px")).count() == 0)
+    assert(AsOfMergeJoin.join(trades, noQuotes, Seq("k"), "t", "t", Seq("px"), how = "left")
+      .filter(col("px").isNull).count() == trades.count())
+  }
+
+  test("null keys group together (window-partition semantics)") {
+    val l = Seq((Option.empty[Long], 10L, "x"), (Some(1L), 10L, "y")).toDF("k", "t", "trade")
+    val r = Seq((Option.empty[Long], 5L, 1.0), (Some(1L), 6L, 2.0)).toDF("k", "t", "px")
+    val got = AsOfMergeJoin.join(l, r, Seq("k"), "t", "t", Seq("px"))
+    assertSameRows(got, Seq(Seq(null, 10L, "x", 1.0), Seq(1L, 10L, "y", 2.0)))
+  }
+
+  test("matches the window-composed asofJoin on the events table") {
+    val ev = Engine.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("p_value"))
+    for (how <- Seq("inner", "left")) {
+      val viaExec = AsOfMergeJoin.join(
+        clicks, purchases, Seq("user_id"), "ts", "ts", Seq("p_value"), how)
+      val viaWindow = Joins.asofJoin(
+        clicks, purchases, Seq("user_id"), "ts", "ts", Seq("p_value"), how)
+      // both orderings of the same key set
+      assert(viaExec.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaExec).isEmpty,
+        s"asof exec != window form for how=$how")
+    }
+  }
+
+  test("plan: AsOfMergeJoinExec with exactly one exchange per side, pruned right scan") {
+    val ev = Engine.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    val joined = AsOfMergeJoin.join(
+      clicks, purchases, Seq("user_id"), "ts", "ts", Seq("value"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), s"expected AsOfMergeJoinExec in:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected two exchanges (one per side) in:\n$plan")
+    assert(!plan.contains("Window"), s"no window machinery expected in:\n$plan")
+    // declared output ordering: a downstream per-key window over the same
+    // (key, time) order must not re-exchange — one extra sort at most
+    val downstream = joined.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")))
+    val dPlan = downstream.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(dPlan).size == 2,
+      s"downstream window must reuse the join's partitioning:\n$dPlan")
+  }
+}
