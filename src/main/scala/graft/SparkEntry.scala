@@ -3081,6 +3081,198 @@ object SparkEntry {
         Seq("user_id"), "ts", "ts", Seq("p_value"), how = "left")
       ord(joined.withColumn("ts", unix_micros(col("ts"))), "event_id")
     }),
+    "q255_max_drawdown" -> ((s, dir) => {
+      // maximum drawdown of the daily-revenue series: running peak via a
+      // cumulative window over the bounded DAY domain (q162/q200 style —
+      // never a window over raw event rows), drawdown = peak − today.
+      // The standard health/risk readout for any metric time series;
+      // integer cents end-to-end.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Engine.events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day_n"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("rev_cents"))
+      val w = Window.orderBy("day_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord(daily.withColumn("peak_cents", max(col("rev_cents")).over(w))
+        .withColumn("drawdown_cents", col("peak_cents") - col("rev_cents")),
+        "day_n")
+    }),
+    "q256_auc" -> ((s, dir) => {
+      // exact ROC AUC via the Mann-Whitney rank-sum — in its scale-safe
+      // form: ranks are NEVER materialized per row; collapse to DISTINCT
+      // score values (the q162/q234 bounded-domain trick), mid-ranks from
+      // the cumulative count, and 2·R⁺ stays integer so the AUC is exact
+      // rational until the final display division. Classifier = "is
+      // English", score = n_chars (ties exist → exercises tie mid-ranks).
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents").select(
+        (col("lang") === "en").cast("long").as("y"), col("n_chars").as("score"))
+      val byScore = d.groupBy("score")
+        .agg(count(lit(1)).as("nt"), sum("y").as("np"))
+      val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+      val mid = byScore
+        .withColumn("cb", coalesce(sum(col("nt")).over(w), lit(0L)))
+      mid.agg(sum("np").as("n_pos"), sum(col("nt") - col("np")).as("n_neg"),
+          sum(col("np") * (col("cb") * 2 + col("nt") + 1)).as("two_r_pos"))
+        .select(col("n_pos"), col("n_neg"), col("two_r_pos"),
+          round((col("two_r_pos") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (col("n_pos") * col("n_neg") * 2.0), 6).as("auc"))
+    }),
+    "q257_log2_histogram" -> ((s, dir) => {
+      // exponential (power-of-2) histogram + quantiles-from-buckets — the
+      // DDSketch shape with a bucket rule that is integer-exact in any
+      // engine: bucket = floor(log2(cents))+1 computed as the BINARY DIGIT
+      // COUNT, never libm log. O(#buckets ≤ 64) state however large the
+      // table; the p50/p95 markers come from cumulative counts alone.
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val b = o.groupBy(length(bin(col("cents"))).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val wc = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = b.withColumn("cum", sum(col("n")).over(wc))
+        .withColumn("total", sum(col("n")).over(wAll))
+      ord(cum.select(col("bucket"),
+        pow(lit(2.0), col("bucket") - 1).cast("long").as("lo_cents"),
+        col("n"), col("cum"),
+        (col("cum") * 2 >= col("total") &&
+          (col("cum") - col("n")) * 2 < col("total")).as("is_p50"),
+        (col("cum") * 20 >= col("total") * 19 &&
+          (col("cum") - col("n")) * 20 < col("total") * 19).as("is_p95")),
+        "bucket")
+    }),
+    "q258_count_min" -> ((s, dir) => {
+      // count-min sketch: d=4 universal-family rows ((aᵢ·h+bᵢ) mod P mod w,
+      // h = the portable token hash DuckDB re-derives) × w=256 buckets.
+      // The sketch is ONE grouped agg over 4 exploded cells per distinct
+      // token — O(d·w) state total; point estimates = min over rows,
+      // gated against the exact counts (estimate ≥ exact always; equality
+      // when no collision). The fixed-memory frequency primitive for
+      // unbounded vocabularies.
+      val d = t(s, dir, "documents")
+      val P = 2147483647L
+      val params = Seq((1L, 0L), (31L, 7L), (131L, 17L), (65599L, 29L))
+      def buckets(h: Column): Column = array(params.map { case (a, b) =>
+        pmod(pmod(lit(a) * h + lit(b), lit(P)), lit(256L)) }: _*)
+      val tokCounts = d
+        .select(explode(TextFns.portableTokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("bks", buckets(graft.functions.Registry.tokenHash(col("tok"))))
+      val cells = tokCounts
+        .select(col("cnt"), posexplode(col("bks")).as(Seq("row_i", "bucket")))
+        .groupBy("row_i", "bucket").agg(sum("cnt").as("cell"))
+      val probes = tokCounts
+        .filter(col("tok").isin("the", "data", "spark", "slow", "vector"))
+        .select(col("tok"), col("cnt"),
+          posexplode(col("bks")).as(Seq("row_i", "bucket")))
+      ord(probes.join(cells, Seq("row_i", "bucket"))
+        .groupBy("tok").agg(max("cnt").as("exact_n"), min("cell").as("cm_estimate")),
+        "tok")
+    }),
+    "q259_pmi" -> ((s, dir) => {
+      // pointwise mutual information over adjacent-token pairs (collocation
+      // mining — the association complement of q193's conditional stats):
+      // assoc = P(w1,w2)/(P(w1)·P(w2)) = c12·N/(c1·c2), kept EXACT as an
+      // integer per-million (int64 is safe through ~1e12 bigrams at these
+      // magnitudes; decimal(38,0) is the swap beyond). Marginals come from
+      // the bigram table itself, N is a 1-row broadcast scalar (allowlisted
+      // shape), top-20 with full tiebreak is a TakeOrderedAndProject.
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "w1")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = toks.withColumn("w2", lead("w1", 1).over(w))
+        .filter(col("w2").isNotNull)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = big.groupBy("w1").agg(sum("c12").as("c1"))
+      val c2 = big.groupBy("w2").agg(sum("c12").as("c2"))
+      val n = big.agg(sum("c12").as("n_total"))
+      big.join(c1, "w1").join(c2, "w2").crossJoin(broadcast(n))
+        .filter(col("c12") >= 5)
+        .withColumn("assoc_ppm", expr("(c12 * 1000000 * n_total) div (c1 * c2)"))
+        .select("w1", "w2", "c12", "assoc_ppm")
+        .orderBy(col("assoc_ppm").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    }),
+    "q260_weighted_median" -> ((s, dir) => {
+      // weighted median (quantity-weighted price per return flag), exact:
+      // collapse to DISTINCT price points first (bounded state, the
+      // q19/q162 plan family), cumulative-weight window, first point where
+      // 2·cumw ≥ W. The estimator behind sample-weighted curation stats.
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("rf"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_c"),
+        col("l_quantity").cast("long").as("qty"))
+      val byPrice = li.groupBy("rf", "price_c").agg(sum("qty").as("w"))
+      val wc = Window.partitionBy("rf").orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byPrice.withColumn("cumw", sum(col("w")).over(wc))
+      val tot = byPrice.groupBy("rf").agg(sum("w").as("total_w"))
+      ord(cum.join(tot, "rf").filter(col("cumw") * 2 >= col("total_w"))
+        .groupBy("rf").agg(min("price_c").as("wmedian_cents"),
+          max("total_w").as("total_w")), "rf")
+    }),
+    "q261_vocab_build" -> ((s, dir) => {
+      // tokenizer-vocabulary build: distinct token → dense contiguous id in
+      // sorted order (withRowIndex's count-pass range partitioning — no
+      // single-reducer global sort) + document frequency. The dictionary-
+      // encoding step every tokenizer/feature pipeline runs before training.
+      val d = t(s, dir, "documents")
+      val df0 = d.select(col("doc_id"),
+          explode(TextFns.portableTokens(col("text"))).as("tok"))
+        .distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      ord(RowOps.withRowIndex(df0, "token_id", Seq(col("tok")), offset = 0)
+        .select("tok", "token_id", "df"), "tok")
+    }),
+    "q262_inverted_index" -> ((s, dir) => {
+      // inverted-index posting lists (the index-build sibling of the q92
+      // BM25 scorer): per token, document frequency + the first 10 postings
+      // comma-joined in sorted order. The per-token cap is a ranking window
+      // (WindowGroupLimit partial top-k map-side), the list itself
+      // sort_array'd so the output is partitioning-independent.
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id"),
+          explode(TextFns.portableTokens(col("text"))).as("tok"))
+        .distinct()
+      val wr = Window.partitionBy("tok").orderBy("doc_id")
+      ord(pairs.withColumn("rn", row_number().over(wr))
+        .groupBy("tok").agg(count(lit(1)).as("df"),
+          concat_ws(",",
+            sort_array(collect_list(when(col("rn") <= 10, col("doc_id")))))
+            .as("postings")), "tok")
+    }),
+    "q263_ndcg_eval" -> ((s, dir) => {
+      // NDCG@5 ranking eval (completes the ML-eval family: q236 recall,
+      // q240 A/B, q242 calibration, q244 k-NN): graded relevance from
+      // purchase value, "model" ranking = recency; DCG over the top-5 of
+      // both orderings via two row_number windows on ONE user shuffle.
+      // pow/log2 are the only FP — O(1) magnitudes, round(6) far above ulp.
+      import org.apache.spark.sql.expressions.Window
+      val p = Engine.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          least(lit(4L), floor(col("value") / 75).cast("long")).as("rel"))
+      val wRec = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wIdeal = Window.partitionBy("user_id")
+        .orderBy(col("rel").desc, col("event_id").desc)
+      val gain = pow(lit(2.0), col("rel")) - 1
+      val scored = p.withColumn("i", row_number().over(wRec))
+        .withColumn("j", row_number().over(wIdeal))
+        .groupBy("user_id").agg(
+          sum(when(col("i") <= 5, gain / log2(col("i") + 1))).as("dcg"),
+          sum(when(col("j") <= 5, gain / log2(col("j") + 1))).as("idcg"),
+          count(lit(1)).as("n_buys"))
+      ord(scored.filter(col("idcg") > 0)
+        .select(col("user_id"), col("n_buys"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg5")),
+        "user_id")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -4934,6 +5126,146 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY event_id""".stripMargin,
+    "q255_max_drawdown" ->
+      """WITH d AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT day_n, rev_cents,
+        |  max(rev_cents) OVER w AS peak_cents,
+        |  max(rev_cents) OVER w - rev_cents AS drawdown_cents
+        |FROM d
+        |WINDOW w AS (ORDER BY day_n ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY day_n""".stripMargin,
+    "q256_auc" ->
+      """WITH s AS (
+        |  SELECT n_chars AS score, count(*) AS nt,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+        |  FROM documents GROUP BY 1),
+        |m AS (
+        |  SELECT np, nt,
+        |    coalesce(sum(nt) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM s)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nt - np) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * (cb * 2 + nt + 1)) AS BIGINT) AS two_r_pos,
+        |  round(CAST(sum(np * (cb * 2 + nt + 1)) - sum(np) * (sum(np) + 1) AS DOUBLE) /
+        |    (CAST(sum(np) AS DOUBLE) * sum(nt - np) * 2.0), 6) AS auc
+        |FROM m""".stripMargin,
+    "q257_log2_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(length(bin(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))) AS INT) AS bucket,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, CAST(n AS BIGINT) AS n,
+        |    CAST(sum(n) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER () AS BIGINT) AS total
+        |  FROM b)
+        |SELECT bucket, CAST(power(2, bucket - 1) AS BIGINT) AS lo_cents, n, cum,
+        |  cum * 2 >= total AND (cum - n) * 2 < total AS is_p50,
+        |  cum * 20 >= total * 19 AND (cum - n) * 20 < total * 19 AS is_p95
+        |FROM c ORDER BY bucket""".stripMargin,
+    "q258_count_min" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |h AS (SELECT tok, cnt,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 131 + c) % 2147483647) AS h0 FROM tc),
+        |e AS (SELECT tok, cnt, p.row_i,
+        |    ((p.a * h0 + p.b) % 2147483647) % 256 AS bucket
+        |  FROM h CROSS JOIN (VALUES (0, 1, 0), (1, 31, 7), (2, 131, 17),
+        |    (3, 65599, 29)) AS p(row_i, a, b)),
+        |cells AS (SELECT row_i, bucket, sum(cnt) AS cell FROM e GROUP BY 1, 2)
+        |SELECT e.tok, CAST(max(e.cnt) AS BIGINT) AS exact_n,
+        |  CAST(min(cells.cell) AS BIGINT) AS cm_estimate
+        |FROM e JOIN cells USING (row_i, bucket)
+        |WHERE e.tok IN ('the', 'data', 'spark', 'slow', 'vector')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q259_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.pos AS pos, u.token AS w1 FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, length(tk)),
+        |      i -> {'pos': i - 1, 'token': tk[i]})) AS u
+        |    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |          FROM documents))),
+        |pairs AS (
+        |  SELECT w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM toks),
+        |big AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM pairs WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |m AS (
+        |  SELECT w1, w2, c12,
+        |    CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+        |    CAST(sum(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2,
+        |    CAST(sum(c12) OVER () AS BIGINT) AS n_total
+        |  FROM big)
+        |SELECT w1, w2, c12,
+        |  CAST((c12 * 1000000 * n_total) // (c1 * c2) AS BIGINT) AS assoc_ppm
+        |FROM m WHERE c12 >= 5
+        |ORDER BY assoc_ppm DESC, w1, w2
+        |LIMIT 20""".stripMargin,
+    "q260_weighted_median" ->
+      """WITH p AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT rf, price_c, w,
+        |    CAST(sum(w) OVER (PARTITION BY rf ORDER BY price_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+        |    CAST(sum(w) OVER (PARTITION BY rf) AS BIGINT) AS total_w
+        |  FROM p)
+        |SELECT rf, min(price_c) AS wmedian_cents, max(total_w) AS total_w
+        |FROM c WHERE cumw * 2 >= total_w GROUP BY rf ORDER BY rf""".stripMargin,
+    "q261_vocab_build" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+        |    FROM documents)),
+        |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY tok)
+        |SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS token_id, df
+        |FROM v ORDER BY tok""".stripMargin,
+    "q262_inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS tok
+        |    FROM documents)),
+        |r AS (SELECT tok, doc_id,
+        |    row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        |  FROM td)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |  string_agg(CASE WHEN rn <= 10 THEN CAST(doc_id AS VARCHAR) END, ','
+        |    ORDER BY doc_id) AS postings
+        |FROM r GROUP BY tok ORDER BY tok""".stripMargin,
+    "q263_ndcg_eval" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts,
+        |    least(4, CAST(floor(value / 75) AS BIGINT)) AS rel
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, rel,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS i,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY rel DESC, event_id DESC) AS j
+        |  FROM p),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN i <= 5 THEN (power(2, rel) - 1) / log2(i + 1) END) AS dcg,
+        |    sum(CASE WHEN j <= 5 THEN (power(2, rel) - 1) / log2(j + 1) END) AS idcg,
+        |    CAST(count(*) AS BIGINT) AS n_buys
+        |  FROM r GROUP BY user_id)
+        |SELECT user_id, n_buys, round(dcg / idcg, 6) AS ndcg5
+        |FROM s WHERE idcg > 0 ORDER BY user_id""".stripMargin,
     "q252_dup_rate_by_source" ->
       """WITH sh AS (
         |  SELECT doc_id,

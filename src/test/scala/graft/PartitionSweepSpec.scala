@@ -62,7 +62,14 @@ class PartitionSweepSpec extends SparkSuite {
     "q250_bootstrap_ci",
     // SCD2 as-of lookup (deterministic carry under pinned tie order) and
     // the source contamination matrix (exact verified pair set)
-    "q251_temporal_dim_join", "q252_dup_rate_by_source")
+    "q251_temporal_dim_join", "q252_dup_rate_by_source",
+    // round-10: the custom physical as-of join (must be invariant to the
+    // incoming partitioning — EnsureRequirements re-clusters it), plus the
+    // sketch/eval family (integer-exact or rounded far above FP jitter)
+    "q254_asof_exec", "q255_max_drawdown", "q256_auc",
+    "q257_log2_histogram", "q258_count_min", "q259_pmi",
+    "q260_weighted_median", "q261_vocab_build", "q262_inverted_index",
+    "q263_ndcg_eval")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

@@ -547,7 +547,10 @@ class PlanSpec extends SparkSuite {
       // q244's exact top-5 reference is the same documented bounded
       // brute-force slice as q49/q236; q163's dangling mass is a 1-row
       // broadcast scalar inside the power-iteration update
-      "q244_knn_classify", "q163_pagerank")
+      "q244_knn_classify", "q163_pagerank",
+      // round-10: q259's bigram total N is a 1-row broadcast scalar
+      // crossed onto the PMI frame (the allowed shape)
+      "q259_pmi")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
