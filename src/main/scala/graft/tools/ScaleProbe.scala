@@ -259,6 +259,29 @@ object ScaleProbe {
       println(f"SCALE asof rows=${2 * n}%8d hotshare=0.5  plain=${tPlain}%6.1f s  bucketed=${tBuck}%6.1f s (rows out=$nPlain)")
       l.unpersist(); r.unpersist()
     }
+    // custom-exec as-of vs the window-composed plan, uniform keys: the
+    // merge exec shuffles each side separately (no union widening, no
+    // window frame materialization) — wall should track or beat the window
+    // form and both must agree exactly. Hot-key behavior is the same bound
+    // for both (one task scans the hot key's rows); asofJoinBucketed stays
+    // the skew answer.
+    if (want("asofexec")) for (n <- Seq(1000000, 2000000, 4000000)) {
+      def side(rows: Int, payload: String) = spark.range(rows).select(
+        concat(lit("k"), pmod(xxhash64(col("id")), lit(100000))).as("k"),
+        pmod(xxhash64(col("id"), lit(7)), lit(100000000L)).as("t"),
+        col("id").as(payload))
+      val l = side(n, "lid").persist(); val r = side(n, "rv").persist()
+      l.count(); r.count()
+      val (nWin, tWin) = time {
+        graft.operators.Joins.asofJoin(l, r, Seq("k"), "t", "t", Seq("rv")).count()
+      }
+      val (nExec, tExec) = time {
+        graft.plans.AsOfMergeJoin.join(l, r, Seq("k"), "t", "t", Seq("rv")).count()
+      }
+      require(nWin == nExec, s"asofexec probe mismatch: $nWin vs $nExec")
+      println(f"SCALE asofexec rows=${2 * n}%8d keys=100k  window=${tWin}%6.1f s  mergeExec=${tExec}%6.1f s (rows out=$nExec)")
+      l.unpersist(); r.unpersist()
+    }
     // IVF nlist scaling: cost must grow ~linearly in nlist (one centroid-
     // matrix literal scored per row), with no codegen failure at nlist=1024.
     // The pre-r5 per-centroid-literal form blew up the expression tree past
