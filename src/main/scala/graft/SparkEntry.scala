@@ -39,6 +39,7 @@ private[graft] object OracleAux {
   @volatile var q164Codes: Option[Seq[(Long, Seq[Int])]] = None // (vec_id, PQ codes)
   @volatile var q164Books: Option[Seq[Seq[Seq[Double]]]] = None // m × k × subdim
   @volatile var q236Ivf: Option[Seq[(Long, Long)]] = None // (query_id, IVF top-5 neighbor)
+  @volatile var q264Est: Option[(Long, Long)] = None // (n_shards, merged HLL estimate)
 }
 
 object SparkEntry {
@@ -3272,6 +3273,31 @@ object SparkEntry {
         .select(col("user_id"), col("n_buys"),
           round(col("dcg") / col("idcg"), 6).as("ndcg5")),
         "user_id")
+    }),
+    "q264_hll_merge" -> ((s, dir) => { // (oracle generated dynamically)
+      // sketch MERGEABILITY — the 100 TB distinct-count pattern: per-shard
+      // Datasketches HLL sketches (hll_sketch_agg), binary-merged with
+      // hll_union_agg into one global estimate. Shards never re-scan; a
+      // rollup moves O(shards · ~1.5 KB) sketch bytes, not rows — the
+      // associative complement of q221's exact map-merge and q148's
+      // HLL-join estimate. The estimate is engine-specific, so it rides to
+      // the oracle via the q45-style stash: DuckDB independently recomputes
+      // the EXACT distinct and the ±2% acceptance arithmetic against it
+      // (default lgConfigK=12 ⇒ ~0.8% standard error). collect = 1 row.
+      val o = t(s, dir, "orders")
+      val shards = o.groupBy(pmod(col("o_custkey"), lit(16L)).as("shard"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val row = shards.agg(count(lit(1)).as("n_shards"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(broadcast(o.agg(
+          countDistinct(col("o_custkey")).as("exact_n"))))
+        .select(col("n_shards"), col("est"), col("exact_n"),
+          (abs(col("est") - col("exact_n")).cast("double") <=
+            col("exact_n") * 0.02).as("within_2pct"))
+      val r0 = row.collect()(0)
+      OracleAux.q264Est = Some((r0.getLong(r0.fieldIndex("n_shards")),
+        r0.getLong(r0.fieldIndex("est"))))
+      row
     }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
@@ -7159,6 +7185,17 @@ object SparkEntry {
            |LEFT JOIN hits h ON h.query_id = q.vec_id
            |ORDER BY query_id""".stripMargin
     }
-    (q45.toSeq ++ q50.toSeq ++ q142.toSeq ++ q164.toSeq ++ q236.toSeq).toMap
+    val q264 = OracleAux.q264Est.map { case (nShards, est) =>
+      "q264_hll_merge" ->
+        s"""WITH e AS (SELECT CAST($nShards AS BIGINT) AS n_shards,
+           |  CAST($est AS BIGINT) AS est),
+           |x AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_n
+           |      FROM orders)
+           |SELECT n_shards, est, exact_n,
+           |  CAST(abs(est - exact_n) AS DOUBLE) <= exact_n * 0.02 AS within_2pct
+           |FROM e, x""".stripMargin
+    }
+    (q45.toSeq ++ q50.toSeq ++ q142.toSeq ++ q164.toSeq ++ q236.toSeq ++
+      q264.toSeq).toMap
   }
 }

@@ -548,9 +548,9 @@ class PlanSpec extends SparkSuite {
       // brute-force slice as q49/q236; q163's dangling mass is a 1-row
       // broadcast scalar inside the power-iteration update
       "q244_knn_classify", "q163_pagerank",
-      // round-10: q259's bigram total N is a 1-row broadcast scalar
-      // crossed onto the PMI frame (the allowed shape)
-      "q259_pmi")
+      // round-10: q259's bigram total N and q264's exact-count reference
+      // are 1-row broadcast scalars crossed onto the frame (allowed shape)
+      "q259_pmi", "q264_hll_merge")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
