@@ -47,6 +47,35 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("AsOfMergeJoin exec matches the naive model on random inputs") {
+    import spark.implicits._
+    import graft.plans.AsOfMergeJoin
+    val rowGen = for {
+      k <- Gen.choose(0, 3)
+      t <- Gen.choose(0L, 20L)
+      v <- Gen.choose(0, 99)
+    } yield (k, t, v)
+    for (round <- 0 until 5) {
+      val lRows = samples(rowGen, 40, 2000 * round).map { case (k, t, _) => (k, t) }
+      // unique (k, rt): the exec's equal-time winner is sort-order-dependent
+      // (the window form pins it via tieBreak); q254 dedupes the same way
+      val rRows = samples(rowGen, 30, 9000 * round + 41)
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val l = lRows.toDF("k", "lt")
+      val r = rRows.toDF("k", "rt", "v")
+      val got = AsOfMergeJoin.join(l, r, Seq("k"), "lt", "rt", Seq("v"), how = "left")
+        .collect()
+        .map(x => (x.getInt(0), x.getLong(1),
+          if (x.isNullAt(2)) None else Some(x.getInt(2)))).toSeq.sorted
+      val expect = lRows.map { case (k, lt) =>
+        val cand = rRows.filter(rr => rr._1 == k && rr._2 <= lt)
+        val best = if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3)
+        (k, lt, best)
+      }.sorted
+      assert(got == expect, s"round $round mismatch")
+    }
+  }
+
   test("rangeJoin matches the naive point-in-interval join on random inputs") {
     import spark.implicits._
     val ptGen = Gen.choose(0L, 100L)
