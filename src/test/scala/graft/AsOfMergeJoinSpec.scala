@@ -97,4 +97,39 @@ class AsOfMergeJoinSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(dPlan).size == 2,
       s"downstream window must reuse the join's partitioning:\n$dPlan")
   }
+
+  test("bucketed co-located sides: the exec plans with ZERO exchanges") {
+    // both sides bucketed on the join key: the scans' HashPartitioning
+    // satisfies the exec's ClusteredDistribution, so EnsureRequirements
+    // inserts no exchange at all — the co-located as-of join a 100 TB
+    // trades/quotes layout would pre-bucket for (only the local per-bucket
+    // sort remains)
+    val ev = Engine.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "value")
+    val pDedup = purchases.groupBy("user_id", "ts").agg(max("value").as("value"))
+    try {
+      graft.sources.IO.writeBucketed(clicks, "graft_asof_clicks",
+        buckets = 8, bucketCols = Seq("user_id"), sortCols = Seq("user_id", "ts"))
+      graft.sources.IO.writeBucketed(pDedup, "graft_asof_purchases",
+        buckets = 8, bucketCols = Seq("user_id"), sortCols = Seq("user_id", "ts"))
+      val joined = AsOfMergeJoin.join(
+        spark.table("graft_asof_clicks"), spark.table("graft_asof_purchases"),
+        Seq("user_id"), "ts", "ts", Seq("value"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfMergeJoin"), s"expected the exec in:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed sides must not exchange:\n$plan")
+      // and the co-located plan still produces the window-composed answer
+      val viaWindow = graft.operators.Joins.asofJoin(
+        clicks, pDedup, Seq("user_id"), "ts", "ts", Seq("value"))
+      assert(joined.count() > 0)
+      assert(joined.exceptAll(viaWindow).isEmpty &&
+        viaWindow.exceptAll(joined).isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_asof_clicks")
+      spark.sql("DROP TABLE IF EXISTS graft_asof_purchases")
+    }
+  }
 }
