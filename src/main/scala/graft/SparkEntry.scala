@@ -3299,6 +3299,77 @@ object SparkEntry {
         r0.getLong(r0.fieldIndex("est"))))
       row
     }),
+    "q265_chi_square" -> ((s, dir) => {
+      // chi-square test of independence + Cramér's V over a contingency
+      // table (status × priority) — the categorical-association member of
+      // the stats family (q240 z, q106 corr, q185 entropy). ONE grouped
+      // count builds the table; marginals/total are windows over the
+      // bounded cell set (≤ |R|·|C| rows), so nothing re-scans the fact
+      // table. Counts exact; the χ² sum is O(cells) FP terms, rounded 6dp.
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+      val cells = o.groupBy("st", "pr").agg(count(lit(1)).as("obs"))
+      val m = cells
+        .withColumn("r", sum("obs").over(Window.partitionBy("st")))
+        .withColumn("c", sum("obs").over(Window.partitionBy("pr")))
+        .withColumn("n", sum("obs").over(Window.partitionBy()))
+      val e = col("r").cast("double") * col("c") / col("n")
+      m.agg(max("n").as("n"),
+          countDistinct("st").as("r_levels"),
+          countDistinct("pr").as("c_levels"),
+          sum(pow(col("obs") - e, 2) / e).as("chi2_raw"))
+        .select(col("n"), col("r_levels"), col("c_levels"),
+          ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+          round(col("chi2_raw"), 6).as("chi2"),
+          round(sqrt(col("chi2_raw") / (col("n") *
+            least(col("r_levels") - 1, col("c_levels") - 1))), 6).as("cramers_v"))
+    }),
+    "q266_rolling_corr" -> ((s, dir) => {
+      // trailing 7-day Pearson correlation between daily click volume and
+      // daily revenue — from EXACT integer moment sums (Sx, Sy, Sxx, Syy,
+      // Sxy as int64 over the 7-row frame), so the only FP is the final
+      // fixed expression tree, rounded 6dp. The rolling co-movement
+      // diagnostic beside q153's rolling z-score; bounded day domain.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Engine.events(s, dir)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day_n"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("y"))
+      val w = Window.orderBy("day_n").rowsBetween(-6, 0)
+      val mo = daily
+        .withColumn("nn", count(lit(1)).over(w))
+        .withColumn("sx", sum("x").over(w)).withColumn("sy", sum("y").over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      val varx = col("nn") * col("sxx") - col("sx") * col("sx")
+      val vary = col("nn") * col("syy") - col("sy") * col("sy")
+      val cov = col("nn") * col("sxy") - col("sx") * col("sy")
+      ord(mo.select(col("day_n"), col("nn"),
+        when(col("nn") >= 2 && varx > 0 && vary > 0,
+          round(cov.cast("double") /
+            sqrt(varx.cast("double") * vary.cast("double")), 6)).as("corr7")),
+        "day_n")
+    }),
+    "q267_exact_k_sample" -> ((s, dir) => {
+      // exactly-k-per-group deterministic sample (the fixed-quota
+      // complement of q87's fraction-based stratified sample): rank each
+      // language's docs by a portable multiplicative hash (pseudo-random,
+      // reproducible in any engine, partitioning-independent) and keep the
+      // first 20 — WindowGroupLimit caps map-side, so no group ever
+      // materializes fully.
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .withColumn("hk", (col("doc_id") * 2654435761L) % 1000000007L)
+      val wr = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      ord(d.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn").cast("long").as("rn"), col("doc_id")),
+        "lang", "rn")
+    }),
     "q173_term_map" -> ((s, dir) => {
       // MapType end-to-end: per-document term-frequency MAP built with
       // map_from_entries over one grouped pass, probed with element_at and
@@ -5292,6 +5363,64 @@ object SparkEntry {
         |  FROM r GROUP BY user_id)
         |SELECT user_id, n_buys, round(dcg / idcg, 6) AS ndcg5
         |FROM s WHERE idcg > 0 ORDER BY user_id""".stripMargin,
+    "q265_chi_square" ->
+      """WITH cells AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pr, count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT obs,
+        |    sum(obs) OVER (PARTITION BY st) AS r,
+        |    sum(obs) OVER (PARTITION BY pr) AS c,
+        |    sum(obs) OVER () AS n,
+        |    st, pr
+        |  FROM cells),
+        |a AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT st) AS BIGINT) AS r_levels,
+        |    CAST(count(DISTINCT pr) AS BIGINT) AS c_levels,
+        |    sum(power(obs - CAST(r AS DOUBLE) * c / n, 2) /
+        |      (CAST(r AS DOUBLE) * c / n)) AS chi2_raw
+        |  FROM m)
+        |SELECT n, r_levels, c_levels,
+        |  (r_levels - 1) * (c_levels - 1) AS dof,
+        |  round(chi2_raw, 6) AS chi2,
+        |  round(sqrt(chi2_raw / (n * least(r_levels - 1, c_levels - 1))), 6)
+        |    AS cramers_v
+        |FROM a""".stripMargin,
+    "q266_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_n,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |mo AS (
+        |  SELECT day_n,
+        |    CAST(count(*) OVER w AS BIGINT) AS nn,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day_n ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT day_n, nn,
+        |  CASE WHEN nn >= 2 AND nn * sxx - sx * sx > 0 AND nn * syy - sy * sy > 0
+        |    THEN round(CAST(nn * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(nn * sxx - sx * sx AS DOUBLE) *
+        |           CAST(nn * syy - sy * sy AS DOUBLE)), 6)
+        |  END AS corr7
+        |FROM mo ORDER BY day_n""".stripMargin,
+    "q267_exact_k_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 1000000007 AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id
+        |FROM r WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     "q252_dup_rate_by_source" ->
       """WITH sh AS (
         |  SELECT doc_id,

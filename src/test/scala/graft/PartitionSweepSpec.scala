@@ -71,7 +71,8 @@ class PartitionSweepSpec extends SparkSuite {
     "q260_weighted_median", "q261_vocab_build", "q262_inverted_index",
     // q264: HLL union is associative+commutative for a fixed lgConfigK, so
     // the merged estimate is partitioning-invariant too
-    "q263_ndcg_eval", "q264_hll_merge")
+    "q263_ndcg_eval", "q264_hll_merge",
+    "q265_chi_square", "q266_rolling_corr", "q267_exact_k_sample")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
