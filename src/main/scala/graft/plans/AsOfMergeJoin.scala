@@ -46,7 +46,9 @@ case class AsOfJoinNode(
     leftTime: Attribute,
     rightTime: Attribute,
     rightValues: Seq[Attribute],
-    leftOuter: Boolean) extends BinaryNode {
+    leftOuter: Boolean,
+    forward: Boolean,
+    tolerance: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -57,8 +59,9 @@ case class AsOfJoinNode(
 /** Planner strategy: AsOfJoinNode → AsOfMergeJoinExec (1:1). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv, outer) =>
-      AsOfMergeJoinExec(lk, rk, lt, rt, rv, outer, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv, outer, fwd, tol) =>
+      AsOfMergeJoinExec(lk, rk, lt, rt, rv, outer, fwd, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -77,6 +80,8 @@ case class AsOfMergeJoinExec(
     rightTime: Expression,
     rightValues: Seq[Attribute],
     leftOuter: Boolean,
+    forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -113,6 +118,19 @@ case class AsOfMergeJoinExec(
     val rVals = rightValues
     val outAttrs = output
     val outer = leftOuter
+    val fwd = forward
+    val tol = tolerance
+    // tolerance needs the time as a comparable long (micros for timestamps)
+    val timeAsLong: InternalRow => Long = lTimeExpr.dataType match {
+      case _ if tol.isEmpty => _ => 0L
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => r => r.getLong(0)
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType => r => r.getInt(0).toLong
+      case other => throw new IllegalArgumentException(
+        s"asof tolerance needs a long/timestamp/int/date time column, got $other")
+    }
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyGen = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyGen = UnsafeProjection.create(rKeyExprs, rOut)
@@ -132,9 +150,10 @@ case class AsOfMergeJoinExec(
         // current right cursor — held (not consumed) across left rows; valid
         // because no rIter.next() call happens until we advance past it
         private var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
-        // best candidate so far: copies (projection/scan buffers are reused)
+        // backward: best candidate so far — copies (buffers are reused)
         private var candKey: InternalRow = null
         private var candVals: InternalRow = null
+        private var candT: Long = 0L
         private var ready: InternalRow = null
 
         override def hasNext: Boolean = {
@@ -146,6 +165,9 @@ case class AsOfMergeJoinExec(
           val r = ready; ready = null; r
         }
 
+        private def advanceRight(): Unit =
+          rRow = if (rIter.hasNext) rIter.next() else null
+
         private def computeNext(): InternalRow = {
           while (lIter.hasNext) {
             val lRow = lIter.next()
@@ -154,24 +176,46 @@ case class AsOfMergeJoinExec(
               candKey = null; candVals = null
             }
             val lTime = lTimeGen(lRow)
-            // advance the right cursor: discard earlier keys, absorb
-            // same-key rows with time <= lTime (later absorbs overwrite
-            // earlier — "last right row wins"), stop at the first row
-            // that is still ahead of this left row
-            var scanning = true
-            while (scanning && rRow != null) {
-              val kc = keyOrd.compare(rKeyGen(rRow), lKey)
-              if (kc < 0) {
-                rRow = if (rIter.hasNext) rIter.next() else null
-              } else if (kc == 0 && timeOrd.compare(rTimeGen(rRow), lTime) <= 0) {
-                candVals = rValsGen(rRow).copy()
-                candKey = lKey.copy()
-                rRow = if (rIter.hasNext) rIter.next() else null
-              } else scanning = false
+            val lT = timeAsLong(lTime)
+            var matched: InternalRow = null
+            if (!fwd) {
+              // backward: discard earlier keys, absorb same-key rows with
+              // time <= lTime (later absorbs overwrite earlier — "last
+              // right row wins"), stop at the first row still ahead
+              var scanning = true
+              while (scanning && rRow != null) {
+                val kc = keyOrd.compare(rKeyGen(rRow), lKey)
+                if (kc < 0) advanceRight()
+                else if (kc == 0 && timeOrd.compare(rTimeGen(rRow), lTime) <= 0) {
+                  candVals = rValsGen(rRow).copy()
+                  candKey = lKey.copy()
+                  candT = timeAsLong(rTimeGen(rRow))
+                  advanceRight()
+                } else scanning = false
+              }
+              if (candKey != null && tol.forall(t => lT - candT <= t))
+                matched = candVals
+            } else {
+              // forward: discard earlier keys AND same-key rows strictly
+              // before lTime (dead for every later left row too — left
+              // times are non-decreasing); the cursor itself is then the
+              // earliest right row with time >= lTime, NOT consumed (it
+              // may serve later left rows of the same key)
+              var scanning = true
+              while (scanning && rRow != null) {
+                val kc = keyOrd.compare(rKeyGen(rRow), lKey)
+                if (kc < 0 ||
+                    (kc == 0 && timeOrd.compare(rTimeGen(rRow), lTime) < 0))
+                  advanceRight()
+                else scanning = false
+              }
+              if (rRow != null && keyOrd.compare(rKeyGen(rRow), lKey) == 0 &&
+                  tol.forall(t => timeAsLong(rTimeGen(rRow)) - lT <= t))
+                matched = rValsGen(rRow)
             }
-            if (candKey != null) {
+            if (matched != null) {
               numOutputRows += 1
-              return resultProj(joined(lRow, candVals))
+              return resultProj(joined(lRow, matched))
             } else if (outer) {
               numOutputRows += 1
               return resultProj(joined(lRow, nullVals))
@@ -190,12 +234,14 @@ case class AsOfMergeJoinExec(
   */
 object AsOfMergeJoin {
 
-  /** Backward-inclusive as-of join of `left` to `right` on equal `keys`,
-    * each left row taking `valueCols` from the last right row with
-    * `right(rightTime) <= left(leftTime)`. `how` = "inner" | "left".
-    * The right side is pre-projected to (keys, rightTime, valueCols) so
-    * column pruning reaches its scan even though Catalyst does not know
-    * this node.
+  /** As-of join of `left` to `right` on equal `keys`: each left row takes
+    * `valueCols` from the last right row with rightTime <= leftTime
+    * (`direction = "backward"`, inclusive) or the first right row with
+    * rightTime >= leftTime (`"forward"`). `how` = "inner" | "left".
+    * `tolerance` (in the time column's own units — micros for timestamps)
+    * rejects matches farther than the bound. The right side is
+    * pre-projected to (keys, rightTime, valueCols) so column pruning
+    * reaches its scan even though Catalyst does not know this node.
     */
   def join(
       left: DataFrame,
@@ -204,7 +250,11 @@ object AsOfMergeJoin {
       leftTime: String,
       rightTime: String,
       valueCols: Seq[String],
-      how: String = "inner"): DataFrame = {
+      how: String = "inner",
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asof merge join direction must be backward/forward, got: $direction")
     require(how == "inner" || how == "left", s"asof merge join supports inner/left, got: $how")
     require(keys.nonEmpty, "asof merge join requires at least one key")
     val spark = left.sparkSession
@@ -235,7 +285,9 @@ object AsOfMergeJoin {
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
       valueCols.map(attr(rPlan, _)),
-      leftOuter = how == "left")
+      leftOuter = how == "left",
+      forward = direction == "forward",
+      tolerance = tolerance)
     ColumnBridge.ofRows(spark, node)
   }
 }

@@ -19,8 +19,12 @@ class AsOfMergeJoinSpec extends SparkSuite {
     (1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 20L, "t2b"), (1L, 5L, "t0"),
     (2L, 15L, "t3"), (3L, 7L, "t4"))
     .toDF("k", "t", "trade")
+  // the two rt=20 rows carry the SAME px: the exec absorbs both and the
+  // equal-time winner is sort-order-dependent, so distinct values there
+  // would make outcomes partitioning-dependent (dedupe ties in real use —
+  // q254 does; the window form pins ties via tieBreak instead)
   private lazy val quotes = Seq(
-    (1L, 8L, 100.0), (1L, 20L, 101.0), (1L, 20L, 102.0), (1L, 25L, 103.0),
+    (1L, 8L, 100.0), (1L, 20L, 101.0), (1L, 20L, 101.0), (1L, 25L, 103.0),
     (2L, 16L, 200.0), (4L, 1L, 400.0))
     .toDF("k", "t", "px")
 
@@ -28,8 +32,8 @@ class AsOfMergeJoinSpec extends SparkSuite {
     val got = AsOfMergeJoin.join(trades, quotes, Seq("k"), "t", "t", Seq("px"))
     assertSameRows(got, Seq(
       Seq(1L, 10L, "t1", 100.0),
-      Seq(1L, 20L, "t2", 102.0), // equal time matches, later sort row wins
-      Seq(1L, 20L, "t2b", 102.0)))
+      Seq(1L, 20L, "t2", 101.0), // equal-time rows absorbed; same px either way
+      Seq(1L, 20L, "t2b", 101.0)))
     // t0 (before first quote), k=2 t=15 (quote at 16), k=3 (no quotes) dropped
   }
 
@@ -38,8 +42,8 @@ class AsOfMergeJoinSpec extends SparkSuite {
     assertSameRows(got, Seq(
       Seq(1L, 5L, "t0", null),
       Seq(1L, 10L, "t1", 100.0),
-      Seq(1L, 20L, "t2", 102.0),
-      Seq(1L, 20L, "t2b", 102.0),
+      Seq(1L, 20L, "t2", 101.0),
+      Seq(1L, 20L, "t2b", 101.0),
       Seq(2L, 15L, "t3", null),
       Seq(3L, 7L, "t4", null)))
   }
@@ -49,6 +53,38 @@ class AsOfMergeJoinSpec extends SparkSuite {
     assert(AsOfMergeJoin.join(trades, noQuotes, Seq("k"), "t", "t", Seq("px")).count() == 0)
     assert(AsOfMergeJoin.join(trades, noQuotes, Seq("k"), "t", "t", Seq("px"), how = "left")
       .filter(col("px").isNull).count() == trades.count())
+  }
+
+  test("forward direction: earliest right row at-or-after, cursor not consumed") {
+    val got = AsOfMergeJoin.join(trades, quotes, Seq("k"), "t", "t", Seq("px"),
+      how = "left", direction = "forward")
+    assertSameRows(got, Seq(
+      Seq(1L, 5L, "t0", 100.0),   // next quote at 8
+      Seq(1L, 10L, "t1", 101.0),  // next quote at 20: first in sort order
+      Seq(1L, 20L, "t2", 101.0),  // inclusive: quote AT 20
+      Seq(1L, 20L, "t2b", 101.0),
+      Seq(2L, 15L, "t3", 200.0),
+      Seq(3L, 7L, "t4", null)))
+  }
+
+  test("tolerance bounds the match distance in time units") {
+    val bwd = AsOfMergeJoin.join(trades, quotes, Seq("k"), "t", "t", Seq("px"),
+      how = "left", tolerance = Some(2L))
+    // t1@10: last quote at 8, distance 2 → kept; t2@20: quote at 20 → kept
+    assertSameRows(bwd, Seq(
+      Seq(1L, 5L, "t0", null),
+      Seq(1L, 10L, "t1", 100.0),
+      Seq(1L, 20L, "t2", 101.0),
+      Seq(1L, 20L, "t2b", 101.0),
+      Seq(2L, 15L, "t3", null),
+      Seq(3L, 7L, "t4", null)))
+    val fwd = AsOfMergeJoin.join(trades, quotes, Seq("k"), "t", "t", Seq("px"),
+      how = "inner", direction = "forward", tolerance = Some(1L))
+    // only matches within +1: t3@15 → quote@16; t2/t2b@20 → quote@20
+    assertSameRows(fwd, Seq(
+      Seq(1L, 20L, "t2", 101.0),
+      Seq(1L, 20L, "t2b", 101.0),
+      Seq(2L, 15L, "t3", 200.0)))
   }
 
   test("null keys group together (window-partition semantics)") {

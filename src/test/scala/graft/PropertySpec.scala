@@ -73,6 +73,20 @@ class PropertySpec extends SparkSuite {
         (k, lt, best)
       }.sorted
       assert(got == expect, s"round $round mismatch")
+
+      // forward + tolerance against the same model
+      val gotF = AsOfMergeJoin.join(l, r, Seq("k"), "lt", "rt", Seq("v"),
+          how = "left", direction = "forward", tolerance = Some(3L))
+        .collect()
+        .map(x => (x.getInt(0), x.getLong(1),
+          if (x.isNullAt(2)) None else Some(x.getInt(2)))).toSeq.sorted
+      val expectF = lRows.map { case (k, lt) =>
+        val cand = rRows.filter(rr =>
+          rr._1 == k && rr._2 >= lt && rr._2 - lt <= 3L)
+        val best = if (cand.isEmpty) None else Some(cand.minBy(_._2)._3)
+        (k, lt, best)
+      }.sorted
+      assert(gotF == expectF, s"round $round forward mismatch")
     }
   }
 
