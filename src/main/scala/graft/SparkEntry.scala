@@ -3299,6 +3299,24 @@ object SparkEntry {
         r0.getLong(r0.fieldIndex("est"))))
       row
     }),
+    "q268_asof_exec_fwd" -> ((s, dir) => {
+      // the merge exec's FORWARD + tolerance surface under its own gate
+      // (backward is q254): each click takes the EARLIEST subsequent
+      // purchase within 1 hour — the attribution-window shape — as a
+      // pure cursor scan (no candidate buffer at all in this direction).
+      // DuckDB mirrors with ASOF LEFT JOIN on <= plus the tolerance as a
+      // post-filter on the matched value.
+      val ev = Engine.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("ptus"))
+        .agg(max(col("value")).as("p_value"))
+      val j = graft.plans.AsOfMergeJoin.join(clicks, purchases, Seq("user_id"),
+        "tus", "ptus", Seq("p_value"), how = "left", direction = "forward",
+        tolerance = Some(3600L * 1000000))
+      ord(j, "event_id")
+    }),
     "q265_chi_square" -> ((s, dir) => {
       // chi-square test of independence + Cramér's V over a contingency
       // table (status × priority) — the categorical-association member of
@@ -5363,6 +5381,19 @@ object SparkEntry {
         |  FROM r GROUP BY user_id)
         |SELECT user_id, n_buys, round(dcg / idcg, 6) AS ndcg5
         |FROM s WHERE idcg > 0 ORDER BY user_id""".stripMargin,
+    "q268_asof_exec_fwd" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ptus,
+        |    max(value) AS pv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.user_id, c.tus, c.event_id,
+        |  CASE WHEN p.ptus - c.tus <= 3600000000 THEN p.pv END AS p_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.tus <= p.ptus
+        |ORDER BY event_id""".stripMargin,
     "q265_chi_square" ->
       """WITH cells AS (
         |  SELECT o_orderstatus AS st, o_orderpriority AS pr, count(*) AS obs

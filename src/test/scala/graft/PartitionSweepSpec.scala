@@ -72,7 +72,8 @@ class PartitionSweepSpec extends SparkSuite {
     // q264: HLL union is associative+commutative for a fixed lgConfigK, so
     // the merged estimate is partitioning-invariant too
     "q263_ndcg_eval", "q264_hll_merge",
-    "q265_chi_square", "q266_rolling_corr", "q267_exact_k_sample")
+    "q265_chi_square", "q266_rolling_corr", "q267_exact_k_sample",
+    "q268_asof_exec_fwd")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
