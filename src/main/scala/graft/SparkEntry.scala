@@ -3299,6 +3299,40 @@ object SparkEntry {
         r0.getLong(r0.fieldIndex("est"))))
       row
     }),
+    "q269_user_growth" -> ((s, dir) => {
+      // new-vs-returning growth curve: per day, users seen for the FIRST
+      // time (one min-agg per user — never a distinct-over-window) and the
+      // cumulative user count as a running sum over the bounded day domain.
+      // The standard product-growth readout beside q147's retention
+      // triangle.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Engine.events(s, dir)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_n"))
+      val firstSeen = ev.groupBy("user_id").agg(min("day_n").as("first_day"))
+      val perDay = firstSeen.groupBy(col("first_day").as("day_n"))
+        .agg(count(lit(1)).as("n_new"))
+      val w = Window.orderBy("day_n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord(perDay.withColumn("cum_users", sum("n_new").over(w)), "day_n")
+    }),
+    "q270_wow_growth" -> ((s, dir) => {
+      // week-over-week revenue growth in exact integer ppm: weekly cents
+      // totals over the bounded week domain, lag(1) window, growth =
+      // (cur − prev)·1e6 DIV prev — no FP ratios to drift.
+      import org.apache.spark.sql.expressions.Window
+      val daily = Engine.events(s, dir).filter(col("event_type") === "purchase")
+        .select(datediff(to_date(col("ts")), lit("1970-01-01"))
+            .cast("long").as("day_n"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val weekly = daily.groupBy(expr("day_n div 7").as("week_n"))
+        .agg(sum("cents").as("rev_cents"))
+      val w = Window.orderBy("week_n")
+      ord(weekly.withColumn("prev_cents", lag("rev_cents", 1).over(w))
+        .withColumn("wow_ppm",
+          expr("(rev_cents - prev_cents) * 1000000 div prev_cents")),
+        "week_n")
+    }),
     "q268_asof_exec_fwd" -> ((s, dir) => {
       // the merge exec's FORWARD + tolerance surface under its own gate
       // (backward is q254): each click takes the EARLIEST subsequent
@@ -5381,6 +5415,31 @@ object SparkEntry {
         |  FROM r GROUP BY user_id)
         |SELECT user_id, n_buys, round(dcg / idcg, 6) AS ndcg5
         |FROM s WHERE idcg > 0 ORDER BY user_id""".stripMargin,
+    "q269_user_growth" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |    min(CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)) AS first_day
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT first_day AS day_n, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fs GROUP BY 1)
+        |SELECT day_n, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day_n
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY day_n""".stripMargin,
+    "q270_wow_growth" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_n,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |weekly AS (
+        |  SELECT day_n // 7 AS week_n, CAST(sum(cents) AS BIGINT) AS rev_cents
+        |  FROM daily GROUP BY 1)
+        |SELECT week_n, rev_cents,
+        |  lag(rev_cents, 1) OVER (ORDER BY week_n) AS prev_cents,
+        |  (rev_cents - lag(rev_cents, 1) OVER (ORDER BY week_n)) * 1000000
+        |    // lag(rev_cents, 1) OVER (ORDER BY week_n) AS wow_ppm
+        |FROM weekly ORDER BY week_n""".stripMargin,
     "q268_asof_exec_fwd" ->
       """WITH clicks AS (
         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
