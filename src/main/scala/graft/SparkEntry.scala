@@ -3299,6 +3299,24 @@ object SparkEntry {
         r0.getLong(r0.fieldIndex("est"))))
       row
     }),
+    "q271_bitmap_distinct" -> ((s, dir) => {
+      // EXACT distinct via bitmap rollup — the exact complement of q264's
+      // HLL estimate: per-(type, 32k-id bucket) bitmaps from ONE grouped
+      // agg, per-type exact counts as sum(bitmap_count), and the global
+      // count from bitmap_or_agg MERGING the per-type bitmaps — proving
+      // pre-aggregated bitmap state rolls up without rescanning rows (the
+      // warehouse exact-distinct-at-scale recipe for dense int keys).
+      val ev = Engine.events(s, dir).select(col("event_type"), col("user_id"))
+      val bm = ev.groupBy(col("event_type"),
+          bitmap_bucket_number(col("user_id")).as("bkt"))
+        .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id"))).as("bm"))
+      val perType = bm.groupBy("event_type")
+        .agg(sum(bitmap_count(col("bm"))).as("n_users"))
+      val overall = bm.groupBy("bkt").agg(bitmap_or_agg(col("bm")).as("bm"))
+        .agg(sum(bitmap_count(col("bm"))).as("n_users"))
+        .select(lit("ALL").as("event_type"), col("n_users"))
+      ord(perType.unionByName(overall), "event_type")
+    }),
     "q269_user_growth" -> ((s, dir) => {
       // new-vs-returning growth curve: per day, users seen for the FIRST
       // time (one min-agg per user — never a distinct-over-window) and the
@@ -5415,6 +5433,13 @@ object SparkEntry {
         |  FROM r GROUP BY user_id)
         |SELECT user_id, n_buys, round(dcg / idcg, 6) AS ndcg5
         |FROM s WHERE idcg > 0 ORDER BY user_id""".stripMargin,
+    "q271_bitmap_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL' AS event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |ORDER BY event_type""".stripMargin,
     "q269_user_growth" ->
       """WITH fs AS (
         |  SELECT user_id,

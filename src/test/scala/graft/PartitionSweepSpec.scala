@@ -73,7 +73,8 @@ class PartitionSweepSpec extends SparkSuite {
     // the merged estimate is partitioning-invariant too
     "q263_ndcg_eval", "q264_hll_merge",
     "q265_chi_square", "q266_rolling_corr", "q267_exact_k_sample",
-    "q268_asof_exec_fwd", "q269_user_growth", "q270_wow_growth")
+    "q268_asof_exec_fwd", "q269_user_growth", "q270_wow_growth",
+    "q271_bitmap_distinct")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

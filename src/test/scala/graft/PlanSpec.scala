@@ -617,4 +617,33 @@ class PlanSpec extends SparkSuite {
       plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("dynamic partition pruning injects a runtime filter into the fact scan") {
+    // the 100 TB star-join essential: a selective dim filter must prune the
+    // hive-partitioned FACT's partitions at RUNTIME (the filter value is
+    // only known after the dim side runs) — Catalyst's DPP inserts a
+    // dynamicpruning subquery into the scan's PartitionFilters. Without it
+    // a 100 TB fact is scanned whole for a one-partition query.
+    import spark.implicits._
+    val d = Engine.table(spark, sfDir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.sources.IO.parquetWritePartitioned(d, tmp, Seq("lang"))
+    val fact = spark.read.parquet(tmp)
+    // dim: (lang, region) lookup; filter on the non-join column so the
+    // matching langs are only known at runtime. The dim must be a FILE
+    // relation — ConvertToLocalRelation would evaluate the filter on a
+    // literal Seq at optimize time, leaving no selective predicate for
+    // the PartitionPruning rule to see
+    val dimTmp = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("en", "amer"), ("fr", "emea"), ("de", "emea"),
+      ("es", "amer"), ("zh", "apac")).toDF("lang", "region")
+      .write.mode("overwrite").parquet(dimTmp)
+    val dim = spark.read.parquet(dimTmp)
+    val joined = fact.join(dim, "lang").filter(col("region") === "apac")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter in:\n${plan.take(4000)}")
+    assert(joined.collect().map(_.getString(0)).toSeq == Seq("zh"))
+  }
 }
