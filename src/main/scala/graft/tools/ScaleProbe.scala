@@ -259,6 +259,30 @@ object ScaleProbe {
       println(f"SCALE asof rows=${2 * n}%8d hotshare=0.5  plain=${tPlain}%6.1f s  bucketed=${tBuck}%6.1f s (rows out=$nPlain)")
       l.unpersist(); r.unpersist()
     }
+    // bitmap exact-distinct rollup vs plain count_distinct: the bitmap
+    // form's shuffle carries one ≤4 KB bitmap per (group, 32k-id bucket)
+    // instead of every distinct id — and the merged-global count reuses
+    // the SAME pre-aggregated state (no rescan). Wall should track or
+    // beat count_distinct as rows grow; both must agree exactly.
+    if (want("bitmap")) for (n <- Seq(2000000, 8000000)) {
+      val df = spark.range(n).select(
+        pmod(col("id"), lit(8L)).as("grp"),
+        pmod(xxhash64(col("id")), lit(n / 4)).as("uid")).persist()
+      df.count()
+      val (exact, tExact) = time {
+        df.groupBy("grp").agg(count_distinct(col("uid")).as("n"))
+          .agg(sum("n")).collect()(0).getLong(0)
+      }
+      val (viaBm, tBm) = time {
+        df.groupBy(col("grp"), bitmap_bucket_number(col("uid")).as("bkt"))
+          .agg(bitmap_construct_agg(bitmap_bit_position(col("uid"))).as("bm"))
+          .groupBy("grp").agg(sum(bitmap_count(col("bm"))).as("n"))
+          .agg(sum("n")).collect()(0).getLong(0)
+      }
+      require(exact == viaBm, s"bitmap probe mismatch: $exact vs $viaBm")
+      println(f"SCALE bitmap rows=$n%8d groups=8  count_distinct=${tExact}%6.1f s  bitmapRollup=${tBm}%6.1f s (distinct=$exact)")
+      df.unpersist()
+    }
     // custom-exec as-of vs the window-composed plan, uniform keys: the
     // merge exec shuffles each side separately (no union widening, no
     // window frame materialization) — wall should track or beat the window

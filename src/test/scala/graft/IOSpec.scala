@@ -85,6 +85,32 @@ class IOSpec extends SparkSuite {
     assert(num.isNullAt(2))
   }
 
+  test("malformed csv rows: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    // the dirty-ingest contract a 100 TB CSV landing zone needs: a bad row
+    // must never silently corrupt neighbors — it is quarantined
+    // (_corrupt_record), dropped, or fails the job, by explicit choice
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/data.csv"),
+      "a,b,c\n1,x,1.5\nnot_an_int,y,oops\n3,z,3.5\n")
+    val s = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType),
+      StructField("c", DoubleType), StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(s).option("header", "true")
+      .option("mode", "PERMISSIVE").csv(s"$dir/data.csv").cache()
+    assert(permissive.count() == 3)
+    assert(rows(permissive.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record")).map(_(0)) == Seq("not_an_int,y,oops"))
+    permissive.unpersist()
+    val bare = StructType(s.dropRight(1))
+    val dropped = spark.read.schema(bare)
+      .option("header", "true").option("mode", "DROPMALFORMED").csv(s"$dir/data.csv")
+    assert(rows(dropped.select("a")).map(_(0)) == Seq(1, 3))
+    val failfast = spark.read.schema(bare)
+      .option("header", "true").option("mode", "FAILFAST").csv(s"$dir/data.csv")
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
   test("parquet writes one part file per partition; glob read is sorted") {
     val df = spark.range(100).repartition(4).toDF("id")
     val dir = tmp()
