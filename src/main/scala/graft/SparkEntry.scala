@@ -3299,6 +3299,74 @@ object SparkEntry {
         r0.getLong(r0.fieldIndex("est"))))
       row
     }),
+    "q272_ks_test" -> ((s, dir) => {
+      // two-sample Kolmogorov–Smirnov statistic — the dataset-shift
+      // detector for training mixtures (drift family beside q185 entropy /
+      // q241 Gini): D = max |CDF₀ − CDF₁| computed EXACTLY over the
+      // distinct-value domain as the integer numerator
+      // max|cum0·n1 − cum1·n0| (denominator n0·n1) — no per-row ranks, no
+      // FP until the display ratio.
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars"))
+      val byVal = d.groupBy("n_chars").agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"))
+      val w = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byVal
+        .withColumn("cum0", sum("c0").over(w))
+        .withColumn("cum1", sum("c1").over(w))
+      val withTot = cum
+        .withColumn("n0", max(col("cum0")).over(Window.partitionBy()))
+        .withColumn("n1", max(col("cum1")).over(Window.partitionBy()))
+      withTot.agg(max("n0").as("n0"), max("n1").as("n1"),
+          max(abs(col("cum0") * col("n1") - col("cum1") * col("n0"))).as("ks_num"))
+        .select(col("n0"), col("n1"), col("ks_num"),
+          round(col("ks_num").cast("double") / (col("n0") * col("n1")), 6).as("ks"))
+    }),
+    "q273_cohort_ltv" -> ((s, dir) => {
+      // cohort LTV curve: cumulative revenue per signup-week cohort by week
+      // age — the MONEY companion of q147's retention counts. Cohort = each
+      // user's first event week (one min-agg), revenue co-keyed back, one
+      // (cohort, age) agg, cumulative window over the bounded age domain.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Engine.events(s, dir).select(col("user_id"), col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day_n"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .withColumn("week_n", expr("day_n div 7"))
+      val cohort = ev.groupBy("user_id").agg(min("week_n").as("cohort_week"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week_n") - col("cohort_week")).as("age"))
+        .agg(sum("cents").as("rev_cents"))
+      val w = Window.partitionBy("cohort_week").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ord(rev.withColumn("cum_cents", sum("rev_cents").over(w)),
+        "cohort_week", "age")
+    }),
+    "q274_group_by_all" -> ((s, dir) => {
+      // Spark 4 GROUP BY ALL sugar (SQL-surface parity like q228's pipe
+      // syntax): every non-aggregate select item becomes a grouping key;
+      // both engines must resolve the sugar to the identical grouped agg.
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+      ord(s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          CAST(count(*) AS BIGINT) AS n
+        FROM lineitem_gba
+        GROUP BY ALL"""), "l_returnflag", "l_linestatus")
+    }),
+    "q275_explode_outer" -> ((s, dir) => {
+      // explode_outer null preservation (generator edge semantics the plain
+      // explode silently violates): documents WITHOUT the probe token keep
+      // their row with a null token — the left-join-shaped flatten every
+      // fan-out that must not drop parents needs.
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        filter(TextFns.portableTokens(col("text")), t => t === lit("the")).as("toks"))
+      ordAll(d.select(col("doc_id"), explode_outer(col("toks")).as("tok")))
+    }),
     "q271_bitmap_distinct" -> ((s, dir) => {
       // EXACT distinct via bitmap rollup — the exact complement of q264's
       // HLL estimate: per-(type, 32k-id bucket) bitmaps from ONE grouped
@@ -5433,6 +5501,65 @@ object SparkEntry {
         |  FROM r GROUP BY user_id)
         |SELECT user_id, n_buys, round(dcg / idcg, 6) AS ndcg5
         |FROM s WHERE idcg > 0 ORDER BY user_id""".stripMargin,
+    "q272_ks_test" ->
+      """WITH d AS (
+        |  SELECT source, n_chars FROM documents WHERE source IN ('src0', 'src1')),
+        |v AS (
+        |  SELECT n_chars,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1
+        |  FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(c0) OVER w AS BIGINT) AS cum0,
+        |    CAST(sum(c1) OVER w AS BIGINT) AS cum1
+        |  FROM v WINDOW w AS (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (
+        |  SELECT cum0, cum1,
+        |    CAST(max(cum0) OVER () AS BIGINT) AS n0,
+        |    CAST(max(cum1) OVER () AS BIGINT) AS n1
+        |  FROM c)
+        |SELECT CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1,
+        |  CAST(max(abs(cum0 * n1 - cum1 * n0)) AS BIGINT) AS ks_num,
+        |  round(CAST(max(abs(cum0 * n1 - cum1 * n0)) AS DOUBLE) /
+        |    (max(n0) * max(n1)), 6) AS ks
+        |FROM t""".stripMargin,
+    "q273_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) // 7 AS week_n,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(week_n) AS cohort_week FROM ev GROUP BY user_id),
+        |rev AS (
+        |  SELECT c.cohort_week, e.week_n - c.cohort_week AS age,
+        |    CAST(sum(e.cents) AS BIGINT) AS rev_cents
+        |  FROM ev e JOIN cohort c USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, age, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |FROM rev ORDER BY cohort_week, age""".stripMargin,
+    "q274_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ALL
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q275_explode_outer" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''),
+        |    t -> t = 'the') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN length(toks) = 0 THEN [NULL] ELSE toks END) AS tok
+        |FROM d
+        |ORDER BY doc_id NULLS LAST, tok NULLS LAST""".stripMargin,
     "q271_bitmap_distinct" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type
