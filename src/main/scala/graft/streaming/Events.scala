@@ -63,6 +63,39 @@ class TwapProcessor
   }
 }
 
+case class PdEvent(user_id: Long, event_id: Long, us: Long, value: Double)
+case class PdOut(user_id: Long, event_id: Long, cents: Long, peak_cents: Long,
+    drop_cents: Long)
+
+/** Streaming per-user running price peak + drawdown from peak (the live,
+  * per-key face of the q255 drawdown family): one ValueState[Long] holding
+  * the lifetime max cents. Integer max/subtract only, folded in
+  * (us, event_id) order, so stream == batch for any event-time-ordered
+  * micro-batch slicing.
+  */
+class PeakDropProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, PdEvent, PdOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var peak: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    peak = getHandle.getValueState[Long]("peak", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[PdEvent],
+      timerValues: TimerValues): Iterator[PdOut] = {
+    var p = if (peak.exists()) peak.get() else Long.MinValue
+    val out = rows.toArray.sortBy(e => (e.us, e.event_id)).map { e =>
+      val cents = math.floor(e.value * 100 + 0.5).toLong
+      p = math.max(p, cents)
+      PdOut(key, e.event_id, cents, p, p - cents)
+    }
+    peak.update(p)
+    out.iterator
+  }
+}
+
 /** `StatefulProcessor` keeping one ValueState[Long] per user: the lifetime
   * total in integer cents. Rows within a micro-batch are folded in event_id
   * order, so any batch slicing that respects event_id order reproduces the
@@ -458,6 +491,35 @@ object Events {
       .transformWithState(new TwapProcessor,
         TimeMode.None(), OutputMode.Append())
       .toDF()
+  }
+
+  /** Streaming per-user peak/drawdown (see [[PeakDropProcessor]]). */
+  def peakDropStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value")).as[PdEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new PeakDropProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Batch twin of [[peakDropStream]]: a running-max window per user. */
+  def peakDropBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("peak_cents", max(col("cents")).over(w))
+      .withColumn("drop_cents", col("peak_cents") - col("cents"))
+      .drop("us")
   }
 
   /** Batch twin of [[twapStream]]: one lag window per user in (ts, event_id)
