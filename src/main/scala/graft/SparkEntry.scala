@@ -3299,6 +3299,27 @@ object SparkEntry {
         r0.getLong(r0.fieldIndex("est"))))
       row
     }),
+    "q276_sorted_neighborhood" -> ((s, dir) => {
+      // sorted-neighborhood blocking — the THIRD entity-resolution blocking
+      // scheme beside q144's SymSpell deletion neighborhoods and q158's
+      // attribute-equality blocks: rank distinct names in sort order, pair
+      // each with its next w=3 neighbors via an offset-explode EQUI join
+      // (never a rank-distance theta join), score with the native codegen
+      // Jaro-Winkler, keep ≥ 0.8. Catches near-dups equality blocking
+      // misses (same brand/type not required); O(w·n) candidates always.
+      // The global rank over distinct names uses the q195 count-pass plan.
+      val names = RowOps.withRowIndex(
+        t(s, dir, "part").select("p_name").distinct(), "rn",
+        Seq(col("p_name")), offset = 0)
+      val a = names.toDF("an", "rn")
+      val b = names.toDF("bn", "rn_b")
+      val cand = a.withColumn("off", explode(array(lit(1L), lit(2L), lit(3L))))
+        .withColumn("rn_b", col("rn") + col("off"))
+        .join(b, "rn_b")
+      ord(cand.select(col("an"), col("bn"),
+          round(graft.functions.Registry.jaroWinkler(col("an"), col("bn")), 4).as("jw"))
+        .filter(col("jw") >= 0.8), "an", "bn")
+    }),
     "q272_ks_test" -> ((s, dir) => {
       // two-sample Kolmogorov–Smirnov statistic — the dataset-shift
       // detector for training mixtures (drift family beside q185 entropy /
@@ -5501,6 +5522,19 @@ object SparkEntry {
         |  FROM r GROUP BY user_id)
         |SELECT user_id, n_buys, round(dcg / idcg, 6) AS ndcg5
         |FROM s WHERE idcg > 0 ORDER BY user_id""".stripMargin,
+    "q276_sorted_neighborhood" ->
+      """WITH names AS (
+        |  SELECT p_name,
+        |    row_number() OVER (ORDER BY p_name) - 1 AS rn
+        |  FROM (SELECT DISTINCT p_name FROM part)),
+        |cand AS (
+        |  SELECT a.p_name AS an, b.p_name AS bn
+        |  FROM names a
+        |  CROSS JOIN (VALUES (1), (2), (3)) AS o(off)
+        |  JOIN names b ON b.rn = a.rn + o.off)
+        |SELECT an, bn, round(jaro_winkler_similarity(an, bn), 4) AS jw
+        |FROM cand WHERE round(jaro_winkler_similarity(an, bn), 4) >= 0.8
+        |ORDER BY an, bn""".stripMargin,
     "q272_ks_test" ->
       """WITH d AS (
         |  SELECT source, n_chars FROM documents WHERE source IN ('src0', 'src1')),
