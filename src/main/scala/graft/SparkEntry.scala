@@ -3299,6 +3299,29 @@ object SparkEntry {
         r0.getLong(r0.fieldIndex("est"))))
       row
     }),
+    "q277_containment" -> ((s, dir) => {
+      // asymmetric CONTAINMENT similarity C(A,B) = |A∩B|/|A| — the
+      // quote/subset detector symmetric Jaccard (q46/q47/q170) cannot
+      // express: a short doc fully quoted inside a long one scores C≈1
+      // with tiny Jaccard. Exact trigram containment in integer ppm over
+      // a bounded doc slice (the q47 oracle discipline; the scale path is
+      // the same LSH-candidate machinery with C replacing J in the verify
+      // pass). Bounded to the q47 500-doc slice at every SF.
+      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          array_distinct(graft.functions.Registry.wordShingles(
+            TextFns.portableTokens(col("text")), 3)).as("tri"))
+      val a = d.toDF("id_a", "tri_a")
+      val b = d.toDF("id_b", "tri_b")
+      val pairs = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+        .withColumn("inter", size(array_intersect(col("tri_a"), col("tri_b"))))
+        .withColumn("c_ppm",
+          expr("CAST(inter AS BIGINT) * 1000000 div size(tri_a)"))
+        .filter(col("c_ppm") >= 600000)
+      ord(pairs.select(col("id_a"), col("id_b"),
+        size(col("tri_a")).cast("long").as("n_a"),
+        col("inter").cast("long").as("inter"), col("c_ppm")), "id_a", "id_b")
+    }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
       // scheme beside q144's SymSpell deletion neighborhoods and q158's
@@ -5522,6 +5545,22 @@ object SparkEntry {
         |  FROM r GROUP BY user_id)
         |SELECT user_id, n_buys, round(dcg / idcg, 6) AS ndcg5
         |FROM s WHERE idcg > 0 ORDER BY user_id""".stripMargin,
+    "q277_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN length(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, length(toks)-2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS tri
+        |  FROM (SELECT doc_id, list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |    FROM documents WHERE doc_id < 500))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(length(a.tri) AS BIGINT) AS n_a,
+        |  CAST(length(list_intersect(a.tri, b.tri)) AS BIGINT) AS inter,
+        |  CAST(length(list_intersect(a.tri, b.tri)) * 1000000 // length(a.tri) AS BIGINT) AS c_ppm
+        |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |WHERE length(list_intersect(a.tri, b.tri)) * 1000000 // length(a.tri) >= 600000
+        |ORDER BY id_a, id_b""".stripMargin,
     "q276_sorted_neighborhood" ->
       """WITH names AS (
         |  SELECT p_name,

@@ -75,7 +75,8 @@ class PartitionSweepSpec extends SparkSuite {
     "q265_chi_square", "q266_rolling_corr", "q267_exact_k_sample",
     "q268_asof_exec_fwd", "q269_user_growth", "q270_wow_growth",
     "q271_bitmap_distinct", "q272_ks_test", "q273_cohort_ltv",
-    "q274_group_by_all", "q275_explode_outer", "q276_sorted_neighborhood")
+    "q274_group_by_all", "q275_explode_outer", "q276_sorted_neighborhood",
+    "q277_containment")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

@@ -550,7 +550,11 @@ class PlanSpec extends SparkSuite {
       "q244_knn_classify", "q163_pagerank",
       // round-10: q259's bigram total N and q264's exact-count reference
       // are 1-row broadcast scalars crossed onto the frame (allowed shape)
-      "q259_pmi", "q264_hll_merge")
+      "q259_pmi", "q264_hll_merge",
+      // q277 is a documented bounded containment oracle over a fixed doc
+      // slice (the q47/q49 discipline); the scale path is LSH candidates
+      // with containment replacing Jaccard in the verify pass
+      "q277_containment")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
