@@ -3306,14 +3306,20 @@ object SparkEntry {
       // with tiny Jaccard. Exact trigram containment in integer ppm over
       // a bounded doc slice (the q47 oracle discipline; the scale path is
       // the same LSH-candidate machinery with C replacing J in the verify
-      // pass). Bounded to the q47 500-doc slice at every SF.
-      val d = t(s, dir, "documents").filter(col("doc_id") < 500)
+      // pass). Bounded to a fixed 250-doc slice at every SF (8 qualifying
+      // pairs at the sf0.01 gate; at other SFs the slice may hold none —
+      // the bench then times the scan+join, the gate strength is sf0.01's).
+      val d = t(s, dir, "documents").filter(col("doc_id") < 250)
         .select(col("doc_id"),
           array_distinct(graft.functions.Registry.wordShingles(
             TextFns.portableTokens(col("text")), 3)).as("tri"))
       val a = d.toDF("id_a", "tri_a")
       val b = d.toDF("id_b", "tri_b")
+      // length prune BEFORE the intersect: C ≥ 0.6 needs |A∩B| ≥ 0.6·|A|
+      // and |A∩B| ≤ |B|, so |B| < 0.6·|A| can never qualify — cost-only,
+      // result-preserving (the q218 discipline)
       val pairs = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+        .filter(size(col("tri_b")) * 10 >= size(col("tri_a")) * 6)
         .withColumn("inter", size(array_intersect(col("tri_a"), col("tri_b"))))
         .withColumn("c_ppm",
           expr("CAST(inter AS BIGINT) * 1000000 div size(tri_a)"))
@@ -5553,7 +5559,7 @@ object SparkEntry {
         |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END) AS tri
         |  FROM (SELECT doc_id, list_filter(
         |      regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
-        |    FROM documents WHERE doc_id < 500))
+        |    FROM documents WHERE doc_id < 250))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(length(a.tri) AS BIGINT) AS n_a,
         |  CAST(length(list_intersect(a.tri, b.tri)) AS BIGINT) AS inter,
