@@ -125,13 +125,15 @@ object Bench {
       try joinThroughputGiBs(cpus, joinNrows)
       catch { case _: Throwable => -1.0 }
 
-    // ONE JSON line on stdout — nothing else. Downstream capture keeps only
-    // a ~2000-char tail of stdout and parses the summary line out of it; a
-    // second (full-query-name, ~3 kB) JSON line overflowed that window in
-    // earlier rounds, so the full-name per-query map now goes to a FILE
-    // (path on stderr) and stdout carries just the machine record with
-    // "qNN"-short keys. Per-query times are best-of-`runs` (default 3), so
-    // one cold outlier can't dominate the reading.
+    // Downstream capture keeps only a ~2000-char tail of stdout and parses
+    // the summary out of it. The per-query map (even with "qNN"-short keys)
+    // is ~3.3 kB at 277 queries, so a single line overflows that window and
+    // the head ("metric"...) gets truncated — round 8's record came back
+    // parsed:null. So: the per-query line goes FIRST, and a compact
+    // totals-only line (~200 B, always fully inside any tail window) goes
+    // LAST. The full-name per-query map also goes to a FILE (path on
+    // stderr). Per-query times are best-of-`runs` (default 3), so one cold
+    // outlier can't dominate the reading.
     def f(v: Double): String = "%.3f".format(v)
     val total = results.map(_._2).filter(_ >= 0).sum
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -146,6 +148,8 @@ object Bench {
     }.mkString("{", ",", "}")
     System.out.flush()
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"queries":$qsShort}""")
+    // compact totals-only record LAST: this is the line tail-capture parses
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"queries_file":"$fullPath"}""")
     System.out.flush()
   }
 }

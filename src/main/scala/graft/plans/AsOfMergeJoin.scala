@@ -26,7 +26,9 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * window form): each left row picks the LAST right row of the same key
   * with rightTime <= leftTime; among equal-time right rows the last in
   * (time) sort order wins. Null keys join like values (window-partition
-  * semantics, same as asofJoin); null times sort first (-infinity).
+  * semantics, same as asofJoin); null times sort first (-infinity). When
+  * `tolerance` is set, a null time on EITHER side rejects the match (a
+  * -infinity time is infinitely far from any bound) — never decoded as 0.
   *
   * Why a physical operator instead of the window plan: the window form
   * unions both sides into one exchange of |L|+|R| full-width rows, sorts the
@@ -120,7 +122,9 @@ case class AsOfMergeJoinExec(
     val outer = leftOuter
     val fwd = forward
     val tol = tolerance
-    // tolerance needs the time as a comparable long (micros for timestamps)
+    // tolerance needs the time as a comparable long (micros for timestamps).
+    // Callers must check isNullAt(0) first: a null slot in an UnsafeRow
+    // decodes as 0, which would silently turn "-infinity" into epoch.
     val timeAsLong: InternalRow => Long = lTimeExpr.dataType match {
       case _ if tol.isEmpty => _ => 0L
       case org.apache.spark.sql.types.LongType |
@@ -154,6 +158,7 @@ case class AsOfMergeJoinExec(
         private var candKey: InternalRow = null
         private var candVals: InternalRow = null
         private var candT: Long = 0L
+        private var candTNull: Boolean = false
         private var ready: InternalRow = null
 
         override def hasNext: Boolean = {
@@ -176,7 +181,8 @@ case class AsOfMergeJoinExec(
               candKey = null; candVals = null
             }
             val lTime = lTimeGen(lRow)
-            val lT = timeAsLong(lTime)
+            val lTNull = lTime.isNullAt(0)
+            val lT = if (lTNull) 0L else timeAsLong(lTime)
             var matched: InternalRow = null
             if (!fwd) {
               // backward: discard earlier keys, absorb same-key rows with
@@ -189,11 +195,16 @@ case class AsOfMergeJoinExec(
                 else if (kc == 0 && timeOrd.compare(rTimeGen(rRow), lTime) <= 0) {
                   candVals = rValsGen(rRow).copy()
                   candKey = lKey.copy()
-                  candT = timeAsLong(rTimeGen(rRow))
+                  val rTime = rTimeGen(rRow)
+                  candTNull = rTime.isNullAt(0)
+                  candT = if (candTNull) 0L else timeAsLong(rTime)
                   advanceRight()
                 } else scanning = false
               }
-              if (candKey != null && tol.forall(t => lT - candT <= t))
+              // tolerance: a null time on either side is -infinity — no
+              // finite bound admits it (never decode the null slot as 0)
+              if (candKey != null &&
+                  tol.forall(t => !lTNull && !candTNull && lT - candT <= t))
                 matched = candVals
             } else {
               // forward: discard earlier keys AND same-key rows strictly
@@ -210,7 +221,10 @@ case class AsOfMergeJoinExec(
                 else scanning = false
               }
               if (rRow != null && keyOrd.compare(rKeyGen(rRow), lKey) == 0 &&
-                  tol.forall(t => timeAsLong(rTimeGen(rRow)) - lT <= t))
+                  tol.forall { t =>
+                    val rTime = rTimeGen(rRow)
+                    !lTNull && !rTime.isNullAt(0) && timeAsLong(rTime) - lT <= t
+                  })
                 matched = rValsGen(rRow)
             }
             if (matched != null) {
@@ -239,9 +253,18 @@ object AsOfMergeJoin {
     * (`direction = "backward"`, inclusive) or the first right row with
     * rightTime >= leftTime (`"forward"`). `how` = "inner" | "left".
     * `tolerance` (in the time column's own units — micros for timestamps)
-    * rejects matches farther than the bound. The right side is
-    * pre-projected to (keys, rightTime, valueCols) so column pruning
-    * reaches its scan even though Catalyst does not know this node.
+    * rejects matches farther than the bound; a null time on either side
+    * never satisfies a tolerance (it sorts as -infinity, which no finite
+    * bound reaches).
+    *
+    * Duplicate (key, time) rows on the RIGHT with different values make
+    * the equal-time winner sort-order-dependent — the merge keeps the last
+    * right row in (key, time) sort order, and rows tied on both columns
+    * have no defined order across partition layouts, so results can vary
+    * run to run. Pre-deduplicate the right side to one row per (key, time)
+    * — e.g. `groupBy(key, time).agg(max(value))`, as q254 does — or use
+    * [[graft.operators.Joins.asofJoin]]'s `tieBreak` column to pin the
+    * equal-time order deterministically.
     */
   def join(
       left: DataFrame,

@@ -87,6 +87,26 @@ class AsOfMergeJoinSpec extends SparkSuite {
       Seq(2L, 15L, "t3", 200.0)))
   }
 
+  test("null times: match without tolerance (-infinity sorts first), never WITH tolerance") {
+    // null right time sorts before every real time, so it is a valid
+    // backward candidate when no bound is set; any finite tolerance must
+    // reject it (and a null LEFT time too) — the null slot of an UnsafeRow
+    // decodes as 0, which would otherwise silently mean "epoch".
+    val l = Seq((1L, Some(10L), "a"), (1L, Option.empty[Long], "b")).toDF("k", "t", "trade")
+    val r = Seq((1L, Option.empty[Long], 1.0)).toDF("k", "t", "px")
+    val free = AsOfMergeJoin.join(l, r, Seq("k"), "t", "t", Seq("px"), how = "left")
+    assertSameRows(free, Seq(Seq(1L, 10L, "a", 1.0), Seq(1L, null, "b", 1.0)))
+    val bounded = AsOfMergeJoin.join(l, r, Seq("k"), "t", "t", Seq("px"),
+      how = "left", tolerance = Some(1000000L))
+    assertSameRows(bounded, Seq(Seq(1L, 10L, "a", null), Seq(1L, null, "b", null)))
+    val fwd = AsOfMergeJoin.join(l, r, Seq("k"), "t", "t", Seq("px"),
+      how = "left", direction = "forward", tolerance = Some(1000000L))
+    // forward: the null-time right row sorts before both left rows, so it is
+    // not even a forward candidate for t=10; for the null-time LEFT row it
+    // is at-or-after, but the tolerance still rejects it
+    assertSameRows(fwd, Seq(Seq(1L, 10L, "a", null), Seq(1L, null, "b", null)))
+  }
+
   test("null keys group together (window-partition semantics)") {
     val l = Seq((Option.empty[Long], 10L, "x"), (Some(1L), 10L, "y")).toDF("k", "t", "trade")
     val r = Seq((Option.empty[Long], 5L, 1.0), (Some(1L), 6L, 2.0)).toDF("k", "t", "px")

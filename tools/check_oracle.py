@@ -60,9 +60,17 @@ def main(sf_dir, out_dir):
             if neq.any():
                 i = int(neq.to_numpy().nonzero()[0][0]) if hasattr(neq, "to_numpy") else int(neq.nonzero()[0][0])
                 bad.append((c, f"first diff row {i}: got={got[c].iloc[i]!r} exp={exp[c].iloc[i]!r} ({int(neq.sum())} diffs)"))
-        # dtype check (schema part of the gate)
+        # dtype check (schema part of the gate). The driver hashes values
+        # per-dtype, so int64-vs-float64 drift (e.g. an un-cast DuckDB window
+        # sum coming back HUGEINT->float64) is a hard FAIL there — mirror it.
         dt = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in exp.columns
               if str(got[c].dtype) != str(exp[c].dtype)]
+        hard_dt = [(c, g, e) for c, g, e in dt
+                   if ({got[c].dtype.kind, exp[c].dtype.kind} & {"i", "u"})
+                   and ({got[c].dtype.kind, exp[c].dtype.kind} & {"f"})]
+        if hard_dt:
+            bad.extend((c, f"dtype drift spark={g} oracle={e} (int vs float "
+                           f"fails the driver hash gate)") for c, g, e in hard_dt)
         if bad:
             print(f"FAIL {name}: " + "; ".join(f"{c}: {m}" for c, m in bad[:3]))
             n_fail += 1
