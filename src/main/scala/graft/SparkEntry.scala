@@ -3347,6 +3347,46 @@ object SparkEntry {
         size(col("tri_a")).cast("long").as("n_a"),
         col("inter").cast("long").as("inter"), col("c_ppm")), "id_a", "id_b")
     }),
+    "q278_decimal_unary" -> ((s, dir) => {
+      // unary math over DECIMAL(18,2) — the reference's decimal32/64 fringe
+      // of ABS/CEIL/FLOOR (cpp/include/legate_dataframe/core/unaryop.hpp:74)
+      // plus negate and round-half-up, previously exercised on float/int
+      // only. s_acctbal carries negatives, so the sign-sensitive cases
+      // (ceil/floor toward/away, half-away-from-zero rounding) are live.
+      // All outputs are emitted as exact integers (scale-2 × 100 and
+      // scale-1 × 10 are integral by construction) so the gate is
+      // FP-free; the decimal arithmetic itself is what's under test.
+      val d = col("bal")
+      ord(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal").cast("decimal(18,2)").as("bal"))
+        .select(col("s_suppkey"),
+          (d * 100).cast("long").as("bal_c"),
+          (-d * 100).cast("long").as("neg_c"),
+          (abs(d) * 100).cast("long").as("abs_c"),
+          ceil(d).cast("long").as("ceil_v"),
+          floor(d).cast("long").as("floor_v"),
+          (round(d, 1) * 10).cast("long").as("round1_d"),
+          round(d, 0).cast("long").as("round0_v")),
+        "s_suppkey")
+    }),
+    "q279_session_twap" -> ((s, dir) => {
+      // sessionized TWAP — per (user, session) time-weighted average with
+      // sessions split on a 30-min silence: the composition of the q142
+      // sessionization and q227 TWAP families, and the batch twin of
+      // Events.sessTwapStream (transformWithState with one
+      // (last_us, last_cents, session_ordinal) triple of state per user —
+      // StreamingSpec proves stream == batch across micro-batches on
+      // RocksDB). Interval sums are exact int64; the final divide is one
+      // IEEE op on exact operands, rounded 6dp.
+      val iv = graft.streaming.Events.sessTwapBatch(Engine.events(s, dir))
+      ord(iv.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_intervals"), sum("gap_s").as("dur_s"),
+          sum("w_cents").as("num"))
+        .filter(col("dur_s") > 0)
+        .select(col("user_id"), col("session_id"), col("n_intervals"),
+          col("dur_s"), round(col("num") / col("dur_s") / 100.0, 6).as("twap")),
+        "user_id", "session_id")
+    }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
       // scheme beside q144's SymSpell deletion neighborhoods and q158's
@@ -5592,6 +5632,47 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
         |WHERE length(list_intersect(a.tri, b.tri)) * 1000000 // length(a.tri) >= 600000
         |ORDER BY id_a, id_b""".stripMargin,
+    "q278_decimal_unary" ->
+      """WITH d AS (
+        |  SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal FROM supplier)
+        |SELECT s_suppkey,
+        |  CAST(bal * 100 AS BIGINT) AS bal_c,
+        |  CAST(-bal * 100 AS BIGINT) AS neg_c,
+        |  CAST(abs(bal) * 100 AS BIGINT) AS abs_c,
+        |  CAST(ceil(bal) AS BIGINT) AS ceil_v,
+        |  CAST(floor(bal) AS BIGINT) AS floor_v,
+        |  CAST(round(bal, 1) * 10 AS BIGINT) AS round1_d,
+        |  CAST(round(bal, 0) AS BIGINT) AS round0_v
+        |FROM d ORDER BY s_suppkey""".stripMargin,
+    "q279_session_twap" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER w AS prev_us,
+        |    lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS prev_qv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, us, prev_us, prev_qv,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess,
+        |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+        |      AS session_id
+        |  FROM g),
+        |iv AS (
+        |  SELECT user_id, session_id,
+        |    CAST(floor((us - prev_us) / 1000000.0) AS BIGINT) AS gap_s,
+        |    prev_qv * CAST(floor((us - prev_us) / 1000000.0) AS BIGINT) AS w_cents
+        |  FROM s WHERE new_sess = 0),
+        |a AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |    CAST(sum(gap_s) AS BIGINT) AS dur_s, CAST(sum(w_cents) AS BIGINT) AS num
+        |  FROM iv GROUP BY 1, 2)
+        |SELECT user_id, session_id, n_intervals, dur_s,
+        |  round(CAST(num AS DOUBLE) / dur_s / 100.0, 6) AS twap
+        |FROM a WHERE dur_s > 0 ORDER BY user_id, session_id""".stripMargin,
     "q276_sorted_neighborhood" ->
       """WITH names AS (
         |  SELECT p_name,

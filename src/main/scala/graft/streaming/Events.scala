@@ -63,6 +63,60 @@ class TwapProcessor
   }
 }
 
+/** Input/output/state rows for the SESSIONIZED streaming TWAP processor
+  * (top-level for Catalyst encoder codegen). State per user is one
+  * (last micros, last cents, open session ordinal) triple — bounded
+  * regardless of stream length or session count.
+  */
+case class StwEvent(user_id: Long, event_id: Long, us: Long, value: Double)
+case class StwState(us: Long, qv: Long, sess: Long)
+case class StwOut(user_id: Long, event_id: Long, session_id: Long,
+    gap_s: Long, w_cents: Long)
+
+/** Sessionized streaming TWAP: like [[TwapProcessor]], each event closes the
+  * interval opened by the user's previous event — but an event more than
+  * `gapUs` after its predecessor starts a NEW session instead (emitting
+  * nothing: the inter-session gap is dead time, not exposure), and every
+  * emitted interval carries its session ordinal. Downstream
+  * Σw/Σgap per (user, session) is the per-session time-weighted average —
+  * the composition of the q142 sessionization and q227 TWAP families in one
+  * O(1)-state stateful operator. Integer arithmetic and (us, event_id) fold
+  * order make stream == batch exact for any time-ordered batch slicing.
+  */
+class SessTwapProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, StwEvent, StwOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var last: ValueState[StwState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[StwState]("last", Encoders.product[StwState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[StwEvent],
+      timerValues: TimerValues): Iterator[StwOut] = {
+    var st = if (last.exists()) Option(last.get()) else None
+    val out = rows.toArray.sortBy(e => (e.us, e.event_id)).flatMap { e =>
+      val qv = math.floor(e.value * 100 + 0.5).toLong
+      val emitted = st match {
+        case Some(p) if e.us - p.us <= gapUs =>
+          val gapS = math.floorDiv(e.us - p.us, 1000000L)
+          st = Some(StwState(e.us, qv, p.sess))
+          Some(StwOut(key, e.event_id, p.sess, gapS, p.qv * gapS))
+        case Some(p) => // gap exceeded: open the next session, emit nothing
+          st = Some(StwState(e.us, qv, p.sess + 1))
+          None
+        case None =>
+          st = Some(StwState(e.us, qv, 0L))
+          None
+      }
+      emitted
+    }
+    st.foreach(last.update)
+    out.iterator
+  }
+}
+
 case class PdEvent(user_id: Long, event_id: Long, us: Long, value: Double)
 case class PdOut(user_id: Long, event_id: Long, cents: Long, peak_cents: Long,
     drop_cents: Long)
@@ -491,6 +545,48 @@ object Events {
       .transformWithState(new TwapProcessor,
         TimeMode.None(), OutputMode.Append())
       .toDF()
+  }
+
+  /** Sessionized streaming TWAP intervals via [[SessTwapProcessor]]
+    * (transformWithState, RocksDB provider required — set by the caller
+    * like [[runningTotalsStream]]).
+    */
+  def sessTwapStream(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value")).as[StwEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessTwapProcessor(gapMinutes * 60000000L),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Batch twin of [[sessTwapStream]]: lag windows assign each event its
+    * predecessor's (time, cents), a cumulative new-session count numbers the
+    * sessions from 0, and only within-session rows survive (an event that
+    * opens a session closes no interval).
+    */
+  def sessTwapBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("qv"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        lag(col("us"), 1).over(w).as("prev_us"),
+        lag(col("qv"), 1).over(w).as("prev_qv"))
+      .withColumn("new_sess", when(col("prev_us").isNull ||
+        col("us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .filter(col("new_sess") === 0L)
+      .select(col("user_id"), col("event_id"), col("session_id"),
+        floor((col("us") - col("prev_us")) / 1000000.0).cast("long").as("gap_s"),
+        (col("prev_qv") *
+          floor((col("us") - col("prev_us")) / 1000000.0).cast("long")).as("w_cents"))
   }
 
   /** Streaming per-user peak/drawdown (see [[PeakDropProcessor]]). */

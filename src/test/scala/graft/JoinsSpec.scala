@@ -60,6 +60,37 @@ class JoinsSpec extends SparkSuite {
       Seq(Seq(1L, "a1", "b1"), Seq(null, "aN", "bN")))
   }
 
+  test("join matrix sweep: {5 types} x {broadcast auto/L/R} x {nullsEqual} x {1,2,4,8 partitions}") {
+    // the reference's full join test matrix (python/tests/test_join.py:71-120
+    // sweeps type x broadcast x nulls_equal x machine scope): one 2-key
+    // fixture with null keys, duplicate keys, and an unmatched row on each
+    // side; the canonical result per (type, nullsEqual) must be invariant
+    // to broadcast mode and incoming partition count. (FULL cannot
+    // broadcast-hash in Spark — the hint is ignored there, which is itself
+    // part of the contract: mode never changes results.)
+    import graft.operators.Joins.{Auto, BroadcastLeft, BroadcastRight}
+    val l0 = Seq((Option(1L), Option("x"), "a1"), (Option(1L), Option("y"), "a2"),
+      (Option(2L), Option("x"), "a3"), (Option.empty[Long], Option("x"), "aN1"),
+      (Option(3L), Option.empty[String], "aN2"), (Option(9L), Option("z"), "a9"))
+      .toDF("k1", "k2", "payload_a")
+    val r0 = Seq((Option(1L), Option("x"), "b1"), (Option(1L), Option("x"), "b1x"),
+      (Option(2L), Option("x"), "b2"), (Option.empty[Long], Option("x"), "bN1"),
+      (Option(3L), Option.empty[String], "bN2"), (Option(8L), Option("w"), "b8"))
+      .toDF("k1", "k2", "payload_b")
+    val keys = Seq("k1", "k2")
+    for (how <- Seq("inner", "left", "full", "semi", "anti");
+         ne <- Seq(false, true)) {
+      val expected = rows(Joins.join(l0, r0, keys, how, ne)).map(_.toString).sorted
+      assert(expected.nonEmpty, s"degenerate fixture for how=$how ne=$ne")
+      for (bc <- Seq(Auto, BroadcastLeft, BroadcastRight); np <- Seq(1, 2, 4, 8)) {
+        val got = Joins.join(
+          l0.repartition(np), r0.repartition(np), keys, how, ne, bc)
+        assert(rows(got).map(_.toString).sorted == expected,
+          s"join mismatch at how=$how nullsEqual=$ne bcast=$bc partitions=$np")
+      }
+    }
+  }
+
   test("broadcast hint changes the physical plan, not the result") {
     val auto = Joins.join(lhs, rhs, Seq("k"), "inner")
     val bc = Joins.join(lhs, rhs, Seq("k"), "inner", bcast = Joins.BroadcastRight)

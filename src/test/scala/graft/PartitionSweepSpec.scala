@@ -76,7 +76,10 @@ class PartitionSweepSpec extends SparkSuite {
     "q268_asof_exec_fwd", "q269_user_growth", "q270_wow_growth",
     "q271_bitmap_distinct", "q272_ks_test", "q273_cohort_ltv",
     "q274_group_by_all", "q275_explode_outer", "q276_sorted_neighborhood",
-    "q277_containment")
+    "q277_containment",
+    // round-9: decimal unary surface (exact integer outputs) and the
+    // sessionized-TWAP batch twin (int64 interval sums, pinned tie order)
+    "q278_decimal_unary", "q279_session_twap")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

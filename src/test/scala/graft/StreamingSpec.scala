@@ -472,6 +472,56 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState sessionized TWAP == batch lag twin across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // event-time split like the TWAP test: the state is the user's last
+    // sample + session ordinal, so micro-batch order must respect time
+    // order; both the open interval AND the session counter carry across
+    // the cut in RocksDB state — a session straddling the cut must keep
+    // one ordinal, not restart
+    val raw = spark.read.schema(Events.rawSchema).parquet(s"$sfDir/events.parquet")
+    val norm = Events.withTs(raw).withColumn("__us", unix_micros(col("ts")))
+    val cutTs = norm.stat.approxQuantile("__us", Array(0.5), 0.0)(0).toLong
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stw_stream")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, modTimeMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stw_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = streamDir.resolve(name)
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(modTimeMs)
+    }
+    val now = System.currentTimeMillis()
+    def half(pred: org.apache.spark.sql.Column) = norm.filter(pred)
+      .withColumn("ts", col("ts").cast("timestamp_ntz")).drop("__us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    stage(half(col("__us") <= cutTs), "half1.parquet", now - 60000)
+    stage(half(col("__us") > cutTs), "half2.parquet", now)
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = Events.sessTwapStream(
+        Events.readStream(spark, streamDir.toString, maxFilesPerTrigger = Some(1)))
+      val q = streamed.writeStream.format("memory")
+        .queryName("graft_sess_twap").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("graft_sess_twap")
+      val expected = Events.sessTwapBatch(Engine.events(spark, sfDir))
+      assert(got.count() > 0)
+      assert(got.select("session_id").distinct().count() > 1,
+        "fixture should contain multi-session users")
+      assert(rows(got).map(_.toString).sorted == rows(expected).map(_.toString).sorted)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("incremental corpus screening: foreachBatch stream == batch") {
     import org.apache.spark.sql.functions._
     import graft.llm.Dedup
