@@ -522,6 +522,35 @@ object ScaleProbe {
       }
       spark.sparkContext.removeSparkListener(listener)
     }
+    // q218's within-block sorted-neighborhood ER blocking: candidates must
+    // be exactly w·(rows − open block tails) — LINEAR in rows, flat wall
+    // per row, regardless of how big a (brand, type) block grows (the old
+    // exhaustive within-block form was quadratic in block size). Fixture:
+    // 600 blocks of equal size, so block size grows 16× across the sweep
+    // while candidates/row stays pinned at ≈ w.
+    if (want("snm")) for (n <- Seq(250000L, 1000000L, 4000000L)) {
+      import org.apache.spark.sql.expressions.Window
+      val w = 8
+      val parts = spark.range(n).select(col("id").as("pk"),
+        concat(lit("name"), lpad(pmod(xxhash64(col("id")), lit(100000L))
+          .cast("string"), 6, "0")).as("name"),
+        pmod(xxhash64(col("id"), lit(1)), lit(600L)).as("blk")).persist()
+      parts.count()
+      val ranked = parts.withColumn("rn", row_number().over(
+        Window.partitionBy("blk").orderBy("name", "pk")))
+      val a = ranked.select(col("pk").as("id_a"), col("name").as("na"),
+        col("blk").as("ba"), col("rn"))
+      val b = ranked.select(col("pk").as("id_b"), col("name").as("nb"),
+        col("blk").as("bb"), col("rn").as("rn_b"))
+      val (cands, t) = time {
+        a.withColumn("off", explode(array((1 to w).map(i => lit(i)): _*)))
+          .withColumn("rn_tgt", col("rn") + col("off"))
+          .join(b, col("ba") === col("bb") && col("rn_tgt") === col("rn_b"))
+          .count()
+      }
+      println(f"SCALE snm n=$n%8d  block_rows=${n / 600}%7d  cand=${t}%6.1f s  pairs=$cands (${cands.toDouble / n}%4.2f/row, w=$w)")
+      parts.unpersist()
+    }
     spark.stop()
   }
 }
