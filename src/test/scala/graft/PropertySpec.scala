@@ -147,6 +147,47 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("sessTwapBatch matches the naive session-walk model on random inputs") {
+    // the batch twin of the SessTwapProcessor (StreamingSpec proves
+    // stream == batch; this closes the model gap on adversarial shapes:
+    // duplicate timestamps, gap exactly AT the threshold, single-event
+    // sessions, interleaved users)
+    import spark.implicits._
+    val gapMin = 1
+    val gapUs = gapMin * 60000000L
+    val rowGen = for {
+      u <- Gen.choose(0L, 3L)
+      us <- Gen.choose(0L, 300000000L) // 0..300 s in micros
+      cents <- Gen.choose(0L, 999L)
+    } yield (u, us, cents)
+    for (round <- 0 until 5) {
+      val rows = samples(rowGen, 60, 4200 * round + 17).zipWithIndex
+        .map { case ((u, us, c), i) => (u, us, c, i.toLong) }
+      val ev = rows.toDF("user_id", "us", "cents", "event_id")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("us")).as("ts"),
+          (col("cents") / 100.0).as("value"))
+      val got = graft.streaming.Events.sessTwapBatch(ev, gapMin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq.sorted
+      // naive walk per user in (us, event_id) order
+      val expect = rows.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._4))
+        var sess = 0L
+        sorted.sliding(2).flatMap {
+          case Seq((_, pUs, pC, _), (_, us, _, eid)) =>
+            if (us - pUs > gapUs) { sess += 1; None }
+            else {
+              val gapS = math.floorDiv(us - pUs, 1000000L)
+              Some((u, eid, sess, gapS, pC * gapS))
+            }
+          case _ => None
+        }
+      }.sorted
+      assert(got == expect, s"round $round mismatch")
+    }
+  }
+
   test("quantileNormalize is rank-preserving and bounded by the global extremes") {
     import spark.implicits._
     val vGen = Gen.choose(0L, 50L)
