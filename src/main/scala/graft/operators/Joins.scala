@@ -561,41 +561,53 @@ object Joins {
     val l = col(leftCol); val r = col(rightCol)
     if (maxDist == 0)
       return lhs.join(rhs, l === r).withColumn("dist", lit(0))
-    if (maxDist == 1) {
+    // All pair matching runs on DISTINCT strings: real catalogs repeat
+    // values heavily (part names repeat ~300× at sf0.1), so the
+    // deletion-neighborhood explode and the pair join shrink by the
+    // repetition factor; original rows re-attach by one equi join per
+    // side at the end (row multiplicity n·m per matched value pair is
+    // reproduced by those joins, identical to matching the raw rows).
+    val ln = lhs.select(l.as("__l")).distinct()
+    val rn = rhs.select(r.as("__r")).distinct()
+    val lv = col("__l"); val rv = col("__r")
+    val pairs: DataFrame = if (maxDist == 1) {
       val blk = "__graft_blk"
       // delete the i-th (1-based) character
       def delAt(c: Column, i: Column): Column =
         concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))
-      // (position, deletion) keys; callers pre-filter length >= 1 so the
-      // 1..length sequence is never descending
+      // (position, deletion) keys; the length >= 1 pre-filter keeps the
+      // 1..length sequence from descending
       def posKeys(c: Column): Column =
         transform(sequence(lit(1), length(c)),
           i => struct(i.as("pos"), delAt(c, i).as("k")))
       def delStrings(c: Column): Column =
         array_distinct(transform(sequence(lit(1), length(c)), i => delAt(c, i)))
-      val j0 = lhs.join(rhs, l === r).withColumn("dist", lit(0))
-      val j1 = lhs.filter(length(l) >= 1).withColumn(blk, explode(posKeys(l)))
-        .join(rhs.filter(length(r) >= 1).withColumn(blk, explode(posKeys(r))), Seq(blk))
-        .filter(length(l) === length(r) && l =!= r)
+      val j0 = ln.join(rn, lv === rv).withColumn("dist", lit(0))
+      val j1 = ln.filter(length(lv) >= 1).withColumn(blk, explode(posKeys(lv)))
+        .join(rn.filter(length(rv) >= 1).withColumn(blk, explode(posKeys(rv))), Seq(blk))
+        .filter(length(lv) === length(rv) && lv =!= rv)
         .drop(blk).withColumn("dist", lit(1))
-      val j2a = lhs.filter(length(l) >= 1).withColumn(blk, explode(delStrings(l)))
-        .join(rhs.withColumn(blk, r), Seq(blk))
+      val j2a = ln.filter(length(lv) >= 1).withColumn(blk, explode(delStrings(lv)))
+        .join(rn.withColumn(blk, rv), Seq(blk))
         .drop(blk).withColumn("dist", lit(1))
-      val j2b = lhs.withColumn(blk, l)
-        .join(rhs.filter(length(r) >= 1).withColumn(blk, explode(delStrings(r))), Seq(blk))
+      val j2b = ln.withColumn(blk, lv)
+        .join(rn.filter(length(rv) >= 1).withColumn(blk, explode(delStrings(rv))), Seq(blk))
         .drop(blk).withColumn("dist", lit(1))
-      return j0.unionByName(j1).unionByName(j2a).unionByName(j2b)
+      j0.unionByName(j1).unionByName(j2a).unionByName(j2b)
+    } else {
+      val blk = "__graft_blk"
+      def pass(f: Column => Column): DataFrame =
+        ln.withColumn(blk, f(lv))
+          .join(rn.withColumn(blk, f(rv)), Seq(blk))
+          .drop(blk)
+          .filter(abs(length(lv) - length(rv)) <= maxDist)
+          .withColumn("dist", levenshtein(lv, rv, maxDist))
+          .filter(col("dist") >= 0) // thresholded form returns -1 past maxDist
+      pass(c => substring(c, 1, 1))
+        .unionByName(pass(c => substring(c, -1, 1)))
+        .distinct()
     }
-    val blk = "__graft_blk"
-    def pass(f: Column => Column): DataFrame =
-      lhs.withColumn(blk, f(l))
-        .join(rhs.withColumn(blk, f(r)), Seq(blk))
-        .drop(blk)
-        .filter(abs(length(l) - length(r)) <= maxDist)
-        .withColumn("dist", levenshtein(l, r, maxDist))
-        .filter(col("dist") >= 0) // thresholded form returns -1 past maxDist
-    pass(c => substring(c, 1, 1))
-      .unionByName(pass(c => substring(c, -1, 1)))
-      .distinct()
+    lhs.join(pairs, l === lv).join(rhs, rv === r)
+      .select(lhs.columns.map(col) ++ rhs.columns.map(col) :+ col("dist"): _*)
   }
 }
