@@ -7,12 +7,17 @@ and compare against the Spark result parquet (values + schema + row order).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
+import functools
 import json
 import sys
 
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
+
+# stream results even through a pipe (heavy oracles at larger SFs run for
+# minutes; buffered output hides which query is grinding)
+print = functools.partial(print, flush=True)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
