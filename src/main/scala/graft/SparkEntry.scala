@@ -3915,8 +3915,13 @@ object SparkEntry {
       // scored inside whole-stage codegen, survivors ≥ 0.8 kept. The
       // oracle mirrors with DuckDB's jaro_winkler_similarity (semantics
       // pinned in FunctionsSpec: strict-0.7 boost threshold, prefix cap 4,
-      // empty ⇒ 0). Blocking keeps the pair count at
-      // O(Σ block² ), never |part|² — the 100 TB shape.
+      // empty ⇒ 0). Blocking keeps the pair count at O(Σ block²), never
+      // |part|² — the 100 TB shape; when blocks grow with the data, the
+      // q218 sorted-neighborhood cap is the swap-in. (A distinct-names
+      // pre-pass was A/B-measured SLOWER here — within-block repetition
+      // is only ~2.4× on this data, so the two re-attachment joins cost
+      // more than the saved JW work; fuzzyJoin keeps that pre-pass
+      // because whole-table repetition there is ~300×.)
       val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
       val a = p.toDF("ak", "an", "p_brand", "p_type")
       val b = p.toDF("bk", "bn", "p_brand", "p_type")
