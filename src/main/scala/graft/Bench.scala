@@ -70,6 +70,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // route the write-path demos' temp dirs (incremental MV replay,
+    // bucketed/capped writes, skipping-index fixtures — all
+    // createTempDirectory-based) to tmpfs like spark.local.dir below:
+    // single-node bench measures operators, not /tmp disk bandwidth
+    if (new java.io.File("/dev/shm").isDirectory)
+      System.setProperty("java.io.tmpdir", "/dev/shm")
     val spark = Engine.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       // single-node bench settings: shuffle compression trades CPU for
