@@ -3394,6 +3394,174 @@ object SparkEntry {
           col("dur_s"), round(col("num") / col("dur_s") / 100.0, 6).as("twap")),
         "user_id", "session_id")
     }),
+    "q280_rag_chunking" -> ((s, dir) => {
+      // RAG sliding-window chunking — the retrieval-corpus builder every
+      // RAG/embedding pipeline front-end needs: fixed-size token windows
+      // (C=32) at stride S=24 (8-token overlap so no boundary sentence is
+      // split across chunks without a copy that sees it whole). Chunk
+      // starts come from ONE bounded sequence-explode per doc (never a
+      // positional self-join); each chunk is a slice() of the already-
+      // tokenized array, so the whole op is row-local — no shuffle, and
+      // at 100 TB it's a pure map stage. chunk_key = md5 of the joined
+      // chunk text: the content-addressed identity downstream dedup and
+      // embedding caches key on (the q208 digest discipline).
+      val C = 32; val S = 24
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.portableTokens(col("text")).as("tk"))
+        .withColumn("n", size(col("tk")))
+        .filter(col("n") > 0)
+      val chunks = d
+        .withColumn("cid", explode(expr(s"sequence(0L, (n - 1) div $S)")))
+        .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+          slice(col("tk"), (col("cid") * S + 1).cast("int"), lit(C)).as("ck"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).cast("long").as("n_tok"),
+          md5(array_join(col("ck"), " ")).as("chunk_key"))
+      ord(chunks, "doc_id", "chunk_id")
+    }),
+    "q281_char_diversity" -> ((s, dir) => {
+      // character-diversity quality screen — Simpson collision index over
+      // a doc's characters in EXACT integer ppm (1e6 − Σc²·1e6 div N²):
+      // the log-free complement of entropy (the repo's no-cross-engine-ln
+      // rule, cf. q233/q257) that catches the same spam shape — low
+      // diversity = repeated-character/boilerplate junk. Per-(doc, char)
+      // counts from one bounded substring-explode; int64 headroom holds to
+      // ~3e6 chars/doc (Σc²·1e6 ≤ N²·1e6), far above any real document —
+      // beyond that the same plan runs on decimal(38,0).
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("tl"))
+        .filter(length(col("tl")) > 0)
+      val counts = d
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(tl)), i -> substring(tl, i, 1))")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      ord(counts.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"), sum("n").as("n_chars"),
+          sum(col("n") * col("n")).as("sumsq"))
+        .select(col("doc_id"), col("n_distinct"), col("n_chars"),
+          expr("1000000 - (sumsq * 1000000) div (n_chars * n_chars)")
+            .as("simpson_ppm")),
+        "doc_id")
+    }),
+    "q282_lexical_richness" -> ((s, dir) => {
+      // lexical-richness quality signals — type-token ratio and hapax
+      // (once-only token) share per doc in exact integer ppm: the
+      // vocabulary-side quality screen beside q42's surface ratios and
+      // q90's repetition fractions (low TTR = templated/repetitive text,
+      // high hapax = natural prose). One (doc, token) grouped count then
+      // one per-doc agg — two shuffles, both keyed on doc_id-ish keys,
+      // linear at any corpus size.
+      val cnt = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.portableTokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      ord(cnt.groupBy("doc_id")
+        .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("doc_id"), col("n_tok"), col("n_types"), col("n_hapax"),
+          expr("(n_types * 1000000) div n_tok").as("ttr_ppm"),
+          expr("(n_hapax * 1000000) div n_types").as("hapax_ppm")),
+        "doc_id")
+    }),
+    "q283_source_tvd" -> ((s, dir) => {
+      // per-source mixture drift — total-variation distance between each
+      // source's token distribution and the global corpus distribution:
+      // the token-space complement of q272's numeric KS test, and the
+      // mixture-health report a training-data pipeline checks before
+      // reweighting (which source's text "sounds different"). Log-free
+      // (no cross-engine ln): TVD = Σ|p_s − p_g| / 2 with the absent-token
+      // mass folded in CLOSED FORM — Σ_{w∉s} c_g = N_g − Σ_{w∈s} c_g — so
+      // the plan never expands source × vocab. One (source, token) count,
+      // one token-keyed join to the global counts, one per-source agg,
+      // N_g as a window sum over the bounded source frame. Numerator is
+      // exact int64 (headroom to N_s·N_g ≈ 4.6e18; decimal(38,0) beyond);
+      // tvd is ONE IEEE divide on exact operands, rounded 6dp.
+      import org.apache.spark.sql.expressions.Window
+      val sc = t(s, dir, "documents")
+        .select(col("source"), explode(TextFns.portableTokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cs"))
+      val gc = sc.groupBy("w").agg(sum("cs").as("cg"))
+      val withTotals = sc.groupBy("source").agg(sum("cs").as("ns"))
+        .withColumn("ng", sum("ns").over(Window.partitionBy()))
+      val scored = sc.join(gc, "w")
+        .join(withTotals.select("source", "ns", "ng"), "source")
+        .groupBy("source")
+        .agg(first("ns").as("n_s"), first("ng").as("n_g"),
+          sum(abs(col("cs") * col("ng") - col("cg") * col("ns"))).as("num_seen"),
+          sum(col("cg")).as("sum_cg_seen"))
+        .select(col("source"), col("n_s"), col("n_g"),
+          (col("num_seen") + (col("n_g") - col("sum_cg_seen")) * col("n_s"))
+            .as("tvd_num"))
+      ord(scored.select(col("source"), col("n_s"), col("tvd_num"),
+        round(col("tvd_num") / (lit(2.0) * col("n_s") * col("n_g")), 6).as("tvd")),
+        "source")
+    }),
+    "q284_boilerplate_scrub" -> ((s, dir) => {
+      // corpus-level boilerplate REMOVAL with text reconstruction — the
+      // C4/CCNet transform q95 only reports on: any 3-gram window shared
+      // by ≥3 distinct docs marks its token positions covered; covered
+      // tokens are dropped and the surviving tokens re-join in position
+      // order into the cleaned text. Plan shape: positioned grams from the
+      // lazy ShingleExplodeExpr generator, one gram-keyed agg for the
+      // boilerplate set, one gram-keyed join back (never doc×doc), a
+      // (doc, pos) anti join, and one per-doc rebuild agg — every stage
+      // linear in corpus tokens at any SF. Output is count + md5 facts
+      // (kept_ppm exact integer), so the gate is FP-free.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.portableTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+      val grams = toks
+        .selectExpr("doc_id", "n", "graft_shingle_explode(toks, 3) AS (pos, gram)")
+      val boiler = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select("gram")
+      val covered = grams.join(boiler, "gram")
+        .select(col("doc_id"),
+          explode(expr("sequence(pos, least(pos + 2, n - 1))")).as("p"))
+        .distinct()
+      val kept = toks
+        .select(col("doc_id"), col("n"), posexplode(col("toks")).as(Seq("p", "w")))
+        .join(covered, Seq("doc_id", "p"), "left_anti")
+      ord(kept.groupBy("doc_id")
+        .agg(first("n").as("n_tok"), count(lit(1)).as("n_kept"),
+          md5(array_join(array_sort(collect_list(struct(col("p"), col("w"))))
+            .getField("w"), " ")).as("clean_key"))
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+          col("n_kept"), expr("(n_kept * 1000000) div n_tok").as("kept_ppm"),
+          col("clean_key")),
+        "doc_id")
+    }),
+    "q285_class_coherence" -> ((s, dir) => {
+      // per-class embedding coherence/drift — cosine between each label's
+      // centroid and the global centroid (class-separability screen; the
+      // embedding-space sibling of q283's token-space TVD). Exactness
+      // discipline: vectors are quantized to int64 via the q175 msum
+      // pattern, per-(label, pos) sums are EXACT, the global sums re-agg
+      // those partials, and the cosine folds the 64 per-dim terms in
+      // pinned pos order (sort_array + sequential aggregate()) so every
+      // double op is one fixed IEEE tree — bit-identical cross-engine,
+      // rounded 6dp. Count factors cancel in cosine, so sums stand in for
+      // means. Two keyed aggs + one tiny join: linear at any corpus size.
+      val e = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("q", floor(col("v") * lit(1e6) + lit(0.5)).cast("long"))
+      val perClass = e.groupBy("label", "pos").agg(sum("q").as("sq"))
+      val global = perClass.groupBy("pos").agg(sum("sq").as("gq"))
+      val arr = perClass.join(global, "pos")
+        .groupBy("label")
+        .agg(sort_array(collect_list(struct(col("pos"), col("sq"), col("gq"))))
+          .as("terms"))
+      ord(arr.select(col("label").cast("long").as("label"),
+        round(expr(
+          """aggregate(terms, CAST(0.0 AS DOUBLE),
+            |  (a, t) -> a + CAST(t.sq AS DOUBLE) * CAST(t.gq AS DOUBLE)) /
+            |(sqrt(aggregate(terms, CAST(0.0 AS DOUBLE),
+            |  (a, t) -> a + CAST(t.sq AS DOUBLE) * CAST(t.sq AS DOUBLE))) *
+            | sqrt(aggregate(terms, CAST(0.0 AS DOUBLE),
+            |  (a, t) -> a + CAST(t.gq AS DOUBLE) * CAST(t.gq AS DOUBLE))))"""
+            .stripMargin), 6).as("cos_global")),
+        "label")
+    }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
       // scheme beside q144's SymSpell deletion neighborhoods and q158's
@@ -5656,6 +5824,123 @@ object SparkEntry {
         |  CAST(round(bal, 1) * 10 AS BIGINT) AS round1_d,
         |  CAST(round(bal, 0) AS BIGINT) AS round0_v
         |FROM d ORDER BY s_suppkey""".stripMargin,
+    "q280_rag_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |n AS (SELECT doc_id, tk, length(tk) AS n FROM d WHERE length(tk) > 0),
+        |c AS (SELECT doc_id, tk, n,
+        |        unnest(generate_series(0, (n - 1) // 24)) AS cid
+        |      FROM n)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |  CAST(length(list_slice(tk, cid*24 + 1, least(cid*24 + 32, n))) AS BIGINT)
+        |    AS n_tok,
+        |  md5(array_to_string(list_slice(tk, cid*24 + 1, least(cid*24 + 32, n)), ' '))
+        |    AS chunk_key
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q281_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, lower(text) AS tl FROM documents WHERE length(text) > 0),
+        |cs AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(tl)),
+        |    i -> substr(tl, CAST(i AS INT), 1))) AS c
+        |  FROM ch),
+        |cnt AS (SELECT doc_id, c, count(*) AS n FROM cs GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(n) AS BIGINT) AS n_chars,
+        |  CAST(1000000 - (CAST(sum(n*n) AS HUGEINT) * 1000000)
+        |    // (CAST(sum(n) AS HUGEINT) * sum(n)) AS BIGINT) AS simpson_ppm
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q282_lexical_richness" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_ppm,
+        |  CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+        |    AS BIGINT) AS hapax_ppm
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q283_source_tvd" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |sc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+        |       FROM toks GROUP BY 1, 2),
+        |gc AS (SELECT w, CAST(sum(cs) AS BIGINT) AS cg FROM sc GROUP BY w),
+        |tot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM sc GROUP BY 1),
+        |ng AS (SELECT CAST(sum(ns) AS BIGINT) AS ng FROM tot),
+        |agg AS (
+        |  SELECT sc.source,
+        |    CAST(sum(abs(sc.cs * ng.ng - gc.cg * tot.ns)) AS BIGINT) AS num_seen,
+        |    CAST(sum(gc.cg) AS BIGINT) AS sum_cg_seen
+        |  FROM sc JOIN gc USING (w) JOIN tot ON sc.source = tot.source, ng
+        |  GROUP BY sc.source)
+        |SELECT a.source, t.ns AS n_s,
+        |  CAST(a.num_seen + (g.ng - a.sum_cg_seen) * t.ns AS BIGINT) AS tvd_num,
+        |  round(CAST(a.num_seen + (g.ng - a.sum_cg_seen) * t.ns AS DOUBLE)
+        |    / (2.0 * t.ns * g.ng), 6) AS tvd
+        |FROM agg a JOIN tot t ON a.source = t.source, ng g
+        |ORDER BY a.source""".stripMargin,
+    "q284_boilerplate_scrub" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, toks, length(toks) AS n FROM tk WHERE length(toks) > 0),
+        |sh AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, n - 2),
+        |        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) END AS grams
+        |  FROM n0),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    unnest(generate_series(0, length(grams) - 1)) AS pos,
+        |    unnest(grams) AS gram
+        |  FROM sh),
+        |b AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 3),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT g.doc_id, unnest(generate_series(g.pos, least(g.pos + 2, g.n - 1))) AS p
+        |    FROM g JOIN b USING (gram))),
+        |tokpos AS (
+        |  SELECT doc_id, n,
+        |    unnest(generate_series(0, n - 1)) AS p, unnest(toks) AS w
+        |  FROM n0),
+        |kept AS (
+        |  SELECT t.doc_id, t.n, t.p, t.w FROM tokpos t
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = t.doc_id AND c.p = t.p))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tok,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST((count(*) * 1000000) // max(n) AS BIGINT) AS kept_ppm,
+        |  md5(string_agg(w, ' ' ORDER BY p)) AS clean_key
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q285_class_coherence" ->
+      """WITH e AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS pos,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+        |  FROM embeddings CROSS JOIN range(1, 65) t(i)),
+        |pc AS (SELECT label, pos, CAST(sum(qv) AS BIGINT) AS sq FROM e GROUP BY 1, 2),
+        |g AS (SELECT pos, CAST(sum(sq) AS BIGINT) AS gq FROM pc GROUP BY pos),
+        |a AS (
+        |  SELECT pc.label,
+        |    list(CAST(pc.sq AS DOUBLE) * CAST(g.gq AS DOUBLE) ORDER BY pc.pos) AS dots,
+        |    list(CAST(pc.sq AS DOUBLE) * CAST(pc.sq AS DOUBLE) ORDER BY pc.pos) AS ss,
+        |    list(CAST(g.gq AS DOUBLE) * CAST(g.gq AS DOUBLE) ORDER BY pc.pos) AS gg
+        |  FROM pc JOIN g USING (pos) GROUP BY pc.label)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), dots), (x, y) -> x + y) /
+        |    (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ss), (x, y) -> x + y)) *
+        |     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), gg), (x, y) -> x + y))), 6)
+        |    AS cos_global
+        |FROM a ORDER BY label""".stripMargin,
     "q279_session_twap" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

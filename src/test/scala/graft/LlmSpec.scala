@@ -256,6 +256,31 @@ class LlmSpec extends SparkSuite {
     assert(digest == expected)
   }
 
+  test("q280 chunking: full token coverage, stride-24 starts, width <= 32") {
+    // n_tok(cid) = min(32, n - 24·cid) for every chunk, and cids are exactly
+    // 0..(n-1) div 24 — together these prove the chunks tile the doc with an
+    // 8-token overlap and the final partial chunk reaches token n (coverage).
+    val nByDoc = docs
+      .select(col("doc_id"), size(TextFns.portableTokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = SparkEntry.queries("q280_rag_chunking")(spark, sfDir)
+      .select("doc_id", "chunk_id", "n_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_._1)
+    for ((doc, cs) <- byDoc) {
+      val n = nByDoc(doc)
+      val cids = cs.map(_._2).sorted
+      assert(cids.toSeq == (0L to ((n - 1) / 24).toLong),
+        s"doc $doc: chunk ids not contiguous for n=$n")
+      for ((_, cid, nTok) <- cs)
+        assert(nTok == math.min(32L, n - 24 * cid),
+          s"doc $doc chunk $cid: n_tok=$nTok for n=$n")
+    }
+    // docs with >=1 token all chunked
+    assert(byDoc.keySet == nByDoc.filter(_._2 > 0).keySet)
+  }
+
   test("quality score is in [0,1] and penalizes garbage") {
     val d = Seq(
       "the cat sat on the mat and it was a good day for all of us",

@@ -79,7 +79,16 @@ class PartitionSweepSpec extends SparkSuite {
     "q277_containment",
     // round-9: decimal unary surface (exact integer outputs) and the
     // sessionized-TWAP batch twin (int64 interval sums, pinned tie order)
-    "q278_decimal_unary", "q279_session_twap")
+    "q278_decimal_unary", "q279_session_twap",
+    // round-9 continuation: chunking (row-local slices + md5), diversity/
+    // richness (exact integer ppm over grouped counts), source TVD (exact
+    // int64 numerator; the one IEEE divide runs on identical operands at
+    // any partitioning)
+    "q280_rag_chunking", "q281_char_diversity", "q282_lexical_richness",
+    "q283_source_tvd",
+    // boilerplate scrub (md5 of position-ordered rebuild, exact counts)
+    // and class coherence (pinned-pos-order IEEE folds over exact sums)
+    "q284_boilerplate_scrub", "q285_class_coherence")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
