@@ -3425,22 +3425,25 @@ object SparkEntry {
       // the log-free complement of entropy (the repo's no-cross-engine-ln
       // rule, cf. q233/q257) that catches the same spam shape — low
       // diversity = repeated-character/boilerplate junk. Per-(doc, char)
-      // counts from one bounded substring-explode; int64 headroom holds to
-      // ~3e6 chars/doc (Σc²·1e6 ≤ N²·1e6), far above any real document —
-      // beyond that the same plan runs on decimal(38,0).
+      // counts are computed ROW-LOCALLY with higher-order functions —
+      // O(distinct_chars · n) per row over a ≲100-char alphabet, no
+      // explode, no shuffle: the whole query is one map stage at any SF.
+      // int64 headroom holds to ~3e6 chars/doc (Σc²·1e6 ≤ N²·1e6), far
+      // above any real document — beyond that the same plan runs on
+      // decimal(38,0).
       val d = t(s, dir, "documents")
         .select(col("doc_id"), lower(col("text")).as("tl"))
         .filter(length(col("tl")) > 0)
-      val counts = d
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(tl)), i -> substring(tl, i, 1))")).as("c"))
-        .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
-      ord(counts.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_distinct"), sum("n").as("n_chars"),
-          sum(col("n") * col("n")).as("sumsq"))
-        .select(col("doc_id"), col("n_distinct"), col("n_chars"),
-          expr("1000000 - (sumsq * 1000000) div (n_chars * n_chars)")
-            .as("simpson_ppm")),
+        .withColumn("cs", expr(
+          "transform(sequence(1, length(tl)), i -> substring(tl, i, 1))"))
+        .withColumn("counts", expr(
+          "transform(array_distinct(cs), c -> size(filter(cs, x -> x = c)))"))
+      ord(d.select(col("doc_id"),
+        size(col("counts")).cast("long").as("n_distinct"),
+        length(col("tl")).cast("long").as("n_chars"),
+        expr("""1000000 -
+          (aggregate(counts, 0L, (a, x) -> a + CAST(x AS BIGINT) * x) * 1000000)
+          div (CAST(length(tl) AS BIGINT) * length(tl))""").as("simpson_ppm")),
         "doc_id")
     }),
     "q282_lexical_richness" -> ((s, dir) => {
@@ -3506,29 +3509,11 @@ object SparkEntry {
       // (doc, pos) anti join, and one per-doc rebuild agg — every stage
       // linear in corpus tokens at any SF. Output is count + md5 facts
       // (kept_ppm exact integer), so the gate is FP-free.
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), TextFns.portableTokens(col("text")).as("toks"))
-        .withColumn("n", size(col("toks")))
-        .filter(col("n") > 0)
-      val grams = toks
-        .selectExpr("doc_id", "n", "graft_shingle_explode(toks, 3) AS (pos, gram)")
-      val boiler = grams.groupBy("gram")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 3).select("gram")
-      val covered = grams.join(boiler, "gram")
-        .select(col("doc_id"),
-          explode(expr("sequence(pos, least(pos + 2, n - 1))")).as("p"))
-        .distinct()
-      val kept = toks
-        .select(col("doc_id"), col("n"), posexplode(col("toks")).as(Seq("p", "w")))
-        .join(covered, Seq("doc_id", "p"), "left_anti")
-      ord(kept.groupBy("doc_id")
-        .agg(first("n").as("n_tok"), count(lit(1)).as("n_kept"),
-          md5(array_join(array_sort(collect_list(struct(col("p"), col("w"))))
-            .getField("w"), " ")).as("clean_key"))
-        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
-          col("n_kept"), expr("(n_kept * 1000000) div n_tok").as("kept_ppm"),
-          col("clean_key")),
+      val scrubbed = Dedup.scrubBoilerplate(
+        t(s, dir, "documents"), "doc_id", "text", n = 3, minDocs = 3)
+      ord(scrubbed.select(col("doc_id"), col("n_tok"), col("n_kept"),
+        expr("(n_kept * 1000000) div n_tok").as("kept_ppm"),
+        md5(col("clean_text")).as("clean_key")),
         "doc_id")
     }),
     "q285_class_coherence" -> ((s, dir) => {
@@ -3561,6 +3546,107 @@ object SparkEntry {
             |  (a, t) -> a + CAST(t.gq AS DOUBLE) * CAST(t.gq AS DOUBLE))))"""
             .stripMargin), 6).as("cos_global")),
         "label")
+    }),
+    "q286_annotator_kappa" -> ((s, dir) => {
+      // inter-annotator agreement — Cohen's kappa per source between two
+      // deterministic labeling rules (a length screen, n_tok ≥ 30, and a
+      // lexical-diversity screen, distinct/total ≥ 0.5): the measurement a
+      // labeling pipeline runs before trusting rater pools or LLM judges —
+      // chance-corrected agreement, not raw percent agreement. Both rules
+      // are EXACT integer predicates (the ratio test is nd·2 ≥ n, never a
+      // float), the confusion-matrix cells are exact int64 counts, and
+      // kappa = (n·(n11+n00) − pe) / (n² − pe) with pe = a1·b1 + a0·b0 is
+      // ONE IEEE divide on exact operands, rounded 6dp (NULL when the
+      // chance term saturates — unanimous raters). One map stage + one
+      // keyed agg: linear at any corpus size.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFns.portableTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .filter(col("n") > 0)
+        .withColumn("nd", size(array_distinct(col("toks"))).cast("long"))
+        .select(col("source"),
+          (col("n") >= 30).cast("long").as("a"),
+          (col("nd") * 2 >= col("n")).cast("long").as("b"))
+      val cm = d.groupBy("source").agg(
+        count(lit(1)).as("n"), sum("a").as("a1"), sum("b").as("b1"),
+        sum(col("a") * col("b")).as("n11"))
+        .withColumn("n00", col("n") - col("a1") - col("b1") + col("n11"))
+        .withColumn("pe",
+          col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1")))
+      ord(cm.select(col("source"), col("n"), col("a1"), col("b1"), col("n11"),
+        round(expr("CAST(n * (n11 + n00) - pe AS DOUBLE) / nullif(n * n - pe, 0)"),
+          6).as("kappa")), "source")
+    }),
+    "q287_temperature_mix" -> ((s, dir) => {
+      // temperature-scaled mixture reweighting (the mT5/PaLM multilingual
+      // recipe, T=2): per-source sampling weight ∝ (token share)^(1/T) =
+      // sqrt(n_s), normalized — upweights tail sources so one giant crawl
+      // can't drown the mixture. Also emits the implied repeat factor
+      // w·N/n_s (epochs each source effectively sees — the overfitting
+      // dial). Exactness: token totals are exact int64; sqrt is
+      // correctly-rounded IEEE in both engines; the normalizer folds
+      // per-source sqrt terms in PINNED source order (sort_array +
+      // sequential aggregate, the q285 discipline) so every double op is
+      // one fixed tree, rounded 6dp. The normalizer is a 1-row broadcast
+      // scalar crossed onto the bounded source frame (the q233 shape).
+      val ns = t(s, dir, "documents")
+        .select(col("source"),
+          size(TextFns.portableTokens(col("text"))).cast("long").as("c"))
+        .groupBy("source").agg(sum("c").as("n_tok"))
+      val denom = ns.agg(
+        expr("""aggregate(sort_array(collect_list(struct(source, n_tok))),
+          |CAST(0.0 AS DOUBLE), (a, t) -> a + sqrt(CAST(t.n_tok AS DOUBLE)))"""
+          .stripMargin).as("den"),
+        sum("n_tok").as("n_total"))
+      ord(ns.crossJoin(broadcast(denom)).select(col("source"), col("n_tok"),
+        round(expr("sqrt(CAST(n_tok AS DOUBLE)) / den"), 6).as("weight"),
+        round(expr(
+          "sqrt(CAST(n_tok AS DOUBLE)) / den * CAST(n_total AS DOUBLE) / CAST(n_tok AS DOUBLE)"),
+          6).as("repeat_factor")), "source")
+    }),
+    "q288_label_propagation" -> ((s, dir) => {
+      // community detection via synchronous label propagation (min-label
+      // tie-break — deterministic, unlike random-order LPA) on the same
+      // symmetric supplier↔customer trade graph as q163's PageRank:
+      // membership by mode-of-neighbors where connected components (q81)
+      // gives reachability and PageRank gives influence. 3 rounds; each
+      // is one edge⋈labels join + one (node, label) count + one per-node
+      // max(struct(cnt, −lbl)) agg — two keyed shuffles per round, no
+      // windows, nothing collected (operators/Graph.labelPropagation).
+      // Oracle: the same three rounds as chained DuckDB CTEs with the
+      // mode-with-tie-break expressed as cnt·10^9 + (10^9 − 1 − lbl)
+      // (node ids < 2·10^6, so the encoding is exact in int64).
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val sc2 = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst")).distinct()
+      val edges = sc2.union(sc2.select(col("dst").as("src"), col("src").as("dst")))
+      ord(Graph.labelPropagation(edges, "src", "dst", iters = 3)
+        .select(col("id"), col("lbl")), "id")
+    }),
+    "q289_oov_rate" -> ((s, dir) => {
+      // out-of-vocabulary rate per document against the corpus's own
+      // top-1000 token vocabulary — the tokenizer-fit screen a pipeline
+      // runs before committing a vocab (docs with high OOV are mis-tokenized
+      // or off-domain; complements q261's vocab BUILD with the vocab
+      // APPLICATION). The vocab is a distributed top-k (TakeOrdered on
+      // (count DESC, token ASC) — total order, no global window) that
+      // stays a DataFrame and broadcast-joins back onto the exploded
+      // tokens; per-doc OOV counts are one keyed agg. Exact integer ppm.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.portableTokens(col("text"))).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc).limit(1000)
+        .select(col("w"), lit(1L).as("in_vocab"))
+      ord(toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          expr("(n_oov * 1000000) div n_tok").as("oov_ppm")),
+        "doc_id")
     }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
@@ -5941,6 +6027,87 @@ object SparkEntry {
         |     sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), gg), (x, y) -> x + y))), 6)
         |    AS cos_global
         |FROM a ORDER BY label""".stripMargin,
+    "q286_annotator_kappa" ->
+      """WITH tk AS (
+        |  SELECT source, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT source,
+        |    CASE WHEN length(toks) >= 30 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN length(list_distinct(toks)) * 2 >= length(toks)
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM tk WHERE length(toks) > 0),
+        |cm AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS BIGINT) AS a1, CAST(sum(b) AS BIGINT) AS b1,
+        |    CAST(sum(a * b) AS BIGINT) AS n11
+        |  FROM d GROUP BY source)
+        |SELECT source, n, a1, b1, n11,
+        |  round(CAST(n * (n11 + (n - a1 - b1 + n11))
+        |      - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+        |    / nullif(n * n - (a1 * b1 + (n - a1) * (n - b1)), 0), 6) AS kappa
+        |FROM cm ORDER BY source""".stripMargin,
+    "q287_temperature_mix" ->
+      """WITH ns AS (
+        |  SELECT source, CAST(sum(length(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')))
+        |    AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |den AS (
+        |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(sqrt(CAST(n_tok AS DOUBLE)) ORDER BY source)),
+        |      (a, b) -> a + b) AS den,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_total
+        |  FROM ns)
+        |SELECT source, n_tok,
+        |  round(sqrt(CAST(n_tok AS DOUBLE)) / den, 6) AS weight,
+        |  round(sqrt(CAST(n_tok AS DOUBLE)) / den
+        |    * CAST(n_total AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS repeat_factor
+        |FROM ns, den ORDER BY source""".stripMargin,
+    "q288_label_propagation" ->
+      """WITH sc AS (
+        |  SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS src,
+        |    CAST(o.o_custkey + 1000000 AS BIGINT) AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |e AS (SELECT src, dst FROM sc UNION SELECT dst, src FROM sc),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+        |w1 AS (
+        |  SELECT id, 999999999 - (max(cnt * 1000000000
+        |    + (999999999 - lbl)) % 1000000000) AS lbl
+        |  FROM (SELECT e.dst AS id, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM e JOIN l0 l ON e.src = l.id GROUP BY 1, 2) GROUP BY id),
+        |l1 AS (SELECT n.id, coalesce(w.lbl, n.lbl) AS lbl
+        |       FROM l0 n LEFT JOIN w1 w ON n.id = w.id),
+        |w2 AS (
+        |  SELECT id, 999999999 - (max(cnt * 1000000000
+        |    + (999999999 - lbl)) % 1000000000) AS lbl
+        |  FROM (SELECT e.dst AS id, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM e JOIN l1 l ON e.src = l.id GROUP BY 1, 2) GROUP BY id),
+        |l2 AS (SELECT n.id, coalesce(w.lbl, n.lbl) AS lbl
+        |       FROM l1 n LEFT JOIN w2 w ON n.id = w.id),
+        |w3 AS (
+        |  SELECT id, 999999999 - (max(cnt * 1000000000
+        |    + (999999999 - lbl)) % 1000000000) AS lbl
+        |  FROM (SELECT e.dst AS id, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM e JOIN l2 l ON e.src = l.id GROUP BY 1, 2) GROUP BY id),
+        |l3 AS (SELECT n.id, coalesce(w.lbl, n.lbl) AS lbl
+        |       FROM l2 n LEFT JOIN w3 w ON n.id = w.id)
+        |SELECT id, lbl FROM l3 ORDER BY id""".stripMargin,
+    "q289_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w FROM (SELECT w, count(*) AS cnt FROM toks GROUP BY w)
+        |  ORDER BY cnt DESC, w ASC LIMIT 1000)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST((sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS oov_ppm
+        |FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q279_session_twap" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -306,6 +306,55 @@ object Dedup {
       .drop("__graft_isl")
   }
 
+  /** Corpus-level boilerplate scrub with text reconstruction — the C4/CCNet
+    * transform: every word `n`-gram window shared by at least `minDocs`
+    * distinct documents marks its token positions covered; covered tokens
+    * are dropped and the survivors re-join in position order.
+    *
+    * Returns (idCol, n_tok, n_kept, clean_text); documents whose every
+    * token is covered (pure boilerplate) drop out entirely, mirroring what
+    * a curation pipeline does with them.
+    *
+    * Scale design (100 TB): positioned grams stream from the lazy
+    * ShingleExplodeExpr generator (O(tokens) peak per row); the boilerplate
+    * set is one gram-keyed partial+final aggregate; marking is one gram-keyed
+    * join back (never doc×doc); removal is a (doc, pos) anti join between
+    * co-keyed exploded frames; the rebuild is one per-doc aggregate. Every
+    * stage is linear in corpus tokens.
+    */
+  def scrubBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDocs: Int = 3): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    require(minDocs >= 2, s"minDocs below 2 would mark every position: $minDocs")
+    val toks = df
+      .select(col(idCol), TextFns.portableTokens(col(textCol)).as("__graft_toks"))
+      .withColumn("__graft_n", size(col("__graft_toks")))
+      .filter(col("__graft_n") > 0)
+    val grams = toks.selectExpr(idCol, "__graft_n",
+      s"graft_shingle_explode(__graft_toks, $n) AS (pos, __graft_gram)")
+    val boiler = grams.groupBy("__graft_gram")
+      .agg(countDistinct(col(idCol)).as("__graft_nd"))
+      .filter(col("__graft_nd") >= minDocs)
+      .select("__graft_gram")
+    val covered = grams.join(boiler, Seq("__graft_gram"), "left_semi")
+      .select(col(idCol), explode(expr(
+        s"sequence(pos, least(pos + ${n - 1}, __graft_n - 1))")).as("__graft_p"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), col("__graft_n"),
+        posexplode(col("__graft_toks")).as(Seq("__graft_p", "__graft_w")))
+      .join(covered, Seq(idCol, "__graft_p"), "left_anti")
+    kept.groupBy(idCol)
+      .agg(first(col("__graft_n")).cast("long").as("n_tok"),
+        count(lit(1)).as("n_kept"),
+        array_join(array_sort(collect_list(struct(col("__graft_p"),
+          col("__graft_w")))).getField("__graft_w"), " ").as("clean_text"))
+  }
+
   /** Benchmark decontamination: flag training documents that share word
     * n-grams with a held-out evaluation set (the GPT-3/PaLM-style n-gram
     * overlap check — a training doc containing eval n-grams leaks the

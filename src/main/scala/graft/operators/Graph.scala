@@ -106,4 +106,47 @@ object Graph {
     e.unpersist()
     dist
   }
+
+  /** Synchronous label propagation (community detection) with a fixed
+    * iteration count and a DETERMINISTIC tie-break: every node starts
+    * labeled with its own id; each round it adopts the label most frequent
+    * among its neighbors, ties going to the SMALLEST label. Unlike
+    * random-order LPA (GraphFrames' default), the synchronous + min-label
+    * rule makes the result a pure function of the edge set — the property
+    * the cross-engine gate needs. `edges` is taken as directed "neighbor
+    * lists" (pass a symmetrized set for the undirected semantics);
+    * neighborless nodes keep their own label.
+    *
+    * Scale shape per iteration (the PageRank discipline above): one join
+    * of the label vector onto the edge list + one (node, label) count agg
+    * + one per-node max — two keyed shuffles, nothing collected, lineage
+    * cut per round with an eager localCheckpoint. The mode-with-tie-break
+    * is a single `max(struct(cnt, -label))` aggregate, not a window, so
+    * it stays one partial+final hash agg.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val counts = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+        .groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
+      val winners = counts.groupBy("id")
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("w"))
+        .select(col("id"), (-col("w.neg")).as("new_lbl"))
+      labels = labels.join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(); nodes.unpersist()
+    labels
+  }
 }

@@ -551,6 +551,36 @@ object ScaleProbe {
       println(f"SCALE snm n=$n%8d  block_rows=${n / 600}%7d  cand=${t}%6.1f s  pairs=$cands (${cands.toDouble / n}%4.2f/row, w=$w)")
       parts.unpersist()
     }
+    // boilerplate scrub: 4× docs per step, every doc = a shared 10-token
+    // boilerplate prefix + 40 unique tokens. The boilerplate gram set stays
+    // O(1), covered positions are exactly the 10 prefix tokens per doc
+    // (windows straddling into unique text appear in one doc only), so both
+    // the covered frame and the anti join grow linearly with rows — wall
+    // should track doc count, never doc².
+    if (want("scrub")) for (n <- Seq(50000L, 200000L, 800000L)) {
+      val wpd = 40
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat(lit("b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 "),
+          array_join(transform(sequence(lit(0), lit(wpd - 1)),
+            i => concat(lit("u"), pmod(xxhash64(col("id"), i), lit(1000000000L)),
+              lit("x"), col("id"))), " ")).as("text")).persist()
+      docs.count()
+      // best-of-2 in one JVM: single-shot walls on the big step swing 2×
+      // with GC/JIT warmup, drowning the scaling signal
+      val runs = (1 to 2).map { _ =>
+        time {
+          val out = graft.llm.Dedup.scrubBoilerplate(docs, "doc_id", "text",
+            n = 3, minDocs = 3)
+          val r = out.agg(count(lit(1)), sum("n_kept")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      }
+      val ((nDocs, kept), t) = runs.minBy(_._2)
+      require(nDocs == n && kept == n * wpd,
+        s"scrub probe mismatch: docs=$nDocs kept=$kept (want $n / ${n * wpd})")
+      println(f"SCALE scrub docs=$n%7d tokens=${n * (wpd + 10)}%9d  scrub=${t}%6.1f s (kept=$kept)")
+      docs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -48,4 +48,26 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(capped == Map(5L -> 0, 4L -> 1, 3L -> 2))
   }
+
+  test("labelPropagation: synchronous min-label rounds on a barbell, hand-walked") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4, symmetrized.
+    // Hand-walk (label ← most frequent in-neighbor label, tie → smallest):
+    //   iter1: 1→2 2→1 3→1 4→3 5→4 6→4
+    //   iter2: 1→1 2→1 3→1 4→4 5→3 6→3
+    //   iter3: 1→1 2→1 3→1 4→3 5→3 6→3  (two communities)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("s", "t")
+    val edges = und.union(und.select($"t".as("s"), $"s".as("t")))
+    def run(k: Int): Map[Long, Long] =
+      Graph.labelPropagation(edges, "s", "t", iters = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    assert(run(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // a node with no in-neighbors keeps its own label through the rounds
+    val directed = Seq((7L, 1L), (1L, 7L), (9L, 8L)).toDF("s", "t")
+    val got = Graph.labelPropagation(directed, "s", "t", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(9L) == 9L && got(8L) == 9L)
+  }
 }

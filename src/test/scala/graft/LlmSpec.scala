@@ -673,4 +673,24 @@ class LlmSpec extends SparkSuite {
     assert(selfHits >= (n * 9) / 10, s"self-recall $selfHits/$n below 90%")
     codes.unpersist()
   }
+
+  test("scrubBoilerplate drops ≥minDocs-shared 3-gram spans, rebuilds in order, drops all-boilerplate docs") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown cat sleeps"),
+      (3L, "the quick brown dog barks"),
+      (4L, "totally unique words here"),
+      (5L, "the quick brown") // nothing survives → row drops out
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubBoilerplate(d, "doc_id", "text", n = 3, minDocs = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // "the quick brown" is in 4 docs (≥3) → positions 0-2 covered there;
+    // every other window is unique to its doc
+    assert(got.toSeq == Seq(
+      (1L, 5L, 2L, "fox jumps"),
+      (2L, 5L, 2L, "cat sleeps"),
+      (3L, 5L, 2L, "dog barks"),
+      (4L, 4L, 4L, "totally unique words here")))
+  }
 }

@@ -88,7 +88,12 @@ class PartitionSweepSpec extends SparkSuite {
     "q283_source_tvd",
     // boilerplate scrub (md5 of position-ordered rebuild, exact counts)
     // and class coherence (pinned-pos-order IEEE folds over exact sums)
-    "q284_boilerplate_scrub", "q285_class_coherence")
+    "q284_boilerplate_scrub", "q285_class_coherence",
+    // kappa (one divide on exact int64 cells), temperature mix (pinned
+    // source-order fold), label propagation (synchronous min-label rule is
+    // a pure function of the edge set), OOV (total-order top-k vocab)
+    "q286_annotator_kappa", "q287_temperature_mix",
+    "q288_label_propagation", "q289_oov_rate")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

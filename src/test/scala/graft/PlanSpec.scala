@@ -554,7 +554,10 @@ class PlanSpec extends SparkSuite {
       // q277 is a documented bounded containment oracle over a fixed doc
       // slice (the q47/q49 discipline); the scale path is LSH candidates
       // with containment replacing Jaccard in the verify pass
-      "q277_containment")
+      "q277_containment",
+      // q287's sqrt-sum normalizer is a 1-row broadcast scalar crossed
+      // onto the bounded per-source frame (the q233 shape)
+      "q287_temperature_mix")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
