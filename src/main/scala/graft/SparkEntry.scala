@@ -3425,25 +3425,28 @@ object SparkEntry {
       // the log-free complement of entropy (the repo's no-cross-engine-ln
       // rule, cf. q233/q257) that catches the same spam shape — low
       // diversity = repeated-character/boilerplate junk. Per-(doc, char)
-      // counts are computed ROW-LOCALLY with higher-order functions —
-      // O(distinct_chars · n) per row over a ≲100-char alphabet, no
-      // explode, no shuffle: the whole query is one map stage at any SF.
-      // int64 headroom holds to ~3e6 chars/doc (Σc²·1e6 ≤ N²·1e6), far
-      // above any real document — beyond that the same plan runs on
+      // chars come from ONE native split('') call — not a
+      // transform(sequence, i -> substring(...)) (n interpreted lambda
+      // evals/row, which made both "row-local" variants of this query
+      // 3-5× slower at sf0.1 than this codegen'd plan). The explode is
+      // scale-safe: partial hash agg collapses (doc, char) to ≤ alphabet
+      // rows per doc ON THE MAP SIDE, so the shuffle carries ~70 rows/doc
+      // regardless of doc length — never corpus characters. int64
+      // headroom holds to ~3e6 chars/doc (Σc²·1e6 ≤ N²·1e6), far above
+      // any real document — beyond that the same plan runs on
       // decimal(38,0).
       val d = t(s, dir, "documents")
         .select(col("doc_id"), lower(col("text")).as("tl"))
         .filter(length(col("tl")) > 0)
-        .withColumn("cs", expr(
-          "transform(sequence(1, length(tl)), i -> substring(tl, i, 1))"))
-        .withColumn("counts", expr(
-          "transform(array_distinct(cs), c -> size(filter(cs, x -> x = c)))"))
-      ord(d.select(col("doc_id"),
-        size(col("counts")).cast("long").as("n_distinct"),
-        length(col("tl")).cast("long").as("n_chars"),
-        expr("""1000000 -
-          (aggregate(counts, 0L, (a, x) -> a + CAST(x AS BIGINT) * x) * 1000000)
-          div (CAST(length(tl) AS BIGINT) * length(tl))""").as("simpson_ppm")),
+      val counts = d
+        .select(col("doc_id"), explode(split(col("tl"), "")).as("c"))
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      ord(counts.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"), sum("n").as("n_chars"),
+          sum(col("n") * col("n")).as("sumsq"))
+        .select(col("doc_id"), col("n_distinct"), col("n_chars"),
+          expr("1000000 - (sumsq * 1000000) div (n_chars * n_chars)")
+            .as("simpson_ppm")),
         "doc_id")
     }),
     "q282_lexical_richness" -> ((s, dir) => {
@@ -3647,6 +3650,109 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"), col("n_oov"),
           expr("(n_oov * 1000000) div n_tok").as("oov_ppm")),
         "doc_id")
+    }),
+    "q290_bpe_merge" -> ((s, dir) => {
+      // one BPE merge round (the tokenizer-TRAINING step beside q261's
+      // frequency vocab and q289's vocab application): find the corpus-wide
+      // most frequent adjacent token pair (ties → lexicographic), then
+      // count per doc how many non-overlapping occurrences a greedy
+      // left-to-right merge pass consumes and the resulting length.
+      // Adjacent pairs are built ROW-LOCALLY (transform over the token
+      // array — no shuffle, unlike a lead window); the only shuffles are
+      // the pair-count agg and its top-1 (TakeOrderedAndProject), crossed
+      // back on as a 1-row broadcast scalar. The greedy count is a
+      // row-local fold over match positions: take p if p is past the last
+      // consumed window, consume (p, p+1). Exact integers end to end.
+      // Oracle equivalence: greedy over an island of L consecutive match
+      // positions merges ceil(L/2) times, so DuckDB mirrors it as
+      // gaps-and-islands + sum((L+1)//2) — same number, window form.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.portableTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+      val pairs = toks.filter(col("n") > 1)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, n - 2), i ->
+            |  struct(element_at(toks, i + 1) AS w1,
+            |         element_at(toks, i + 2) AS w2))""".stripMargin)).as("pr"))
+        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      val top = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc).limit(1)
+        .select("w1", "w2")
+      ord(toks.crossJoin(broadcast(top))
+        .withColumn("ps", expr(
+          """CASE WHEN n < 2 THEN CAST(array() AS ARRAY<INT>)
+            |ELSE filter(sequence(0, n - 2), i ->
+            |  element_at(toks, i + 1) = w1 AND element_at(toks, i + 2) = w2)
+            |END""".stripMargin))
+        .select(col("doc_id"), col("n").cast("long").as("n_tok"),
+          expr("""aggregate(ps, named_struct('e', -2, 'm', CAST(0 AS BIGINT)),
+            |  (acc, p) -> IF(p >= acc.e,
+            |    named_struct('e', p + 2, 'm', acc.m + 1L), acc)).m"""
+            .stripMargin).as("merges"),
+          col("w1").as("pair_w1"), col("w2").as("pair_w2"))
+        .withColumn("n_after", col("n_tok") - col("merges")),
+        "doc_id")
+    }),
+    "q291_random_projection" -> ((s, dir) => {
+      // Johnson-Lindenstrauss random projection 64 → 8 dims with a ±1 sign
+      // matrix derived from md5 parity — the cheap dimensionality-reduction
+      // pass an embedding pipeline runs before clustering/ANN when the full
+      // width is overkill. The sign matrix is PRECOMPUTED driver-side
+      // (8×64 doubles inlined as array literals — at production width
+      // you'd broadcast it as a table, cf. the PQ codebook note); DuckDB
+      // re-derives the identical signs from md5('j_i') hex parity, so the
+      // gate verifies the projection end to end. Every p_j is a fold over
+      // i in PINNED order (the q285/q287 discipline: one fixed IEEE tree),
+      // and the JL norm ratio ||p||/(||e||·√(k/d)) is folded the same way
+      // — rounded 6dp. Entirely row-local: zero shuffles at any SF.
+      def sign(j: Int, i: Int): String = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${j}_${i}".getBytes("UTF-8"))
+        val hi = "0123456789abcdef".charAt((h(0) >> 4) & 0xf)
+        if ("02468ace".indexOf(hi) >= 0) "1.0D" else "-1.0D"
+      }
+      def pj(j: Int): String =
+        s"""aggregate(transform(sequence(1, 64), i ->
+           |  CAST(element_at(embedding, i) AS DOUBLE) *
+           |  element_at(array(${(1 to 64).map(sign(j, _)).mkString(", ")}), i)),
+           |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)""".stripMargin
+      val e = t(s, dir, "embeddings")
+        .withColumn("proj", expr(s"array(${(1 to 8).map(pj).mkString(", ")})"))
+      ord(e.select(col("vec_id"),
+        round(expr("element_at(proj, 1)"), 6).as("p1"),
+        round(expr("element_at(proj, 8)"), 6).as("p8"),
+        round(expr(
+          """sqrt(aggregate(transform(proj, x -> x * x),
+            |       CAST(0.0 AS DOUBLE), (a, b) -> a + b))
+            |/ (sqrt(aggregate(transform(sequence(1, 64), i ->
+            |     CAST(element_at(embedding, i) AS DOUBLE) *
+            |     CAST(element_at(embedding, i) AS DOUBLE)),
+            |     CAST(0.0 AS DOUBLE), (a, b) -> a + b)) * sqrt(0.125))"""
+            .stripMargin), 6).as("norm_ratio")),
+        "vec_id")
+    }),
+    "q292_group_fold" -> ((s, dir) => {
+      // leakage-safe cross-validation folds (GroupKFold): all docs of a
+      // source land in the SAME fold (so near-dups within a source can't
+      // straddle train/eval — the failure q78's per-row hash split can't
+      // prevent), and groups go to folds by size-ranked round-robin for
+      // balance. The rank window runs over the GROUP SUMMARY frame (one
+      // row per source — bounded by domain cardinality, not corpus size);
+      // docs themselves never pass through a global window. Exact integer
+      // outputs only.
+      import org.apache.spark.sql.expressions.Window
+      val gs = t(s, dir, "documents")
+        .select(col("source"),
+          size(TextFns.portableTokens(col("text"))).cast("long").as("c"))
+        .groupBy("source").agg(sum("c").as("n_tok"), count(lit(1)).as("n_docs"))
+      val ranked = gs.withColumn("fold",
+        ((row_number().over(Window.orderBy(col("n_tok").desc, col("source").asc))
+          - 1) % 5).cast("long"))
+      ord(ranked.groupBy("fold")
+        .agg(count(lit(1)).as("n_groups"), sum("n_docs").as("n_docs"),
+          sum("n_tok").as("n_tok")),
+        "fold")
     }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
@@ -6108,6 +6214,66 @@ object SparkEntry {
         |    // count(*) AS BIGINT) AS oov_ppm
         |FROM toks t LEFT JOIN vocab v ON t.w = v.w
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q290_bpe_merge" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS n FROM tk WHERE len(w) > 0),
+        |pos AS (SELECT doc_id, w, unnest(range(1, n)) AS i FROM d WHERE n > 1),
+        |pr AS (SELECT doc_id, i, w[i] AS w1, w[i + 1] AS w2 FROM pos),
+        |top AS (
+        |  SELECT w1, w2 FROM (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2)
+        |  ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        |m AS (SELECT pr.doc_id, pr.i FROM pr, top
+        |      WHERE pr.w1 = top.w1 AND pr.w2 = top.w2),
+        |isl AS (SELECT doc_id,
+        |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |        FROM m),
+        |mc AS (SELECT doc_id, CAST(sum((cnt + 1) // 2) AS BIGINT) AS merges
+        |       FROM (SELECT doc_id, g, count(*) AS cnt FROM isl GROUP BY 1, 2)
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tok,
+        |  coalesce(mc.merges, 0) AS merges,
+        |  top.w1 AS pair_w1, top.w2 AS pair_w2,
+        |  CAST(d.n AS BIGINT) - coalesce(mc.merges, 0) AS n_after
+        |FROM d LEFT JOIN mc ON d.doc_id = mc.doc_id, top
+        |ORDER BY d.doc_id""".stripMargin,
+    "q291_random_projection" ->
+      """WITH p AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(range(1, 9), j ->
+        |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, 65), i ->
+        |          CAST(embedding[i] AS DOUBLE) *
+        |          (CASE WHEN instr('02468ace', substr(md5(j || '_' || i), 1, 1)) > 0
+        |           THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+        |        (a, b) -> a + b)) AS proj
+        |  FROM embeddings)
+        |SELECT vec_id, round(proj[1], 6) AS p1, round(proj[8], 6) AS p8,
+        |  round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(proj, x -> x * x)), (a, b) -> a + b))
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65), i ->
+        |        CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))),
+        |      (a, b) -> a + b)) * sqrt(0.125)), 6) AS norm_ratio
+        |FROM p ORDER BY vec_id""".stripMargin,
+    "q292_group_fold" ->
+      """WITH gs AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')))
+        |      AS BIGINT) AS n_tok,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, n_tok, n_docs,
+        |        (row_number() OVER (ORDER BY n_tok DESC, source ASC) - 1) % 5
+        |          AS fold
+        |      FROM gs)
+        |SELECT fold, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tok
+        |FROM r GROUP BY fold ORDER BY fold""".stripMargin,
     "q279_session_twap" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

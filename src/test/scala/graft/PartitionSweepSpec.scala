@@ -93,7 +93,12 @@ class PartitionSweepSpec extends SparkSuite {
     // source-order fold), label propagation (synchronous min-label rule is
     // a pure function of the edge set), OOV (total-order top-k vocab)
     "q286_annotator_kappa", "q287_temperature_mix",
-    "q288_label_propagation", "q289_oov_rate")
+    "q288_label_propagation", "q289_oov_rate",
+    // BPE merge (exact integer greedy counts; top pair from a full agg with
+    // lexicographic tiebreak), JL projection (pinned-order folds over a
+    // driver-side sign matrix), group folds (rank over the bounded
+    // group-summary frame on a total order)
+    "q290_bpe_merge", "q291_random_projection", "q292_group_fold")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

@@ -556,8 +556,9 @@ class PlanSpec extends SparkSuite {
       // with containment replacing Jaccard in the verify pass
       "q277_containment",
       // q287's sqrt-sum normalizer is a 1-row broadcast scalar crossed
-      // onto the bounded per-source frame (the q233 shape)
-      "q287_temperature_mix")
+      // onto the bounded per-source frame (the q233 shape); q290's winning
+      // BPE pair is the same 1-row broadcast scalar shape
+      "q287_temperature_mix", "q290_bpe_merge")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
