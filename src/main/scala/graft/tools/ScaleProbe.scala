@@ -69,6 +69,21 @@ object ScaleProbe {
       println(f"SCALE cc nodes=$nNodes%7d edges=${nEdges + nNodes / 10}%7d  cc=${tCc}%6.1f s (components=$nComp)")
       edges.unpersist()
     }
+    // label propagation: same 4x-edges ladder, 3 synchronous rounds; each
+    // round is two keyed shuffles (edge⋈labels, (node,label) count + max),
+    // so wall should track edges linearly like cc/pagerank
+    if (want("lpa")) for ((nNodes, nEdges) <- Seq((50000L, 100000L), (200000L, 400000L), (800000L, 1600000L))) {
+      val g = graph(spark, nNodes, nEdges)
+      val sym = g.select(col("a").as("s"), col("b").as("t"))
+        .unionAll(g.select(col("b").as("s"), col("a").as("t"))).persist()
+      sym.count()
+      val (nComm, tLpa) = time {
+        graft.operators.Graph.labelPropagation(sym, "s", "t", iters = 3)
+          .agg(countDistinct(col("lbl"))).head().getLong(0)
+      }
+      println(f"SCALE lpa nodes=$nNodes%7d edges=${2 * (nEdges + nNodes / 10)}%8d  lpa3=${tLpa}%6.1f s (communities=$nComm)")
+      sym.unpersist()
+    }
     // streamed Generator vs array-then-explode shingling at constant total
     // window count but growing words-per-doc: both are linear in windows,
     // but the array form materializes all W windows per row before explode

@@ -147,6 +147,55 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("labelPropagation matches the naive synchronous model on random graphs") {
+    import spark.implicits._
+    // dense 10-node space: self-loops, multi-edges (de-duped by the op),
+    // in-degree-0 nodes (must keep their own label), heavy ties
+    val edgeGen = for {
+      a <- Gen.choose(0L, 9L)
+      b <- Gen.choose(0L, 9L)
+    } yield (a, b)
+    for (round <- 0 until 5; iters <- Seq(1, 3)) {
+      val es = samples(edgeGen, 25, 31000 * round + 7).distinct
+      val got = Graph.labelPropagation(es.toDF("s", "t"), "s", "t", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      var lbl = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lbl = nodes.map { v =>
+          val inl = es.filter(_._2 == v).map(e => lbl(e._1))
+          if (inl.isEmpty) v -> lbl(v)
+          else v -> inl.groupBy(identity).toSeq
+            .map { case (l, g) => (-g.size, l) }.min._2
+        }.toMap
+      }
+      assert(got == lbl, s"round $round iters $iters mismatch")
+    }
+  }
+
+  test("greedy BPE merge count equals the islands ceil(L/2) identity (q290 oracle equivalence)") {
+    // q290's Spark side counts merges with a greedy left-to-right fold;
+    // its DuckDB oracle counts sum((L+1)//2) over islands of consecutive
+    // match positions. This is the identity that makes them equal.
+    val tokGen = Gen.listOfN(30, Gen.oneOf("a", "b", "c"))
+    for (round <- 0 until 20) {
+      val toks = samples(tokGen, 1, 500 * round + 3).head
+      for ((w1, w2) <- Seq(("a", "a"), ("a", "b"), ("b", "c"))) {
+        val ps = toks.indices.dropRight(1)
+          .filter(i => toks(i) == w1 && toks(i + 1) == w2)
+        var e = -2; var greedy = 0
+        ps.foreach(p => if (p >= e) { e = p + 2; greedy += 1 })
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (h :: t, p) if h.head == p - 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }
+        val viaIslands = islands.map(l => (l.size + 1) / 2).sum
+        assert(greedy == viaIslands,
+          s"round $round pair ($w1,$w2): greedy=$greedy islands=$viaIslands toks=$toks")
+      }
+    }
+  }
+
   test("sessTwapBatch matches the naive session-walk model on random inputs") {
     // the batch twin of the SessTwapProcessor (StreamingSpec proves
     // stream == batch; this closes the model gap on adversarial shapes:
