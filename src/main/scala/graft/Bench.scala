@@ -153,7 +153,10 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + "%.2f".format(v)
     }.mkString("{", ",", "}")
     System.out.flush()
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"queries":$qsShort}""")
+    // NOTE "metric":"per_query", not "total": a consumer scanning for the
+    // FIRST "metric":"total" line must not pick this ~3.3 kB line (which a
+    // bounded tail buffer can truncate) over the compact record below.
+    println(s"""{"metric":"per_query","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"queries":$qsShort}""")
     // compact totals-only record LAST: this is the line tail-capture parses
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"queries_file":"$fullPath"}""")
     System.out.flush()

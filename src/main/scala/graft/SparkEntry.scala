@@ -3479,7 +3479,10 @@ object SparkEntry {
       // the plan never expands source × vocab. One (source, token) count,
       // one token-keyed join to the global counts, one per-source agg,
       // N_g as a window sum over the bounded source frame. Numerator is
-      // exact int64 (headroom to N_s·N_g ≈ 4.6e18; decimal(38,0) beyond);
+      // exact int64: the aggregated sum Σ|cs·ng − cg·ns| is bounded by
+      // 2·N_s·N_g (each term's two products each sum to ≤ N_s·N_g), so
+      // headroom runs out near N_s·N_g ≈ 2.3e18 — switch the summed terms
+      // to decimal(38,0) (the q259/q266 pattern) beyond that corpus size.
       // tvd is ONE IEEE divide on exact operands, rounded 6dp.
       import org.apache.spark.sql.expressions.Window
       val sc = t(s, dir, "documents")
@@ -3698,26 +3701,37 @@ object SparkEntry {
       // Johnson-Lindenstrauss random projection 64 → 8 dims with a ±1 sign
       // matrix derived from md5 parity — the cheap dimensionality-reduction
       // pass an embedding pipeline runs before clustering/ANN when the full
-      // width is overkill. The sign matrix is PRECOMPUTED driver-side
-      // (8×64 doubles inlined as array literals — at production width
-      // you'd broadcast it as a table, cf. the PQ codebook note); DuckDB
-      // re-derives the identical signs from md5('j_i') hex parity, so the
-      // gate verifies the projection end to end. Every p_j is a fold over
-      // i in PINNED order (the q285/q287 discipline: one fixed IEEE tree),
-      // and the JL norm ratio ||p||/(||e||·√(k/d)) is folded the same way
-      // — rounded 6dp. Entirely row-local: zero shuffles at any SF.
-      def sign(j: Int, i: Int): String = {
+      // width is overkill. The sign matrix is PRECOMPUTED driver-side and
+      // rides as a 1-ROW BROADCAST TABLE (8×64 doubles packed into one
+      // array<array<double>> column — the Similarity.scala codebook-table
+      // form; an inline literal works too below ~2 MB but blows up codegen
+      // at production width, so the table shape is the default here).
+      // DuckDB re-derives the identical signs from md5('j_i') hex parity,
+      // so the gate verifies the projection end to end. Every p_j is a fold
+      // over i in PINNED order (the q285/q287 discipline: one fixed IEEE
+      // tree), and the JL norm ratio ||p||/(||e||·√(k/d)) is folded the
+      // same way — rounded 6dp. Row-local compute: the only join is the
+      // 1-row scalar broadcast, zero shuffles at any SF.
+      def sign(j: Int, i: Int): Double = {
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(s"${j}_${i}".getBytes("UTF-8"))
         val hi = "0123456789abcdef".charAt((h(0) >> 4) & 0xf)
-        if ("02468ace".indexOf(hi) >= 0) "1.0D" else "-1.0D"
+        if ("02468ace".indexOf(hi) >= 0) 1.0 else -1.0
       }
+      import s.implicits._
+      val sm = broadcast(
+        (1 to 8).map(j => (j, (1 to 64).map(i => sign(j, i))))
+          .toDF("j", "signs")
+          .agg(array_sort(collect_list(struct(col("j"), col("signs")))).as("js"))
+          .select(transform(col("js"), x => x.getField("signs"))
+            .as("__graft_sm")))
       def pj(j: Int): String =
         s"""aggregate(transform(sequence(1, 64), i ->
            |  CAST(element_at(embedding, i) AS DOUBLE) *
-           |  element_at(array(${(1 to 64).map(sign(j, _)).mkString(", ")}), i)),
+           |  element_at(element_at(__graft_sm, $j), i)),
            |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)""".stripMargin
       val e = t(s, dir, "embeddings")
+        .crossJoin(sm)
         .withColumn("proj", expr(s"array(${(1 to 8).map(pj).mkString(", ")})"))
       ord(e.select(col("vec_id"),
         round(expr("element_at(proj, 1)"), 6).as("p1"),
@@ -3753,6 +3767,80 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_groups"), sum("n_docs").as("n_docs"),
           sum("n_tok").as("n_tok")),
         "fold")
+    }),
+    "q293_dupspan_scrub" -> ((s, dir) => {
+      // substring-level exact dedup WITH REMOVAL — the Lee et al. 2022
+      // ExactSubstr transform: any 15-token window occurring ≥2 times in
+      // the corpus (within OR across docs — count(*), unlike q284's
+      // distinct-doc boilerplate criterion) has all its occurrences'
+      // positions scrubbed, and each doc's survivors rebuild in position
+      // order. q132 DETECTS these spans; this removes them. Plan shape is
+      // q284's: lazy ShingleExplodeExpr grams → one gram-keyed count →
+      // semi join back → (doc, pos) anti join → per-doc rebuild agg —
+      // linear in corpus tokens (ScaleProbe `scrub_dupspans` measures it).
+      // Output is count + md5 facts (kept_ppm exact integer): FP-free gate.
+      val scrubbed = Dedup.scrubDuplicateSpans(
+        t(s, dir, "documents"), "doc_id", "text", n = 15, minCount = 2)
+      ord(scrubbed.select(col("doc_id"), col("n_tok"), col("n_kept"),
+        expr("(n_kept * 1000000) div n_tok").as("kept_ppm"),
+        md5(col("clean_text")).as("clean_key")),
+        "doc_id")
+    }),
+    "q294_quality_classifier" -> ((s, dir) => {
+      // fastText-style linear quality-classifier INFERENCE over hashed
+      // bigram features (the CCNet/GPT-3 quality filter): adjacent-token
+      // bigrams hash into 256 buckets via the native codegen'd portable
+      // hash (q194's PortableTokenHashExpr), per-doc bucket counts join a
+      // BROADCAST weight TABLE (never a 256-literal expression — the
+      // codebook-vs-table cutover documented at Similarity.scala applies
+      // to model weights identically), and the dot product folds in one
+      // keyed agg. Weights here are a fixed deterministic stand-in
+      // (hash-derived micros) — swapping in trained fastText weights
+      // changes only the table's rows, no plan shape. Division-free
+      // integer outputs: score_num = bias·n_bigrams + Σ x_b·w_b exactly
+      // in int64 (sign(score_num) == sign of the mean-pooled logit), so
+      // the gate avoids both IEEE exp() and the div-vs-floor-division
+      // cross-engine trap on negative numerators.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.portableTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 1)
+      val big = toks.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, n - 2), i ->
+          |  concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""
+          .stripMargin)).as("bg"))
+      val feats = big
+        .select(col("doc_id"),
+          pmod(graft.functions.Registry.tokenHash(col("bg")), lit(256L)).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+      val weights = broadcast(s.range(256).select(col("id").as("bucket"),
+        ((col("id") * 2654435761L) % 2000001L - 1000000L).as("w_micro")))
+      ord(feats.join(weights, "bucket")
+        .groupBy("doc_id")
+        .agg(sum("x").as("n_bigrams"),
+          sum(col("x") * col("w_micro")).as("dot_micro"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (lit(50000L) * col("n_bigrams") + col("dot_micro")).as("score_num"))
+        .withColumn("pass", (col("score_num") > 0).cast("long")),
+        "doc_id")
+    }),
+    "q295_bpe_train" -> ((s, dir) => {
+      // ITERATED BPE training — 3 merge rounds with vocab substitution
+      // between rounds (q290 is one round of this loop): each round counts
+      // adjacent pairs on the CURRENT corpus, picks the global winner
+      // (count desc, then lexicographic), greedily rewrites every doc, and
+      // the next round counts pairs over the rewritten tokens — so merges
+      // compound (round 2 can pick a pair containing round 1's merged
+      // token). llm/Bpe.train; per round: one keyed count agg + a top-1 +
+      // a row-local rewrite, corpus checkpointed between rounds. Oracle:
+      // the same 3 rounds as chained DuckDB CTEs, greedy-as-islands
+      // (the q290 identity) plus an explicit array rebuild per round.
+      val trained = graft.llm.Bpe.train(
+        t(s, dir, "documents"), "doc_id", "text", rounds = 3)
+      ord(trained.select(col("doc_id"), col("n_tok0"),
+        col("n").cast("long").as("n_after"),
+        md5(array_join(col("toks"), " ")).as("final_key"),
+        col("r1_pair"), col("r2_pair"), col("r3_pair")), "doc_id")
     }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
@@ -6274,6 +6362,144 @@ object SparkEntry {
         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tok
         |FROM r GROUP BY fold ORDER BY fold""".stripMargin,
+    "q293_dupspan_scrub" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, toks, length(toks) AS n FROM tk WHERE length(toks) > 0),
+        |sh AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n < 15 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, n - 14),
+        |        i -> array_to_string(toks[i:i+14], ' ')) END AS grams
+        |  FROM n0),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    unnest(generate_series(0, length(grams) - 1)) AS pos,
+        |    unnest(grams) AS gram
+        |  FROM sh),
+        |b AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT g.doc_id, unnest(generate_series(g.pos, least(g.pos + 14, g.n - 1))) AS p
+        |    FROM g JOIN b USING (gram))),
+        |tokpos AS (
+        |  SELECT doc_id, n,
+        |    unnest(generate_series(0, n - 1)) AS p, unnest(toks) AS w
+        |  FROM n0),
+        |kept AS (
+        |  SELECT t.doc_id, t.n, t.p, t.w FROM tokpos t
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = t.doc_id AND c.p = t.p))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tok,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST((count(*) * 1000000) // max(n) AS BIGINT) AS kept_ppm,
+        |  md5(string_agg(w, ' ' ORDER BY p)) AS clean_key
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q294_quality_classifier" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS n FROM tk WHERE len(w) > 1),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, n - 1),
+        |         i -> concat(w[i], ' ', w[i + 1]))) AS bg FROM d),
+        |f AS (SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |          list_transform(string_split(bg, ''),
+        |            c -> CAST(unicode(c) AS BIGINT))),
+        |          (h, c) -> (h * 131 + c) % 2147483647) % 256 AS bucket
+        |      FROM bg),
+        |fx AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x
+        |       FROM f GROUP BY 1, 2),
+        |wt AS (SELECT b AS bucket, (b * 2654435761) % 2000001 - 1000000 AS w_micro
+        |       FROM (SELECT unnest(range(256)) AS b))
+        |SELECT fx.doc_id, CAST(sum(fx.x) AS BIGINT) AS n_bigrams,
+        |  CAST(50000 * sum(fx.x) + sum(fx.x * wt.w_micro) AS BIGINT) AS score_num,
+        |  CAST(CASE WHEN 50000 * sum(fx.x) + sum(fx.x * wt.w_micro) > 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM fx JOIN wt USING (bucket)
+        |GROUP BY fx.doc_id ORDER BY fx.doc_id""".stripMargin,
+    "q295_bpe_train" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |d0 AS (SELECT doc_id, w, len(w) AS n FROM tk0 WHERE len(w) > 0),
+        |pr1 AS (SELECT doc_id, i, w[i] AS w1, w[i + 1] AS w2
+        |        FROM (SELECT doc_id, w, unnest(range(1, n)) AS i FROM d0 WHERE n > 1)),
+        |top1 AS (SELECT w1, w2 FROM (SELECT w1, w2, count(*) AS c FROM pr1 GROUP BY 1, 2)
+        |         ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        |m1 AS (SELECT pr.doc_id, pr.i FROM pr1 pr, top1 t
+        |       WHERE pr.w1 = t.w1 AND pr.w2 = t.w2),
+        |st1 AS (SELECT doc_id, i FROM (
+        |          SELECT doc_id, i, i - min(i) OVER (PARTITION BY doc_id, g) AS off
+        |          FROM (SELECT doc_id, i,
+        |                  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |                FROM m1))
+        |        WHERE off % 2 = 0),
+        |tp1 AS (SELECT doc_id, w, unnest(range(1, n + 1)) AS p FROM d0),
+        |d1 AS (SELECT tp.doc_id,
+        |         list(CASE WHEN s1.i IS NOT NULL
+        |                THEN (SELECT w1 || '_' || w2 FROM top1)
+        |              ELSE tp.w[tp.p] END ORDER BY tp.p) AS w
+        |       FROM tp1 tp
+        |       LEFT JOIN st1 s1 ON s1.doc_id = tp.doc_id AND s1.i = tp.p
+        |       LEFT JOIN st1 s2 ON s2.doc_id = tp.doc_id AND s2.i = tp.p - 1
+        |       WHERE s2.i IS NULL GROUP BY tp.doc_id),
+        |d1n AS (SELECT doc_id, w, len(w) AS n FROM d1),
+        |pr2 AS (SELECT doc_id, i, w[i] AS w1, w[i + 1] AS w2
+        |        FROM (SELECT doc_id, w, unnest(range(1, n)) AS i FROM d1n WHERE n > 1)),
+        |top2 AS (SELECT w1, w2 FROM (SELECT w1, w2, count(*) AS c FROM pr2 GROUP BY 1, 2)
+        |         ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        |m2 AS (SELECT pr.doc_id, pr.i FROM pr2 pr, top2 t
+        |       WHERE pr.w1 = t.w1 AND pr.w2 = t.w2),
+        |st2 AS (SELECT doc_id, i FROM (
+        |          SELECT doc_id, i, i - min(i) OVER (PARTITION BY doc_id, g) AS off
+        |          FROM (SELECT doc_id, i,
+        |                  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |                FROM m2))
+        |        WHERE off % 2 = 0),
+        |tp2 AS (SELECT doc_id, w, unnest(range(1, n + 1)) AS p FROM d1n),
+        |d2 AS (SELECT tp.doc_id,
+        |         list(CASE WHEN s1.i IS NOT NULL
+        |                THEN (SELECT w1 || '_' || w2 FROM top2)
+        |              ELSE tp.w[tp.p] END ORDER BY tp.p) AS w
+        |       FROM tp2 tp
+        |       LEFT JOIN st2 s1 ON s1.doc_id = tp.doc_id AND s1.i = tp.p
+        |       LEFT JOIN st2 s2 ON s2.doc_id = tp.doc_id AND s2.i = tp.p - 1
+        |       WHERE s2.i IS NULL GROUP BY tp.doc_id),
+        |d2n AS (SELECT doc_id, w, len(w) AS n FROM d2),
+        |pr3 AS (SELECT doc_id, i, w[i] AS w1, w[i + 1] AS w2
+        |        FROM (SELECT doc_id, w, unnest(range(1, n)) AS i FROM d2n WHERE n > 1)),
+        |top3 AS (SELECT w1, w2 FROM (SELECT w1, w2, count(*) AS c FROM pr3 GROUP BY 1, 2)
+        |         ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1),
+        |m3 AS (SELECT pr.doc_id, pr.i FROM pr3 pr, top3 t
+        |       WHERE pr.w1 = t.w1 AND pr.w2 = t.w2),
+        |st3 AS (SELECT doc_id, i FROM (
+        |          SELECT doc_id, i, i - min(i) OVER (PARTITION BY doc_id, g) AS off
+        |          FROM (SELECT doc_id, i,
+        |                  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        |                FROM m3))
+        |        WHERE off % 2 = 0),
+        |tp3 AS (SELECT doc_id, w, unnest(range(1, n + 1)) AS p FROM d2n),
+        |d3 AS (SELECT tp.doc_id,
+        |         list(CASE WHEN s1.i IS NOT NULL
+        |                THEN (SELECT w1 || '_' || w2 FROM top3)
+        |              ELSE tp.w[tp.p] END ORDER BY tp.p) AS w
+        |       FROM tp3 tp
+        |       LEFT JOIN st3 s1 ON s1.doc_id = tp.doc_id AND s1.i = tp.p
+        |       LEFT JOIN st3 s2 ON s2.doc_id = tp.doc_id AND s2.i = tp.p - 1
+        |       WHERE s2.i IS NULL GROUP BY tp.doc_id),
+        |d3n AS (SELECT doc_id, w, len(w) AS n FROM d3)
+        |SELECT d0.doc_id, CAST(d0.n AS BIGINT) AS n_tok0,
+        |  CAST(d3n.n AS BIGINT) AS n_after,
+        |  md5(array_to_string(d3n.w, ' ')) AS final_key,
+        |  (SELECT w1 || ' ' || w2 FROM top1) AS r1_pair,
+        |  (SELECT w1 || ' ' || w2 FROM top2) AS r2_pair,
+        |  (SELECT w1 || ' ' || w2 FROM top3) AS r3_pair
+        |FROM d0 JOIN d3n USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q279_session_twap" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

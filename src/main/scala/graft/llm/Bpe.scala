@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterated BPE tokenizer training (Sennrich et al. 2016's merge loop, the
+  * corpus-statistics half a tokenizer pipeline distributes): each round finds
+  * the corpus-wide most frequent adjacent token pair (ties → lexicographic on
+  * (w1, w2)) and SUBSTITUTES it — every greedily-matched occurrence merges
+  * into the single token `w1_w2` — before the next round recounts pairs on
+  * the rewritten corpus. This extends the single-round q290 primitive with
+  * the vocab substitution between rounds that makes it actual training.
+  *
+  * Determinism: greedy left-to-right matching (the fold below) is a pure
+  * row-local function, the winning pair comes from a full count aggregate
+  * under a total order, and rounds are synchronous — the learned merge list
+  * and the rewritten corpus are a pure function of the input corpus, which
+  * is what the cross-engine differential gate and a resumable job need.
+  * (Real BPE implementations share this greedy-scan semantics per merge.)
+  *
+  * Scale shape per round: pair counting is ONE row-local transform + one
+  * (w1, w2) keyed partial+final count agg; the winner is a TakeOrdered top-1
+  * crossed back on as a 1-row broadcast scalar; the rewrite is a row-local
+  * fold + filter/transform (no shuffle). k rounds = k such passes. Each
+  * round's rewritten corpus is cut with an eager localCheckpoint (the
+  * iterative-operator discipline of operators/Graph): without it round k's
+  * plan re-evaluates round k−1's subtree once per consumer and lineage grows
+  * multiplicatively with k.
+  */
+object Bpe {
+
+  /** One greedy merge round over a (id, toks) frame: returns the frame with
+    * `toks` rewritten and a `roundPair` column ("w1 w2") recording the merge
+    * learned this round. `n` (token count) is recomputed.
+    */
+  private def mergeRound(withToks: DataFrame, pairCol: String): DataFrame = {
+    val pairs = withToks.filter(col("n") > 1)
+      .select(explode(expr(
+        """transform(sequence(0, n - 2), i ->
+          |  struct(element_at(toks, i + 1) AS w1,
+          |         element_at(toks, i + 2) AS w2))""".stripMargin)).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val top = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc).limit(1)
+      .select("w1", "w2")
+    // greedy left-to-right: take match position p iff p is past the last
+    // consumed window; collect the taken starts, then rebuild the array —
+    // drop the second element of each consumed pair, rename the first
+    withToks.crossJoin(broadcast(top))
+      .withColumn("__graft_ps", expr(
+        """CASE WHEN n < 2 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE filter(sequence(0, n - 2), i ->
+          |  element_at(toks, i + 1) = w1 AND element_at(toks, i + 2) = w2)
+          |END""".stripMargin))
+      .withColumn("__graft_starts", expr(
+        """aggregate(__graft_ps,
+          |  named_struct('e', -2, 'st', CAST(array() AS ARRAY<INT>)),
+          |  (acc, p) -> IF(p >= acc.e,
+          |    named_struct('e', p + 2, 'st', array_append(acc.st, p)), acc)
+          |).st""".stripMargin))
+      .withColumn("toks", expr(
+        """transform(
+          |  filter(sequence(0, n - 1), i -> NOT array_contains(__graft_starts, i - 1)),
+          |  i -> IF(array_contains(__graft_starts, i),
+          |          concat(w1, '_', w2), element_at(toks, i + 1)))""".stripMargin))
+      .withColumn("n", size(col("toks")))
+      .withColumn(pairCol, concat(col("w1"), lit(" "), col("w2")))
+      .drop("w1", "w2", "__graft_ps", "__graft_starts")
+  }
+
+  /** Train `rounds` BPE merges over `textCol`, rewriting the corpus between
+    * rounds. Returns one row per non-empty document:
+    * (idCol, n_tok0, toks, n, r1_pair … r{rounds}_pair) where `toks` is the
+    * final rewritten token array and each r*_pair is the merge learned that
+    * round as "w1 w2" (constant across rows).
+    */
+  def train(df: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var cur = df
+      .select(col(idCol), TextFns.portableTokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("n_tok0", col("n").cast("long"))
+    for (r <- 1 to rounds)
+      cur = mergeRound(cur, s"r${r}_pair").localCheckpoint(true)
+    cur
+  }
+
+  /** Adjacent-pair counts of a (…, toks, n) frame — exposed for the
+    * PropertySpec invariant (a merged pair with w1 ≠ w2 cannot survive its
+    * own round).
+    */
+  def pairCounts(withToks: DataFrame): DataFrame =
+    withToks.filter(col("n") > 1)
+      .select(explode(expr(
+        """transform(sequence(0, n - 2), i ->
+          |  struct(element_at(toks, i + 1) AS w1,
+          |         element_at(toks, i + 2) AS w2))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+}

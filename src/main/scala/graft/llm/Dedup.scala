@@ -355,6 +355,70 @@ object Dedup {
           col("__graft_w")))).getField("__graft_w"), " ").as("clean_text"))
   }
 
+  /** Substring-level exact dedup WITH REMOVAL (the ExactSubstr regime of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * any word `n`-gram window whose exact text occurs at least `minCount`
+    * times in the corpus — across documents OR repeated within one — marks
+    * its token positions covered; covered tokens are dropped and the
+    * survivors re-join in position order. This is the transform q132 only
+    * *reports* (it lists duplicated spans) and [[scrubBoilerplate]] only
+    * half-covers (its criterion is distinct-DOC count, so within-doc
+    * repetition never triggers; its window is short).
+    *
+    * Two deliberate deltas from the paper, both documented for callers:
+    * the window is a parameter (the paper's 50 BPE tokens ≈ n≈30–40 words;
+    * tests use shorter windows matched to the corpus' document length), and
+    * ALL occurrences of a duplicated window are removed rather than keeping
+    * one survivor — remove-all is order-free and therefore deterministic
+    * under any partitioning (keep-one needs a global occurrence order),
+    * which is what a cross-engine differential gate and a resumable 100 TB
+    * job both want. Callers who need a retained copy union the dropped
+    * spans' first occurrence back from [[duplicatedSpans]].
+    *
+    * Returns (idCol, n_tok, n_kept, clean_text); fully-covered documents
+    * drop out (same contract as [[scrubBoilerplate]]).
+    *
+    * Scale design (100 TB): identical to [[scrubBoilerplate]] — positioned
+    * grams from the lazy ShingleExplodeExpr generator, the duplicate set is
+    * one gram-keyed partial+final count (count(*), cheaper than the
+    * boilerplate path's count-distinct since no doc ids travel), marking is
+    * one gram-keyed semi join back, removal one (doc, pos) anti join,
+    * rebuild one per-doc agg. Every stage linear in corpus tokens; the
+    * ScaleProbe `scrub_dupspans` section measures wall vs tokens.
+    */
+  def scrubDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 15,
+      minCount: Int = 2): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    require(minCount >= 2, s"minCount below 2 would mark every position: $minCount")
+    val toks = df
+      .select(col(idCol), TextFns.portableTokens(col(textCol)).as("__graft_toks"))
+      .withColumn("__graft_n", size(col("__graft_toks")))
+      .filter(col("__graft_n") > 0)
+    val grams = toks.selectExpr(idCol, "__graft_n",
+      s"graft_shingle_explode(__graft_toks, $n) AS (pos, __graft_gram)")
+    val dups = grams.groupBy("__graft_gram")
+      .agg(count(lit(1)).as("__graft_c"))
+      .filter(col("__graft_c") >= minCount)
+      .select("__graft_gram")
+    val covered = grams.join(dups, Seq("__graft_gram"), "left_semi")
+      .select(col(idCol), explode(expr(
+        s"sequence(pos, least(pos + ${n - 1}, __graft_n - 1))")).as("__graft_p"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), col("__graft_n"),
+        posexplode(col("__graft_toks")).as(Seq("__graft_p", "__graft_w")))
+      .join(covered, Seq(idCol, "__graft_p"), "left_anti")
+    kept.groupBy(idCol)
+      .agg(first(col("__graft_n")).cast("long").as("n_tok"),
+        count(lit(1)).as("n_kept"),
+        array_join(array_sort(collect_list(struct(col("__graft_p"),
+          col("__graft_w")))).getField("__graft_w"), " ").as("clean_text"))
+  }
+
   /** Benchmark decontamination: flag training documents that share word
     * n-grams with a held-out evaluation set (the GPT-3/PaLM-style n-gram
     * overlap check — a training doc containing eval n-grams leaks the

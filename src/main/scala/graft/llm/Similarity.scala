@@ -141,6 +141,47 @@ object Similarity {
   private[llm] def nearestCentroid(vec: Column, cents: Array[Array[Double]]): Column =
     array_max(centroidStructs(vec, cents)).getField("cid")
 
+  // ── codebooks as TABLES (the ≳4k-entry cutover the literal note above
+  // names): past nlist × dim ≈ 2 MB of doubles the literal forms above blow
+  // up the plan string / codegen constant pool, so the matrix instead rides
+  // as an ordinary DataFrame packed into ONE row (sorted collect_list) and
+  // CROSS-JOINED as a 1-row broadcast — the same bytes reach each task via
+  // the broadcast machinery (torrent blocks, off-plan) instead of the plan
+  // itself. Scoring math, index order, and the ties-to-larger-cid rule are
+  // IDENTICAL to the literal forms (LlmSpec equivalence-gates both pairs);
+  // the only plan change is a BroadcastNestedLoopJoin over exactly one row.
+
+  /** A driver-side centroid matrix as its table form: (cid, centroid). */
+  def centroidsAsTable(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+  }
+
+  /** [[assignClusters]] with the centroids as a TABLE instead of a literal —
+    * use above nlist ≈ 4k (see the cutover note). Output and tie rule are
+    * identical; the centroid matrix reaches tasks as a 1-row broadcast.
+    */
+  def assignClustersViaTable(
+      df: DataFrame, idCol: String, vecCol: String,
+      centsDf: DataFrame): DataFrame = {
+    val packed = broadcast(centsDf.agg(
+      array_sort(collect_list(struct(col("cid"),
+        transform(col("centroid"), x => x.cast("double")).as("centroid"))))
+        .as("__graft_cents")))
+    df.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .withColumn("vd", transform(col("v"), x => x.cast("double")))
+      .crossJoin(packed)
+      .withColumn("cid", array_max(transform(col("__graft_cents"), c =>
+        struct((dot(col("vd"), c.getField("centroid")) /
+          greatest(sqrt(dot(c.getField("centroid"), c.getField("centroid"))),
+            lit(1e-12))).as("score"),
+          c.getField("cid").as("cid")))).getField("cid"))
+      .select("vec_id", "v", "nrm", "cid")
+  }
+
   /** Lloyd-iterated k-means centroids over an embedding column, by cosine
     * assignment. Deterministic init (first `nlist` vectors by id); only the
     * nlist×dim centroid matrix ever reaches the driver — per-iteration state
@@ -609,6 +650,50 @@ object Similarity {
           (acc, s) => acc + dot(
             slice(col("qv"), s * lit(subdim) + 1, lit(subdim)),
             element_at(element_at(cbLit, s + 1),
+              element_at(col("codes"), s + 1) + 1))))
+      .groupBy("query_id")
+      .agg(max(struct(col("score"), (-col("vec_id")).as("neg_id"))).as("best"))
+      .select(col("query_id"), (-col("best.neg_id")).as("neighbor_id"),
+        col("best.score").as("score"))
+  }
+
+  /** A driver-side PQ codebook as its table form: (s, cid, centroid). */
+  def booksAsTable(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (book, s) <- books.zipWithIndex
+      (c, cid) <- book.zipWithIndex
+    } yield (s, cid, c.toSeq)).toSeq.toDF("s", "cid", "centroid")
+  }
+
+  /** [[pqTop1]] with the codebook as a TABLE instead of a literal — use
+    * above m × k × subdim ≈ 2 MB of doubles (the cutover note at the top of
+    * this file). Identical scores, ranking, and ties-to-smaller-id rule;
+    * the m×k×subdim matrix reaches tasks as a 1-row broadcast instead of a
+    * plan literal.
+    */
+  def pqTop1ViaTable(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, booksDf: DataFrame, m: Int, subdim: Int): DataFrame = {
+    // (s, cid, centroid) → one row holding array[s][cid] = centroid, built
+    // with two sorted collect_lists so index order is exact
+    val packed = broadcast(booksDf
+      .groupBy("s")
+      .agg(array_sort(collect_list(struct(col("cid"),
+        transform(col("centroid"), x => x.cast("double")).as("centroid"))))
+        .as("book"))
+      .agg(array_sort(collect_list(struct(col("s"),
+        transform(col("book"), b => b.getField("centroid")).as("book"))))
+        .as("sb"))
+      .select(transform(col("sb"), x => x.getField("book")).as("__graft_books")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv")))
+    codes.crossJoin(packed).crossJoin(q)
+      .withColumn("score",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + dot(
+            slice(col("qv"), s * lit(subdim) + 1, lit(subdim)),
+            element_at(element_at(col("__graft_books"), s + 1),
               element_at(col("codes"), s + 1) + 1))))
       .groupBy("query_id")
       .agg(max(struct(col("score"), (-col("vec_id")).as("neg_id"))).as("best"))

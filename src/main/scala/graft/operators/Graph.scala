@@ -78,6 +78,17 @@ object Graph {
     * with an eager localCheckpoint; the loop stops early when a round
     * discovers nothing (all further rounds are then empty too).
     * Unreachable nodes are absent from the result.
+    *
+    * Depth-cost note: every hop runs ONE driver action (the emptiness probe
+    * on the frontier) plus the round's localCheckpoint materialization —
+    * per-round overhead is a constant few stage launches, so wall grows
+    * linearly in the DIAMETER reached, not in edges. That is the right
+    * trade up to maxDepth ≈ tens (social/dedup graphs: diameter ≲ 20); on
+    * a deep path-like graph (diameter in the thousands) per-round overhead
+    * dominates and the standard fix is hop-doubling (connect u→w when
+    * u→v→w — O(log diameter) rounds at the cost of a bigger join), which
+    * connectedComponents' large-star/small-star contraction already
+    * embodies when only reachability (not distance) is needed.
     */
   def bfsDistances(
       edges: DataFrame,
@@ -121,8 +132,11 @@ object Graph {
     * of the label vector onto the edge list + one (node, label) count agg
     * + one per-node max — two keyed shuffles, nothing collected, lineage
     * cut per round with an eager localCheckpoint. The mode-with-tie-break
-    * is a single `max(struct(cnt, -label))` aggregate, not a window, so
-    * it stays one partial+final hash agg.
+    * is a single `min(struct(-cnt, label))` aggregate, not a window, so
+    * it stays one partial+final hash agg. The negation lives on the COUNT
+    * (a `count()` result, always in [1, rows] — never near Long.MinValue),
+    * not on the label, so node ids may be any orderable type (strings
+    * included) and no id range is excluded.
     */
   def labelPropagation(
       edges: DataFrame,
@@ -140,13 +154,64 @@ object Graph {
         .select(col("dst").as("id"), col("lbl"))
         .groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
       val winners = counts.groupBy("id")
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("w"))
-        .select(col("id"), (-col("w.neg")).as("new_lbl"))
+        .agg(min(struct((-col("cnt")).as("negcnt"), col("lbl"))).as("w"))
+        .select(col("id"), col("w.lbl").as("new_lbl"))
       labels = labels.join(winners, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
     }
     e.unpersist(); nodes.unpersist()
     labels
+  }
+
+  /** [[labelPropagation]] run UNTIL CONVERGENCE (no label changes) with a
+    * `maxIters` safety bound — the form users actually call when they don't
+    * know the mixing time up front. Same deterministic synchronous min-label
+    * rule per round; after each round one bounded driver action counts
+    * changed labels (an anti-join on (id, lbl) — a scalar, like BFS's
+    * frontier probe) and the loop stops at 0.
+    *
+    * `maxIters` is not just a guard against slow mixing: SYNCHRONOUS LPA can
+    * oscillate forever between two labelings (the classic bipartite 2-cycle
+    * — e.g. a 2-node cycle swaps labels every round), so a fixed-point is
+    * not guaranteed to exist and the bound is load-bearing. Returns
+    * (labels, itersRun, converged): `converged` false means the bound hit
+    * first (oscillation or slow mixing) and `labels` is round-`maxIters`'s
+    * labeling, exactly [[labelPropagation]](…, maxIters).
+    *
+    * Scale shape: identical to the fixed-count form (two keyed shuffles per
+    * round, lineage cut per round) plus one count action per round — the
+    * same per-round driver barrier BFS/CC already carry.
+    */
+  def labelPropagationConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int): (DataFrame, Int, Boolean) = {
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      iters += 1
+      val counts = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+        .groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
+      val winners = counts.groupBy("id")
+        .agg(min(struct((-col("cnt")).as("negcnt"), col("lbl"))).as("w"))
+        .select(col("id"), col("w.lbl").as("new_lbl"))
+      val next = labels.join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels, Seq("id", "lbl"), "left_anti")
+        .limit(1).count() == 0
+      labels = next
+    }
+    e.unpersist(); nodes.unpersist()
+    (labels, iters, converged)
   }
 }

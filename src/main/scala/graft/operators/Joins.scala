@@ -567,9 +567,16 @@ object Joins {
     // repetition factor; original rows re-attach by one equi join per
     // side at the end (row multiplicity n·m per matched value pair is
     // reproduced by those joins, identical to matching the raw rows).
-    val ln = lhs.select(l.as("__l")).distinct()
-    val rn = rhs.select(r.as("__r")).distinct()
-    val lv = col("__l"); val rv = col("__r")
+    // internal column names follow the __graft_ convention; guard against
+    // caller columns that would collide with them (or with the `dist` output)
+    val reserved = Seq("__graft_l", "__graft_r", "__graft_blk", "dist")
+    val inUse = (lhs.columns ++ rhs.columns).toSet
+    require(reserved.forall(n => !inUse.contains(n)),
+      s"fuzzyJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the conflicting input column(s): ${reserved.filter(inUse.contains).mkString(", ")}")
+    val ln = lhs.select(l.as("__graft_l")).distinct()
+    val rn = rhs.select(r.as("__graft_r")).distinct()
+    val lv = col("__graft_l"); val rv = col("__graft_r")
     val pairs: DataFrame = if (maxDist == 1) {
       val blk = "__graft_blk"
       // delete the i-th (1-based) character

@@ -596,6 +596,35 @@ object ScaleProbe {
       println(f"SCALE scrub docs=$n%7d tokens=${n * (wpd + 10)}%9d  scrub=${t}%6.1f s (kept=$kept)")
       docs.unpersist()
     }
+    // substring-removal dedup (Lee et al. ExactSubstr, q293): 4× docs per
+    // step, every doc = one shared 15-token duplicated block + 40 unique
+    // tokens. The duplicate gram set stays O(1) (only the pure-block window
+    // repeats; straddling windows contain doc-unique tokens), covered
+    // positions are exactly the 15 block tokens per doc, so the gram count,
+    // the semi join, the (doc,pos) anti join, and the rebuild all grow
+    // linearly with rows — wall should track corpus tokens, never tokens².
+    if (want("scrub_dupspans")) for (n <- Seq(50000L, 200000L, 800000L)) {
+      val wpd = 40
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        concat(lit((1 to 15).map(i => s"d$i").mkString("", " ", " ")),
+          array_join(transform(sequence(lit(0), lit(wpd - 1)),
+            i => concat(lit("u"), pmod(xxhash64(col("id"), i), lit(1000000000L)),
+              lit("x"), col("id"))), " ")).as("text")).persist()
+      docs.count()
+      val runs = (1 to 2).map { _ =>
+        time {
+          val out = graft.llm.Dedup.scrubDuplicateSpans(docs, "doc_id", "text",
+            n = 15, minCount = 2)
+          val r = out.agg(count(lit(1)), sum("n_kept")).head()
+          (r.getLong(0), r.getLong(1))
+        }
+      }
+      val ((nDocs, kept), t) = runs.minBy(_._2)
+      require(nDocs == n && kept == n * wpd,
+        s"scrub_dupspans probe mismatch: docs=$nDocs kept=$kept (want $n / ${n * wpd})")
+      println(f"SCALE scrub_dupspans docs=$n%7d tokens=${n * (wpd + 15)}%9d  scrub=${t}%6.1f s (kept=$kept)")
+      docs.unpersist()
+    }
     spark.stop()
   }
 }

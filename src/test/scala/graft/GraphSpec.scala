@@ -70,4 +70,42 @@ class GraphSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(9L) == 9L && got(8L) == 9L)
   }
+
+  test("labelPropagation accepts string node ids (min-label tie-break is negation-free)") {
+    import spark.implicits._
+    // triangle with a heavy tie every round: all three see two distinct
+    // neighbor labels with count 1 → smallest label (lexicographic) wins
+    val und = Seq(("x", "y"), ("y", "z"), ("x", "z")).toDF("s", "t")
+    val edges = und.union(und.select($"t".as("s"), $"s".as("t")))
+    val got = Graph.labelPropagation(edges, "s", "t", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // hand-walk — iter1: x sees {"y","z"} (tie) → "y"; y sees {"x","z"} →
+    // "x"; z sees {"x","y"} → "x". iter2: x sees {"x","x"} → "x"; y sees
+    // {"y","x"} (tie) → "x"; z sees {"y","x"} (tie) → "x".
+    assert(got == Map("x" -> "x", "y" -> "x", "z" -> "x"))
+  }
+
+  test("labelPropagationConverged: fixed point is invariant under one more round; oscillation hits the bound") {
+    import spark.implicits._
+    // the barbell converges: converged labels must equal the fixed-count
+    // run at itersRun AND at itersRun + 1 (one more round is a no-op)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("s", "t")
+    val edges = und.union(und.select($"t".as("s"), $"s".as("t")))
+    val (labels, iters, converged) =
+      Graph.labelPropagationConverged(edges, "s", "t", maxIters = 20)
+    assert(converged && iters <= 20)
+    val fixed = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneMore = Graph.labelPropagation(edges, "s", "t", iters = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == oneMore)
+    val plus1 = Graph.labelPropagation(edges, "s", "t", iters = iters + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == plus1, "fixed point not invariant under one more round")
+    // a 2-node cycle swaps labels every round — synchronous LPA oscillates,
+    // so the bound must fire with converged = false
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("s", "t")
+    val (_, ranI, conv) = Graph.labelPropagationConverged(cyc, "s", "t", maxIters = 6)
+    assert(!conv && ranI == 6)
+  }
 }

@@ -693,4 +693,65 @@ class LlmSpec extends SparkSuite {
       (3L, 5L, 2L, "dog barks"),
       (4L, 4L, 4L, "totally unique words here")))
   }
+
+  test("scrubDuplicateSpans removes ALL occurrences of ≥minCount n-gram windows, incl. within-doc repeats") {
+    val d = Seq(
+      // docs 1 and 2 share a 4-token window; unique tails survive
+      (1L, "alpha beta gamma delta fox jumps"),
+      (2L, "alpha beta gamma delta cat sleeps"),
+      // doc 3 repeats a 4-token window WITHIN itself twice (disjoint) —
+      // q284's distinct-doc criterion would never trigger; this must
+      (3L, "red red red red mid red red red red tail"),
+      (4L, "totally unique words here now yes"),
+      // doc 5 = exactly the shared window → fully covered → drops out
+      (5L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicateSpans(d, "doc_id", "text", n = 4, minCount = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 3: "red red red red" matches at positions 0..5 except pos 4
+    // contains "mid"... windows: 0:(r r r r) 1:(r r r m) 2:(r r m r)
+    // 3:(r m r r) 4:(m r r r) 5:(r r r r) — window "red red red red"
+    // occurs at 0 and 5 (count 2 ≥ 2) → covers 0-3 and 5-8 → "mid tail"
+    assert(got.toSeq == Seq(
+      (1L, 6L, 2L, "fox jumps"),
+      (2L, 6L, 2L, "cat sleeps"),
+      (3L, 10L, 2L, "mid tail"),
+      (4L, 6L, 6L, "totally unique words here now yes")))
+  }
+
+  test("codebook-as-TABLE forms are result-identical to the literal forms and plan a broadcast") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // centroid assignment: literal vs 1-row-broadcast-table, same cid per vec
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", nlist = 8)
+    val viaLit = Similarity.assignClusters(e, "vec_id", "embedding", cents)
+      .select("vec_id", "cid")
+    val viaTab = Similarity.assignClustersViaTable(e, "vec_id", "embedding",
+      Similarity.centroidsAsTable(spark, cents)).select("vec_id", "cid")
+    assert(viaLit.exceptAll(viaTab).count() == 0 &&
+      viaTab.exceptAll(viaLit).count() == 0)
+    assert(viaTab.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "centroid table did not ride as a broadcast")
+    // PQ ADC top-1: literal vs table codebook, identical (query, neighbor, score)
+    val books = Similarity.trainPQ(e, "vec_id", "embedding", m = 8, k = 16)
+    val codes = Similarity.encodePQ(e, "vec_id", "embedding", books).persist()
+    val q = e.filter(col("vec_id") < 50)
+    val topLit = Similarity.pqTop1(codes, q, "vec_id", "embedding", books)
+    val topTab = Similarity.pqTop1ViaTable(codes, q, "vec_id", "embedding",
+      Similarity.booksAsTable(spark, books), m = 8, subdim = 8)
+    assert(topLit.exceptAll(topTab).count() == 0 &&
+      topTab.exceptAll(topLit).count() == 0)
+    codes.unpersist()
+  }
+
+  test("scrubDuplicateSpans: short docs (< n tokens) dedup on their whole text") {
+    val d = Seq(
+      (1L, "same short doc"), (2L, "same short doc"), // whole-doc dup → both drop
+      (3L, "a different one")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubDuplicateSpans(d, "doc_id", "text", n = 15, minCount = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(got.toSeq == Seq((3L, "a different one")))
+  }
 }

@@ -98,7 +98,13 @@ class PartitionSweepSpec extends SparkSuite {
     // lexicographic tiebreak), JL projection (pinned-order folds over a
     // driver-side sign matrix), group folds (rank over the bounded
     // group-summary frame on a total order)
-    "q290_bpe_merge", "q291_random_projection", "q292_group_fold")
+    "q290_bpe_merge", "q291_random_projection", "q292_group_fold",
+    // round-10: substring-removal dedup (md5 of position-ordered rebuild,
+    // exact counts — the q284 invariance argument verbatim), hashed-bigram
+    // classifier (portable-hash buckets + exact int64 dot), iterated BPE
+    // (per-round winner from a full agg under a total order; greedy rewrite
+    // is row-local)
+    "q293_dupspan_scrub", "q294_quality_classifier", "q295_bpe_train")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

@@ -196,6 +196,61 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("Bpe.train matches the naive greedy-merge model; merged pairs cannot survive their round") {
+    import spark.implicits._
+    // tiny alphabet → heavy merging, overlap runs (w1 == w2), and compound
+    // merges (round 2 picking a pair that contains round 1's merged token)
+    val tokGen = Gen.choose(4, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    def naiveRound(docs: Map[Long, Vector[String]]): ((String, String), Map[Long, Vector[String]]) = {
+      val counts = docs.values.toSeq.flatMap(ts => ts.zip(ts.drop(1)))
+        .groupBy(identity).map { case (p, g) => (p, g.size) }
+      val (w1, w2) = counts.toSeq.map { case ((a, b), c) => (-c, a, b) }.min match {
+        case (_, a, b) => (a, b)
+      }
+      ((w1, w2), docs.map { case (id, ts) =>
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == w1 && ts(i + 1) == w2) {
+            buf += s"${w1}_${w2}"; i += 2
+          } else { buf += ts(i); i += 1 }
+        }
+        id -> buf.toVector
+      })
+    }
+    for (round <- 0 until 3) {
+      val corpus = (0L until 8L).map(id =>
+        id -> samples(tokGen, 1, 900 * round + id).head.toVector).toMap
+      val df = corpus.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.llm.Bpe.train(df, "doc_id", "text", rounds = 3)
+      val rows = got.collect().map(r => (
+        r.getAs[Long]("doc_id"), r.getSeq[String](r.fieldIndex("toks")).toVector,
+        r.getAs[String]("r1_pair"), r.getAs[String]("r2_pair"),
+        r.getAs[String]("r3_pair"))).sortBy(_._1)
+      var cur = corpus
+      val learned = (1 to 3).map { _ =>
+        val (p, next) = naiveRound(cur)
+        // the invariant the oracle leans on: a merged pair with w1 ≠ w2
+        // has ZERO adjacencies left after its own round (w1 == w2 runs may
+        // legitimately leave an odd trailing token)
+        if (p._1 != p._2)
+          assert(!next.values.exists(ts => ts.zip(ts.drop(1)).contains(p)),
+            s"pair $p survived its round")
+        cur = next
+        s"${p._1} ${p._2}"
+      }
+      assert(rows.map(_._1).toSeq == corpus.keys.toSeq.sorted)
+      rows.foreach { case (id, toks, r1, r2, r3) =>
+        assert(toks == cur(id), s"round $round doc $id: $toks vs ${cur(id)}")
+        assert(Seq(r1, r2, r3) == learned, s"round $round learned pairs differ")
+      }
+      // token conservation: n_after = n0 − total merges each round
+      val totalAfter = rows.map(_._2.size).sum
+      assert(totalAfter == cur.values.map(_.size).sum)
+    }
+  }
+
   test("sessTwapBatch matches the naive session-walk model on random inputs") {
     // the batch twin of the SessTwapProcessor (StreamingSpec proves
     // stream == batch; this closes the model gap on adversarial shapes:
