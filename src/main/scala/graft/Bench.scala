@@ -114,9 +114,28 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     // local-iteration filter: SPARK_GRAFT_ONLY=q57_math_more,q43_lang_id
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Drift canary: a FIXED in-memory reference workload (range → hash agg,
+    // no IO, no code under test) timed before the suite and again every
+    // `canaryEvery` queries. A driver-side load window (round 9: the
+    // q45–q62 band read 2–9× with untouched code) then shows up as a
+    // canary segment reading high, making environment drift attributable
+    // per SEGMENT instead of looking like per-query regressions. Values
+    // ride in the summary lines as "canary":[…] (chronological; index i
+    // covers queries [i·canaryEvery, (i+1)·canaryEvery)).
+    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "30").toInt
+    def canaryOnce(): Double = time {
+      materialize(spark.range(1L << 21)
+        .select(pmod(col("id") * 2654435761L, lit(1L << 16)).as("k"),
+          (col("id") % 97).cast("double").as("v"))
+        .groupBy("k").agg(sum("v"), count(lit(1))))
+    }
+    canaryOnce() // codegen/JIT warmup for the canary itself
+    val canaries = scala.collection.mutable.ArrayBuffer[Double](canaryOnce())
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val results = named.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % canaryEvery == 0) canaries += canaryOnce()
       val secs =
         try {
           materialize(fn(spark, sfDir)) // warmup: codegen compile + page cache
@@ -124,6 +143,7 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
       name -> secs
     }
+    canaries += canaryOnce() // closing segment
     val joinNrows = sys.env.getOrElse("SPARK_GRAFT_JOIN_NROWS", (1L << 22).toString).toLong
     spark.stop() // join metric gets a fresh session (see joinThroughputGiBs)
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -142,12 +162,14 @@ object Bench {
     // outlier can't dominate the reading.
     def f(v: Double): String = "%.3f".format(v)
     val total = results.map(_._2).filter(_ >= 0).sum
+    val canArr = canaries.map(f).mkString("[", ",", "]")
+    val canSkew = if (canaries.min > 0) canaries.max / canaries.min else -1.0
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_full.json"))
     java.nio.file.Files.writeString(fullPath,
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir","join_throughput_gibs":${f(joinGiBs)},"join_nrows":$joinNrows,"runs":$runs}""" + "\n")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir","join_throughput_gibs":${f(joinGiBs)},"join_nrows":$joinNrows,"runs":$runs,"canary":$canArr,"canary_every":$canaryEvery,"canary_skew":${f(canSkew)}}""" + "\n")
     System.err.println(s"[bench] full per-query map: $fullPath")
     val qsShort = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + "%.2f".format(v)
@@ -157,8 +179,11 @@ object Bench {
     // FIRST "metric":"total" line must not pick this ~3.3 kB line (which a
     // bounded tail buffer can truncate) over the compact record below.
     println(s"""{"metric":"per_query","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"queries":$qsShort}""")
-    // compact totals-only record LAST: this is the line tail-capture parses
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"queries_file":"$fullPath"}""")
+    // compact totals-only record LAST: this is the line tail-capture parses.
+    // canary: fixed-workload walls sampled every `canary_every` queries
+    // (chronological) — a flat array means a clean run; a spike localizes a
+    // machine-load window to its query segment. canary_skew = max/min.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"canary":$canArr,"canary_every":$canaryEvery,"canary_skew":${f(canSkew)},"queries_file":"$fullPath"}""")
     System.out.flush()
   }
 }

@@ -40,6 +40,7 @@ private[graft] object OracleAux {
   @volatile var q164Books: Option[Seq[Seq[Seq[Double]]]] = None // m × k × subdim
   @volatile var q236Ivf: Option[Seq[(Long, Long)]] = None // (query_id, IVF top-5 neighbor)
   @volatile var q264Est: Option[(Long, Long)] = None // (n_shards, merged HLL estimate)
+  @volatile var q296Cands: Option[Seq[(Long, Long)]] = None // (anchor_id, candidate_id)
 }
 
 object SparkEntry {
@@ -3841,6 +3842,52 @@ object SparkEntry {
         col("n").cast("long").as("n_after"),
         md5(array_join(col("toks"), " ")).as("final_key"),
         col("r1_pair"), col("r2_pair"), col("r3_pair")), "doc_id")
+    }),
+    "q296_contrastive_pairs" -> ((s, dir) => {
+      // contrastive-pair builder for multimodal training: one (anchor,
+      // positive, hard-negative) triple per anchor, hard negatives MINED
+      // VIA THE ANN FAMILY — candidates come from q50's LSH bucketing
+      // (never all-pairs), labels split them into positive (nearest
+      // same-label) and hard negative (nearest DIFFERENT-label — the
+      // "looks similar but isn't" example contrastive losses want), and
+      // each triple composes the q51 multimodal columns: the anchor's
+      // caption digest and the negative's payload digest ride along so a
+      // training job can fetch media by content key. Oracle: the q50
+      // stash pattern — candidate ids embed as VALUES, DuckDB re-scores
+      // them exactly, splits by label, and must reproduce the identical
+      // triples. Anti-join gate in LlmSpec: no (anchor, negative) pair
+      // shares a label. Plan: equi joins + broadcast only (labels and the
+      // query side are tiny; candidates are LSH-bucket joins).
+      val e = t(s, dir, "embeddings")
+      val cands = Similarity.lshCandidates(e, e, "vec_id", "embedding",
+        dim = 64, bits = 6, numTables = 8).persist()
+      OracleAux.q296Cands =
+        Some(cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      val lbl = e.select("vec_id", "label")
+      val labeled = cands
+        .join(broadcast(lbl.toDF("query_id", "la")), "query_id")
+        .join(broadcast(lbl.toDF("neighbor_id", "lb")), "neighbor_id")
+      val pos = Similarity.topKOverCandidates(
+          labeled.filter(col("la") === col("lb"))
+            .select("query_id", "neighbor_id"),
+          e, e, "vec_id", "embedding", k = 1)
+        .select(col("query_id").as("anchor_id"),
+          col("neighbor_id").as("pos_id"), round(col("cosine"), 4).as("pos_cos"))
+      val neg = Similarity.topKOverCandidates(
+          labeled.filter(col("la") =!= col("lb"))
+            .select("query_id", "neighbor_id"),
+          e, e, "vec_id", "embedding", k = 1)
+        .select(col("query_id").as("anchor_id"),
+          col("neighbor_id").as("neg_id"), round(col("cosine"), 4).as("neg_cos"))
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      val keys = Multimodal.payloadStats(media).select("media_id", "digest")
+      ord(pos.join(neg, "anchor_id")
+        .join(keys.toDF("anchor_id", "caption_key"), "anchor_id")
+        .join(keys.toDF("neg_id", "neg_payload_key"), "neg_id")
+        .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"), col("caption_key"),
+          col("neg_payload_key")),
+        "anchor_id")
     }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
@@ -8622,7 +8669,47 @@ object SparkEntry {
            |  CAST(abs(est - exact_n) AS DOUBLE) <= exact_n * 0.02 AS within_2pct
            |FROM e, x""".stripMargin
     }
+    val q296 = OracleAux.q296Cands.filter(_.nonEmpty).map { cands =>
+      "q296_contrastive_pairs" ->
+        s"""WITH raw(qid, nid) AS (VALUES ${values(cands)}),
+           |cand AS (SELECT CAST(qid AS BIGINT) AS query_id,
+           |  CAST(nid AS BIGINT) AS neighbor_id FROM raw),
+           |norms AS (
+           |  SELECT vec_id, embedding, label,
+           |    sqrt(list_sum(list_transform(embedding,
+           |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+           |  FROM embeddings
+           |), sims AS (
+           |  SELECT c.query_id, c.neighbor_id, q.label AS la, n.label AS lb,
+           |    list_sum(list_transform(list_zip(q.embedding, n.embedding),
+           |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           |      / (q.nrm * n.nrm) AS cosine
+           |  FROM cand c
+           |  JOIN norms q ON c.query_id = q.vec_id
+           |  JOIN norms n ON c.neighbor_id = n.vec_id
+           |), pos AS (
+           |  SELECT query_id AS anchor_id, neighbor_id AS pos_id,
+           |    round(cosine, 4) AS pos_cos
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cosine DESC, neighbor_id ASC) AS rk
+           |        FROM sims WHERE la = lb)
+           |  WHERE rk = 1
+           |), neg AS (
+           |  SELECT query_id AS anchor_id, neighbor_id AS neg_id,
+           |    round(cosine, 4) AS neg_cos
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           |          ORDER BY cosine DESC, neighbor_id ASC) AS rk
+           |        FROM sims WHERE la <> lb)
+           |  WHERE rk = 1
+           |)
+           |SELECT p.anchor_id, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+           |  sha256(da.text) AS caption_key, sha256(dn.text) AS neg_payload_key
+           |FROM pos p JOIN neg n USING (anchor_id)
+           |JOIN documents da ON da.doc_id = p.anchor_id
+           |JOIN documents dn ON dn.doc_id = n.neg_id
+           |ORDER BY anchor_id""".stripMargin
+    }
     (q45.toSeq ++ q50.toSeq ++ q142.toSeq ++ q164.toSeq ++ q236.toSeq ++
-      q264.toSeq).toMap
+      q264.toSeq ++ q296.toSeq).toMap
   }
 }

@@ -744,6 +744,30 @@ class LlmSpec extends SparkSuite {
     codes.unpersist()
   }
 
+  test("q296 contrastive triples: negatives provably non-matching, positives label-preserving") {
+    val got = SparkEntry.queries("q296_contrastive_pairs")(spark, sfDir).persist()
+    val lbl = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label")
+    // anti-join gate: NO (anchor, negative) pair may share a label — the
+    // triple set must be empty after joining through the same-label pair set
+    val sameLabelPairs = lbl.toDF("anchor_id", "la")
+      .join(lbl.toDF("neg_id", "lb"), col("la") === col("lb"))
+      .select("anchor_id", "neg_id")
+    assert(got.join(sameLabelPairs, Seq("anchor_id", "neg_id"), "left_semi").count() == 0,
+      "a hard negative shares its anchor's label")
+    // positives are same-label and never the anchor itself
+    val posBad = got.join(lbl.toDF("anchor_id", "la"), "anchor_id")
+      .join(lbl.toDF("pos_id", "lb"), "pos_id")
+      .filter(col("la") =!= col("lb") || col("anchor_id") === col("pos_id"))
+    assert(posBad.count() == 0)
+    // triples exist for (nearly) every anchor at these LSH settings; note
+    // the testdata's labels are independent of embedding geometry, so
+    // neg_cos > pos_cos is common here — hardness ordering is a property
+    // of the data, not of the builder, and is deliberately not asserted
+    assert(got.count() >= 450)
+    got.unpersist()
+  }
+
   test("scrubDuplicateSpans: short docs (< n tokens) dedup on their whole text") {
     val d = Seq(
       (1L, "same short doc"), (2L, "same short doc"), // whole-doc dup → both drop

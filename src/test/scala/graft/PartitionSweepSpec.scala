@@ -104,7 +104,10 @@ class PartitionSweepSpec extends SparkSuite {
     // classifier (portable-hash buckets + exact int64 dot), iterated BPE
     // (per-round winner from a full agg under a total order; greedy rewrite
     // is row-local)
-    "q293_dupspan_scrub", "q294_quality_classifier", "q295_bpe_train")
+    "q293_dupspan_scrub", "q294_quality_classifier", "q295_bpe_train",
+    // contrastive triples: seeded LSH planes, pair-set dedup, and top-1
+    // selection under the (cosine desc, id asc) total order
+    "q296_contrastive_pairs")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
