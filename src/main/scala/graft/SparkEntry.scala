@@ -3510,12 +3510,12 @@ object SparkEntry {
       // C4/CCNet transform q95 only reports on: any 3-gram window shared
       // by ≥3 distinct docs marks its token positions covered; covered
       // tokens are dropped and the surviving tokens re-join in position
-      // order into the cleaned text. Plan shape: positioned grams from the
-      // lazy ShingleExplodeExpr generator, one gram-keyed agg for the
-      // boilerplate set, one gram-keyed join back (never doc×doc), a
-      // (doc, pos) anti join, and one per-doc rebuild agg — every stage
-      // linear in corpus tokens at any SF. Output is count + md5 facts
-      // (kept_ppm exact integer), so the gate is FP-free.
+      // order into the cleaned text. Plan shape: hash-first two-phase
+      // window identification (native 8-byte ShingleHashesExpr hashes feed
+      // the count agg; only suspects re-derive exact strings), one
+      // gram-keyed join back (never doc×doc), a (doc, pos) anti join, and
+      // one per-doc rebuild agg — every stage linear in corpus tokens at
+      // any SF. Output is count + md5 facts (kept_ppm exact): FP-free gate.
       val scrubbed = Dedup.scrubBoilerplate(
         t(s, dir, "documents"), "doc_id", "text", n = 3, minDocs = 3)
       ord(scrubbed.select(col("doc_id"), col("n_tok"), col("n_kept"),
@@ -3776,8 +3776,9 @@ object SparkEntry {
       // distinct-doc boilerplate criterion) has all its occurrences'
       // positions scrubbed, and each doc's survivors rebuild in position
       // order. q132 DETECTS these spans; this removes them. Plan shape is
-      // q284's: lazy ShingleExplodeExpr grams → one gram-keyed count →
-      // semi join back → (doc, pos) anti join → per-doc rebuild agg —
+      // q284's hash-first two-phase form: native 8-byte window hashes →
+      // one hash-keyed count → suspects re-derive exact strings for the
+      // verifying count → (doc, pos) anti join → per-doc rebuild agg —
       // linear in corpus tokens (ScaleProbe `scrub_dupspans` measures it).
       // Output is count + md5 facts (kept_ppm exact integer): FP-free gate.
       val scrubbed = Dedup.scrubDuplicateSpans(

@@ -86,6 +86,41 @@ object HashExprs {
     }
     sig
   }
+
+  /** 64-bit hash of every word n-gram window of a token array WITHOUT ever
+    * materializing the window strings (see [[ShingleHashesExpr]]): one
+    * xxhash64 per token, then a wrapping-int64 polynomial fold per window.
+    * Window positions mirror [[graft.functions.ShingleExplodeExpr]] exactly
+    * (a document shorter than n yields its single whole-document window at
+    * pos 0), so a hash-keyed pre-filter stage can re-derive the exact
+    * window string for any (doc, pos) it keeps. Engine-internal (no
+    * cross-engine mirror needed — callers must verify survivors on exact
+    * strings, which also eliminates hash collisions).
+    */
+  def shingleHashes(arr: ArrayData, n: Int): GenericArrayData = {
+    val numToks = arr.numElements()
+    val th = new Array[Long](numToks)
+    var i = 0
+    while (i < numToks) {
+      th(i) = if (arr.isNullAt(i)) 0L else hashStr(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    val win = math.min(n, numToks)
+    val m = if (numToks < n) 1 else numToks - n + 1
+    val out = new Array[Long](m)
+    var k = 0
+    while (k < m) {
+      var h = -3750763034362895579L // xxh64 prime_1 as the fold seed
+      var j = 0
+      while (j < win) {
+        h = h * -7046029254386353131L + th(k + j) // xxh64 prime_2 multiplier
+        j += 1
+      }
+      out(k) = h
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Order-sensitive document fingerprint that any SQL engine can reproduce
@@ -784,5 +819,44 @@ case class WordShinglesExpr(child: Expression, n: Int)
       s"${ev.value} = graft.functions.WordShingles.compute($arr, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+/** 64-bit hashes of every word n-gram window in ONE native pass that never
+  * builds a window string (see [[HashExprs.shingleHashes]]): one xxhash64
+  * per token + a wrapping polynomial fold per window. At long windows
+  * (n ≈ 15-50, the substring-dedup regime) the string forms allocate
+  * n × corpus-text bytes just to feed a count aggregate — this emits 8 bytes
+  * per window instead, and survivors are re-derived and verified as exact
+  * strings downstream (which also removes hash collisions). Positions mirror
+  * [[ShingleExplodeExpr]]/[[WordShinglesExpr]]: a doc shorter than n yields
+  * one whole-doc window at pos 0.
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, s"shingle size must be positive: $n")
+
+  override def prettyName: String = "graft_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_hashes expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashExprs.shingleHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.HashExprs.shingleHashes($arr, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
     copy(child = newChild)
 }

@@ -104,6 +104,14 @@ object Registry {
         ShingleExplodeExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes",
+      exprs => {
+        requireFoldable(exprs(1), "graft_shingle_hashes",
+          "shingle size must be a literal int")
+        ShingleHashesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int])
+      },
+      "built-in")
   }
 
   /** SQL-surface guard: these builders eval() an argument at resolution time,
@@ -177,6 +185,12 @@ object Registry {
   /** Word n-gram shingles in one native pass (requires [[register]]). */
   def wordShingles(tokens: Column, n: Int): Column =
     call_function("graft_word_shingles", tokens, lit(n))
+
+  /** 64-bit window hashes without window-string materialization (requires
+    * [[register]]); positions mirror graft_shingle_explode.
+    */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    call_function("graft_shingle_hashes", tokens, lit(n))
 
   /** Codegen'd vector dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

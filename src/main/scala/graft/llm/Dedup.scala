@@ -315,12 +315,15 @@ object Dedup {
     * token is covered (pure boilerplate) drop out entirely, mirroring what
     * a curation pipeline does with them.
     *
-    * Scale design (100 TB): positioned grams stream from the lazy
-    * ShingleExplodeExpr generator (O(tokens) peak per row); the boilerplate
-    * set is one gram-keyed partial+final aggregate; marking is one gram-keyed
-    * join back (never doc×doc); removal is a (doc, pos) anti join between
-    * co-keyed exploded frames; the rebuild is one per-doc aggregate. Every
-    * stage is linear in corpus tokens.
+    * Scale design (100 TB): window identification is HASH-FIRST — the
+    * native ShingleHashesExpr emits one 8-byte hash per window (never the
+    * window strings, which would be n × corpus-text bytes), the boilerplate
+    * candidate set is one hash-keyed partial+final aggregate, and only the
+    * surviving (doc, pos) windows re-derive their exact strings for the
+    * real count-distinct (also where hash collisions die). Marking is one
+    * gram-keyed join back (never doc×doc); removal is a (doc, pos) anti
+    * join between co-keyed exploded frames; the rebuild is one per-doc
+    * aggregate. Every stage is linear in corpus tokens (ScaleProbe `scrub`).
     */
   def scrubBoilerplate(
       df: DataFrame,
@@ -334,13 +337,30 @@ object Dedup {
       .select(col(idCol), TextFns.portableTokens(col(textCol)).as("__graft_toks"))
       .withColumn("__graft_n", size(col("__graft_toks")))
       .filter(col("__graft_n") > 0)
-    val grams = toks.selectExpr(idCol, "__graft_n",
-      s"graft_shingle_explode(__graft_toks, $n) AS (pos, __graft_gram)")
-    val boiler = grams.groupBy("__graft_gram")
+      .persist()
+    // Hash-first two-phase plan (same split as [[scrubDuplicateSpans]],
+    // exactness preserved): phase 1 counts 8-byte native window hashes —
+    // count(*) per hash ≥ countDistinct(doc) per gram always, so every
+    // qualifying gram's windows survive the filter; phase 2 re-derives the
+    // exact window strings only for suspect (doc, pos) rows and runs the
+    // real count-distinct there (hash collisions die in phase 2). The
+    // corpus-wide shuffle carries hashes instead of gram strings.
+    val hashed = toks.selectExpr(idCol, "__graft_n",
+      s"posexplode(graft_shingle_hashes(__graft_toks, $n)) AS (pos, __graft_h)")
+    val suspectH = hashed.groupBy("__graft_h")
+      .agg(count(lit(1)).as("__graft_hc"))
+      .filter(col("__graft_hc") >= minDocs)
+      .select("__graft_h")
+    val suspectGrams = hashed.join(suspectH, Seq("__graft_h"), "left_semi")
+      .join(toks.select(col(idCol), col("__graft_toks")), Seq(idCol))
+      .select(col(idCol), col("__graft_n"), col("pos"),
+        concat_ws(" ",
+          slice(col("__graft_toks"), col("pos") + 1, lit(n))).as("__graft_gram"))
+    val boiler = suspectGrams.groupBy("__graft_gram")
       .agg(countDistinct(col(idCol)).as("__graft_nd"))
       .filter(col("__graft_nd") >= minDocs)
       .select("__graft_gram")
-    val covered = grams.join(boiler, Seq("__graft_gram"), "left_semi")
+    val covered = suspectGrams.join(boiler, Seq("__graft_gram"), "left_semi")
       .select(col(idCol), explode(expr(
         s"sequence(pos, least(pos + ${n - 1}, __graft_n - 1))")).as("__graft_p"))
       .distinct()
@@ -378,13 +398,16 @@ object Dedup {
     * Returns (idCol, n_tok, n_kept, clean_text); fully-covered documents
     * drop out (same contract as [[scrubBoilerplate]]).
     *
-    * Scale design (100 TB): identical to [[scrubBoilerplate]] — positioned
-    * grams from the lazy ShingleExplodeExpr generator, the duplicate set is
-    * one gram-keyed partial+final count (count(*), cheaper than the
-    * boilerplate path's count-distinct since no doc ids travel), marking is
-    * one gram-keyed semi join back, removal one (doc, pos) anti join,
-    * rebuild one per-doc agg. Every stage linear in corpus tokens; the
-    * ScaleProbe `scrub_dupspans` section measures wall vs tokens.
+    * Scale design (100 TB): identical to [[scrubBoilerplate]]'s hash-first
+    * two-phase plan — native 8-byte window hashes feed the duplicate-count
+    * aggregate (count(*), cheaper than the boilerplate path's
+    * count-distinct since no doc ids travel), only suspect (doc, pos)
+    * windows re-derive exact strings for the verifying count, then one
+    * (doc, pos) anti join and one per-doc rebuild agg. Every stage linear
+    * in corpus tokens; ScaleProbe `scrub_dupspans` measures wall vs tokens
+    * (the string-form predecessor was GC-bound superlinear at the 800k-doc
+    * step; the hash-first form cut that step 70 → 21 s and restored
+    * linearity).
     */
   def scrubDuplicateSpans(
       df: DataFrame,
@@ -398,13 +421,34 @@ object Dedup {
       .select(col(idCol), TextFns.portableTokens(col(textCol)).as("__graft_toks"))
       .withColumn("__graft_n", size(col("__graft_toks")))
       .filter(col("__graft_n") > 0)
-    val grams = toks.selectExpr(idCol, "__graft_n",
-      s"graft_shingle_explode(__graft_toks, $n) AS (pos, __graft_gram)")
-    val dups = grams.groupBy("__graft_gram")
+      .persist()
+    // Hash-first two-phase plan (exactness preserved): at n = 15 each window
+    // STRING is ~200-500 B, so the string forms allocate n × corpus-text
+    // bytes just to feed the duplicate-count agg — measured GC-bound
+    // superlinear at the probe's 800k-doc step. Phase 1 hashes every window
+    // natively (graft_shingle_hashes: one xxhash64 per token + a polynomial
+    // fold per window, 8 B out, ZERO window strings) and counts hashes;
+    // hash-count ≥ string-count always, so every true duplicate's window
+    // survives the filter. Phase 2 re-derives the exact window string ONLY
+    // for suspect (doc, pos) rows — O(duplicated windows), not O(corpus) —
+    // and re-counts on strings, which also eliminates hash collisions
+    // (colliding singletons fall below minCount there and are never marked).
+    val hashed = toks.selectExpr(idCol, "__graft_n",
+      s"posexplode(graft_shingle_hashes(__graft_toks, $n)) AS (pos, __graft_h)")
+    val suspectH = hashed.groupBy("__graft_h")
+      .agg(count(lit(1)).as("__graft_hc"))
+      .filter(col("__graft_hc") >= minCount)
+      .select("__graft_h")
+    val suspectGrams = hashed.join(suspectH, Seq("__graft_h"), "left_semi")
+      .join(toks.select(col(idCol), col("__graft_toks")), Seq(idCol))
+      .select(col(idCol), col("__graft_n"), col("pos"),
+        concat_ws(" ",
+          slice(col("__graft_toks"), col("pos") + 1, lit(n))).as("__graft_gram"))
+    val dups = suspectGrams.groupBy("__graft_gram")
       .agg(count(lit(1)).as("__graft_c"))
       .filter(col("__graft_c") >= minCount)
       .select("__graft_gram")
-    val covered = grams.join(dups, Seq("__graft_gram"), "left_semi")
+    val covered = suspectGrams.join(dups, Seq("__graft_gram"), "left_semi")
       .select(col(idCol), explode(expr(
         s"sequence(pos, least(pos + ${n - 1}, __graft_n - 1))")).as("__graft_p"))
       .distinct()

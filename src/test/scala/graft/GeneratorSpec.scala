@@ -43,4 +43,27 @@ class GeneratorSpec extends SparkSuite {
       .map(r => (r.getInt(1), r.getString(2))).toSeq
     assert(out == Seq((0, "one two"), (1, "two three"), (2, "three four")))
   }
+
+  test("shingle hashes mirror the string windows: same positions, hash-equality == string-equality") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c a b"),  // repeated windows WITHIN a doc
+      (2L, "a b c x y z"),      // shares the 'a b c' window with doc 1
+      (3L, "short one"),        // shorter than n → single whole-doc window
+      (4L, "short one")         // whole-doc duplicate of doc 3
+    ).toDF("id", "text")
+      .selectExpr("id", "split(text, ' ') AS toks")
+    val strings = df.selectExpr("id", "graft_shingle_explode(toks, 3) AS (pos, g)")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getString(2))).toMap
+    val hashes = df.selectExpr("id", "posexplode(graft_shingle_hashes(toks, 3)) AS (pos, h)")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // identical (id, pos) domains — window positions mirror exactly
+    assert(strings.keySet == hashes.keySet)
+    // equal strings → equal hashes; on this sample, distinct strings →
+    // distinct hashes too (collisions are possible in general and are
+    // handled by the callers' exact-string verify phase)
+    for (ka <- strings.keys; kb <- strings.keys)
+      if (strings(ka) == strings(kb)) assert(hashes(ka) == hashes(kb))
+      else assert(hashes(ka) != hashes(kb), s"collision in test sample: $ka $kb")
+  }
 }
