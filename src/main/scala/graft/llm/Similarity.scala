@@ -119,14 +119,15 @@ object Similarity {
   // (nlist × dim doubles, ~0.5 MB at nlist=1024/dim=64); only the plan
   // shape changed. See tools/ScaleProbe's ivf_nlist section.
   //
-  // SIZE LIMIT: a literal still serializes into the plan (and its query
-  // string/protobuf forms), so keep nlist × dim ≲ 4k × 64 ≈ 2 MB of
-  // doubles. Past that, persist the centroid matrix as a small
-  // (cid, centroid) table and broadcast-JOIN the assignment instead
-  // (ivfAssignHierarchical's groups join is exactly that shape) — same
-  // data movement, no giant literal in the plan. The same bound applies
-  // to the PQ codebook literals below (m × k × subdim = dim × k doubles,
-  // so k ≲ 4k at dim=64).
+  // SIZE LIMIT / CUTOVER: a literal still serializes into the plan (and
+  // its query string/protobuf forms), so keep nlist × dim ≲ 4k × 64 ≈ 2 MB
+  // of doubles. PAST THAT, use the TABLE forms below —
+  // [[assignClustersViaTable]] / [[pqTop1ViaTable]] with
+  // [[centroidsAsTable]] / [[booksAsTable]] — which ship the identical
+  // matrix as a 1-row broadcast (torrent blocks, off-plan) and are
+  // equivalence-gated against the literal forms in LlmSpec. The same bound
+  // applies to the PQ codebook literals below (m × k × subdim = dim × k
+  // doubles, so k ≲ 4k at dim=64).
   private[llm] def centroidStructs(vec: Column, cents: Array[Array[Double]]): Column = {
     val centLit = typedLit(cents.map(_.toSeq).toSeq)
     val normLit = typedLit(

@@ -49,6 +49,16 @@ class GraphSpec extends SparkSuite {
     assert(capped == Map(5L -> 0, 4L -> 1, 3L -> 2))
   }
 
+  test("bfsDistances on a deep chain: exact distances at diameter 30, one round per hop") {
+    import spark.implicits._
+    // the depth-cost regime the scaladoc documents: a path graph forces one
+    // frontier round per hop; distances must stay exact to the full depth
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Graph.bfsDistances(chain, "a", "b", source = 0L, maxDepth = 40)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == (0L to 30L).map(i => i -> i.toInt).toMap)
+  }
+
   test("labelPropagation: synchronous min-label rounds on a barbell, hand-walked") {
     import spark.implicits._
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4, symmetrized.

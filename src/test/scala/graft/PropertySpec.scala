@@ -248,6 +248,15 @@ class PropertySpec extends SparkSuite {
       // token conservation: n_after = n0 − total merges each round
       val totalAfter = rows.map(_._2.size).sum
       assert(totalAfter == cur.values.map(_.size).sum)
+      // and the Spark-side pair counts of the FINAL corpus must reflect the
+      // last merge: a w1 ≠ w2 winning pair cannot appear in Bpe.pairCounts
+      // over the rewritten tokens (round k+1's counts see round k's merges)
+      val Array(lw1, lw2) = learned.last.split(" ", 2)
+      if (lw1 != lw2) {
+        val survivors = graft.llm.Bpe.pairCounts(got)
+          .filter(col("w1") === lw1 && col("w2") === lw2).count()
+        assert(survivors == 0, s"round $round: merged pair ($lw1,$lw2) survives")
+      }
     }
   }
 
