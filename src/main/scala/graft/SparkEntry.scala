@@ -3890,6 +3890,84 @@ object SparkEntry {
           col("neg_payload_key")),
         "anchor_id")
     }),
+    "q297_bigram_surprisal" -> ((s, dir) => {
+      // LM-based quality scoring — the CCNet/KenLM filtering shape: score
+      // each doc by its average bigram surprisal under the corpus's own
+      // bigram model (high = rare transitions = garbled/off-domain text;
+      // filtering needs the ORDERING, not absolute nats). Cross-engine
+      // exactness trick: instead of IEEE ln (never bit-stable across
+      // engines), surprisal is quantized to integer BITS via the exact
+      // floor-log2 identity ilog2(x) = length(bin(x)) − 1 — bin() is
+      // bit-identical in Spark and DuckDB — with add-one smoothing:
+      // bits(w1→w2) = ilog2(c1(w1) + V) − ilog2(c12(w1,w2) + 1) ≥ 0.
+      // Plan: row-local bigram explode, one bigram-keyed count + one
+      // context-keyed count, two keyed joins back, V as a 1-row broadcast
+      // scalar — every stage linear in corpus tokens.
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), TextFns.portableTokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 1)
+      val bg = toks.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, n - 2), i ->
+          |  struct(element_at(toks, i + 1) AS w1,
+          |         element_at(toks, i + 2) AS w2))""".stripMargin)).as("pr"))
+        .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vrow = toks.select(explode(col("toks")).as("w")).distinct()
+        .agg(count(lit(1)).as("v"))
+      ord(bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vrow))
+        .withColumn("bits",
+          (length(bin(col("c1") + col("v"))) - 1) -
+            (length(bin(col("c12") + 1)) - 1))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+          expr("(sum_bits * 1000000) div n_bigrams").as("surprisal_ppm")),
+        "doc_id")
+    }),
+    "q298_gopher_rules" -> ((s, dir) => {
+      // the Gopher quality-rule composite (Rae et al. 2021, the heuristic
+      // pre-filter every 100 TB curation run applies before model-based
+      // scoring): word-count bounds, mean-word-length bounds, symbol-to-
+      // word ratio, alphabetic-word fraction, and stopword presence — each
+      // expressed as an EXACT integer inequality (mean ∈ [3,10] ⟺
+      // 3n ≤ chars ≤ 10n; ≥80% alpha ⟺ 5·n_alpha ≥ 4·n — no FP ratios
+      // anywhere), failures packed into a reasons bitmask. Entirely
+      // row-local: zero shuffles at any corpus size. Complements q42's raw
+      // ratio screens with the DECISION layer (keep + why-dropped).
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextFns.portableTokens(col("text")).as("toks"))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .filter(col("n_words") > 0)
+        .withColumn("n_chars", expr(
+          "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+        .withColumn("n_alpha", expr(
+          "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS BIGINT)"))
+        .withColumn("n_sym", expr(
+          // '#' count + non-overlapping '...' count; the length deltas are
+          // exact multiples so the integer div is exact
+          """CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+            |+ (CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) div 3)"""
+            .stripMargin))
+        .withColumn("n_stop", expr(
+          s"CAST(size(filter(toks, t -> t IN (${stops.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"))
+      val reasons =
+        when(col("n_words") < 50 || col("n_words") > 100000, 1L).otherwise(0L) +
+        when(col("n_chars") < col("n_words") * 3 ||
+          col("n_chars") > col("n_words") * 10, 2L).otherwise(0L) +
+        when(col("n_sym") * 10 > col("n_words"), 4L).otherwise(0L) +
+        when(col("n_alpha") * 5 < col("n_words") * 4, 8L).otherwise(0L) +
+        when(col("n_stop") < 2, 16L).otherwise(0L)
+      ord(d.select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_alpha"), col("n_sym"), col("n_stop"),
+        reasons.as("reasons"),
+        (reasons === 0L).cast("long").as("keep")),
+        "doc_id")
+    }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
       // scheme beside q144's SymSpell deletion neighborhoods and q158's
@@ -6548,6 +6626,61 @@ object SparkEntry {
         |  (SELECT w1 || ' ' || w2 FROM top2) AS r2_pair,
         |  (SELECT w1 || ' ' || w2 FROM top3) AS r3_pair
         |FROM d0 JOIN d3n USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q297_bigram_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS n FROM tk WHERE len(w) > 1),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |       FROM (SELECT doc_id, w, unnest(range(1, n)) AS i FROM d)),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |        FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |      FROM (SELECT unnest(w) AS tok FROM d))
+        |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum((length(bin(c1.c1 + v.v)) - 1)
+        |           - (length(bin(c12.c12 + 1)) - 1)) AS BIGINT) AS sum_bits,
+        |  CAST((sum((length(bin(c1.c1 + v.v)) - 1)
+        |        - (length(bin(c12.c12 + 1)) - 1)) * 1000000)
+        |    // count(*) AS BIGINT) AS surprisal_ppm
+        |FROM bg
+        |JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+        |JOIN c1 ON bg.w1 = c1.w1
+        |CROSS JOIN v
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+    "q298_gopher_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |        AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(w, t -> t IN
+        |      ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+        |      AS n_stop
+        |  FROM tk WHERE len(w) > 0),
+        |r AS (
+        |  SELECT *,
+        |    (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_chars < 3 * n_words OR n_chars > 10 * n_words
+        |         THEN 2 ELSE 0 END
+        |     + CASE WHEN n_sym * 10 > n_words THEN 4 ELSE 0 END
+        |     + CASE WHEN n_alpha * 5 < n_words * 4 THEN 8 ELSE 0 END
+        |     + CASE WHEN n_stop < 2 THEN 16 ELSE 0 END) AS reasons
+        |  FROM m)
+        |SELECT doc_id, n_words, n_chars, n_alpha, n_sym, n_stop,
+        |  CAST(reasons AS BIGINT) AS reasons,
+        |  CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q279_session_twap" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -107,7 +107,10 @@ class PartitionSweepSpec extends SparkSuite {
     "q293_dupspan_scrub", "q294_quality_classifier", "q295_bpe_train",
     // contrastive triples: seeded LSH planes, pair-set dedup, and top-1
     // selection under the (cosine desc, id asc) total order
-    "q296_contrastive_pairs")
+    "q296_contrastive_pairs",
+    // bigram surprisal (exact integer floor-log2 bits over grouped counts)
+    // and Gopher rules (row-local exact integer inequalities)
+    "q297_bigram_surprisal", "q298_gopher_rules")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

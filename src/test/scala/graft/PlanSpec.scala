@@ -565,7 +565,10 @@ class PlanSpec extends SparkSuite {
       "q295_bpe_train",
       // q291: the JL sign matrix rides as a 1-row broadcast TABLE (the
       // Similarity codebook-table form) instead of a 512-literal expression
-      "q291_random_projection")
+      "q291_random_projection",
+      // q297: the vocabulary size V is a 1-row broadcast scalar crossed
+      // onto the scored bigram frame (the q233 shape)
+      "q297_bigram_surprisal")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
