@@ -3968,6 +3968,23 @@ object SparkEntry {
         (reasons === 0L).cast("long").as("keep")),
         "doc_id")
     }),
+    "q299_unicode_normalize" -> ((s, dir) => {
+      // Unicode NFC + case + whitespace canonicalization — the first
+      // transform of every curation pipeline (composed and decomposed
+      // forms of the same glyph must dedup/hash/compare as one before any
+      // content-keyed stage). NFC runs in the native codegen'd
+      // NfcNormalizeExpr (Spark has no built-in normalizer; a UDF would
+      // box per row) with an isNormalized fast path so ASCII corpora pay
+      // ~zero; Java's Normalizer and DuckDB's utf8proc are both
+      // Unicode-conformant NFC, so outputs are byte-identical and the md5
+      // gate holds. Entirely row-local: zero shuffles at any SF.
+      val norm = trim(regexp_replace(
+        lower(graft.functions.Registry.nfc(col("text"))), "\\s+", " "))
+      ord(t(s, dir, "documents").select(col("doc_id"),
+        (norm =!= col("text")).cast("long").as("changed"),
+        length(norm).cast("long").as("n_chars"),
+        md5(norm).as("norm_key")), "doc_id")
+    }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
       // scheme beside q144's SymSpell deletion neighborhoods and q158's
@@ -6681,6 +6698,17 @@ object SparkEntry {
         |  CAST(reasons AS BIGINT) AS reasons,
         |  CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q299_unicode_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |      AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
+        |  CAST(length(norm) AS BIGINT) AS n_chars,
+        |  md5(norm) AS norm_key
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q279_session_twap" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -105,6 +105,10 @@ object Registry {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      exprs => NfcNormalizeExpr(exprs.head),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       exprs => {
         requireFoldable(exprs(1), "graft_shingle_hashes",
@@ -191,6 +195,9 @@ object Registry {
     */
   def shingleHashes(tokens: Column, n: Int): Column =
     call_function("graft_shingle_hashes", tokens, lit(n))
+
+  /** Unicode NFC normalization (codegen'd; requires [[register]]). */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
 
   /** Codegen'd vector dot product (requires [[register]] on the session). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)

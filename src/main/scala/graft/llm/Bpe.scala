@@ -46,7 +46,17 @@ object Bpe {
     // greedy left-to-right: take match position p iff p is past the last
     // consumed window; collect the taken starts, then rebuild the array —
     // drop the second element of each consumed pair, rename the first
-    withToks.crossJoin(broadcast(top))
+    greedyRewrite(withToks.crossJoin(broadcast(top)))
+      .withColumn(pairCol, concat(col("w1"), lit(" "), col("w2")))
+      .drop("w1", "w2")
+  }
+
+  /** The greedy substitution itself, over a frame carrying (toks, n, w1, w2):
+    * rewrites `toks`/`n` in place. Shared by the training rounds (w1/w2 from
+    * the 1-row broadcast winner) and [[applyMerges]] (w1/w2 as literals).
+    */
+  private def greedyRewrite(withPair: DataFrame): DataFrame =
+    withPair
       .withColumn("__graft_ps", expr(
         """CASE WHEN n < 2 THEN CAST(array() AS ARRAY<INT>)
           |ELSE filter(sequence(0, n - 2), i ->
@@ -64,9 +74,7 @@ object Bpe {
           |  i -> IF(array_contains(__graft_starts, i),
           |          concat(w1, '_', w2), element_at(toks, i + 1)))""".stripMargin))
       .withColumn("n", size(col("toks")))
-      .withColumn(pairCol, concat(col("w1"), lit(" "), col("w2")))
-      .drop("w1", "w2", "__graft_ps", "__graft_starts")
-  }
+      .drop("__graft_ps", "__graft_starts")
 
   /** Train `rounds` BPE merges over `textCol`, rewriting the corpus between
     * rounds. Returns one row per non-empty document:
@@ -83,6 +91,31 @@ object Bpe {
       .withColumn("n_tok0", col("n").cast("long"))
     for (r <- 1 to rounds)
       cur = mergeRound(cur, s"r${r}_pair").localCheckpoint(true)
+    cur
+  }
+
+  /** Tokenizer INFERENCE: apply an already-learned merge list to text, in
+    * merge order (the other half of [[train]] — train once on the corpus,
+    * encode any stream with the fixed list). Each merge is the same greedy
+    * row-local rewrite as training, with the pair as a literal — no
+    * aggregates, no shuffles: encoding is a pure map stage at any scale,
+    * which is why BPE inference parallelizes trivially while training
+    * needs the per-round corpus count. Returns (idCol, n_tok0, toks, n).
+    */
+  def applyMerges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    var cur = df
+      .select(col(idCol), TextFns.portableTokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("n_tok0", col("n").cast("long"))
+    for ((w1, w2) <- merges)
+      cur = greedyRewrite(
+        cur.withColumn("w1", lit(w1)).withColumn("w2", lit(w2)))
+        .drop("w1", "w2")
     cur
   }
 

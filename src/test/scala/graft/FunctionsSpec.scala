@@ -227,4 +227,25 @@ class FunctionsSpec extends SparkSuite {
     assert(math.abs(viaSql.getDouble(0) - 0.9611111111111111) < 1e-12)
     assert(viaSql.isNullAt(1))
   }
+
+  test("graft_nfc: composed == decomposed after NFC; ASCII fast path returns input; null-safe") {
+    import spark.implicits._
+    val composed = "caf\u00e9"      // precomposed e-acute
+    val decomposed = "cafe\u0301"   // e + combining acute
+    val rows = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"),
+        (4L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+      .selectExpr("id", "graft_nfc(s) AS n", "s")
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == composed)
+    assert(rows(1).getString(1) == composed, "decomposed form must normalize to NFC")
+    assert(rows(0).getString(1) == rows(1).getString(1))
+    assert(rows(2).getString(1) == "plain ascii")
+    assert(rows(3).isNullAt(1))
+    // and the two forms hash identically post-normalization (the property
+    // q299 and every content-keyed dedup stage rely on)
+    val keys = Seq((1L, composed), (2L, decomposed)).toDF("id", "s")
+      .selectExpr("md5(graft_nfc(s)) AS k").distinct().count()
+    assert(keys == 1)
+  }
 }

@@ -108,9 +108,9 @@ class PartitionSweepSpec extends SparkSuite {
     // contrastive triples: seeded LSH planes, pair-set dedup, and top-1
     // selection under the (cosine desc, id asc) total order
     "q296_contrastive_pairs",
-    // bigram surprisal (exact integer floor-log2 bits over grouped counts)
-    // and Gopher rules (row-local exact integer inequalities)
-    "q297_bigram_surprisal", "q298_gopher_rules")
+    // bigram surprisal (exact integer floor-log2 bits over grouped counts),
+    // Gopher rules and NFC normalization (row-local exact outputs)
+    "q297_bigram_surprisal", "q298_gopher_rules", "q299_unicode_normalize")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

@@ -260,6 +260,32 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("Bpe.applyMerges (inference) reproduces the training rewrite and encodes unseen text") {
+    import spark.implicits._
+    val tokGen = Gen.choose(4, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val corpus = (0L until 8L).map(id =>
+      id -> samples(tokGen, 1, 4242 + id).head.mkString(" "))
+    val df = corpus.toDF("doc_id", "text")
+    val trained = graft.llm.Bpe.train(df, "doc_id", "text", rounds = 3)
+    val merges = trained.select("r1_pair", "r2_pair", "r3_pair").head() match {
+      case r => (0 to 2).map { i =>
+        val Array(a, b) = r.getString(i).split(" ", 2); (a, b)
+      }
+    }
+    // applying the learned list to the SAME corpus = the training rewrite
+    val applied = graft.llm.Bpe.applyMerges(df, "doc_id", "text", merges)
+    val t = trained.select("doc_id", "toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val a = applied.select("doc_id", "toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(t == a, "inference over the training corpus diverged from training")
+    // and it encodes UNSEEN text with the fixed list (hand-checkable case)
+    val unseen = Seq((99L, "a b a b c")).toDF("doc_id", "text")
+    val enc = graft.llm.Bpe.applyMerges(unseen, "doc_id", "text", Seq(("a", "b")))
+      .select("toks").head().getSeq[String](0).toVector
+    assert(enc == Vector("a_b", "a_b", "c"))
+  }
+
   test("sessTwapBatch matches the naive session-walk model on random inputs") {
     // the batch twin of the SessTwapProcessor (StreamingSpec proves
     // stream == batch; this closes the model gap on adversarial shapes:
