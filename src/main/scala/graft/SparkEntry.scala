@@ -3985,6 +3985,86 @@ object SparkEntry {
         length(norm).cast("long").as("n_chars"),
         md5(norm).as("norm_key")), "doc_id")
     }),
+    "q300_curation_pipeline" -> ((s, dir) => {
+      // END-TO-END curation funnel — the whole pipeline as ONE DataFrame
+      // program, composing the stages this library gates individually:
+      // (1) NFC-canonical content key + exact dedup, lowest id survives
+      //     (q299's normalize feeding q40's dedup rule);
+      // (2) Gopher quality rules (q298);
+      // (3) duplicated-span contamination screen: ≤50% of tokens inside
+      //     corpus-duplicated 15-grams (q293's coverage stats);
+      // (4) hashed-bigram classifier pass (q294).
+      // Output: the per-source funnel (docs in, survivors after each
+      // stage, final kept docs + tokens) — the report a 100 TB curation
+      // run publishes. Stage predicates are cumulative ANDs computed as
+      // exact integer flags; the one window runs keyed on the
+      // high-cardinality content key (hash-partitioned, never global).
+      import org.apache.spark.sql.expressions.Window
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val docs = t(s, dir, "documents")
+      val norm = trim(regexp_replace(
+        lower(graft.functions.Registry.nfc(col("text"))), "\\s+", " "))
+      val base = docs.select(col("doc_id"), col("source"), col("text"))
+        .withColumn("norm_key", md5(norm))
+        .withColumn("toks", TextFns.portableTokens(col("text")))
+        .withColumn("n_words", size(col("toks")).cast("long"))
+        .filter(col("n_words") > 0)
+        .withColumn("n_chars", expr(
+          "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+        .withColumn("n_alpha", expr(
+          "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS BIGINT)"))
+        .withColumn("n_sym", expr(
+          """CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+            |+ (CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) div 3)"""
+            .stripMargin))
+        .withColumn("n_stop", expr(
+          s"CAST(size(filter(toks, t -> t IN (${stops.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"))
+      val sv1 = (col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy("norm_key"))).cast("long")
+      val sv2 = (col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("n_chars") >= col("n_words") * 3 &&
+        col("n_chars") <= col("n_words") * 10 &&
+        col("n_sym") * 10 <= col("n_words") &&
+        col("n_alpha") * 5 >= col("n_words") * 4 &&
+        col("n_stop") >= 2).cast("long")
+      val spans = Dedup.scrubDuplicateSpans(docs, "doc_id", "text",
+        n = 15, minCount = 2)
+        .select(col("doc_id"), col("n_kept").as("sp_kept"),
+          col("n_tok").as("sp_tok"))
+      // classifier score (q294's plan) — docs with <2 tokens have no score
+      val bg300 = base.filter(col("n_words") > 1)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, CAST(n_words AS INT) - 2), i ->
+            |  concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""
+            .stripMargin)).as("bg"))
+      val score = bg300
+        .select(col("doc_id"),
+          pmod(graft.functions.Registry.tokenHash(col("bg")), lit(256L)).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+        .join(broadcast(s.range(256).select(col("id").as("bucket"),
+          ((col("id") * 2654435761L) % 2000001L - 1000000L).as("w_micro"))),
+          "bucket")
+        .groupBy("doc_id")
+        .agg((lit(50000L) * sum("x") + sum(col("x") * col("w_micro")))
+          .as("score_num"))
+      val staged = base
+        .withColumn("sv1", sv1).withColumn("sv2", sv2)
+        .join(spans, Seq("doc_id"), "left")
+        .withColumn("sv3", (col("sp_kept").isNotNull &&
+          col("sp_kept") * 2 >= col("sp_tok")).cast("long"))
+        .join(score, Seq("doc_id"), "left")
+        .withColumn("sv4", (col("score_num").isNotNull &&
+          col("score_num") > 0).cast("long"))
+      ord(staged.groupBy("source").agg(
+        count(lit(1)).as("docs_in"),
+        sum(col("sv1")).as("after_dedup"),
+        sum(col("sv1") * col("sv2")).as("after_rules"),
+        sum(col("sv1") * col("sv2") * col("sv3")).as("after_spans"),
+        sum(col("sv1") * col("sv2") * col("sv3") * col("sv4")).as("kept_docs"),
+        sum(col("sv1") * col("sv2") * col("sv3") * col("sv4") * col("n_words"))
+          .as("kept_tokens")),
+        "source")
+    }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
       // scheme beside q144's SymSpell deletion neighborhoods and q158's
@@ -6709,6 +6789,98 @@ object SparkEntry {
         |  CAST(length(norm) AS BIGINT) AS n_chars,
         |  md5(norm) AS norm_key
         |FROM n ORDER BY doc_id""".stripMargin,
+    "q300_curation_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, text, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, source, text, w, CAST(len(w) AS BIGINT) AS n_words,
+        |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+        |      AS norm_key
+        |  FROM tk WHERE len(w) > 0),
+        |feats AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |        AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(w, t -> t IN
+        |      ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+        |      AS n_stop
+        |  FROM base),
+        |shz AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |    CASE WHEN len(w) < 15 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(generate_series(1, len(w) - 14),
+        |        i -> array_to_string(w[i:i+14], ' ')) END AS grams
+        |  FROM base),
+        |gz AS (
+        |  SELECT doc_id, n,
+        |    unnest(generate_series(0, length(grams) - 1)) AS pos,
+        |    unnest(grams) AS gram
+        |  FROM shz),
+        |bz AS (SELECT gram FROM gz GROUP BY gram HAVING count(*) >= 2),
+        |covz AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT gz.doc_id,
+        |      unnest(generate_series(gz.pos, least(gz.pos + 14, gz.n - 1))) AS p
+        |    FROM gz JOIN bz USING (gram))),
+        |tokposz AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS p
+        |            FROM shz),
+        |spanz AS (
+        |  SELECT t.doc_id, CAST(max(t.n) AS BIGINT) AS sp_tok,
+        |    CAST(count(*) AS BIGINT) AS sp_kept
+        |  FROM tokposz t
+        |  WHERE NOT EXISTS (SELECT 1 FROM covz c
+        |                    WHERE c.doc_id = t.doc_id AND c.p = t.p)
+        |  GROUP BY t.doc_id),
+        |bgy AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, CAST(n_words AS INT) - 1),
+        |    i -> concat(w[i], ' ', w[i + 1]))) AS bg
+        |  FROM base WHERE n_words > 1),
+        |fy AS (SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |           list_transform(string_split(bg, ''),
+        |             c -> CAST(unicode(c) AS BIGINT))),
+        |           (h, c) -> (h * 131 + c) % 2147483647) % 256 AS bucket
+        |       FROM bgy),
+        |fxy AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x
+        |        FROM fy GROUP BY 1, 2),
+        |wty AS (SELECT b AS bucket, (b * 2654435761) % 2000001 - 1000000 AS w_micro
+        |        FROM (SELECT unnest(range(256)) AS b)),
+        |scorey AS (
+        |  SELECT fxy.doc_id,
+        |    CAST(50000 * sum(fxy.x) + sum(fxy.x * wty.w_micro) AS BIGINT)
+        |      AS score_num
+        |  FROM fxy JOIN wty USING (bucket) GROUP BY fxy.doc_id),
+        |staged AS (
+        |  SELECT b.source, b.n_words,
+        |    CASE WHEN b.doc_id = min(b.doc_id) OVER (PARTITION BY b.norm_key)
+        |      THEN 1 ELSE 0 END AS sv1,
+        |    CASE WHEN b.n_words BETWEEN 50 AND 100000
+        |      AND f.n_chars BETWEEN 3 * b.n_words AND 10 * b.n_words
+        |      AND f.n_sym * 10 <= b.n_words
+        |      AND f.n_alpha * 5 >= 4 * b.n_words
+        |      AND f.n_stop >= 2 THEN 1 ELSE 0 END AS sv2,
+        |    CASE WHEN sp.sp_kept IS NOT NULL AND sp.sp_kept * 2 >= sp.sp_tok
+        |      THEN 1 ELSE 0 END AS sv3,
+        |    CASE WHEN sc.score_num IS NOT NULL AND sc.score_num > 0
+        |      THEN 1 ELSE 0 END AS sv4
+        |  FROM base b
+        |  JOIN feats f USING (doc_id)
+        |  LEFT JOIN spanz sp ON sp.doc_id = b.doc_id
+        |  LEFT JOIN scorey sc ON sc.doc_id = b.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
+        |  CAST(sum(sv1) AS BIGINT) AS after_dedup,
+        |  CAST(sum(sv1 * sv2) AS BIGINT) AS after_rules,
+        |  CAST(sum(sv1 * sv2 * sv3) AS BIGINT) AS after_spans,
+        |  CAST(sum(sv1 * sv2 * sv3 * sv4) AS BIGINT) AS kept_docs,
+        |  CAST(sum(sv1 * sv2 * sv3 * sv4 * n_words) AS BIGINT) AS kept_tokens
+        |FROM staged GROUP BY source ORDER BY source""".stripMargin,
     "q279_session_twap" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -110,7 +110,10 @@ class PartitionSweepSpec extends SparkSuite {
     "q296_contrastive_pairs",
     // bigram surprisal (exact integer floor-log2 bits over grouped counts),
     // Gopher rules and NFC normalization (row-local exact outputs)
-    "q297_bigram_surprisal", "q298_gopher_rules", "q299_unicode_normalize")
+    "q297_bigram_surprisal", "q298_gopher_rules", "q299_unicode_normalize",
+    // the end-to-end funnel: all four stage flags are exact integers and
+    // every stage is individually sweep-registered
+    "q300_curation_pipeline")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
