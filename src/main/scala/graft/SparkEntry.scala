@@ -59,6 +59,70 @@ object SparkEntry {
   private def ordAll(df: DataFrame): DataFrame =
     df.orderBy(df.columns.map(k => col(k).asc_nulls_last).toSeq: _*)
 
+  // ── shared curation-stage builders ──────────────────────────────────────
+  // Single-sourced so q300's end-to-end funnel can never drift from the
+  // individually-gated stages it composes (q294 classifier, q298 Gopher
+  // rules, q299 normalize). Any threshold/constant change lands in exactly
+  // one Spark place (the DuckDB mirrors remain per-query SQL).
+
+  /** NFC + case + whitespace canonical form of the `text` column (q299). */
+  private def curationNorm: Column = trim(regexp_replace(
+    lower(graft.functions.Registry.nfc(col("text"))), "\\s+", " "))
+
+  private val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Adds the Gopher rule features (n_chars/n_alpha/n_sym/n_stop) to a frame
+    * carrying (text, toks) — q298's measurement layer.
+    */
+  private def gopherFeatures(df: DataFrame): DataFrame = df
+    .withColumn("n_chars", expr(
+      "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
+    .withColumn("n_alpha", expr(
+      "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS BIGINT)"))
+    .withColumn("n_sym", expr(
+      // '#' count + non-overlapping '...' count; the length deltas are
+      // exact multiples so the integer div is exact
+      """CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |+ (CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) div 3)"""
+        .stripMargin))
+    .withColumn("n_stop", expr(
+      s"CAST(size(filter(toks, t -> t IN (${gopherStops.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"))
+
+  /** Gopher failure bitmask over (n_words + the [[gopherFeatures]] columns):
+    * 0 = keep. Every rule is an exact integer inequality.
+    */
+  private def gopherReasons: Column =
+    when(col("n_words") < 50 || col("n_words") > 100000, 1L).otherwise(0L) +
+    when(col("n_chars") < col("n_words") * 3 ||
+      col("n_chars") > col("n_words") * 10, 2L).otherwise(0L) +
+    when(col("n_sym") * 10 > col("n_words"), 4L).otherwise(0L) +
+    when(col("n_alpha") * 5 < col("n_words") * 4, 8L).otherwise(0L) +
+    when(col("n_stop") < 2, 16L).otherwise(0L)
+
+  /** Per-doc hashed-bigram classifier (q294): over a (doc_id, toks) frame,
+    * returns (doc_id, n_bigrams, score_num) for docs with ≥2 tokens —
+    * score_num = bias·n + Σ x_b·w_b exactly in int64, weights from the
+    * broadcast table.
+    */
+  private def classifierScore(s: SparkSession, docsToks: DataFrame): DataFrame = {
+    val big = docsToks
+      .withColumn("__graft_nn", size(col("toks")))
+      .filter(col("__graft_nn") > 1)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, __graft_nn - 2), i ->
+          |  concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""
+          .stripMargin)).as("bg"))
+    val weights = broadcast(s.range(256).select(col("id").as("bucket"),
+      ((col("id") * 2654435761L) % 2000001L - 1000000L).as("w_micro")))
+    big.select(col("doc_id"),
+        pmod(graft.functions.Registry.tokenHash(col("bg")), lit(256L)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
+      .join(weights, "bucket")
+      .groupBy("doc_id")
+      .agg(sum("x").as("n_bigrams"),
+        (lit(50000L) * sum("x") + sum(col("x") * col("w_micro"))).as("score_num"))
+  }
+
   /** Exact, order-independent sum of a 2-decimal double column. */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
@@ -3805,24 +3869,7 @@ object SparkEntry {
       // cross-engine trap on negative numerators.
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), TextFns.portableTokens(col("text")).as("toks"))
-        .withColumn("n", size(col("toks")))
-        .filter(col("n") > 1)
-      val big = toks.select(col("doc_id"), explode(expr(
-        """transform(sequence(0, n - 2), i ->
-          |  concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""
-          .stripMargin)).as("bg"))
-      val feats = big
-        .select(col("doc_id"),
-          pmod(graft.functions.Registry.tokenHash(col("bg")), lit(256L)).as("bucket"))
-        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
-      val weights = broadcast(s.range(256).select(col("id").as("bucket"),
-        ((col("id") * 2654435761L) % 2000001L - 1000000L).as("w_micro")))
-      ord(feats.join(weights, "bucket")
-        .groupBy("doc_id")
-        .agg(sum("x").as("n_bigrams"),
-          sum(col("x") * col("w_micro")).as("dot_micro"))
-        .select(col("doc_id"), col("n_bigrams"),
-          (lit(50000L) * col("n_bigrams") + col("dot_micro")).as("score_num"))
+      ord(classifierScore(s, toks)
         .withColumn("pass", (col("score_num") > 0).cast("long")),
         "doc_id")
     }),
@@ -3937,35 +3984,15 @@ object SparkEntry {
       // anywhere), failures packed into a reasons bitmask. Entirely
       // row-local: zero shuffles at any corpus size. Complements q42's raw
       // ratio screens with the DECISION layer (keep + why-dropped).
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      val d = t(s, dir, "documents")
+      val d = gopherFeatures(t(s, dir, "documents")
         .select(col("doc_id"), col("text"),
           TextFns.portableTokens(col("text")).as("toks"))
         .withColumn("n_words", size(col("toks")).cast("long"))
-        .filter(col("n_words") > 0)
-        .withColumn("n_chars", expr(
-          "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
-        .withColumn("n_alpha", expr(
-          "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS BIGINT)"))
-        .withColumn("n_sym", expr(
-          // '#' count + non-overlapping '...' count; the length deltas are
-          // exact multiples so the integer div is exact
-          """CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-            |+ (CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) div 3)"""
-            .stripMargin))
-        .withColumn("n_stop", expr(
-          s"CAST(size(filter(toks, t -> t IN (${stops.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"))
-      val reasons =
-        when(col("n_words") < 50 || col("n_words") > 100000, 1L).otherwise(0L) +
-        when(col("n_chars") < col("n_words") * 3 ||
-          col("n_chars") > col("n_words") * 10, 2L).otherwise(0L) +
-        when(col("n_sym") * 10 > col("n_words"), 4L).otherwise(0L) +
-        when(col("n_alpha") * 5 < col("n_words") * 4, 8L).otherwise(0L) +
-        when(col("n_stop") < 2, 16L).otherwise(0L)
+        .filter(col("n_words") > 0))
       ord(d.select(col("doc_id"), col("n_words"), col("n_chars"),
         col("n_alpha"), col("n_sym"), col("n_stop"),
-        reasons.as("reasons"),
-        (reasons === 0L).cast("long").as("keep")),
+        gopherReasons.as("reasons"),
+        (gopherReasons === 0L).cast("long").as("keep")),
         "doc_id")
     }),
     "q299_unicode_normalize" -> ((s, dir) => {
@@ -3978,12 +4005,10 @@ object SparkEntry {
       // ~zero; Java's Normalizer and DuckDB's utf8proc are both
       // Unicode-conformant NFC, so outputs are byte-identical and the md5
       // gate holds. Entirely row-local: zero shuffles at any SF.
-      val norm = trim(regexp_replace(
-        lower(graft.functions.Registry.nfc(col("text"))), "\\s+", " "))
       ord(t(s, dir, "documents").select(col("doc_id"),
-        (norm =!= col("text")).cast("long").as("changed"),
-        length(norm).cast("long").as("n_chars"),
-        md5(norm).as("norm_key")), "doc_id")
+        (curationNorm =!= col("text")).cast("long").as("changed"),
+        length(curationNorm).cast("long").as("n_chars"),
+        md5(curationNorm).as("norm_key")), "doc_id")
     }),
     "q300_curation_pipeline" -> ((s, dir) => {
       // END-TO-END curation funnel — the whole pipeline as ONE DataFrame
@@ -4000,53 +4025,23 @@ object SparkEntry {
       // exact integer flags; the one window runs keyed on the
       // high-cardinality content key (hash-partitioned, never global).
       import org.apache.spark.sql.expressions.Window
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
       val docs = t(s, dir, "documents")
-      val norm = trim(regexp_replace(
-        lower(graft.functions.Registry.nfc(col("text"))), "\\s+", " "))
-      val base = docs.select(col("doc_id"), col("source"), col("text"))
-        .withColumn("norm_key", md5(norm))
+      val base = gopherFeatures(docs
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("norm_key", md5(curationNorm))
         .withColumn("toks", TextFns.portableTokens(col("text")))
         .withColumn("n_words", size(col("toks")).cast("long"))
-        .filter(col("n_words") > 0)
-        .withColumn("n_chars", expr(
-          "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)"))
-        .withColumn("n_alpha", expr(
-          "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS BIGINT)"))
-        .withColumn("n_sym", expr(
-          """CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-            |+ (CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) div 3)"""
-            .stripMargin))
-        .withColumn("n_stop", expr(
-          s"CAST(size(filter(toks, t -> t IN (${stops.map("'" + _ + "'").mkString(",")}))) AS BIGINT)"))
+        .filter(col("n_words") > 0))
       val sv1 = (col("doc_id") ===
         min(col("doc_id")).over(Window.partitionBy("norm_key"))).cast("long")
-      val sv2 = (col("n_words") >= 50 && col("n_words") <= 100000 &&
-        col("n_chars") >= col("n_words") * 3 &&
-        col("n_chars") <= col("n_words") * 10 &&
-        col("n_sym") * 10 <= col("n_words") &&
-        col("n_alpha") * 5 >= col("n_words") * 4 &&
-        col("n_stop") >= 2).cast("long")
+      val sv2 = (gopherReasons === 0L).cast("long")
       val spans = Dedup.scrubDuplicateSpans(docs, "doc_id", "text",
         n = 15, minCount = 2)
         .select(col("doc_id"), col("n_kept").as("sp_kept"),
           col("n_tok").as("sp_tok"))
-      // classifier score (q294's plan) — docs with <2 tokens have no score
-      val bg300 = base.filter(col("n_words") > 1)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, CAST(n_words AS INT) - 2), i ->
-            |  concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""
-            .stripMargin)).as("bg"))
-      val score = bg300
-        .select(col("doc_id"),
-          pmod(graft.functions.Registry.tokenHash(col("bg")), lit(256L)).as("bucket"))
-        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("x"))
-        .join(broadcast(s.range(256).select(col("id").as("bucket"),
-          ((col("id") * 2654435761L) % 2000001L - 1000000L).as("w_micro"))),
-          "bucket")
-        .groupBy("doc_id")
-        .agg((lit(50000L) * sum("x") + sum(col("x") * col("w_micro")))
-          .as("score_num"))
+      // classifier score (the q294 stage) — docs with <2 tokens get none
+      val score = classifierScore(s, base.select(col("doc_id"), col("toks")))
+        .select("doc_id", "score_num")
       val staged = base
         .withColumn("sv1", sv1).withColumn("sv2", sv2)
         .join(spans, Seq("doc_id"), "left")

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per round: pair counting is ONE row-local transform + one
   * (w1, w2) keyed partial+final count agg; the winner is a TakeOrdered top-1
-  * crossed back on as a 1-row broadcast scalar; the rewrite is a row-local
-  * fold + filter/transform (no shuffle). k rounds = k such passes. Each
+  * collected to the driver (one bounded row) and applied as literals; the
+  * rewrite is a row-local fold + filter/transform (no shuffle, no join).
+  * k rounds = k such passes. Each
   * round's rewritten corpus is cut with an eager localCheckpoint (the
   * iterative-operator discipline of operators/Graph): without it round k's
   * plan re-evaluates round k−1's subtree once per consumer and lineage grows
@@ -32,6 +33,15 @@ object Bpe {
   /** One greedy merge round over a (id, toks) frame: returns the frame with
     * `toks` rewritten and a `roundPair` column ("w1 w2") recording the merge
     * learned this round. `n` (token count) is recomputed.
+    *
+    * The winner is COLLECTED (a bounded 1-row driver read — the loop is
+    * already driver-synchronous per round via the checkpoint) and applied
+    * as two literals: no broadcast join in the rewrite plan, and the empty
+    * case is explicit — a corpus whose every doc has shrunk to one token
+    * has NO adjacent pairs, and crossing an EMPTY winner frame on would
+    * silently wipe every row. Instead the round is a no-op with a NULL
+    * pair column, matching the SQL mirror (whose scalar subquery over the
+    * empty top goes NULL and whose left joins keep every doc).
     */
   private def mergeRound(withToks: DataFrame, pairCol: String): DataFrame = {
     val pairs = withToks.filter(col("n") > 1)
@@ -42,11 +52,14 @@ object Bpe {
       .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
     val top = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w1").asc, col("w2").asc).limit(1)
-      .select("w1", "w2")
+      .select("w1", "w2").collect()
+    if (top.isEmpty)
+      return withToks.withColumn(pairCol, lit(null).cast("string"))
+    val (w1, w2) = (top(0).getString(0), top(0).getString(1))
     // greedy left-to-right: take match position p iff p is past the last
     // consumed window; collect the taken starts, then rebuild the array —
     // drop the second element of each consumed pair, rename the first
-    greedyRewrite(withToks.crossJoin(broadcast(top)))
+    greedyRewrite(withToks.withColumn("w1", lit(w1)).withColumn("w2", lit(w2)))
       .withColumn(pairCol, concat(col("w1"), lit(" "), col("w2")))
       .drop("w1", "w2")
   }

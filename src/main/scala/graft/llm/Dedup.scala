@@ -368,11 +368,13 @@ object Dedup {
       .select(col(idCol), col("__graft_n"),
         posexplode(col("__graft_toks")).as(Seq("__graft_p", "__graft_w")))
       .join(covered, Seq(idCol, "__graft_p"), "left_anti")
-    kept.groupBy(idCol)
-      .agg(first(col("__graft_n")).cast("long").as("n_tok"),
-        count(lit(1)).as("n_kept"),
-        array_join(array_sort(collect_list(struct(col("__graft_p"),
-          col("__graft_w")))).getField("__graft_w"), " ").as("clean_text"))
+    finishAndRelease(
+      kept.groupBy(idCol)
+        .agg(first(col("__graft_n")).cast("long").as("n_tok"),
+          count(lit(1)).as("n_kept"),
+          array_join(array_sort(collect_list(struct(col("__graft_p"),
+            col("__graft_w")))).getField("__graft_w"), " ").as("clean_text")),
+      toks)
   }
 
   /** Substring-level exact dedup WITH REMOVAL (the ExactSubstr regime of Lee
@@ -456,11 +458,13 @@ object Dedup {
       .select(col(idCol), col("__graft_n"),
         posexplode(col("__graft_toks")).as(Seq("__graft_p", "__graft_w")))
       .join(covered, Seq(idCol, "__graft_p"), "left_anti")
-    kept.groupBy(idCol)
-      .agg(first(col("__graft_n")).cast("long").as("n_tok"),
-        count(lit(1)).as("n_kept"),
-        array_join(array_sort(collect_list(struct(col("__graft_p"),
-          col("__graft_w")))).getField("__graft_w"), " ").as("clean_text"))
+    finishAndRelease(
+      kept.groupBy(idCol)
+        .agg(first(col("__graft_n")).cast("long").as("n_tok"),
+          count(lit(1)).as("n_kept"),
+          array_join(array_sort(collect_list(struct(col("__graft_p"),
+            col("__graft_w")))).getField("__graft_w"), " ").as("clean_text")),
+      toks)
   }
 
   /** Benchmark decontamination: flag training documents that share word

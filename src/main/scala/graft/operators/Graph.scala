@@ -149,19 +149,28 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
     var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val counts = e.join(labels, e("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-        .groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
-      val winners = counts.groupBy("id")
-        .agg(min(struct((-col("cnt")).as("negcnt"), col("lbl"))).as("w"))
-        .select(col("id"), col("w.lbl").as("new_lbl"))
-      labels = labels.join(winners, Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iters)
+      labels = lpaRound(e, labels)
     e.unpersist(); nodes.unpersist()
     labels
+  }
+
+  /** One synchronous LPA round (shared by the fixed-count and the
+    * until-convergence forms so the mode-with-tie-break rule can never
+    * diverge between them): every node adopts the most frequent in-neighbor
+    * label, ties to the smallest; neighborless nodes keep theirs. Returns
+    * the new (id, lbl) vector, lineage cut.
+    */
+  private def lpaRound(e: DataFrame, labels: DataFrame): DataFrame = {
+    val counts = e.join(labels, e("src") === labels("id"))
+      .select(col("dst").as("id"), col("lbl"))
+      .groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
+    val winners = counts.groupBy("id")
+      .agg(min(struct((-col("cnt")).as("negcnt"), col("lbl"))).as("w"))
+      .select(col("id"), col("w.lbl").as("new_lbl"))
+    labels.join(winners, Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      .localCheckpoint(true)
   }
 
   /** [[labelPropagation]] run UNTIL CONVERGENCE (no label changes) with a
@@ -198,15 +207,7 @@ object Graph {
     var converged = false
     while (iters < maxIters && !converged) {
       iters += 1
-      val counts = e.join(labels, e("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-        .groupBy("id", "lbl").agg(count(lit(1)).as("cnt"))
-      val winners = counts.groupBy("id")
-        .agg(min(struct((-col("cnt")).as("negcnt"), col("lbl"))).as("w"))
-        .select(col("id"), col("w.lbl").as("new_lbl"))
-      val next = labels.join(winners, Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+      val next = lpaRound(e, labels)
       converged = next.join(labels, Seq("id", "lbl"), "left_anti")
         .limit(1).count() == 0
       labels = next

@@ -558,6 +558,15 @@ object Joins {
       maxDist: Int = 1): DataFrame = {
     import org.apache.spark.sql.functions._
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    // internal column names follow the __graft_ convention; guard against
+    // caller columns that would collide with them (or with the `dist`
+    // output) — checked BEFORE the maxDist == 0 early return so the
+    // exact-match path can't silently overwrite a caller's `dist` either
+    val reserved = Seq("__graft_l", "__graft_r", "__graft_blk", "dist")
+    val inUse = (lhs.columns ++ rhs.columns).toSet
+    require(reserved.forall(n => !inUse.contains(n)),
+      s"fuzzyJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the conflicting input column(s): ${reserved.filter(inUse.contains).mkString(", ")}")
     val l = col(leftCol); val r = col(rightCol)
     if (maxDist == 0)
       return lhs.join(rhs, l === r).withColumn("dist", lit(0))
@@ -567,13 +576,6 @@ object Joins {
     // repetition factor; original rows re-attach by one equi join per
     // side at the end (row multiplicity n·m per matched value pair is
     // reproduced by those joins, identical to matching the raw rows).
-    // internal column names follow the __graft_ convention; guard against
-    // caller columns that would collide with them (or with the `dist` output)
-    val reserved = Seq("__graft_l", "__graft_r", "__graft_blk", "dist")
-    val inUse = (lhs.columns ++ rhs.columns).toSet
-    require(reserved.forall(n => !inUse.contains(n)),
-      s"fuzzyJoin reserves column names ${reserved.mkString(", ")}; " +
-        s"rename the conflicting input column(s): ${reserved.filter(inUse.contains).mkString(", ")}")
     val ln = lhs.select(l.as("__graft_l")).distinct()
     val rn = rhs.select(r.as("__graft_r")).distinct()
     val lv = col("__graft_l"); val rv = col("__graft_r")

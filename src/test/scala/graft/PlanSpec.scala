@@ -559,10 +559,6 @@ class PlanSpec extends SparkSuite {
       // onto the bounded per-source frame (the q233 shape); q290's winning
       // BPE pair is the same 1-row broadcast scalar shape
       "q287_temperature_mix", "q290_bpe_merge",
-      // q295: each BPE round crosses its winning pair on as the same 1-row
-      // broadcast scalar shape as q290 (the rounds are checkpointed, so at
-      // most one such scalar appears in any single executed plan)
-      "q295_bpe_train",
       // q291: the JL sign matrix rides as a 1-row broadcast TABLE (the
       // Similarity codebook-table form) instead of a 512-literal expression
       "q291_random_projection",

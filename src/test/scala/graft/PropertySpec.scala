@@ -260,6 +260,22 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("Bpe.train: a round with NO adjacent pairs is a no-op with a NULL pair, never a wipe") {
+    import spark.implicits._
+    // every doc is a single token after round 1 ("a a" merges to ["a_a"]),
+    // so round 2 has an EMPTY pair set — docs must survive unchanged
+    val df = Seq((1L, "a a"), (2L, "a a")).toDF("doc_id", "text")
+    val out = graft.llm.Bpe.train(df, "doc_id", "text", rounds = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "toks", "r1_pair", "r2_pair").collect()
+    assert(out.length == 2, "empty-pair round wiped the corpus")
+    out.foreach { r =>
+      assert(r.getSeq[String](1) == Seq("a_a"))
+      assert(r.getString(2) == "a a")
+      assert(r.isNullAt(3), "round with no pairs must record a NULL merge")
+    }
+  }
+
   test("Bpe.applyMerges (inference) reproduces the training rewrite and encodes unseen text") {
     import spark.implicits._
     val tokGen = Gen.choose(4, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
