@@ -3929,13 +3929,19 @@ object SparkEntry {
           col("neighbor_id").as("neg_id"), round(col("cosine"), 4).as("neg_cos"))
       val media = Multimodal.fromDocuments(t(s, dir, "documents"))
       val keys = Multimodal.payloadStats(media).select("media_id", "digest")
-      ord(pos.join(neg, "anchor_id")
+      // finishAndRelease discipline (Dedup.scala): materialize the result
+      // once (lineage cut), then unpersist the LSH candidate cache —
+      // without this each invocation leaked a persisted frame for the
+      // session lifetime.
+      val out = ord(pos.join(neg, "anchor_id")
         .join(keys.toDF("anchor_id", "caption_key"), "anchor_id")
         .join(keys.toDF("neg_id", "neg_payload_key"), "neg_id")
         .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
           col("neg_id"), col("neg_cos"), col("caption_key"),
           col("neg_payload_key")),
-        "anchor_id")
+        "anchor_id").localCheckpoint(true)
+      cands.unpersist(blocking = false)
+      out
     }),
     "q297_bigram_surprisal" -> ((s, dir) => {
       // LM-based quality scoring — the CCNet/KenLM filtering shape: score

@@ -96,13 +96,23 @@ object HashExprs {
     * window string for any (doc, pos) it keeps. Engine-internal (no
     * cross-engine mirror needed — callers must verify survivors on exact
     * strings, which also eliminates hash collisions).
+    *
+    * Inputs must be NULL-FREE (TextFns.portableTokens guarantees this): the
+    * exact-string phase re-derives windows via concat_ws, which DROPS nulls,
+    * so a null token would break the hash-position ↔ string-window mirror
+    * contract (two distinct windows could verify as the same string). A null
+    * element therefore throws rather than hashing to a sentinel.
     */
   def shingleHashes(arr: ArrayData, n: Int): GenericArrayData = {
     val numToks = arr.numElements()
     val th = new Array[Long](numToks)
     var i = 0
     while (i < numToks) {
-      th(i) = if (arr.isNullAt(i)) 0L else hashStr(arr.getUTF8String(i), 42L)
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_shingle_hashes: null token at position $i — tokenize with " +
+            "a null-free tokenizer (e.g. TextFns.portableTokens)")
+      th(i) = hashStr(arr.getUTF8String(i), 42L)
       i += 1
     }
     val win = math.min(n, numToks)

@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Working / output column names [[train]] and [[applyMerges]] claim for
+    * themselves: an `idCol` named any of these would silently collide with
+    * the internal rewrite columns (the same reserved-name hazard
+    * [[graft.operators.Joins.fuzzyJoin]] guards against).
+    */
+  private val ReservedCols =
+    Set("toks", "n", "n_tok0", "w1", "w2", "__graft_ps", "__graft_starts")
+
+  private def requireUsableIdCol(idCol: String): Unit =
+    require(!ReservedCols.contains(idCol) && !idCol.matches("r\\d+_pair"),
+      s"idCol '$idCol' collides with a Bpe internal/output column " +
+        s"(reserved: ${ReservedCols.mkString(", ")}, r<N>_pair)")
+
   /** One greedy merge round over a (id, toks) frame: returns the frame with
     * `toks` rewritten and a `roundPair` column ("w1 w2") recording the merge
     * learned this round. `n` (token count) is recomputed.
@@ -97,6 +110,7 @@ object Bpe {
     */
   def train(df: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    requireUsableIdCol(idCol)
     var cur = df
       .select(col(idCol), TextFns.portableTokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
@@ -120,6 +134,7 @@ object Bpe {
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    requireUsableIdCol(idCol)
     var cur = df
       .select(col(idCol), TextFns.portableTokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))

@@ -164,9 +164,50 @@ object Similarity {
     * use above nlist ≈ 4k (see the cutover note). Output and tie rule are
     * identical; the centroid matrix reaches tasks as a 1-row broadcast.
     */
+  /** The table forms below index codes POSITIONALLY via
+    * array_sort(collect_list(...)) — correctness requires dense, duplicate-
+    * free ids (cid 0..k−1, s 0..m−1) and a uniform centroid dimension. A
+    * sparse or duplicated table would silently mis-index every code, so this
+    * validates the (tiny, driver-bounded: m×k rows) codebook table up front
+    * and throws instead. `m`/`subdim` are cross-checked when supplied
+    * (pass −1 to derive from the table).
+    */
+  private def validateCodebookTable(
+      df: DataFrame, sCol: Option[String], m: Int, subdim: Int): Unit = {
+    val grouped = sCol match {
+      case Some(s) => df.groupBy(col(s).as("s"))
+      case None => df.groupBy(lit(0).as("s"))
+    }
+    val rows = grouped.agg(
+      count(lit(1)).as("k"), countDistinct(col("cid")).as("kd"),
+      min("cid").as("cmin"), max("cid").as("cmax"),
+      min(size(col("centroid"))).as("dmin"),
+      max(size(col("centroid"))).as("dmax")).collect()
+    require(rows.nonEmpty, "codebook table is empty")
+    if (m >= 0) require(rows.length == m,
+      s"codebook table has ${rows.length} subspaces, expected m=$m")
+    val ss = rows.map(r => r.getAs[Number]("s").intValue()).sorted
+    require(ss.sameElements(ss.indices),
+      s"subspace ids must be dense 0..${rows.length - 1}: got ${ss.mkString(",")}")
+    val k0 = rows(0).getAs[Long]("k")
+    rows.foreach { r =>
+      val (k, kd) = (r.getAs[Long]("k"), r.getAs[Long]("kd"))
+      val (cmin, cmax) = (r.getAs[Number]("cmin").longValue(), r.getAs[Number]("cmax").longValue())
+      val (dmin, dmax) = (r.getAs[Int]("dmin"), r.getAs[Int]("dmax"))
+      require(k == k0, s"ragged codebook: subspace ${r.get(0)} has $k codes, expected $k0")
+      require(kd == k && cmin == 0L && cmax == k - 1,
+        s"cid must be dense duplicate-free 0..${k - 1} in subspace ${r.get(0)}: " +
+          s"count=$k distinct=$kd min=$cmin max=$cmax")
+      require(dmin == dmax && (subdim < 0 || dmin == subdim),
+        s"centroid dim must be uniform${if (subdim >= 0) s" =$subdim" else ""} " +
+          s"in subspace ${r.get(0)}: min=$dmin max=$dmax")
+    }
+  }
+
   def assignClustersViaTable(
       df: DataFrame, idCol: String, vecCol: String,
       centsDf: DataFrame): DataFrame = {
+    validateCodebookTable(centsDf, None, m = -1, subdim = -1)
     val packed = broadcast(centsDf.agg(
       array_sort(collect_list(struct(col("cid"),
         transform(col("centroid"), x => x.cast("double")).as("centroid"))))
@@ -676,6 +717,7 @@ object Similarity {
     */
   def pqTop1ViaTable(codes: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, booksDf: DataFrame, m: Int, subdim: Int): DataFrame = {
+    validateCodebookTable(booksDf, Some("s"), m, subdim)
     // (s, cid, centroid) → one row holding array[s][cid] = centroid, built
     // with two sorted collect_lists so index order is exact
     val packed = broadcast(booksDf
