@@ -123,6 +123,30 @@ object SparkEntry {
         (lit(50000L) * sum("x") + sum(col("x") * col("w_micro"))).as("score_num"))
   }
 
+  /** Per-batch enrichment for the incremental funnel (q301): the q299 NFC
+    * content key + q298 Gopher verdict + q294 classifier verdict — all
+    * batch-local (the verdicts are per-doc functions, the classifier
+    * weights a fixed broadcast) — emitted in the schema
+    * [[graft.streaming.Incremental.applyCurationBatch]] expects. Built from
+    * the same single-sourced stage builders as q300, so the incremental
+    * funnel can never drift from the batch one.
+    */
+  private def curationEnrich(s: SparkSession)(batch: DataFrame): DataFrame = {
+    val base = gopherFeatures(batch
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("norm_key", md5(curationNorm))
+      .withColumn("toks", TextFns.portableTokens(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .filter(col("n_words") > 0))
+      .withColumn("ok_rules", (gopherReasons === 0L).cast("long"))
+    val score = classifierScore(s, base.select(col("doc_id"), col("toks")))
+      .select("doc_id", "score_num")
+    base.join(score, Seq("doc_id"), "left")
+      .withColumn("ok_clf", (col("score_num").isNotNull &&
+        col("score_num") > 0).cast("long"))
+      .select("doc_id", "source", "norm_key", "n_words", "ok_rules", "ok_clf")
+  }
+
   /** Exact, order-independent sum of a 2-decimal double column. */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
@@ -4066,6 +4090,37 @@ object SparkEntry {
           .as("kept_tokens")),
         "source")
     }),
+    "q301_incremental_curation" -> ((s, dir) => {
+      // INCREMENTAL curation funnel — the q300 program as a MAINTAINED
+      // view: document shards arrive as micro-batches; exact dedup checks
+      // each batch's NFC content keys against BOTH the in-batch minimum
+      // and the HISTORICAL key index (hash-sharded state, the q155 MV
+      // pattern); when a later shard carries a smaller doc_id for a known
+      // key, the old survivor's funnel contributions are RETRACTED — so
+      // the maintained report equals the from-scratch batch recompute
+      // under the global lowest-id-survives rule NO MATTER how documents
+      // split into arrivals (the oracle recomputes exactly that, with no
+      // knowledge of the batching). Includes a mid-stream RESTART (same
+      // checkpoint) between arrivals 2 and 3. Stage verdicts come from the
+      // single-sourced q299/q298/q294 builders via curationEnrich; the
+      // span screen is corpus-global and stays batch-only by design (see
+      // streaming/Incremental's scaladoc).
+      val work = java.nio.file.Files.createTempDirectory("graft_inccur").toString
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      for (k <- 0 to 1)
+        docs.filter(col("doc_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+      graft.streaming.Incremental.maintainCuration(s, s"$work/src/*",
+        s"$work/state", s"$work/delta", s"$work/ck", docs.schema,
+        curationEnrich(s))
+      docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.parquet(s"$work/src/b2")
+      graft.streaming.Incremental.maintainCuration(s, s"$work/src/*",
+        s"$work/state", s"$work/delta", s"$work/ck", docs.schema,
+        curationEnrich(s)) // restart: only b2 processes
+      ord(graft.streaming.Incremental.curationReport(s, s"$work/delta"),
+        "source")
+    }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
       // scheme beside q144's SymSpell deletion neighborhoods and q158's
@@ -6881,6 +6936,68 @@ object SparkEntry {
         |  CAST(sum(sv1 * sv2 * sv3) AS BIGINT) AS after_spans,
         |  CAST(sum(sv1 * sv2 * sv3 * sv4) AS BIGINT) AS kept_docs,
         |  CAST(sum(sv1 * sv2 * sv3 * sv4 * n_words) AS BIGINT) AS kept_tokens
+        |FROM staged GROUP BY source ORDER BY source""".stripMargin,
+    "q301_incremental_curation" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, text, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, source, text, w, CAST(len(w) AS BIGINT) AS n_words,
+        |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+        |      AS norm_key
+        |  FROM tk WHERE len(w) > 0),
+        |feats AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |        AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(w, t -> t IN
+        |      ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+        |      AS n_stop
+        |  FROM base),
+        |bgy AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, CAST(n_words AS INT) - 1),
+        |    i -> concat(w[i], ' ', w[i + 1]))) AS bg
+        |  FROM base WHERE n_words > 1),
+        |fy AS (SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |           list_transform(string_split(bg, ''),
+        |             c -> CAST(unicode(c) AS BIGINT))),
+        |           (h, c) -> (h * 131 + c) % 2147483647) % 256 AS bucket
+        |       FROM bgy),
+        |fxy AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x
+        |        FROM fy GROUP BY 1, 2),
+        |wty AS (SELECT b AS bucket, (b * 2654435761) % 2000001 - 1000000 AS w_micro
+        |        FROM (SELECT unnest(range(256)) AS b)),
+        |scorey AS (
+        |  SELECT fxy.doc_id,
+        |    CAST(50000 * sum(fxy.x) + sum(fxy.x * wty.w_micro) AS BIGINT)
+        |      AS score_num
+        |  FROM fxy JOIN wty USING (bucket) GROUP BY fxy.doc_id),
+        |staged AS (
+        |  SELECT b.source, b.n_words,
+        |    CASE WHEN b.doc_id = min(b.doc_id) OVER (PARTITION BY b.norm_key)
+        |      THEN 1 ELSE 0 END AS sv1,
+        |    CASE WHEN b.n_words BETWEEN 50 AND 100000
+        |      AND f.n_chars BETWEEN 3 * b.n_words AND 10 * b.n_words
+        |      AND f.n_sym * 10 <= b.n_words
+        |      AND f.n_alpha * 5 >= 4 * b.n_words
+        |      AND f.n_stop >= 2 THEN 1 ELSE 0 END AS sv2,
+        |    CASE WHEN sc.score_num IS NOT NULL AND sc.score_num > 0
+        |      THEN 1 ELSE 0 END AS sv4
+        |  FROM base b
+        |  JOIN feats f USING (doc_id)
+        |  LEFT JOIN scorey sc ON sc.doc_id = b.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
+        |  CAST(sum(sv1) AS BIGINT) AS after_dedup,
+        |  CAST(sum(sv1 * sv2) AS BIGINT) AS after_rules,
+        |  CAST(sum(sv1 * sv2 * sv4) AS BIGINT) AS kept_docs,
+        |  CAST(sum(sv1 * sv2 * sv4 * n_words) AS BIGINT) AS kept_tokens
         |FROM staged GROUP BY source ORDER BY source""".stripMargin,
     "q279_session_twap" ->
       """WITH g AS (

@@ -90,6 +90,161 @@ object Incremental {
     spark.read.parquet(stateDir).select("user_id", "n", "cents")
   }
 
+  // ── incremental curation funnel ──────────────────────────────────────
+  // The q300 curation program as a MAINTAINED view (beyond-reference): new
+  // document shards arrive as micro-batches; exact dedup checks each
+  // batch's content keys against BOTH the in-batch minimum and the
+  // historical key index, and the per-source funnel counters update
+  // incrementally — no full recompute, ever. Two state surfaces:
+  //
+  //  - `stateDir`: the content-key index, ONE row per distinct norm_key
+  //    holding the current survivor (lowest doc_id seen so far) plus its
+  //    per-stage verdicts. Hash-sharded on the key
+  //    (pmod(xxhash64(norm_key), nShards), partitionBy(shard), dynamic
+  //    overwrite) — a batch rewrites only the shards its keys touch.
+  //  - `deltaDir`: per-(batch, shard) funnel-counter DELTAS (may be
+  //    negative — see retraction below), partitioned by (batch, shard).
+  //    The report is a sum over deltas: O(batches × sources × shards)
+  //    rows, never a scan of the key index.
+  //
+  // SUPERSESSION RETRACTION is what makes the maintained report EXACT
+  // under the global lowest-id-survives rule independent of arrival order:
+  // when a later shard carries a smaller doc_id for a known key, the new
+  // survivor replaces the old one in the key index AND the old survivor's
+  // funnel contributions are subtracted from the delta stream (the
+  // "merged minus old state" difference below nets out unchanged keys for
+  // free). So incremental == from-scratch batch recompute, bit-for-bit —
+  // which is exactly what the q301 oracle checks.
+  //
+  // Idempotence (at-least-once foreachBatch retries): the key-index merge
+  // is a MIN — re-merging an already-applied batch is a no-op by algebra —
+  // and each shard carries the high-water batch id `bmax`, so applied
+  // shards are skipped outright. Deltas are written per-(batch, shard)
+  // partition with dynamic overwrite, and written BEFORE the key index:
+  // on a crash-retry the state is unchanged, the recomputed delta is
+  // bit-identical, and the partition overwrite replaces rather than
+  // appends. (The remaining window — a crash between the delta write and
+  // the state write being made visible — is the same plain-parquet
+  // atomicity caveat as [[applyBatch]]; a table format's commit log closes
+  // it in production.)
+  //
+  // The q300 span screen (≤50% of tokens inside corpus-duplicated
+  // 15-grams) is deliberately NOT part of the incremental surface: it is a
+  // corpus-GLOBAL statistic whose incremental form needs a gram-count MV
+  // with per-doc coverage retractions — the incremental funnel covers the
+  // row-local (Gopher, classifier) and key-local (dedup) stages.
+
+  /** Apply one enriched curation micro-batch. `enriched` must carry
+    * (doc_id long, source string, norm_key string, n_words long,
+    * ok_rules 0/1, ok_clf 0/1) — the per-doc stage verdicts are computed
+    * UPSTREAM (they are row-local; see SparkEntry's curationEnrich) so this
+    * operator owns only the stateful merge.
+    */
+  def applyCurationBatch(spark: SparkSession, enriched: DataFrame, batchId: Long,
+      stateDir: String, deltaDir: String, nShards: Int): Unit = {
+    val b = enriched
+      .select(col("doc_id").cast("long"), col("source"), col("norm_key"),
+        col("n_words").cast("long"), col("ok_rules").cast("long"),
+        col("ok_clf").cast("long"))
+      .withColumn("shard", pmod(xxhash64(col("norm_key")), lit(nShards)).cast("long"))
+      .persist()
+    val touched = b.select("shard").distinct()
+      .collect().map(_.getAs[Number](0).longValue) // bounded by nShards
+    if (touched.isEmpty) { b.unpersist(blocking = false); return }
+    val existing =
+      if (new java.io.File(stateDir).exists())
+        spark.read.parquet(stateDir)
+          .filter(col("shard").isin(touched.toSeq: _*)) // partition-pruned
+      else spark.emptyDataFrame.select(lit("").as("norm_key"),
+        lit(0L).as("doc_id"), lit("").as("source"), lit(0L).as("n_words"),
+        lit(0L).as("ok_rules"), lit(0L).as("ok_clf"), lit(-1L).as("bmax"),
+        lit(0L).as("shard")).limit(0)
+    val ex = existing.persist()
+    val applied = ex.groupBy("shard").agg(max("bmax").as("bm"))
+      .filter(col("bm") >= batchId)
+      .select("shard").collect().map(_.getAs[Number](0).longValue).toSet
+    val fresh = touched.filterNot(applied).toSeq
+    if (fresh.nonEmpty) {
+      val keep = Seq("norm_key", "shard", "doc_id", "source", "n_words",
+        "ok_rules", "ok_clf")
+      val bf = b.filter(col("shard").isin(fresh: _*))
+      val exf = ex.filter(col("shard").isin(fresh: _*))
+        .select(keep.head, keep.tail: _*)
+      // new survivor per key: min doc_id over old state ∪ batch, one agg
+      val merged = exf.unionByName(bf.select(keep.head, keep.tail: _*))
+        .groupBy("norm_key", "shard")
+        .agg(min(struct(col("doc_id"), col("source"), col("n_words"),
+          col("ok_rules"), col("ok_clf"))).as("s"))
+        .select(col("norm_key"), col("s.doc_id").as("doc_id"),
+          col("s.source").as("source"), col("s.n_words").as("n_words"),
+          col("s.ok_rules").as("ok_rules"), col("s.ok_clf").as("ok_clf"),
+          lit(batchId).as("bmax"), col("shard"))
+        .persist()
+      // funnel-counter delta = contrib(new survivors) − contrib(old
+      // survivors) + docs_in from the raw batch; unchanged keys cancel
+      def contrib(df: DataFrame, sign: Int): DataFrame =
+        df.groupBy("source", "shard").agg(
+          (lit(sign) * count(lit(1))).cast("long").as("d_dedup"),
+          (lit(sign) * sum(col("ok_rules"))).cast("long").as("d_rules"),
+          (lit(sign) * sum(col("ok_rules") * col("ok_clf"))).cast("long")
+            .as("d_clf"),
+          (lit(sign) * sum(col("ok_rules") * col("ok_clf") * col("n_words")))
+            .cast("long").as("d_tokens"))
+          .withColumn("d_docs", lit(0L))
+      val docsIn = bf.groupBy("source", "shard")
+        .agg(count(lit(1)).cast("long").as("d_docs"))
+        .withColumn("d_dedup", lit(0L)).withColumn("d_rules", lit(0L))
+        .withColumn("d_clf", lit(0L)).withColumn("d_tokens", lit(0L))
+      val delta = docsIn.unionByName(contrib(merged, 1))
+        .unionByName(contrib(exf, -1))
+        .groupBy("source", "shard")
+        .agg(sum("d_docs").as("d_docs"), sum("d_dedup").as("d_dedup"),
+          sum("d_rules").as("d_rules"), sum("d_clf").as("d_clf"),
+          sum("d_tokens").as("d_tokens"))
+        .withColumn("batch", lit(batchId))
+      // delta BEFORE state: the state's bmax is the commit marker, so a
+      // crash-retry recomputes a bit-identical delta against unchanged
+      // state and the (batch, shard) partition overwrite replaces it
+      delta.write.mode("overwrite").partitionBy("batch", "shard")
+        .parquet(deltaDir)
+      merged.write.mode("overwrite").partitionBy("shard").parquet(stateDir)
+      merged.unpersist(blocking = false)
+    }
+    ex.unpersist(blocking = false)
+    b.unpersist(blocking = false)
+  }
+
+  /** The maintained funnel report: per-source docs_in / after_dedup /
+    * after_rules / kept_docs / kept_tokens, summed over the delta stream
+    * (bounded by batches × sources × shards rows — never a key-index scan).
+    */
+  def curationReport(spark: SparkSession, deltaDir: String): DataFrame =
+    spark.read.parquet(deltaDir).groupBy("source").agg(
+      sum("d_docs").as("docs_in"), sum("d_dedup").as("after_dedup"),
+      sum("d_rules").as("after_rules"), sum("d_clf").as("kept_docs"),
+      sum("d_tokens").as("kept_tokens"))
+
+  /** Run the curation maintenance loop over everything currently staged in
+    * `srcDir` (AvailableNow + checkpoint, like [[maintain]] — safe to call
+    * again after more shards land; only new files process).
+    */
+  def maintainCuration(spark: SparkSession, srcDir: String, stateDir: String,
+      deltaDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      enrich: DataFrame => DataFrame, nShards: Int = 16): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        applyCurationBatch(spark, enrich(bt), id, stateDir, deltaDir, nShards)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** End-to-end demonstration over the static events table: stage the
     * events as three arrival batches, maintain the view incrementally
     * (including a restart between arrivals, same checkpoint), and return

@@ -624,4 +624,85 @@ class StreamingSpec extends SparkSuite {
       .head().getLong(0)
     assert(got.select(sum(col("cents"))).head().getLong(0) == expected)
   }
+
+  test("incremental curation: supersession retracts, replay is a no-op, " +
+      "report == global-min batch semantics") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val work = java.nio.file.Files.createTempDirectory("graft_inccur_spec").toString
+    val state = s"$work/state"; val delta = s"$work/delta"
+    def rep() = rows(Incremental.curationReport(spark, delta)
+      .orderBy("source")).map(_.mkString(","))
+    // (doc_id, source, norm_key, n_words, ok_rules, ok_clf)
+    val b0 = Seq(
+      (10L, "src0", "kA", 100L, 1L, 1L), // kA survivor for now: kept
+      (20L, "src1", "kB", 50L, 1L, 0L)   // kB survivor: passes rules only
+    ).toDF("doc_id", "source", "norm_key", "n_words", "ok_rules", "ok_clf")
+    Incremental.applyCurationBatch(spark, b0, 0L, state, delta, nShards = 8)
+    assert(rep() == Seq("src0,1,1,1,1,100", "src1,1,1,1,0,0"))
+    // batch 1: a SMALLER doc_id for kA arrives late, from another source,
+    // failing the rules — src0's kept contribution must be retracted and
+    // kA's dedup slot must move to src1 (global lowest-id-survives)
+    val b1 = Seq((5L, "src1", "kA", 80L, 0L, 0L))
+      .toDF("doc_id", "source", "norm_key", "n_words", "ok_rules", "ok_clf")
+    Incremental.applyCurationBatch(spark, b1, 1L, state, delta, nShards = 8)
+    val afterB1 = rep()
+    assert(afterB1 == Seq("src0,1,0,0,0,0", "src1,2,2,1,0,0"))
+    // at-least-once retry: replaying batch 1 changes nothing
+    Incremental.applyCurationBatch(spark, b1, 1L, state, delta, nShards = 8)
+    assert(rep() == afterB1)
+    // key index holds exactly one row per key, the global-min survivor
+    val idx = spark.read.parquet(state)
+      .select("norm_key", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(idx == Map("kA" -> 5L, "kB" -> 20L))
+  }
+
+  test("incremental curation maintenance across a restart == one-shot, " +
+      "arrival-order-independent") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // already-enriched rows staged as arrival files; enrich = identity.
+    // Key k1 is duplicated across arrivals with its LOWEST id in the LAST
+    // arrival (forces supersession through the restart).
+    val all = Seq(
+      (7L, "s0", "k1", 60L, 1L, 1L),
+      (3L, "s1", "k2", 40L, 1L, 0L),
+      (9L, "s0", "k3", 75L, 0L, 1L),
+      (2L, "s1", "k1", 55L, 1L, 0L),
+      (8L, "s0", "k2", 45L, 1L, 1L))
+      .toDF("doc_id", "source", "norm_key", "n_words", "ok_rules", "ok_clf")
+    def run(splits: Seq[Seq[Long]]): Seq[String] = {
+      val work = java.nio.file.Files.createTempDirectory("graft_inccur_mt").toString
+      splits.zipWithIndex.foreach { case (ids, i) =>
+        all.filter(col("doc_id").isin(ids: _*)).coalesce(1)
+          .write.parquet(s"$work/src/b$i")
+        // maintain after EVERY arrival: each call past the first is a
+        // restart on the same checkpoint and must process only new files
+        Incremental.maintainCuration(spark, s"$work/src/*", s"$work/state",
+          s"$work/delta", s"$work/ck", all.schema, identity, nShards = 8)
+      }
+      rows(Incremental.curationReport(spark, s"$work/delta")
+        .orderBy("source")).map(_.mkString(","))
+    }
+    val incremental = run(Seq(Seq(7L, 3L), Seq(9L, 8L), Seq(2L)))
+    val oneShot = run(Seq(Seq(2L, 3L, 7L, 8L, 9L)))
+    assert(incremental == oneShot)
+    // and both equal the from-scratch global-min batch recompute
+    val batch = all
+      .withColumn("sv1", (col("doc_id") === min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("norm_key")))
+        .cast("long"))
+      .groupBy("source").agg(
+        count(lit(1)).as("docs_in"),
+        sum("sv1").as("after_dedup"),
+        sum(col("sv1") * col("ok_rules")).as("after_rules"),
+        sum(col("sv1") * col("ok_rules") * col("ok_clf")).as("kept_docs"),
+        sum(col("sv1") * col("ok_rules") * col("ok_clf") * col("n_words"))
+          .as("kept_tokens"))
+    assert(incremental == rows(batch.orderBy("source")).map(_.mkString(",")))
+  }
 }
