@@ -4121,6 +4121,110 @@ object SparkEntry {
       ord(graft.streaming.Incremental.curationReport(s, s"$work/delta"),
         "source")
     }),
+    "q302_mixture_materialization" -> ((s, dir) => {
+      // MIXTURE MATERIALIZATION — the step that turns q287's temperature
+      // weights + q213's token budgets into the actual epoch-ready
+      // training mixture, with deterministic repeat factors and no RNG:
+      //  - weights in EXACT int64: w_s ∝ isqrt(n_s) (integer sqrt = the
+      //    T=2 temperature recipe with no cross-engine FP), target tokens
+      //    T_s = (2·N_total·isqrt(n_s)) div Σisqrt — every source's
+      //    token target is a closed-form integer both engines compute
+      //    identically;
+      //  - integer part of the repeat factor r_s = T_s/n_s via bounded
+      //    row duplication (explode(sequence(1, copies)) — the explode
+      //    factor is capped by the mixture budget itself: you cannot emit
+      //    a mixture smaller than its own output);
+      //  - fractional part via the q78/q213 deterministic hash order:
+      //    docs sorted by pmod(doc_id·2654435761, 1e9+7), per-source
+      //    cumulative token sum, prefix ≤ remainder gets one extra copy —
+      //    partitioning-independent, reproducible on any cluster size.
+      // Output: per-source audit — target vs emitted tokens (shortfall
+      // < max doc length by the greedy-prefix bound) + an emission
+      // checksum Σ doc_id·copy_ix over the materialized rows, which only
+      // matches if the exact multiset of emitted (doc, copy) rows does.
+      import org.apache.spark.sql.expressions.Window
+      def isqrt(c: Column): Column = {
+        val s0 = floor(sqrt(c.cast("double"))).cast("long")
+        val s1 = when(s0 * s0 > c, s0 - 1).otherwise(s0)
+        when((s1 + 1) * (s1 + 1) <= c, s1 + 1).otherwise(s1)
+      }
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextFns.portableTokens(col("text"))).cast("long").as("len"))
+        .filter(col("len") > 0)
+      val ns = d.groupBy("source")
+        .agg(sum("len").as("n_tok"), count(lit(1)).as("n_docs"))
+        .withColumn("wnum", isqrt(col("n_tok")))
+      val den = ns.agg(sum("wnum").as("den"), sum("n_tok").as("n_total"))
+      val tgt = ns.crossJoin(broadcast(den))
+        .withColumn("target_tokens",
+          expr("(2 * n_total * wnum) div den"))
+        .withColumn("base_copies", expr("target_tokens div n_tok"))
+        .withColumn("rem_tokens", expr("target_tokens % n_tok"))
+      val sel = d
+        .withColumn("rnd", pmod(col("doc_id") * 2654435761L, lit(1000000007L)))
+        .withColumn("cum", sum("len").over(
+          Window.partitionBy("source").orderBy("rnd", "doc_id")))
+        .join(broadcast(tgt.select("source", "base_copies", "rem_tokens")),
+          "source")
+        .withColumn("copies",
+          col("base_copies") + (col("cum") <= col("rem_tokens")).cast("long"))
+      val emitted = sel.filter(col("copies") > 0)
+        .select(col("source"), col("doc_id"), col("len"),
+          explode(expr("sequence(1L, copies)")).as("copy_ix"))
+      val report = emitted.groupBy("source").agg(
+        count(lit(1)).as("emitted_docs"),
+        sum("len").as("emitted_tokens"),
+        sum(col("doc_id") * col("copy_ix")).as("emission_checksum"))
+      ord(tgt.select("source", "n_docs", "n_tok", "wnum", "target_tokens",
+          "base_copies")
+        .join(report, "source")
+        .withColumn("shortfall", col("target_tokens") - col("emitted_tokens")),
+        "source")
+    }),
+    "q303_image_text_alignment" -> ((s, dir) => {
+      // IMAGE–TEXT ALIGNMENT screen (the LAION/DataComp curation filter):
+      // per (caption, image) pair, cosine between the caption embedding
+      // and the image embedding; keep cos ≥ τ = 0.85; per-source
+      // alignment-rate report. The testdata has no real media, so both
+      // embeddings are deterministic stand-ins built from the multimodal
+      // surface itself (the STUB-decode contract): image embedding = the
+      // first 8 bytes of the payload's sha-256 content digest (the
+      // Multimodal.payloadStats digest), caption embedding = the first 8
+      // caption-token portable hashes mod 256 (cycled when shorter). The
+      // screen is the real thing: ONE row-local pass over the media frame
+      // — integer dot/norms via zip_with/aggregate, the keep decision in
+      // EXACT int64 (for nonnegative components cos ≥ 0.85 ⇔
+      // 10⁴·num² ≥ 7225·|a|²·|b|²; maxima stay < 2·10¹⁸) — zero shuffles
+      // before the per-source report agg.
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+      val enr = media.select(
+          col("media_id").as("doc_id"),
+          col("meta.source").as("source"),
+          sha2(col("payload"), 256).as("digest"),
+          TextFns.portableTokens(decode(col("payload"), "UTF-8")).as("toks"))
+        .withColumn("n", size(col("toks"))).filter(col("n") > 0)
+        .withColumn("a", expr(
+          """transform(sequence(0, 7), i ->
+            |  CAST(conv(substring(digest, 2 * i + 1, 2), 16, 10) AS BIGINT))"""
+            .stripMargin))
+        .withColumn("b", transform(sequence(lit(0), lit(7)), i =>
+          pmod(graft.functions.Registry.tokenHash(
+            element_at(col("toks"), (i % col("n")) + 1)), lit(256L))))
+        .withColumn("num", expr(
+          "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("na", expr("aggregate(a, 0L, (acc, v) -> acc + v * v)"))
+        .withColumn("nb", expr("aggregate(b, 0L, (acc, v) -> acc + v * v)"))
+        .withColumn("aligned",
+          (col("num") * col("num") * lit(10000L) >=
+            lit(7225L) * col("na") * col("nb")).cast("long"))
+      ord(enr.groupBy("source").agg(
+          count(lit(1)).as("n_pairs"),
+          sum("aligned").as("n_aligned"),
+          sum("num").as("sum_dot"))
+        .withColumn("align_ppm", expr("(n_aligned * 1000000L) div n_pairs")),
+        "source")
+    }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
       // scheme beside q144's SymSpell deletion neighborhoods and q158's
@@ -6999,6 +7103,103 @@ object SparkEntry {
         |  CAST(sum(sv1 * sv2 * sv4) AS BIGINT) AS kept_docs,
         |  CAST(sum(sv1 * sv2 * sv4 * n_words) AS BIGINT) AS kept_tokens
         |FROM staged GROUP BY source ORDER BY source""".stripMargin,
+    "q302_mixture_materialization" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(len(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''))
+        |    AS BIGINT) AS len
+        |  FROM documents),
+        |dd AS (SELECT * FROM d WHERE len > 0),
+        |ns AS (
+        |  SELECT source, CAST(sum(len) AS BIGINT) AS n_tok,
+        |    CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM dd GROUP BY source),
+        |w AS (
+        |  SELECT *, (CASE
+        |    WHEN s1 * s1 > n_tok THEN s1 - 1
+        |    WHEN (s1 + 1) * (s1 + 1) <= n_tok THEN s1 + 1
+        |    ELSE s1 END) AS wnum
+        |  FROM (SELECT *, CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT)
+        |          AS s1 FROM ns)),
+        |w2 AS (
+        |  SELECT *, (CASE WHEN wnum * wnum > n_tok THEN wnum - 1
+        |    WHEN (wnum + 1) * (wnum + 1) <= n_tok THEN wnum + 1
+        |    ELSE wnum END) AS isq
+        |  FROM w),
+        |den AS (SELECT CAST(sum(isq) AS BIGINT) AS den,
+        |          CAST(sum(n_tok) AS BIGINT) AS n_total FROM w2),
+        |tgt AS (
+        |  SELECT w2.source, w2.n_docs, w2.n_tok, w2.isq AS wnum,
+        |    CAST((2 * den.n_total * w2.isq) // den.den AS BIGINT)
+        |      AS target_tokens
+        |  FROM w2 CROSS JOIN den),
+        |tgt2 AS (
+        |  SELECT *, CAST(target_tokens // n_tok AS BIGINT) AS base_copies,
+        |    CAST(target_tokens % n_tok AS BIGINT) AS rem_tokens
+        |  FROM tgt),
+        |sel AS (
+        |  SELECT dd.source, dd.doc_id, dd.len,
+        |    CAST(sum(dd.len) OVER (PARTITION BY dd.source
+        |      ORDER BY (dd.doc_id * 2654435761) % 1000000007, dd.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM dd),
+        |cp AS (
+        |  SELECT sel.source, sel.doc_id, sel.len,
+        |    t.base_copies + (CASE WHEN sel.cum <= t.rem_tokens
+        |      THEN 1 ELSE 0 END) AS copies
+        |  FROM sel JOIN tgt2 t USING (source)),
+        |em AS (
+        |  SELECT source, doc_id, len,
+        |    unnest(generate_series(1, CAST(copies AS BIGINT))) AS copy_ix
+        |  FROM cp WHERE copies > 0),
+        |rep AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS emitted_docs,
+        |    CAST(sum(len) AS BIGINT) AS emitted_tokens,
+        |    CAST(sum(doc_id * copy_ix) AS BIGINT) AS emission_checksum
+        |  FROM em GROUP BY source)
+        |SELECT t.source, t.n_docs, t.n_tok, t.wnum, t.target_tokens,
+        |  t.base_copies, r.emitted_docs, r.emitted_tokens,
+        |  r.emission_checksum,
+        |  t.target_tokens - r.emitted_tokens AS shortfall
+        |FROM tgt2 t JOIN rep r USING (source) ORDER BY source""".stripMargin,
+    "q303_image_text_alignment" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, sha256(text) AS digest, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |b2 AS (SELECT doc_id, source, digest, w, len(w) AS n
+        |       FROM base WHERE len(w) > 0),
+        |v AS (
+        |  SELECT doc_id, source,
+        |    list_transform(generate_series(0, 7), i ->
+        |      (CAST(strpos('0123456789abcdef', substr(digest, 2*i+1, 1)) - 1
+        |        AS BIGINT)) * 16
+        |      + CAST(strpos('0123456789abcdef', substr(digest, 2*i+2, 1)) - 1
+        |        AS BIGINT)) AS a,
+        |    list_transform(generate_series(0, 7), i ->
+        |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |        list_transform(string_split(w[(i % n) + 1], ''),
+        |          c -> CAST(unicode(c) AS BIGINT))),
+        |        (h, c) -> (h * 131 + c) % 2147483647) % 256) AS b
+        |  FROM b2),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(list_sum(list_transform(generate_series(1, 8),
+        |      i -> a[i] * b[i])) AS BIGINT) AS num,
+        |    CAST(list_sum(list_transform(a, x -> x * x)) AS BIGINT) AS na,
+        |    CAST(list_sum(list_transform(b, x -> x * x)) AS BIGINT) AS nb
+        |  FROM v),
+        |fl AS (
+        |  SELECT source, num,
+        |    CASE WHEN num * num * 10000 >= 7225 * na * nb
+        |      THEN 1 ELSE 0 END AS aligned
+        |  FROM sc)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(aligned) AS BIGINT) AS n_aligned,
+        |  CAST(sum(num) AS BIGINT) AS sum_dot,
+        |  CAST((sum(aligned) * 1000000) // count(*) AS BIGINT) AS align_ppm
+        |FROM fl GROUP BY source ORDER BY source""".stripMargin,
     "q279_session_twap" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

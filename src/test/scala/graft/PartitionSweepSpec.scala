@@ -113,7 +113,14 @@ class PartitionSweepSpec extends SparkSuite {
     "q297_bigram_surprisal", "q298_gopher_rules", "q299_unicode_normalize",
     // the end-to-end funnel: all four stage flags are exact integers and
     // every stage is individually sweep-registered
-    "q300_curation_pipeline")
+    "q300_curation_pipeline",
+    // round-11: incremental funnel (min-merge + exact integer deltas over
+    // hash-sharded state — arrival split is fixed by doc_id % 3, state
+    // merge is a keyed min), mixture materialization (integer isqrt
+    // weights, hash-ordered prefix fill, bounded explode), image-text
+    // alignment (row-local exact-int64 cosine threshold)
+    "q301_incremental_curation", "q302_mixture_materialization",
+    "q303_image_text_alignment")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

@@ -564,7 +564,10 @@ class PlanSpec extends SparkSuite {
       "q291_random_projection",
       // q297: the vocabulary size V is a 1-row broadcast scalar crossed
       // onto the scored bigram frame (the q233 shape)
-      "q297_bigram_surprisal")
+      "q297_bigram_surprisal",
+      // q302: the Σisqrt/total-token denominator is a 1-row broadcast
+      // scalar crossed onto the bounded per-source frame (the q287 shape)
+      "q302_mixture_materialization")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       try {
