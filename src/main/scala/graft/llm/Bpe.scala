@@ -56,8 +56,10 @@ object Bpe {
     * pair column, matching the SQL mirror (whose scalar subquery over the
     * empty top goes NULL and whose left joins keep every doc).
     */
-  private def mergeRound(withToks: DataFrame, pairCol: String): DataFrame = {
-    val pairs = withToks.filter(col("n") > 1)
+  private def mergeRound(withToks: DataFrame, pairCol: String,
+      samplePred: Option[Column] = None): DataFrame = {
+    val countBase = samplePred.fold(withToks)(withToks.filter)
+    val pairs = countBase.filter(col("n") > 1)
       .select(explode(expr(
         """transform(sequence(0, n - 2), i ->
           |  struct(element_at(toks, i + 1) AS w1,
@@ -107,8 +109,23 @@ object Bpe {
     * (idCol, n_tok0, toks, n, r1_pair … r{rounds}_pair) where `toks` is the
     * final rewritten token array and each r*_pair is the merge learned that
     * round as "w1 w2" (constant across rows).
+    *
+    * PRACTICAL BOUND: each round is driver-synchronous by design (one 1-row
+    * top-1 collect + one eager localCheckpoint), so `rounds` beyond ~100 is
+    * the wrong tool — a real tokenizer train is k ≈ 30k–50k merges, and the
+    * per-round job overhead dominates long before that. The standard
+    * mitigation is built in: set `sampleCap` > 0 to learn each round's
+    * winning pair from a deterministic hash-sample of about that many
+    * documents (the Similarity.trainCentroids sampleCap pattern — pair
+    * STATISTICS converge long before corpus size) while the rewrite still
+    * applies to every document, so the returned corpus is identical to
+    * running [[applyMerges]] (a pure map stage at any scale) with the
+    * learned list over the full corpus — an invariant PropertySpec gates.
+    * The sample is fixed before round 1 (hash of `idCol` — partition- and
+    * arrival-order-independent) so sampling never breaks determinism.
     */
-  def train(df: DataFrame, idCol: String, textCol: String, rounds: Int): DataFrame = {
+  def train(df: DataFrame, idCol: String, textCol: String, rounds: Int,
+      sampleCap: Int = 0): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     requireUsableIdCol(idCol)
     var cur = df
@@ -116,8 +133,13 @@ object Bpe {
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
       .withColumn("n_tok0", col("n").cast("long"))
+    val samplePred = if (sampleCap <= 0) None else {
+      val n = cur.count()
+      if (n <= sampleCap) None
+      else Some(pmod(xxhash64(col(idCol)), lit(math.max(1L, n / sampleCap))) === 0)
+    }
     for (r <- 1 to rounds)
-      cur = mergeRound(cur, s"r${r}_pair").localCheckpoint(true)
+      cur = mergeRound(cur, s"r${r}_pair", samplePred).localCheckpoint(true)
     cur
   }
 

@@ -14,6 +14,20 @@ class PlanSpec extends SparkSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Every query's physical-plan string, built ONCE and shared by the
+    * suite-wide tests (the BNLJ invariant and the fingerprint gate) — plan
+    * construction runs each query's staging side effects, so building the
+    * 300+ plans twice would double the suite's wall. Failures are recorded
+    * as an error marker, asserted by the BNLJ test.
+    */
+  private lazy val allPlans: Map[String, String] =
+    SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> (try SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        catch { case e: Throwable =>
+          s"__PLAN_ERROR__ ${e.getMessage.take(80)}" })
+    }.toMap
+
   private def formatted(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
     org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
@@ -569,16 +583,68 @@ class PlanSpec extends SparkSuite {
       // scalar crossed onto the bounded per-source frame (the q287 shape)
       "q302_mixture_materialization")
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
-    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-      try {
-        val plan = SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.executedPlan.toString
+    for ((name, plan) <- allPlans.toSeq.sortBy(_._1)) {
+      if (plan.startsWith("__PLAN_ERROR__"))
+        offenders += s"$name (threw: ${plan.stripPrefix("__PLAN_ERROR__ ")})"
+      else {
         val hasLoop = plan.contains("BroadcastNestedLoopJoin") ||
           plan.contains("CartesianProduct")
         if (hasLoop && !scalarBroadcast.contains(name)) offenders += name
-      } catch { case e: Throwable => offenders += s"$name (threw: ${e.getMessage.take(80)})" }
+      }
     }
     assert(offenders.isEmpty, s"unexpected nested-loop plans: $offenders")
+  }
+
+  test("plan fingerprints: exchange/scan/sort/BNLJ counts do not silently grow") {
+    // PLAN_SNAPSHOT.json pins each query's physical-plan shape counts
+    // (exchanges, scan nodes, sorts, nested-loop joins — the PlanAudit
+    // metrics). Correctness oracles cannot see an accidental extra shuffle
+    // or a scan that stopped pruning; this gate can. A count GROWING fails
+    // the suite (accept a deliberate change by re-running with
+    // SPARK_GRAFT_PLAN_SNAPSHOT_WRITE=1); a count shrinking or a new query
+    // rewrites the snapshot in place so improvements ratchet down.
+    val snapPath = java.nio.file.Paths.get("PLAN_SNAPSHOT.json")
+    def counts(plan: String): Seq[Int] = {
+      def n(re: String) = re.r.findAllIn(plan).size
+      Seq(n("Exchange"), n("FileScan|Scan parquet|Scan ExistingRDD"),
+        n("\\bSort\\b"), n("BroadcastNestedLoopJoin|CartesianProduct"))
+    }
+    val current = allPlans.toSeq.sortBy(_._1)
+      .filterNot(_._2.startsWith("__PLAN_ERROR__"))
+      .map { case (name, plan) => name -> counts(plan) }
+    def writeSnapshot(): Unit = {
+      val body = current.map { case (name, c) =>
+        s"""  "$name": [${c.mkString(",")}]"""
+      }.mkString("{\n", ",\n", "\n}\n")
+      java.nio.file.Files.writeString(snapPath, body)
+    }
+    def compareAgainstSnapshot(): Unit = {
+      val entry = """"([^"]+)":\s*\[(\d+),(\d+),(\d+),(\d+)\]""".r
+      val snapshot = entry.findAllMatchIn(
+        java.nio.file.Files.readString(snapPath)).map { m =>
+        m.group(1) -> (2 to 5).map(i => m.group(i).toInt)
+      }.toMap
+      val labels = Seq("exchanges", "scans", "sorts", "bnlj")
+      val grown = current.flatMap { case (name, c) =>
+        snapshot.get(name).toSeq.flatMap { old =>
+          c.zip(old).zip(labels).collect {
+            case ((now, was), label) if now > was =>
+              s"$name: $label $was -> $now"
+          }
+        }
+      }
+      assert(grown.isEmpty,
+        s"plan shape regressed (accept deliberate changes with " +
+          s"SPARK_GRAFT_PLAN_SNAPSHOT_WRITE=1):\n${grown.mkString("\n")}")
+      // ratchet: shrinks and new queries refresh the snapshot in place
+      if (current.exists { case (n, c) =>
+          !snapshot.contains(n) || snapshot(n).zip(c).exists(p => p._1 > p._2) } ||
+          snapshot.keySet != current.map(_._1).toSet)
+        writeSnapshot()
+    }
+    val accept = sys.env.get("SPARK_GRAFT_PLAN_SNAPSHOT_WRITE").contains("1")
+    if (!java.nio.file.Files.exists(snapPath) || accept) writeSnapshot()
+    else compareAgainstSnapshot()
   }
 
   test("q235 join-strategy hints are honored and result-identical") {

@@ -302,6 +302,39 @@ class PropertySpec extends SparkSuite {
     assert(enc == Vector("a_b", "a_b", "c"))
   }
 
+  test("Bpe.train with sampleCap: sampled-learned merges + full-corpus apply == the train output") {
+    import spark.implicits._
+    // 24 docs, sampleCap 8 → the winner is learned from a strict hash-
+    // sample, but the rewrite covers every doc; applyMerges with the
+    // learned list over the full corpus must reproduce the train output
+    // exactly (the scaladoc'd sampled-train + full-apply pattern)
+    val tokGen = Gen.choose(4, 14).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val corpus = (0L until 24L).map(id =>
+      id -> samples(tokGen, 1, 777 + id).head.mkString(" "))
+    val df = corpus.toDF("doc_id", "text")
+    val trained = graft.llm.Bpe.train(df, "doc_id", "text", rounds = 3,
+      sampleCap = 8)
+    assert(trained.count() == 24, "sampling must not drop rewrite rows")
+    val merges = trained.select("r1_pair", "r2_pair", "r3_pair").head() match {
+      case r => (0 to 2).flatMap { i =>
+        Option(r.getString(i)).map { p =>
+          val Array(a, b) = p.split(" ", 2); (a, b)
+        }
+      }
+    }
+    val applied = graft.llm.Bpe.applyMerges(df, "doc_id", "text", merges)
+    val t = trained.select("doc_id", "toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val a = applied.select("doc_id", "toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(t == a, "sampled-train rewrite diverged from full-corpus apply")
+    // determinism: a second sampled train learns the identical list
+    val again = graft.llm.Bpe.train(df, "doc_id", "text", rounds = 3,
+      sampleCap = 8).select("r1_pair", "r2_pair", "r3_pair").head()
+    assert((0 to 2).map(again.getString) ==
+      trained.select("r1_pair", "r2_pair", "r3_pair").head().toSeq)
+  }
+
   test("sessTwapBatch matches the naive session-walk model on random inputs") {
     // the batch twin of the SessTwapProcessor (StreamingSpec proves
     // stream == batch; this closes the model gap on adversarial shapes:
