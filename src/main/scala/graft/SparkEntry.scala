@@ -41,6 +41,7 @@ private[graft] object OracleAux {
   @volatile var q236Ivf: Option[Seq[(Long, Long)]] = None // (query_id, IVF top-5 neighbor)
   @volatile var q264Est: Option[(Long, Long)] = None // (n_shards, merged HLL estimate)
   @volatile var q296Cands: Option[Seq[(Long, Long)]] = None // (anchor_id, candidate_id)
+  @volatile var q304Pairs: Option[Seq[(Long, Long)]] = None // (earlier_id, later_id) verified near-dup
 }
 
 object SparkEntry {
@@ -4224,6 +4225,43 @@ object SparkEntry {
           sum("num").as("sum_dot"))
         .withColumn("align_ppm", expr("(n_aligned * 1000000L) div n_pairs")),
         "source")
+    }),
+    "q304_incremental_neardup" -> ((s, dir) => {
+      // INCREMENTAL NEAR-dup screen — the MinHash half of the incremental
+      // dedup story (q301 handles exact keys): document shards arrive as
+      // micro-batches and each is screened against the banded MinHash
+      // index of EVERY previously seen document plus the in-batch prefix —
+      // candidates from band-bucket equi joins (the q46 regime, never
+      // all-pairs), verified on exact signature agreement (integer
+      // percent). Keep-first under the (batch, doc_id) total order — the
+      // incremental form of q79's lowest-id-survives. Includes a
+      // mid-stream restart; file mod-times pin the arrival order so batch
+      // ids equal doc_id % 3 (the order the oracle re-derives). Oracle:
+      // the verified pair set rides as VALUES (the q50 stash pattern);
+      // DuckDB independently re-checks the order predicate and recomputes
+      // every kept flag + matched-earlier choice from the raw pairs.
+      val work = java.nio.file.Files.createTempDirectory("graft_incnd").toString
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val enrich = (bt: DataFrame) => bt.select(col("doc_id"), col("source"),
+        Dedup.minhashSignature(col("text"), numHashes = 32).as("sig"))
+      def stage(k: Int, modMs: Long): Unit = {
+        docs.filter(col("doc_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(modMs))
+      }
+      val now = System.currentTimeMillis()
+      stage(0, now - 120000); stage(1, now - 60000)
+      graft.streaming.Incremental.maintainNearDup(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema, enrich)
+      stage(2, now)
+      graft.streaming.Incremental.maintainNearDup(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema, enrich) // restart: only b2
+      OracleAux.q304Pairs = Some(s.read.parquet(s"$work/state/pairs")
+        .select("e_id", "d_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      ord(s.read.parquet(s"$work/state/decisions")
+        .select("doc_id", "source", "kept", "matched_id"), "doc_id")
     }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
@@ -9362,7 +9400,28 @@ object SparkEntry {
            |JOIN documents dn ON dn.doc_id = n.neg_id
            |ORDER BY anchor_id""".stripMargin
     }
+    // q304: Spark-verified (earlier, later) near-dup pairs as VALUES; an
+    // impossible sentinel pair keeps the SQL valid when the run found none.
+    // DuckDB re-checks the (batch, id) order predicate (batch = doc_id % 3,
+    // pinned by the staged file mod-times) and recomputes every kept flag
+    // and matched-earlier choice — the SQL-checkable part of the screen.
+    val q304 = OracleAux.q304Pairs.map { pairs =>
+      val vals = if (pairs.isEmpty) "(-1,-1)" else values(pairs)
+      "q304_incremental_neardup" ->
+        s"""WITH raw(e, d) AS (VALUES $vals),
+           |p0 AS (SELECT CAST(e AS BIGINT) AS e, CAST(d AS BIGINT) AS d FROM raw),
+           |p AS (SELECT e, d FROM p0
+           |      WHERE (e % 3 < d % 3) OR (e % 3 = d % 3 AND e < d)),
+           |m AS (SELECT d AS doc_id,
+           |        min((e % 3) * 10000000000 + e) AS enc
+           |      FROM p GROUP BY d)
+           |SELECT dd.doc_id, dd.source,
+           |  CAST(CASE WHEN m.enc IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           |  m.enc % 10000000000 AS matched_id
+           |FROM documents dd LEFT JOIN m USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+    }
     (q45.toSeq ++ q50.toSeq ++ q142.toSeq ++ q164.toSeq ++ q236.toSeq ++
-      q264.toSeq ++ q296.toSeq).toMap
+      q264.toSeq ++ q296.toSeq ++ q304.toSeq).toMap
   }
 }

@@ -214,6 +214,118 @@ object Incremental {
     b.unpersist(blocking = false)
   }
 
+  // ── incremental NEAR-dup screen (MinHash index) ──────────────────────
+  // The near-dup half of the incremental dedup story: [[applyCurationBatch]]
+  // checks EXACT content keys; this maintains a banded MinHash signature
+  // index so each arriving shard is screened against every PREVIOUSLY SEEN
+  // document — never all-pairs. Semantics mirror the batch q79 rule
+  // (keep the first under the (batch, doc_id) total order): a new doc
+  // drops iff SOME earlier doc shares an LSH band bucket AND the signature
+  // agreement (matching components / k) clears the threshold. State is
+  // append-only and partitioned by batch (dynamic overwrite ⇒ a replayed
+  // batch overwrites its own partitions with bit-identical content — the
+  // earlier-state-unchanged argument of applyCurationBatch). Per-batch
+  // cost: one bucket equi-join (candidates bounded by the banding, the
+  // q46 regime) + one signature join proportional to candidates. At 100 TB
+  // the bucket index would be STORED bucketed on the bucket column
+  // (sources/IO.writeBucketed) so the candidate join co-locates without a
+  // per-batch state shuffle; the parquet-directory form here keeps the
+  // identical logical plan.
+
+  /** Screen one enriched batch — (doc_id long, source, sig array<long>) —
+    * against the historical index + the in-batch prefix, writing
+    * per-batch partitions: sigs/ and buckets/ (the index), pairs/ (the
+    * verified (e_id, d_id) matches, earlier < later), decisions/ (per-doc
+    * kept flag + the matched earlier doc under the (batch, id) min).
+    * `threshold` is an integer PERCENT of matching signature components
+    * (exact int compare — no FP).
+    */
+  def applyNearDupBatch(spark: SparkSession, enriched: DataFrame,
+      batchId: Long, stateDir: String, bands: Int, rowsPerBand: Int,
+      thresholdPct: Int): Unit = {
+    val k = bands * rowsPerBand
+    val b = enriched
+      .select(col("doc_id").cast("long"), col("source"), col("sig"))
+      .withColumn("batch", lit(batchId)).persist()
+    def bucketsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("batch"), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}), bb ->
+           |  xxhash64(bb, slice(sig, bb * $rowsPerBand + 1, $rowsPerBand)))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("batch"), col("pos").as("band"),
+        col("col").as("bucket"))
+    def existingOr(path: String, empty: => DataFrame): DataFrame =
+      if (new java.io.File(path).exists()) spark.read.parquet(path) else empty
+    val newBuckets = bucketsOf(b)
+    val histBuckets = existingOr(s"$stateDir/buckets",
+      spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0).as("band"),
+        lit(0L).as("bucket"), lit(-1L).as("batch")).limit(0))
+    val histSigs = existingOr(s"$stateDir/sigs",
+      spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+        array().cast("array<long>").as("sig"), lit(-1L).as("batch")).limit(0))
+    val earlier = histBuckets.filter(col("batch") < batchId)
+      .unionByName(newBuckets)
+      .select(col("doc_id").as("e_id"), col("batch").as("e_batch"),
+        col("band"), col("bucket"))
+    val cands = newBuckets.join(earlier, Seq("band", "bucket"))
+      .filter(col("e_batch") < col("batch") ||
+        (col("e_batch") === col("batch") && col("e_id") < col("doc_id")))
+      .select(col("e_id"), col("e_batch"), col("doc_id").as("d_id"))
+      .distinct()
+    val sigAll = histSigs.filter(col("batch") < batchId)
+      .select(col("doc_id"), col("sig"))
+      .unionByName(b.select("doc_id", "sig"))
+    val verified = cands
+      .join(sigAll.toDF("e_id", "e_sig"), "e_id")
+      .join(b.select(col("doc_id").as("d_id"), col("sig").as("d_sig")), "d_id")
+      .withColumn("matches", expr(
+        "size(filter(zip_with(e_sig, d_sig, (x, y) -> x = y), m -> m))"))
+      .filter(col("matches") * 100 >= lit(thresholdPct.toLong) * k)
+      .select("e_id", "e_batch", "d_id").persist()
+    val matched = verified.groupBy("d_id")
+      .agg(min(struct(col("e_batch"), col("e_id"))).as("m"))
+      .select(col("d_id").as("doc_id"), col("m.e_id").as("matched_id"))
+    val decisions = b.select("doc_id", "source")
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("kept", col("matched_id").isNull.cast("long"))
+      .withColumn("batch", lit(batchId))
+    // pairs/decisions first, index partitions last: on a crash-retry the
+    // index's earlier batches are unchanged, so every write recomputes
+    // bit-identically and the per-batch partition overwrite replaces it
+    verified.select(col("e_id"), col("d_id")).withColumn("batch", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/pairs")
+    decisions.write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$stateDir/decisions")
+    newBuckets.write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$stateDir/buckets")
+    b.select(col("doc_id"), col("sig"), col("batch"))
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/sigs")
+    verified.unpersist(blocking = false)
+    b.unpersist(blocking = false)
+  }
+
+  /** Run the near-dup maintenance loop over everything staged in `srcDir`
+    * (AvailableNow + checkpoint — call again after more shards land;
+    * only new files process).
+    */
+  def maintainNearDup(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
+      enrich: DataFrame => DataFrame, bands: Int = 16, rowsPerBand: Int = 2,
+      thresholdPct: Int = 70): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        applyNearDupBatch(spark, enrich(bt), id, stateDir, bands,
+          rowsPerBand, thresholdPct)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** The maintained funnel report: per-source docs_in / after_dedup /
     * after_rules / kept_docs / kept_tokens, summed over the delta stream
     * (bounded by batches × sources × shards rows — never a key-index scan).

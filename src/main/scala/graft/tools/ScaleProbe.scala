@@ -625,6 +625,132 @@ object ScaleProbe {
       println(f"SCALE scrub_dupspans docs=$n%7d tokens=${n * (wpd + 15)}%9d  scrub=${t}%6.1f s (kept=$kept)")
       docs.unpersist()
     }
+    // ── suite mode: every operator family at 1×/4×/16× synthetic scale,
+    // with an automatic superlinearity flag ────────────────────────────
+    // Per-family bespoke probes above each check one documented shape; this
+    // converts the idea into a standing property: each family runs at
+    // 1×/4×/16×, and the 4×→16× wall ratio (where fixed overhead matters
+    // least) must stay ≤ 4 × slack for the linear families this suite
+    // carries. The round-10 q293 incident — a string-materializing rewrite
+    // that read fine at small n and went GC-bound superlinear at 800k docs
+    // — is exactly the class this catches systematically. Emits one table
+    // row per family; any FLAG row fails the run (exit 1) so the suite can
+    // gate a round. Run: sbt "runMain graft.tools.ScaleProbe suite"
+    if (want("suite")) {
+      val slack = 1.7 // shared-machine jitter + residual fixed overhead
+      val floorS = 0.8 // below this, walls are all overhead — not a signal
+      case class Probe(name: String, base: Long,
+          mk: Long => DataFrame, op: DataFrame => Long)
+      def edgesFor(n: Long): DataFrame = graph(spark, n, n * 2)
+      val probes = Seq(
+        Probe("exact_dedup", 50000,
+          n => corpus(spark, n.toInt),
+          df => graft.llm.Dedup.exact(df, Seq("text"), "doc_id").count()),
+        Probe("minhash_lsh", 5000,
+          n => corpus(spark, n.toInt),
+          df => graft.llm.Dedup.nearDuplicates(df, "doc_id", "text",
+            threshold = 0.8, bands = 16, rowsPerBand = 2).count()),
+        Probe("simhash", 5000,
+          n => corpus(spark, n.toInt),
+          df => graft.llm.Dedup.simhashPairs(df, "doc_id", "text",
+            maxDist = 3).count()),
+        Probe("dupspan_scrub", 12500,
+          n => corpus(spark, n.toInt),
+          df => graft.llm.Dedup.scrubDuplicateSpans(df, "doc_id", "text",
+            n = 15, minCount = 2).agg(sum("n_kept")).head().getLong(0)),
+        Probe("boilerplate_scrub", 12500,
+          n => corpus(spark, n.toInt),
+          df => graft.llm.Dedup.scrubBoilerplate(df, "doc_id", "text",
+            n = 3, minDocs = 3).count()),
+        Probe("tfidf", 12500,
+          n => corpus(spark, n.toInt),
+          df => graft.llm.Retrieval.tfidfTopTerms(df, "doc_id", "text",
+            k = 5).count()),
+        Probe("cc", 50000, edgesFor,
+          df => graft.llm.Dedup.connectedComponents(df)
+            .agg(countDistinct(col("cluster_id"))).head().getLong(0)),
+        Probe("lpa", 50000,
+          n => { val g = edgesFor(n)
+            g.select(col("a").as("s"), col("b").as("t"))
+              .unionAll(g.select(col("b").as("s"), col("a").as("t"))) },
+          df => graft.operators.Graph.labelPropagation(df, "s", "t", iters = 3)
+            .agg(countDistinct(col("lbl"))).head().getLong(0)),
+        Probe("bfs", 50000, edgesFor,
+          df => graft.operators.Graph.bfsDistances(df, "a", "b",
+            source = 0L, maxDepth = 8).count()),
+        Probe("pagerank", 31250, edgesFor,
+          df => graft.operators.Graph.pageRank(df, "a", "b", iters = 3)
+            .count()),
+        Probe("ivf_assign", 12500,
+          n => embeddings(spark, n.toInt, 64),
+          df => {
+            // fixed 32-centroid codebook from the frame's own head: the
+            // probed stage is the linear full-corpus assignment scan
+            val cents = df.orderBy("vec_id").limit(32).collect()
+              .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+            graft.llm.Similarity.assignClusters(df, "vec_id", "embedding",
+              cents).groupBy("cid").count().count()
+          }),
+        Probe("asof_join", 100000,
+          n => spark.range(n).select(
+            pmod(col("id"), lit(1000)).as("k"),
+            pmod(xxhash64(col("id")), lit(1000000L)).as("t"),
+            col("id").as("v")),
+          df => graft.operators.Joins.asofJoin(
+            df.select(col("k"), col("t"), col("v")),
+            df.select(col("k"), (col("t") + 1).as("t"),
+              col("v").as("rv")),
+            Seq("k"), "t", "t", Seq("rv"), how = "left").count()),
+        Probe("hashagg_join", 1000000,
+          n => spark.range(n).select(
+            pmod(xxhash64(col("id")), lit(10000)).as("k"),
+            (col("id") % 97).cast("double").as("v")),
+          df => {
+            val dim = spark.range(10000).select(col("id").as("k"),
+              concat(lit("g"), col("id") % 8).as("grp"))
+            df.join(broadcast(dim), "k").groupBy("grp")
+              .agg(sum("v"), count(lit(1))).count()
+          }),
+        Probe("window_lag", 250000,
+          n => spark.range(n).select(
+            pmod(xxhash64(col("id")), lit(5000)).as("u"),
+            col("id").as("t"),
+            (col("id") % 97).cast("double").as("v")),
+          df => {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("u").orderBy("t")
+            df.withColumn("d", col("v") - lag("v", 1).over(w))
+              .agg(count("d")).head().getLong(0)
+          }),
+        Probe("ngram_count", 25000,
+          n => corpus(spark, n.toInt),
+          df => df.select(explode(graft.functions.Registry.wordShingles(
+              graft.llm.TextFns.portableTokens(col("text")), 2)).as("g"))
+            .groupBy("g").agg(count(lit(1)))
+            .agg(count(lit(1))).head().getLong(0)))
+      var flagged = List.empty[String]
+      for (p <- probes) {
+        val walls = Seq(1L, 4L, 16L).map { scale =>
+          val in = p.mk(p.base * scale).persist()
+          in.count()
+          val (_, t) = time(p.op(in))
+          in.unpersist(blocking = false)
+          t
+        }
+        val Seq(t1, t4, t16) = walls
+        val ratio = t16 / math.max(t4, floorS)
+        val flag = ratio > 4 * slack
+        if (flag) flagged ::= p.name
+        println(f"SCALE suite family=${p.name}%-18s base=${p.base}%8d  " +
+          f"t1=${t1}%6.1f s  t4=${t4}%6.1f s  t16=${t16}%6.1f s  " +
+          f"ratio16/4=${ratio}%5.2f  ${if (flag) "FLAG(superlinear)" else "ok"}")
+      }
+      if (flagged.nonEmpty) {
+        System.err.println(s"SCALE suite FLAGGED: ${flagged.mkString(", ")}")
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     spark.stop()
   }
 }

@@ -778,4 +778,29 @@ class LlmSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(3)))
     assert(got.toSeq == Seq((3L, "a different one")))
   }
+
+  test("q302 mixture materialization: greedy-prefix shortfall bounded by the longest doc") {
+    import org.apache.spark.sql.functions._
+    // the emitted mixture can undershoot its per-source token target only
+    // by less than one document (the greedy prefix stops at the first doc
+    // that would overshoot) — the closed-form bound the audit columns
+    // carry; also every copy count is base or base+1 (checksum consistency
+    // is already hash-gated by the oracle)
+    val rep = SparkEntry.queries("q302_mixture_materialization")(spark, sfDir)
+    val maxLen = Engine.table(spark, sfDir, "documents")
+      .select(max(size(graft.llm.TextFns.portableTokens(col("text")))))
+      .head().getInt(0).toLong
+    val rows = rep.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val shortfall = r.getLong(r.fieldIndex("shortfall"))
+      assert(shortfall >= 0 && shortfall <= maxLen,
+        s"${r.getString(0)}: shortfall $shortfall outside [0, $maxLen]")
+      val (nDocs, emitted, base) = (r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("emitted_docs")),
+        r.getLong(r.fieldIndex("base_copies")))
+      assert(emitted >= nDocs * base && emitted <= nDocs * (base + 1),
+        s"${r.getString(0)}: emitted_docs $emitted outside copy bounds")
+    }
+  }
 }

@@ -120,7 +120,11 @@ class PartitionSweepSpec extends SparkSuite {
     // weights, hash-ordered prefix fill, bounded explode), image-text
     // alignment (row-local exact-int64 cosine threshold)
     "q301_incremental_curation", "q302_mixture_materialization",
-    "q303_image_text_alignment")
+    "q303_image_text_alignment",
+    // incremental near-dup: banded candidates + exact integer signature
+    // agreement under a pinned (batch, id) order — arrival order fixed by
+    // staged file mod-times, signatures partition-invariant
+    "q304_incremental_neardup")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

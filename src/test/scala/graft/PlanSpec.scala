@@ -20,13 +20,24 @@ class PlanSpec extends SparkSuite {
     * 300+ plans twice would double the suite's wall. Failures are recorded
     * as an error marker, asserted by the BNLJ test.
     */
-  private lazy val allPlans: Map[String, String] =
+  private lazy val allPlans: Map[String, String] = {
+    // pin session state the queries themselves mutate: q197 opts into the
+    // range-join rewrite "for the session", so if another suite (the
+    // partition sweep) ran it first, every interval-shaped query built
+    // below would plan differently than in a fresh session — clear it so
+    // the build sequence is identical no matter what ran before. Likewise
+    // drop every cached frame: a leftover cache entry from another suite
+    // substitutes InMemoryTableScan for scan+exchange subtrees and makes
+    // the counts depend on suite order.
+    spark.conf.unset(graft.plans.RangeJoinRewrite.BIN_WIDTH_KEY)
+    spark.catalog.clearCache()
     SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> (try SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.executedPlan.toString
         catch { case e: Throwable =>
           s"__PLAN_ERROR__ ${e.getMessage.take(80)}" })
     }.toMap
+  }
 
   private def formatted(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)

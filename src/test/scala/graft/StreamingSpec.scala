@@ -705,4 +705,54 @@ class StreamingSpec extends SparkSuite {
           .as("kept_tokens"))
     assert(incremental == rows(batch.orderBy("source")).map(_.mkString(",")))
   }
+
+  test("incremental near-dup screen: keep-first across batches and restart, replay no-op") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val work = java.nio.file.Files.createTempDirectory("graft_incnd_spec").toString
+    val state = s"$work/state"
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val textB = "one two three four five six seven"
+    val docs = Seq(
+      (0L, textA), (1L, textB), (2L, textB), // 2 = in-batch copy of 1
+      (4L, textA),                           // 4 = cross-batch copy of 0
+      (5L, "unique words only here nothing shared"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    def enrich(bt: org.apache.spark.sql.DataFrame) =
+      bt.select(col("doc_id"), col("source"),
+        graft.llm.Dedup.minhashSignature(col("text"), numHashes = 32).as("sig"))
+    def stage(ids: Seq[Long], name: String, modMs: Long): Unit = {
+      docs.filter(col("doc_id").isin(ids: _*)).select("doc_id", "source", "text")
+        .coalesce(1).write.parquet(s"$work/src/$name")
+      new java.io.File(s"$work/src/$name").listFiles()
+        .foreach(_.setLastModified(modMs))
+    }
+    val schema = docs.select("doc_id", "source", "text").schema
+    val now = System.currentTimeMillis()
+    stage(Seq(0L, 1L, 2L), "b0", now - 60000)
+    Incremental.maintainNearDup(spark, s"$work/src/*", state, s"$work/ck",
+      schema, enrich)
+    stage(Seq(4L, 5L), "b1", now)
+    Incremental.maintainNearDup(spark, s"$work/src/*", state, s"$work/ck",
+      schema, enrich) // restart on the same checkpoint: only b1 processes
+    def decisions() = spark.read.parquet(s"$state/decisions")
+      .select("doc_id", "kept", "matched_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    val d = decisions()
+    assert(d == Map(
+      0L -> (1L, -1L), 1L -> (1L, -1L),
+      2L -> (0L, 1L),  // in-batch copy: dropped, matched to the earlier id
+      4L -> (0L, 0L),  // cross-restart copy: dropped against the index
+      5L -> (1L, -1L)))
+    // at-least-once retry: re-applying batch 1 rewrites its partitions
+    // with identical content (index state for earlier batches unchanged)
+    Incremental.applyNearDupBatch(spark,
+      enrich(docs.filter(col("doc_id").isin(4L, 5L))
+        .select("doc_id", "source", "text")),
+      1L, state, bands = 16, rowsPerBand = 2, thresholdPct = 70)
+    assert(decisions() == d)
+  }
 }
