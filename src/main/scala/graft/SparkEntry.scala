@@ -4157,11 +4157,17 @@ object SparkEntry {
         .agg(sum("len").as("n_tok"), count(lit(1)).as("n_docs"))
         .withColumn("wnum", isqrt(col("n_tok")))
       val den = ns.agg(sum("wnum").as("den"), sum("n_tok").as("n_total"))
+      // tgt is per-source bounded (one row per source) but referenced
+      // twice below (the prefix join and the final audit join) — without
+      // the eager cut each reference re-derives the full corpus token
+      // aggregation, turning a 2-scan plan into a 5-scan one. At 100 TB
+      // that is three extra corpus reads for a 20-row frame.
       val tgt = ns.crossJoin(broadcast(den))
         .withColumn("target_tokens",
           expr("(2 * n_total * wnum) div den"))
         .withColumn("base_copies", expr("target_tokens div n_tok"))
         .withColumn("rem_tokens", expr("target_tokens % n_tok"))
+        .localCheckpoint(true)
       val sel = d
         .withColumn("rnd", pmod(col("doc_id") * 2654435761L, lit(1000000007L)))
         .withColumn("cum", sum("len").over(
