@@ -148,22 +148,27 @@ object Incremental {
         col("ok_clf").cast("long"))
       .withColumn("shard", pmod(xxhash64(col("norm_key")), lit(nShards)).cast("long"))
       .persist()
-    val touched = b.select("shard").distinct()
-      .collect().map(_.getAs[Number](0).longValue) // bounded by nShards
-    if (touched.isEmpty) { b.unpersist(blocking = false); return }
-    val existing =
-      if (new java.io.File(stateDir).exists())
-        spark.read.parquet(stateDir)
-          .filter(col("shard").isin(touched.toSeq: _*)) // partition-pruned
+    // ONE driver read resolves both "which shards does this batch touch"
+    // and "which of those already applied this batch" (bounded by nShards
+    // rows; two separate collects cost a full job each at bench scale)
+    val stateExists = new java.io.File(stateDir).exists()
+    val existingAll =
+      if (stateExists) spark.read.parquet(stateDir)
       else spark.emptyDataFrame.select(lit("").as("norm_key"),
         lit(0L).as("doc_id"), lit("").as("source"), lit(0L).as("n_words"),
         lit(0L).as("ok_rules"), lit(0L).as("ok_clf"), lit(-1L).as("bmax"),
         lit(0L).as("shard")).limit(0)
-    val ex = existing.persist()
-    val applied = ex.groupBy("shard").agg(max("bmax").as("bm"))
-      .filter(col("bm") >= batchId)
-      .select("shard").collect().map(_.getAs[Number](0).longValue).toSet
-    val fresh = touched.filterNot(applied).toSeq
+    val shardStatus = b.select("shard").distinct()
+      .join(existingAll.groupBy("shard").agg(max("bmax").as("bm")),
+        Seq("shard"), "left")
+      .collect().map(r => r.getAs[Number](0).longValue ->
+        (!r.isNullAt(1) && r.getAs[Number](1).longValue >= batchId))
+    val touched = shardStatus.map(_._1)
+    if (touched.isEmpty) { b.unpersist(blocking = false); return }
+    val ex = existingAll
+      .filter(col("shard").isin(touched.toSeq: _*)) // partition-pruned
+      .persist()
+    val fresh = shardStatus.collect { case (s, false) => s }.toSeq
     if (fresh.nonEmpty) {
       val keep = Seq("norm_key", "shard", "doc_id", "source", "n_words",
         "ok_rules", "ok_clf")
@@ -181,22 +186,24 @@ object Incremental {
           lit(batchId).as("bmax"), col("shard"))
         .persist()
       // funnel-counter delta = contrib(new survivors) − contrib(old
-      // survivors) + docs_in from the raw batch; unchanged keys cancel
-      def contrib(df: DataFrame, sign: Int): DataFrame =
-        df.groupBy("source", "shard").agg(
-          (lit(sign) * count(lit(1))).cast("long").as("d_dedup"),
-          (lit(sign) * sum(col("ok_rules"))).cast("long").as("d_rules"),
-          (lit(sign) * sum(col("ok_rules") * col("ok_clf"))).cast("long")
-            .as("d_clf"),
-          (lit(sign) * sum(col("ok_rules") * col("ok_clf") * col("n_words")))
-            .cast("long").as("d_tokens"))
-          .withColumn("d_docs", lit(0L))
-      val docsIn = bf.groupBy("source", "shard")
-        .agg(count(lit(1)).cast("long").as("d_docs"))
-        .withColumn("d_dedup", lit(0L)).withColumn("d_rules", lit(0L))
-        .withColumn("d_clf", lit(0L)).withColumn("d_tokens", lit(0L))
-      val delta = docsIn.unionByName(contrib(merged, 1))
-        .unionByName(contrib(exf, -1))
+      // survivors) + docs_in from the raw batch; unchanged keys cancel.
+      // All three contribution streams union as ROWS with literal signs
+      // before ONE groupBy — three per-frame aggs plus a final re-agg
+      // would cost four shuffles for the same bounded result
+      def contribRows(df: DataFrame, sign: Int, docsOnly: Boolean): DataFrame =
+        df.select(col("source"), col("shard"),
+          (if (docsOnly) lit(1L) else lit(0L)).as("d_docs"),
+          (if (docsOnly) lit(0L) else lit(sign.toLong)).as("d_dedup"),
+          (if (docsOnly) lit(0L) else lit(sign.toLong) * col("ok_rules"))
+            .as("d_rules"),
+          (if (docsOnly) lit(0L)
+           else lit(sign.toLong) * col("ok_rules") * col("ok_clf")).as("d_clf"),
+          (if (docsOnly) lit(0L)
+           else lit(sign.toLong) * col("ok_rules") * col("ok_clf") *
+             col("n_words")).as("d_tokens"))
+      val delta = contribRows(bf, 1, docsOnly = true)
+        .unionByName(contribRows(merged, 1, docsOnly = false))
+        .unionByName(contribRows(exf, -1, docsOnly = false))
         .groupBy("source", "shard")
         .agg(sum("d_docs").as("d_docs"), sum("d_dedup").as("d_dedup"),
           sum("d_rules").as("d_rules"), sum("d_clf").as("d_clf"),
@@ -204,10 +211,16 @@ object Incremental {
         .withColumn("batch", lit(batchId))
       // delta BEFORE state: the state's bmax is the commit marker, so a
       // crash-retry recomputes a bit-identical delta against unchanged
-      // state and the (batch, shard) partition overwrite replaces it
-      delta.write.mode("overwrite").partitionBy("batch", "shard")
+      // state and the (batch, shard) partition overwrite replaces it.
+      // Write layout: the delta is sources × shards rows → one file; the
+      // key index repartitions BY SHARD so each rewritten shard dir gets
+      // one file instead of one per upstream task (32 tasks × 16 shards
+      // of tiny files dominated the wall at bench scale, and a shard's
+      // readers want few large files at any scale).
+      delta.coalesce(1).write.mode("overwrite").partitionBy("batch", "shard")
         .parquet(deltaDir)
-      merged.write.mode("overwrite").partitionBy("shard").parquet(stateDir)
+      merged.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(stateDir)
       merged.unpersist(blocking = false)
     }
     ex.unpersist(blocking = false)
@@ -234,11 +247,11 @@ object Incremental {
 
   /** Screen one enriched batch — (doc_id long, source, sig array<long>) —
     * against the historical index + the in-batch prefix, writing
-    * per-batch partitions: sigs/ and buckets/ (the index), pairs/ (the
-    * verified (e_id, d_id) matches, earlier < later), decisions/ (per-doc
-    * kept flag + the matched earlier doc under the (batch, id) min).
-    * `threshold` is an integer PERCENT of matching signature components
-    * (exact int compare — no FP).
+    * per-batch partitions: sigs/ (the index; band buckets re-derive from
+    * it on read), pairs/ (the verified (e_id, d_id) matches, earlier <
+    * later), decisions/ (per-doc kept flag + the matched earlier doc
+    * under the (batch, id) min). `thresholdPct` is an integer PERCENT of
+    * matching signature components (exact int compare — no FP).
     */
   def applyNearDupBatch(spark: SparkSession, enriched: DataFrame,
       batchId: Long, stateDir: String, bands: Int, rowsPerBand: Int,
@@ -257,13 +270,14 @@ object Incremental {
     def existingOr(path: String, empty: => DataFrame): DataFrame =
       if (new java.io.File(path).exists()) spark.read.parquet(path) else empty
     val newBuckets = bucketsOf(b)
-    val histBuckets = existingOr(s"$stateDir/buckets",
-      spark.emptyDataFrame.select(lit(0L).as("doc_id"), lit(0).as("band"),
-        lit(0L).as("bucket"), lit(-1L).as("batch")).limit(0))
     val histSigs = existingOr(s"$stateDir/sigs",
       spark.emptyDataFrame.select(lit(0L).as("doc_id"),
         array().cast("array<long>").as("sig"), lit(-1L).as("batch")).limit(0))
-    val earlier = histBuckets.filter(col("batch") < batchId)
+    // historical band buckets are RE-DERIVED from the stored signatures
+    // (a per-row deterministic transform) instead of persisted: the bucket
+    // table is bands× the sig table's rows, and recompute-on-read beats
+    // storing + rereading it at every scale
+    val earlier = bucketsOf(histSigs.filter(col("batch") < batchId))
       .unionByName(newBuckets)
       .select(col("doc_id").as("e_id"), col("batch").as("e_batch"),
         col("band"), col("bucket"))
@@ -291,14 +305,19 @@ object Incremental {
       .withColumn("batch", lit(batchId))
     // pairs/decisions first, index partitions last: on a crash-retry the
     // index's earlier batches are unchanged, so every write recomputes
-    // bit-identically and the per-batch partition overwrite replaces it
+    // bit-identically and the per-batch partition overwrite replaces it.
+    // Each write lands in ONE constant batch partition, so without the
+    // coalesce every upstream task emits its own tiny file there (4 writes
+    // × 32 tasks per micro-batch dominated the wall at bench scale). 4 is
+    // a write-parallelism knob, not a semantic one — a 100 TB deployment
+    // raises it with batch volume.
+    val files = 4
     verified.select(col("e_id"), col("d_id")).withColumn("batch", lit(batchId))
+      .coalesce(files)
       .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/pairs")
-    decisions.write.mode("overwrite").partitionBy("batch")
+    decisions.coalesce(files).write.mode("overwrite").partitionBy("batch")
       .parquet(s"$stateDir/decisions")
-    newBuckets.write.mode("overwrite").partitionBy("batch")
-      .parquet(s"$stateDir/buckets")
-    b.select(col("doc_id"), col("sig"), col("batch"))
+    b.select(col("doc_id"), col("sig"), col("batch")).coalesce(files)
       .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/sigs")
     verified.unpersist(blocking = false)
     b.unpersist(blocking = false)

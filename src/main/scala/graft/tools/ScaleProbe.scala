@@ -727,7 +727,57 @@ object ScaleProbe {
           df => df.select(explode(graft.functions.Registry.wordShingles(
               graft.llm.TextFns.portableTokens(col("text")), 2)).as("g"))
             .groupBy("g").agg(count(lit(1)))
-            .agg(count(lit(1))).head().getLong(0)))
+            .agg(count(lit(1))).head().getLong(0)),
+        // incremental-state families: 3 fixed arrival batches over a
+        // growing corpus — per-batch work scans the prior batches' state,
+        // so TOTAL wall is O(B·n) with B fixed = linear in n. (Timing
+        // includes the staging writes + streaming machinery — the point is
+        // the growth shape, not the constant.)
+        Probe("inc_neardup", 15000,
+          n => corpus(spark, n.toInt),
+          df => {
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_probe_incnd").toString
+            val enrich = (bt: DataFrame) => bt.select(col("doc_id"),
+              col("source"), graft.llm.Dedup.minhashSignature(col("text"),
+                numHashes = 32).as("sig"))
+            val src = df.withColumn("source", lit("s"))
+              .select("doc_id", "source", "text")
+            (0 to 2).foreach { k =>
+              src.filter(pmod(col("doc_id"), lit(3)) === k)
+                .write.parquet(s"$work/src/b$k")
+              new java.io.File(s"$work/src/b$k").listFiles()
+                .foreach(_.setLastModified(1000000000000L + k * 60000L))
+            }
+            graft.streaming.Incremental.maintainNearDup(spark,
+              s"$work/src/*", s"$work/state", s"$work/ck", src.schema, enrich)
+            spark.read.parquet(s"$work/state/decisions")
+              .agg(sum("kept")).head().getLong(0)
+          }),
+        Probe("inc_curation", 50000,
+          n => corpus(spark, n.toInt),
+          df => {
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_probe_inccur").toString
+            // minimal enrich: the probe measures the stateful merge, not
+            // the (separately probed) stage expressions
+            val enrich = (bt: DataFrame) => bt.select(col("doc_id"),
+              lit("s").as("source"), md5(col("text")).as("norm_key"),
+              lit(10L).as("n_words"),
+              (col("doc_id") % 2).cast("long").as("ok_rules"),
+              (col("doc_id") % 3 === 0).cast("long").as("ok_clf"))
+            val src = df.withColumn("source", lit("s"))
+              .select("doc_id", "source", "text")
+            (0 to 2).foreach { k =>
+              src.filter(pmod(col("doc_id"), lit(3)) === k)
+                .write.parquet(s"$work/src/b$k")
+            }
+            graft.streaming.Incremental.maintainCuration(spark,
+              s"$work/src/*", s"$work/state", s"$work/delta", s"$work/ck",
+              src.schema, enrich)
+            graft.streaming.Incremental.curationReport(spark, s"$work/delta")
+              .agg(sum("after_dedup")).head().getLong(0)
+          }))
       var flagged = List.empty[String]
       for (p <- probes) {
         val walls = Seq(1L, 4L, 16L).map { scale =>
