@@ -4105,7 +4105,13 @@ object SparkEntry {
       // checkpoint) between arrivals 2 and 3. Stage verdicts come from the
       // single-sourced q299/q298/q294 builders via curationEnrich; the
       // span screen is corpus-global and stays batch-only by design (see
-      // streaming/Incremental's scaladoc).
+      // streaming/Incremental's scaladoc). Cost profile (the suite's
+      // slowest timed op, ~10 s at sf0.1, BY DESIGN): one invocation runs
+      // THREE full maintenance cycles — classifier-featurizing each
+      // arrival and committing two state tables per batch — plus two
+      // checkpointed streaming-query startups; per-batch cost is flat in
+      // history size (shard-pruned state reads), the property that
+      // matters at 100 TB (ScaleProbe suite: inc_curation).
       val work = java.nio.file.Files.createTempDirectory("graft_inccur").toString
       val docs = t(s, dir, "documents").select("doc_id", "source", "text")
       for (k <- 0 to 1)

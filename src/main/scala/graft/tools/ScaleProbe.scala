@@ -744,7 +744,10 @@ object ScaleProbe {
             val src = df.withColumn("source", lit("s"))
               .select("doc_id", "source", "text")
             (0 to 2).foreach { k =>
-              src.filter(pmod(col("doc_id"), lit(3)) === k)
+              // one part file per arrival: the file source's
+              // maxFilesPerTrigger=1 makes every FILE a micro-batch, so an
+              // un-coalesced 32-file stage dir would become 32 batches
+              src.filter(pmod(col("doc_id"), lit(3)) === k).coalesce(1)
                 .write.parquet(s"$work/src/b$k")
               new java.io.File(s"$work/src/b$k").listFiles()
                 .foreach(_.setLastModified(1000000000000L + k * 60000L))
@@ -769,7 +772,7 @@ object ScaleProbe {
             val src = df.withColumn("source", lit("s"))
               .select("doc_id", "source", "text")
             (0 to 2).foreach { k =>
-              src.filter(pmod(col("doc_id"), lit(3)) === k)
+              src.filter(pmod(col("doc_id"), lit(3)) === k).coalesce(1)
                 .write.parquet(s"$work/src/b$k")
             }
             graft.streaming.Incremental.maintainCuration(spark,
@@ -778,8 +781,14 @@ object ScaleProbe {
             graft.streaming.Incremental.curationReport(spark, s"$work/delta")
               .agg(sum("after_dedup")).head().getLong(0)
           }))
+      // extra args past "suite" filter to named families (re-run one family
+      // without the full sweep): runMain graft.tools.ScaleProbe suite inc_neardup
+      val familyFilter = args.filterNot(_ == "suite").toSet
+      val toRun =
+        if (familyFilter.isEmpty) probes
+        else probes.filter(p => familyFilter.contains(p.name))
       var flagged = List.empty[String]
-      for (p <- probes) {
+      for (p <- toRun) {
         val walls = Seq(1L, 4L, 16L).map { scale =>
           val in = p.mk(p.base * scale).persist()
           in.count()
