@@ -42,6 +42,7 @@ private[graft] object OracleAux {
   @volatile var q264Est: Option[(Long, Long)] = None // (n_shards, merged HLL estimate)
   @volatile var q296Cands: Option[Seq[(Long, Long)]] = None // (anchor_id, candidate_id)
   @volatile var q304Pairs: Option[Seq[(Long, Long)]] = None // (earlier_id, later_id) verified near-dup
+  @volatile var q305Pairs: Option[Seq[(Long, Long)]] = None // q305's near-dup pairs (batch = doc_id % 2)
 }
 
 object SparkEntry {
@@ -4274,6 +4275,40 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getLong(1))).toSeq)
       ord(s.read.parquet(s"$work/state/decisions")
         .select("doc_id", "source", "kept", "matched_id"), "doc_id")
+    }),
+    "q305_incremental_funnel" -> ((s, dir) => {
+      // THE COMPOSED INCREMENTAL FUNNEL — everything a 100 TB curation
+      // run maintains, in one loop: each arriving shard is (1) screened
+      // by the banded MinHash index against ALL history + the in-batch
+      // prefix (q304's keep-first), (2) exact-deduped against the
+      // historical NFC key index with supersession retraction (q301's
+      // global lowest-id-survives), (3) Gopher-ruled and
+      // (4) classifier-passed — with the per-source funnel counters
+      // (docs_in → after_dedup → after_neardup → after_rules → kept)
+      // updated incrementally through the same signed-delta stream. Two
+      // arrivals with a mid-stream restart between them. The oracle
+      // recomputes the whole funnel from scratch: global-min dedup +
+      // q305's stashed near-dup pairs under the (batch = doc_id % 2, id)
+      // order predicate + the q298/q294 stage mirrors — no knowledge of
+      // the incremental machinery.
+      val work = java.nio.file.Files.createTempDirectory("graft_incfun").toString
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$work/src/b0")
+      graft.streaming.Incremental.maintainCurationFunnel(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema, curationEnrich(s) _)
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$work/src/b1")
+      graft.streaming.Incremental.maintainCurationFunnel(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema,
+        curationEnrich(s) _) // restart: only b1 processes
+      OracleAux.q305Pairs = Some(s.read.parquet(s"$work/state/nd/pairs")
+        .select("e_id", "d_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      ord(graft.streaming.Incremental.curationReport(s, s"$work/state/delta",
+        stages = Seq("ok_nd", "ok_rules", "ok_clf"),
+        outNames = Seq("after_neardup", "after_rules", "kept_docs")),
+        "source")
     }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
@@ -9433,7 +9468,82 @@ object SparkEntry {
            |FROM documents dd LEFT JOIN m USING (doc_id)
            |ORDER BY doc_id""".stripMargin
     }
+    // q305: the composed-funnel twin — q301's from-scratch funnel CTEs plus
+    // the q304-style near-dup pair stash under the (doc_id % 2, id) order.
+    val q305 = OracleAux.q305Pairs.map { pairs =>
+      val vals = if (pairs.isEmpty) "(-1,-1)" else values(pairs)
+      "q305_incremental_funnel" ->
+        s"""WITH tk AS (
+           |  SELECT doc_id, source, text, list_filter(
+           |    regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t <> '') AS w
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, source, text, w, CAST(len(w) AS BIGINT) AS n_words,
+           |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')))
+           |      AS norm_key
+           |  FROM tk WHERE len(w) > 0),
+           |feats AS (
+           |  SELECT doc_id,
+           |    CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS n_chars,
+           |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+           |      AS n_alpha,
+           |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
+           |        AS BIGINT) AS n_sym,
+           |    CAST(len(list_filter(w, t -> t IN
+           |      ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+           |      AS n_stop
+           |  FROM base),
+           |bgy AS (
+           |  SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, CAST(n_words AS INT) - 1),
+           |    i -> concat(w[i], ' ', w[i + 1]))) AS bg
+           |  FROM base WHERE n_words > 1),
+           |fy AS (SELECT doc_id,
+           |         list_reduce(list_prepend(CAST(7 AS BIGINT),
+           |           list_transform(string_split(bg, ''),
+           |             c -> CAST(unicode(c) AS BIGINT))),
+           |           (h, c) -> (h * 131 + c) % 2147483647) % 256 AS bucket
+           |       FROM bgy),
+           |fxy AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x
+           |        FROM fy GROUP BY 1, 2),
+           |wty AS (SELECT b AS bucket, (b * 2654435761) % 2000001 - 1000000 AS w_micro
+           |        FROM (SELECT unnest(range(256)) AS b)),
+           |scorey AS (
+           |  SELECT fxy.doc_id,
+           |    CAST(50000 * sum(fxy.x) + sum(fxy.x * wty.w_micro) AS BIGINT)
+           |      AS score_num
+           |  FROM fxy JOIN wty USING (bucket) GROUP BY fxy.doc_id),
+           |raw(e, d) AS (VALUES $vals),
+           |p0 AS (SELECT CAST(e AS BIGINT) AS e, CAST(d AS BIGINT) AS d FROM raw),
+           |pp AS (SELECT e, d FROM p0
+           |       WHERE (e % 2 < d % 2) OR (e % 2 = d % 2 AND e < d)),
+           |ndz AS (SELECT DISTINCT d AS doc_id FROM pp),
+           |staged AS (
+           |  SELECT b.source, b.n_words,
+           |    CASE WHEN b.doc_id = min(b.doc_id) OVER (PARTITION BY b.norm_key)
+           |      THEN 1 ELSE 0 END AS sv1,
+           |    CASE WHEN ndz.doc_id IS NULL THEN 1 ELSE 0 END AS svnd,
+           |    CASE WHEN b.n_words BETWEEN 50 AND 100000
+           |      AND f.n_chars BETWEEN 3 * b.n_words AND 10 * b.n_words
+           |      AND f.n_sym * 10 <= b.n_words
+           |      AND f.n_alpha * 5 >= 4 * b.n_words
+           |      AND f.n_stop >= 2 THEN 1 ELSE 0 END AS sv2,
+           |    CASE WHEN sc.score_num IS NOT NULL AND sc.score_num > 0
+           |      THEN 1 ELSE 0 END AS sv4
+           |  FROM base b
+           |  JOIN feats f USING (doc_id)
+           |  LEFT JOIN ndz ON ndz.doc_id = b.doc_id
+           |  LEFT JOIN scorey sc ON sc.doc_id = b.doc_id)
+           |SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
+           |  CAST(sum(sv1) AS BIGINT) AS after_dedup,
+           |  CAST(sum(sv1 * svnd) AS BIGINT) AS after_neardup,
+           |  CAST(sum(sv1 * svnd * sv2) AS BIGINT) AS after_rules,
+           |  CAST(sum(sv1 * svnd * sv2 * sv4) AS BIGINT) AS kept_docs,
+           |  CAST(sum(sv1 * svnd * sv2 * sv4 * n_words) AS BIGINT) AS kept_tokens
+           |FROM staged GROUP BY source ORDER BY source""".stripMargin
+    }
     (q45.toSeq ++ q50.toSeq ++ q142.toSeq ++ q164.toSeq ++ q236.toSeq ++
-      q264.toSeq ++ q296.toSeq ++ q304.toSeq).toMap
+      q264.toSeq ++ q296.toSeq ++ q304.toSeq ++ q305.toSeq).toMap
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate maintenance (beyond-reference): keep a persistent
@@ -135,17 +135,21 @@ object Incremental {
   // row-local (Gopher, classifier) and key-local (dedup) stages.
 
   /** Apply one enriched curation micro-batch. `enriched` must carry
-    * (doc_id long, source string, norm_key string, n_words long,
-    * ok_rules 0/1, ok_clf 0/1) — the per-doc stage verdicts are computed
-    * UPSTREAM (they are row-local; see SparkEntry's curationEnrich) so this
+    * (doc_id long, source string, norm_key string, n_words long) plus one
+    * 0/1 column per entry of `stages` (ordered; contributions are
+    * cumulative products in that order). The per-doc stage verdicts are
+    * computed UPSTREAM (they are row-local or, for the composed funnel's
+    * ok_nd, come from the near-dup screen's per-batch decisions) so this
     * operator owns only the stateful merge.
     */
   def applyCurationBatch(spark: SparkSession, enriched: DataFrame, batchId: Long,
-      stateDir: String, deltaDir: String, nShards: Int): Unit = {
+      stateDir: String, deltaDir: String, nShards: Int,
+      stages: Seq[String] = Seq("ok_rules", "ok_clf")): Unit = {
+    require(stages.nonEmpty, "at least one stage flag required")
     val b = enriched
-      .select(col("doc_id").cast("long"), col("source"), col("norm_key"),
-        col("n_words").cast("long"), col("ok_rules").cast("long"),
-        col("ok_clf").cast("long"))
+      .select(Seq(col("doc_id").cast("long"), col("source"), col("norm_key"),
+        col("n_words").cast("long")) ++
+        stages.map(st => col(st).cast("long")): _*)
       .withColumn("shard", pmod(xxhash64(col("norm_key")), lit(nShards)).cast("long"))
       .persist()
     // ONE driver read resolves both "which shards does this batch touch"
@@ -154,10 +158,10 @@ object Incremental {
     val stateExists = new java.io.File(stateDir).exists()
     val existingAll =
       if (stateExists) spark.read.parquet(stateDir)
-      else spark.emptyDataFrame.select(lit("").as("norm_key"),
-        lit(0L).as("doc_id"), lit("").as("source"), lit(0L).as("n_words"),
-        lit(0L).as("ok_rules"), lit(0L).as("ok_clf"), lit(-1L).as("bmax"),
-        lit(0L).as("shard")).limit(0)
+      else spark.emptyDataFrame.select(Seq(lit("").as("norm_key"),
+        lit(0L).as("doc_id"), lit("").as("source"), lit(0L).as("n_words")) ++
+        stages.map(st => lit(0L).as(st)) ++
+        Seq(lit(-1L).as("bmax"), lit(0L).as("shard")): _*).limit(0)
     val shardStatus = b.select("shard").distinct()
       .join(existingAll.groupBy("shard").agg(max("bmax").as("bm")),
         Seq("shard"), "left")
@@ -168,46 +172,49 @@ object Incremental {
     val ex = existingAll
       .filter(col("shard").isin(touched.toSeq: _*)) // partition-pruned
       .persist()
-    val fresh = shardStatus.collect { case (s, false) => s }.toSeq
+    val fresh = shardStatus.collect { case (st, false) => st }.toSeq
     if (fresh.nonEmpty) {
-      val keep = Seq("norm_key", "shard", "doc_id", "source", "n_words",
-        "ok_rules", "ok_clf")
+      val keep = Seq("norm_key", "shard", "doc_id", "source", "n_words") ++ stages
       val bf = b.filter(col("shard").isin(fresh: _*))
       val exf = ex.filter(col("shard").isin(fresh: _*))
         .select(keep.head, keep.tail: _*)
-      // new survivor per key: min doc_id over old state ∪ batch, one agg
+      // new survivor per key: min doc_id over old state ∪ batch, one agg;
+      // the survivor's stage flags ride inside the min-struct so a
+      // superseding doc brings ITS verdicts
+      val survStruct = struct(Seq(col("doc_id"), col("source"),
+        col("n_words")) ++ stages.map(col): _*)
       val merged = exf.unionByName(bf.select(keep.head, keep.tail: _*))
         .groupBy("norm_key", "shard")
-        .agg(min(struct(col("doc_id"), col("source"), col("n_words"),
-          col("ok_rules"), col("ok_clf"))).as("s"))
-        .select(col("norm_key"), col("s.doc_id").as("doc_id"),
-          col("s.source").as("source"), col("s.n_words").as("n_words"),
-          col("s.ok_rules").as("ok_rules"), col("s.ok_clf").as("ok_clf"),
-          lit(batchId).as("bmax"), col("shard"))
+        .agg(min(survStruct).as("s"))
+        .select(Seq(col("norm_key"), col("s.doc_id").as("doc_id"),
+          col("s.source").as("source"), col("s.n_words").as("n_words")) ++
+          stages.map(st => col(s"s.$st").as(st)) ++
+          Seq(lit(batchId).as("bmax"), col("shard")): _*)
         .persist()
       // funnel-counter delta = contrib(new survivors) − contrib(old
       // survivors) + docs_in from the raw batch; unchanged keys cancel.
       // All three contribution streams union as ROWS with literal signs
-      // before ONE groupBy — three per-frame aggs plus a final re-agg
-      // would cost four shuffles for the same bounded result
-      def contribRows(df: DataFrame, sign: Int, docsOnly: Boolean): DataFrame =
-        df.select(col("source"), col("shard"),
+      // before ONE groupBy. Per-stage contributions are CUMULATIVE
+      // products in stage order (a doc counts toward stage i only if it
+      // passed stages 0..i), d_tokens = full product × n_words.
+      def contribRows(df: DataFrame, sign: Int, docsOnly: Boolean): DataFrame = {
+        val prods = stages.scanLeft(lit(1L): Column)((acc, st) => acc * col(st)).tail
+        val cols = Seq(col("source"), col("shard"),
           (if (docsOnly) lit(1L) else lit(0L)).as("d_docs"),
-          (if (docsOnly) lit(0L) else lit(sign.toLong)).as("d_dedup"),
-          (if (docsOnly) lit(0L) else lit(sign.toLong) * col("ok_rules"))
-            .as("d_rules"),
-          (if (docsOnly) lit(0L)
-           else lit(sign.toLong) * col("ok_rules") * col("ok_clf")).as("d_clf"),
-          (if (docsOnly) lit(0L)
-           else lit(sign.toLong) * col("ok_rules") * col("ok_clf") *
-             col("n_words")).as("d_tokens"))
+          (if (docsOnly) lit(0L) else lit(sign.toLong)).as("d_dedup")) ++
+          stages.zip(prods).map { case (st, pr) =>
+            (if (docsOnly) lit(0L) else lit(sign.toLong) * pr).as(s"d_$st") } ++
+          Seq((if (docsOnly) lit(0L)
+            else lit(sign.toLong) * prods.last * col("n_words")).as("d_tokens"))
+        df.select(cols: _*)
+      }
+      val deltaCols = Seq("d_docs", "d_dedup") ++ stages.map("d_" + _) :+ "d_tokens"
       val delta = contribRows(bf, 1, docsOnly = true)
         .unionByName(contribRows(merged, 1, docsOnly = false))
         .unionByName(contribRows(exf, -1, docsOnly = false))
         .groupBy("source", "shard")
-        .agg(sum("d_docs").as("d_docs"), sum("d_dedup").as("d_dedup"),
-          sum("d_rules").as("d_rules"), sum("d_clf").as("d_clf"),
-          sum("d_tokens").as("d_tokens"))
+        .agg(sum(deltaCols.head).as(deltaCols.head),
+          deltaCols.tail.map(c => sum(c).as(c)): _*)
         .withColumn("batch", lit(batchId))
       // delta BEFORE state: the state's bmax is the commit marker, so a
       // crash-retry recomputes a bit-identical delta against unchanged
@@ -346,14 +353,21 @@ object Incremental {
   }
 
   /** The maintained funnel report: per-source docs_in / after_dedup /
-    * after_rules / kept_docs / kept_tokens, summed over the delta stream
-    * (bounded by batches × sources × shards rows — never a key-index scan).
+    * one column per stage (named by `outNames`, positionally matching
+    * `stages`) / kept_tokens, summed over the delta stream (bounded by
+    * batches × sources × shards rows — never a key-index scan).
     */
-  def curationReport(spark: SparkSession, deltaDir: String): DataFrame =
-    spark.read.parquet(deltaDir).groupBy("source").agg(
-      sum("d_docs").as("docs_in"), sum("d_dedup").as("after_dedup"),
-      sum("d_rules").as("after_rules"), sum("d_clf").as("kept_docs"),
-      sum("d_tokens").as("kept_tokens"))
+  def curationReport(spark: SparkSession, deltaDir: String,
+      stages: Seq[String] = Seq("ok_rules", "ok_clf"),
+      outNames: Seq[String] = Seq("after_rules", "kept_docs")): DataFrame = {
+    require(stages.length == outNames.length,
+      s"stages/outNames length mismatch: $stages vs $outNames")
+    val aggs = Seq(sum("d_docs").as("docs_in"),
+      sum("d_dedup").as("after_dedup")) ++
+      stages.zip(outNames).map { case (st, o) => sum(s"d_$st").as(o) } :+
+      sum("d_tokens").as("kept_tokens")
+    spark.read.parquet(deltaDir).groupBy("source").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Run the curation maintenance loop over everything currently staged in
     * `srcDir` (AvailableNow + checkpoint, like [[maintain]] — safe to call
@@ -370,6 +384,46 @@ object Incremental {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (bt: DataFrame, id: Long) =>
         applyCurationBatch(spark, enrich(bt), id, stateDir, deltaDir, nShards)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The COMPLETE incremental funnel — q300's program with near-dedup
+    * against ALL history, maintained as one loop: each micro-batch is
+    * first screened by the banded MinHash index ([[applyNearDupBatch]],
+    * state under `stateDir/nd`), its per-doc verdict joins the enriched
+    * curation frame as the `ok_nd` stage flag, and the key-index/delta
+    * update runs with stages (ok_nd, ok_rules, ok_clf) under
+    * `stateDir/key` / `stateDir/delta`. Exactly-once composition: the
+    * near-dup writes replay bit-identically (per-batch partitions over
+    * unchanged earlier state) and the curation update is bmax-guarded, so
+    * a crash anywhere in the chain retries cleanly.
+    */
+  def maintainCurationFunnel(spark: SparkSession, srcDir: String,
+      stateDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      curEnrich: DataFrame => DataFrame, textCol: String = "text",
+      nShards: Int = 16, bands: Int = 16, rowsPerBand: Int = 2,
+      thresholdPct: Int = 70): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        val nd = bt.select(col("doc_id"), col("source"),
+          graft.llm.Dedup.minhashSignature(col(textCol),
+            numHashes = bands * rowsPerBand).as("sig"))
+        applyNearDupBatch(spark, nd, id, s"$stateDir/nd", bands,
+          rowsPerBand, thresholdPct)
+        val ndKept = spark.read.parquet(s"$stateDir/nd/decisions")
+          .filter(col("batch") === id)
+          .select(col("doc_id"), col("kept").as("ok_nd"))
+        applyCurationBatch(spark, curEnrich(bt).join(ndKept, Seq("doc_id")),
+          id, s"$stateDir/key", s"$stateDir/delta", nShards,
+          stages = Seq("ok_nd", "ok_rules", "ok_clf"))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

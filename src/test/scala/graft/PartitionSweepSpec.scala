@@ -124,7 +124,11 @@ class PartitionSweepSpec extends SparkSuite {
     // incremental near-dup: banded candidates + exact integer signature
     // agreement under a pinned (batch, id) order — arrival order fixed by
     // staged file mod-times, signatures partition-invariant
-    "q304_incremental_neardup")
+    "q304_incremental_neardup",
+    // the composed incremental funnel: near-dup keep-first under arrival
+    // order pinned by the two maintain calls (b1 staged after the first),
+    // exact dedup retraction-exact, deltas exact integers
+    "q305_incremental_funnel")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
