@@ -4263,7 +4263,10 @@ object SparkEntry {
         new java.io.File(s"$work/src/b$k").listFiles()
           .foreach(_.setLastModified(modMs))
       }
-      val now = System.currentTimeMillis()
+      // fixed epoch constants (not wall-clock offsets): the file source
+      // orders same-trigger files by mod-time, and pinned constants make
+      // the arrival order deterministic regardless of staging-call timing
+      val now = 1000000000000L + 120000L
       stage(0, now - 120000); stage(1, now - 60000)
       graft.streaming.Incremental.maintainNearDup(s, s"$work/src/*",
         s"$work/state", s"$work/ck", docs.schema, enrich)

@@ -810,6 +810,45 @@ object ScaleProbe {
         sys.exit(1)
       }
     }
+    // batch-count probe (round-11 verdict ask): FIXED corpus, B=3 vs B=12
+    // arrival batches through the incremental near-dup screen — per-batch
+    // wall must stay flat as history accumulates (the stored-posting index
+    // is read pruned per batch; the old form re-derived buckets over all
+    // history, so batch 12 cost ~11× batch 1). Timing uses the direct
+    // batch-mode operator (no stream startup noise); the flag compares the
+    // mean of the LAST three batches (max history) against the FIRST three
+    // (≈no history) at B=12, with an additive floor for fixed per-batch
+    // overhead (temp-dir writes, job setup).
+    if (want("batches")) {
+      val n = 24000
+      val docs = corpus(spark, n).withColumn("source", lit("s")).persist()
+      docs.count()
+      var flaggedB = false
+      for (bCount <- Seq(3, 12)) {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_probe_batches").toString
+        val walls = (0 until bCount).map { k =>
+          val bt = docs.filter(pmod(col("doc_id"), lit(bCount)) === k)
+            .select(col("doc_id"), col("source"),
+              graft.llm.Dedup.minhashSignature(col("text"),
+                numHashes = 32).as("sig"))
+          val (_, t) = time(graft.streaming.Incremental.applyNearDupBatch(
+            spark, bt, k.toLong, s"$work/state", bands = 16, rowsPerBand = 2,
+            thresholdPct = 70))
+          t
+        }
+        val head3 = walls.take(3).sum / 3
+        val tail3 = walls.takeRight(3).sum / 3
+        val flag = bCount == 12 && tail3 > head3 * 2.0 + 0.3
+        if (flag) flaggedB = true
+        println(f"SCALE batches B=$bCount%2d corpus=$n  " +
+          f"per-batch=[${walls.map(w => f"$w%.2f").mkString(",")}]  " +
+          f"head3=${head3}%5.2f s  tail3=${tail3}%5.2f s  " +
+          f"${if (flag) "FLAG(per-batch wall grows with history)" else "ok"}")
+      }
+      docs.unpersist(blocking = false)
+      if (flaggedB) { spark.stop(); sys.exit(1) }
+    }
     spark.stop()
   }
 }

@@ -730,7 +730,7 @@ class StreamingSpec extends SparkSuite {
         .foreach(_.setLastModified(modMs))
     }
     val schema = docs.select("doc_id", "source", "text").schema
-    val now = System.currentTimeMillis()
+    val now = 1000000000000L + 60000L // fixed epoch: deterministic order
     stage(Seq(0L, 1L, 2L), "b0", now - 60000)
     Incremental.maintainNearDup(spark, s"$work/src/*", state, s"$work/ck",
       schema, enrich)
@@ -754,5 +754,38 @@ class StreamingSpec extends SparkSuite {
         .select("doc_id", "source", "text")),
       1L, state, bands = 16, rowsPerBand = 2, thresholdPct = 70)
     assert(decisions() == d)
+  }
+
+  test("near-dup index: per-batch state read prunes to the batch's bucket prefixes") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    // Build a 3-batch posting index, then measure the FILES a pruned read
+    // actually opens (input_file_name over the filtered read): restricting
+    // to a small bucket-prefix set + earlier batches must touch strictly
+    // fewer files than the index holds — the property that makes per-batch
+    // state access O(touched prefixes) instead of O(history).
+    val work = java.nio.file.Files.createTempDirectory("graft_ndprune").toString
+    val state = s"$work/state"
+    val docs = graft.tools.ScaleProbe.corpus(spark, 600)
+      .withColumn("source", lit("s"))
+    for (k <- 0 until 3) {
+      val bt = docs.filter(pmod(col("doc_id"), lit(3)) === k)
+        .select(col("doc_id"), col("source"),
+          graft.llm.Dedup.minhashSignature(col("text"), numHashes = 32).as("sig"))
+      Incremental.applyNearDupBatch(spark, bt, k.toLong, state,
+        bands = 16, rowsPerBand = 2, thresholdPct = 70)
+    }
+    val idx = spark.read.parquet(s"$state/idx")
+    val totalFiles = idx.select(input_file_name()).distinct().count()
+    val prunedFiles = idx
+      .filter(col("bp").isin(0L, 1L, 2L, 3L) && col("batch") < 2)
+      .select(input_file_name()).distinct().count()
+    assert(totalFiles >= 64, s"expected one file per (bp, batch): $totalFiles")
+    assert(prunedFiles <= 8 && prunedFiles < totalFiles / 8,
+      s"pruned read opened $prunedFiles of $totalFiles files")
+    // postings carry the signature: verification is a projection of the
+    // candidate join, no second state fetch
+    assert(idx.columns.toSet ==
+      Set("band", "bucket", "doc_id", "sig", "bp", "batch"))
   }
 }
