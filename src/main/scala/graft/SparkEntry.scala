@@ -43,6 +43,7 @@ private[graft] object OracleAux {
   @volatile var q296Cands: Option[Seq[(Long, Long)]] = None // (anchor_id, candidate_id)
   @volatile var q304Pairs: Option[Seq[(Long, Long)]] = None // (earlier_id, later_id) verified near-dup
   @volatile var q305Pairs: Option[Seq[(Long, Long)]] = None // q305's near-dup pairs (batch = doc_id % 2)
+  @volatile var q307Pairs: Option[Seq[(Long, Long)]] = None // q307's pairs (compacted state, batch = doc_id % 3)
 }
 
 object SparkEntry {
@@ -4313,6 +4314,70 @@ object SparkEntry {
         outNames = Seq("after_neardup", "after_rules", "kept_docs")),
         "source")
     }),
+    "q307_compacted_neardup" -> ((s, dir) => {
+      // COMPACTED incremental near-dup — q304's maintained screen with a
+      // state COMPACTION between arrivals: batches 0–1 fold into base
+      // partitions (few large files; original batch ids preserved as a
+      // data column so the (batch, id) keep-first order survives the
+      // fold), the _highwater marker turns any late replay of a folded
+      // batch into a guarded no-op, and arrival 3 screens against the
+      // compacted base + its own in-batch prefix. Decisions must equal
+      // the never-compacted run — the oracle is q304's from-scratch
+      // recompute, with no knowledge of compaction OR batching.
+      val work = java.nio.file.Files.createTempDirectory("graft_cmpnd").toString
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val enrich = (bt: DataFrame) => bt.select(col("doc_id"), col("source"),
+        Dedup.minhashSignature(col("text"), numHashes = 32).as("sig"))
+      def stage(k: Int, modMs: Long): Unit = {
+        docs.filter(col("doc_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(modMs))
+      }
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      stage(0, now - 120000); stage(1, now - 60000)
+      graft.streaming.Incremental.maintainNearDup(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema, enrich)
+      graft.streaming.Incremental.compact(s, s"$work/state", upToBatch = 1L)
+      stage(2, now)
+      graft.streaming.Incremental.maintainNearDup(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema, enrich) // restart: only b2
+      OracleAux.q307Pairs = Some(graft.streaming.Incremental
+        .ndPairs(s, s"$work/state").select("e_id", "d_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      ord(graft.streaming.Incremental.ndDecisions(s, s"$work/state")
+        .select("doc_id", "source", "kept", "matched_id"), "doc_id")
+    }),
+    "q306_incremental_spanscreen" -> ((s, dir) => {
+      // INCREMENTAL duplicated-span screen — the one q300 stage the
+      // composed funnel lacked, because it is corpus-GLOBAL: a later
+      // arrival can duplicate an EARLIER doc's 15-gram and flip that
+      // doc's verdict. The gram-count MV (window hash → count, the q293
+      // hash-first form) folds each arriving shard; while a gram is a
+      // singleton its one (doc, pos) holder rides in the row, and the
+      // 1 → ≥2 crossing retro-covers that holder — the append-only corpus
+      // makes the flip one-shot, so retraction is a single set-union into
+      // the per-doc coverage MV (sorted covered window starts; kept
+      // counts derive on read by a row-local interval sweep). Three
+      // arrivals with a mid-stream restart (same checkpoint). The oracle
+      // recomputes the screen from scratch on exact STRING grams with no
+      // knowledge of the batching — the window-hash ↔ string map is
+      // audited bijective on the test corpora (see the Incremental
+      // scaladoc's exactness note).
+      val work = java.nio.file.Files.createTempDirectory("graft_incspan").toString
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      for (k <- 0 to 1)
+        docs.filter(col("doc_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+      graft.streaming.Incremental.maintainSpans(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema)
+      docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.parquet(s"$work/src/b2")
+      graft.streaming.Incremental.maintainSpans(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema) // restart: only b2
+      ord(graft.streaming.Incremental.spanVerdicts(s, s"$work/state")
+        .select("doc_id", "n_tok", "n_kept", "ok_span"), "doc_id")
+    }),
     "q276_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking — the THIRD entity-resolution blocking
       // scheme beside q144's SymSpell deletion neighborhoods and q158's
@@ -7191,6 +7256,34 @@ object SparkEntry {
         |  CAST(sum(sv1 * sv2 * sv4) AS BIGINT) AS kept_docs,
         |  CAST(sum(sv1 * sv2 * sv4 * n_words) AS BIGINT) AS kept_tokens
         |FROM staged GROUP BY source ORDER BY source""".stripMargin,
+    "q306_incremental_spanscreen" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, toks, length(toks) AS n FROM tk WHERE length(toks) > 0),
+        |sh AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n < 15 THEN [array_to_string(toks, ' ')]
+        |      ELSE list_transform(generate_series(1, n - 14),
+        |        i -> array_to_string(toks[i:i+14], ' ')) END AS grams
+        |  FROM n0),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    unnest(generate_series(0, length(grams) - 1)) AS pos,
+        |    unnest(grams) AS gram
+        |  FROM sh),
+        |b AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT g.doc_id, unnest(generate_series(g.pos, least(g.pos + 14, g.n - 1))) AS p
+        |    FROM g JOIN b USING (gram))),
+        |covn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ncov FROM cov GROUP BY doc_id)
+        |SELECT n0.doc_id, CAST(n0.n AS BIGINT) AS n_tok,
+        |  CAST(n0.n - coalesce(ncov, 0) AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN 2 * (n0.n - coalesce(ncov, 0)) >= n0.n
+        |    THEN 1 ELSE 0 END AS BIGINT) AS ok_span
+        |FROM n0 LEFT JOIN covn USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q302_mixture_materialization" ->
       """WITH d AS (
         |  SELECT doc_id, source, CAST(len(list_filter(
@@ -9471,6 +9564,25 @@ object SparkEntry {
            |FROM documents dd LEFT JOIN m USING (doc_id)
            |ORDER BY doc_id""".stripMargin
     }
+    // q307: compaction must be invisible to the oracle — the SAME
+    // from-scratch recompute as q304 (order predicate batch = doc_id % 3),
+    // over the pairs read through the base+live union.
+    val q307 = OracleAux.q307Pairs.map { pairs =>
+      val vals = if (pairs.isEmpty) "(-1,-1)" else values(pairs)
+      "q307_compacted_neardup" ->
+        s"""WITH raw(e, d) AS (VALUES $vals),
+           |p0 AS (SELECT CAST(e AS BIGINT) AS e, CAST(d AS BIGINT) AS d FROM raw),
+           |p AS (SELECT e, d FROM p0
+           |      WHERE (e % 3 < d % 3) OR (e % 3 = d % 3 AND e < d)),
+           |m AS (SELECT d AS doc_id,
+           |        min((e % 3) * 10000000000 + e) AS enc
+           |      FROM p GROUP BY d)
+           |SELECT dd.doc_id, dd.source,
+           |  CAST(CASE WHEN m.enc IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           |  m.enc % 10000000000 AS matched_id
+           |FROM documents dd LEFT JOIN m USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+    }
     // q305: the composed-funnel twin — q301's from-scratch funnel CTEs plus
     // the q304-style near-dup pair stash under the (doc_id % 2, id) order.
     val q305 = OracleAux.q305Pairs.map { pairs =>
@@ -9547,6 +9659,7 @@ object SparkEntry {
            |FROM staged GROUP BY source ORDER BY source""".stripMargin
     }
     (q45.toSeq ++ q50.toSeq ++ q142.toSeq ++ q164.toSeq ++ q236.toSeq ++
-      q264.toSeq ++ q296.toSeq ++ q304.toSeq ++ q305.toSeq).toMap
+      q264.toSeq ++ q296.toSeq ++ q304.toSeq ++ q305.toSeq ++
+      q307.toSeq).toMap
   }
 }

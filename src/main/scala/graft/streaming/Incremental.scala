@@ -153,14 +153,15 @@ object Incremental {
     * directory walk here is the plain-parquet analogue.
     */
   private def shardFooterMax(spark: SparkSession, stateDir: String,
-      column: String): Option[Map[Long, Long]] = {
+      partCol: String, column: String): Option[Map[Long, Long]] = {
     import scala.jdk.CollectionConverters._
     val root = new java.io.File(stateDir)
     if (!root.exists()) return Some(Map.empty)
     val conf = spark.sessionState.newHadoopConf()
     val perShard = scala.collection.mutable.Map.empty[Long, Long]
-    for (d <- root.listFiles() if d.isDirectory && d.getName.startsWith("shard=")) {
-      val shard = d.getName.stripPrefix("shard=").toLong
+    for (d <- root.listFiles()
+         if d.isDirectory && d.getName.startsWith(s"$partCol=")) {
+      val shard = d.getName.stripPrefix(s"$partCol=").toLong
       for (f <- d.listFiles() if f.getName.endsWith(".parquet")) {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.getPath), conf)
@@ -227,7 +228,7 @@ object Incremental {
     // which touched shards already applied this batch (at-least-once retry
     // guard): per-shard max(bmax) from footer stats — flat in state SIZE —
     // with a touched-shard-pruned scan as the stats-missing fallback
-    val bmaxByShard = shardFooterMax(spark, stateDir, "bmax").getOrElse {
+    val bmaxByShard = shardFooterMax(spark, stateDir, "shard", "bmax").getOrElse {
       existingAll.filter(col("shard").isin(touched: _*))
         .groupBy("shard").agg(max("bmax").as("bm"))
         .collect().map(r => r.getAs[Number](0).longValue ->
@@ -348,9 +349,28 @@ object Incremental {
     * `thresholdPct` is an integer PERCENT of matching signature
     * components (exact int compare — no FP).
     */
+  /** High-water batch id recorded by [[compactNearDup]] (−1 when never
+    * compacted). Underscore-prefixed so Spark's file index never reads it
+    * as data.
+    */
+  private def highwater(stateDir: String): Long = {
+    val f = new java.io.File(stateDir, "_highwater")
+    if (f.exists()) new String(java.nio.file.Files.readAllBytes(f.toPath))
+      .trim.toLong
+    else -1L
+  }
+
   def applyNearDupBatch(spark: SparkSession, enriched: DataFrame,
       batchId: Long, stateDir: String, bands: Int, rowsPerBand: Int,
       thresholdPct: Int, nBp: Int = 64): Unit = {
+    // a batch at or below the compaction high-water mark was folded into
+    // the base partitions — its per-batch partitions no longer exist, so a
+    // late replay must be a no-op (re-writing them would double the rows
+    // the fold already holds). Compaction's contract is to run only on
+    // checkpoint-committed batches, so such a replay is already impossible
+    // in the streaming loop; this guard extends the safety to direct
+    // batch-mode callers.
+    if (batchId <= highwater(stateDir)) return
     // partition-granular overwrite requires dynamic mode (static would
     // delete all earlier batches' state) — required here, not just in the
     // maintain* wrappers, so direct batch callers are safe
@@ -372,15 +392,20 @@ object Incremental {
     val bps = newIdx.select("bp").distinct()
       .collect().map(_.getAs[Number](0).longValue).toSeq // bounded by nBp
     def existingOr(path: String, empty: => DataFrame): DataFrame =
-      if (new java.io.File(path).exists()) spark.read.parquet(path) else empty
+      parquetIfAny(spark, path).getOrElse(empty)
     // pruned history read: ONLY the batch's bucket prefixes, ONLY earlier
-    // batches — both are partition filters; per-batch state access is
-    // O(touched prefixes), independent of how many batches came before
-    val hist = existingOr(s"$stateDir/idx",
-      spark.emptyDataFrame.select(lit(0L).as("doc_id"),
-        array().cast("array<long>").as("sig"), lit(0).as("band"),
-        lit(0L).as("bucket"), lit(-1L).as("bp"), lit(-1L).as("batch")).limit(0))
+    // batches — bp and (on the live side) batch are partition filters;
+    // per-batch state access is O(touched prefixes), independent of how
+    // many batches came before. Compacted history lives in idx_base/
+    // (bp-partitioned, original batch ids as a data column — preserved so
+    // the (e_batch, e_id) keep-first order survives compaction).
+    def emptyIdx = spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+      array().cast("array<long>").as("sig"), lit(0).as("band"),
+      lit(0L).as("bucket"), lit(-1L).as("bp"), lit(-1L).as("batch")).limit(0)
+    val hist = existingOr(s"$stateDir/idx", emptyIdx)
       .filter(col("bp").isin(bps: _*) && col("batch") < batchId)
+      .unionByName(existingOr(s"$stateDir/idx_base", emptyIdx)
+        .filter(col("bp").isin(bps: _*) && col("batch") < batchId))
     val earlier = hist.select(col("doc_id"), col("batch"), col("sig"),
         col("band"), col("bucket"))
       .unionByName(newIdx.drop("bp"))
@@ -447,6 +472,369 @@ object Incremental {
       .foreachBatch { (bt: DataFrame, id: Long) =>
         applyNearDupBatch(spark, enrich(bt), id, stateDir, bands,
           rowsPerBand, thresholdPct, nBp)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // ── incremental state compaction ─────────────────────────────────────
+  // Per-batch partitions (near-dup idx/pairs/decisions; curation deltas)
+  // accumulate one partition per arrival forever — harmless at 3 batches,
+  // but a production loop runs thousands, and small-file counts grow
+  // O(batches). Compaction folds every partition at or below `upToBatch`
+  // into base storage with few large files, preserving BOTH the read
+  // semantics (original batch ids survive as a data column, so the
+  // (e_batch, e_id) keep-first order and `batch < batchId` predicates are
+  // unchanged) and replay idempotence (the `_highwater` marker makes a
+  // late replay of a folded batch a guarded no-op — see
+  // [[applyNearDupBatch]]).
+  //
+  // CONTRACT: run compaction at a quiescent point, on batches the stream
+  // checkpoint has committed. The fold is write-then-swap-then-delete; on
+  // plain parquet directories the delete step is a non-atomic window. For
+  // the near-dup fold a crash there is repaired by re-running the SAME
+  // compact call (the fold re-reads remaining partitions plus the
+  // already-written base and row-level `distinct()` collapses the
+  // overlap — rows are bit-identical). The delta fold's rows are SUMS, so
+  // its window is not self-repairing — a table format's atomic commit log
+  // is what closes it in production; on plain parquet, quiesce and don't
+  // crash mid-compact.
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
+  /** True when `f` (file or dir) holds at least one parquet data file — an
+    * empty dynamic-overwrite write leaves a dir with no partitions, which
+    * breaks schema inference on a bare read.
+    */
+  private def hasParquet(f: java.io.File): Boolean =
+    (f.isFile && f.getName.endsWith(".parquet")) ||
+      (f.isDirectory &&
+        Option(f.listFiles()).exists(_.exists(hasParquet)))
+
+  private def parquetIfAny(spark: SparkSession, path: String): Option[DataFrame] = {
+    val f = new java.io.File(path)
+    if (f.exists() && hasParquet(f)) Some(spark.read.parquet(path)) else None
+  }
+
+  /** Fold the near-dup screen's per-batch partitions ≤ `upToBatch` into
+    * base storage: idx_base/ (bp-partitioned postings, original batch ids
+    * as a data column), pairs_base/ and decisions_base/ (flat, few files).
+    * Writes the `_highwater` marker last. Read the results through
+    * [[ndDecisions]] / [[ndPairs]], which union base + live partitions.
+    */
+  def compactNearDup(spark: SparkSession, stateDir: String,
+      upToBatch: Long): Unit = {
+    require(new java.io.File(s"$stateDir/idx").exists(),
+      s"no near-dup state under $stateDir")
+    def foldOne(live: String, base: String, finish: DataFrame => DataFrame,
+        partCols: Seq[String]): Unit = {
+      val liveDir = s"$stateDir/$live"; val baseDir = s"$stateDir/$base"
+      val tmpDir = s"$stateDir/_$base.tmp"
+      def rd(p: String) = parquetIfAny(spark, p)
+      val folded = (rd(liveDir).map(_.filter(col("batch") <= upToBatch)).toSeq ++
+        rd(baseDir).toSeq).reduceOption(_ unionByName _)
+      folded.foreach { df =>
+        // distinct: a re-run after a crash between swap and delete sees the
+        // folded rows twice (still-present live partitions + new base);
+        // rows are bit-identical, so this collapses the overlap
+        val out = finish(df.distinct())
+        if (partCols.isEmpty) out.write.mode("overwrite").parquet(tmpDir)
+        else out.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmpDir)
+        // swap base, then drop the folded per-batch partitions
+        val baseF = new java.io.File(baseDir)
+        if (baseF.exists()) deleteRec(baseF)
+        new java.io.File(tmpDir).renameTo(baseF)
+        val liveF = new java.io.File(liveDir)
+        val batchDirs = Option(liveF.listFiles()).getOrElse(Array.empty)
+          .flatMap { d =>
+            if (d.getName.startsWith("batch=")) Array(d)
+            else Option(d.listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.startsWith("batch="))
+          }
+        batchDirs
+          .filter(_.getName.stripPrefix("batch=").toLong <= upToBatch)
+          .foreach(deleteRec)
+      }
+    }
+    // postings: keep the bp partitioning (the per-batch pruned read needs
+    // it) but collapse each prefix's many per-batch files into one
+    foldOne("idx", "idx_base",
+      _.repartition(col("bp")).select("band", "bucket", "doc_id", "sig",
+        "batch", "bp"),
+      Seq("bp"))
+    foldOne("pairs", "pairs_base", _.coalesce(4), Nil)
+    foldOne("decisions", "decisions_base", _.coalesce(4), Nil)
+    java.nio.file.Files.writeString(
+      new java.io.File(stateDir, "_highwater").toPath, upToBatch.toString)
+  }
+
+  /** All near-dup decisions: compacted base + live per-batch partitions. */
+  def ndDecisions(spark: SparkSession, stateDir: String): DataFrame =
+    Seq(s"$stateDir/decisions", s"$stateDir/decisions_base")
+      .flatMap(parquetIfAny(spark, _))
+      .map(_.select("doc_id", "source", "kept", "matched_id", "batch"))
+      .reduce(_ unionByName _)
+
+  /** All verified near-dup pairs: compacted base + live partitions. */
+  def ndPairs(spark: SparkSession, stateDir: String): DataFrame =
+    Seq(s"$stateDir/pairs", s"$stateDir/pairs_base")
+      .flatMap(parquetIfAny(spark, _))
+      .map(_.select("e_id", "d_id", "batch"))
+      .reduce(_ unionByName _)
+
+  /** Fold the curation delta stream's per-(batch, shard) partitions ≤
+    * `upToBatch` into the single partition (upToBatch, shard) — the report
+    * is a SUM over deltas, so folding preserves it exactly. The fold
+    * writes via dynamic partition overwrite (staged commit: the read of
+    * the old files completes before the replacement lands), then deletes
+    * the strictly-older batch partitions.
+    */
+  def compactDeltas(spark: SparkSession, deltaDir: String,
+      upToBatch: Long): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val d = spark.read.parquet(deltaDir)
+    val deltaCols = d.columns.filter(_.startsWith("d_")).toSeq
+    val folded = d.filter(col("batch") <= upToBatch)
+      .groupBy("source", "shard")
+      .agg(sum(deltaCols.head).as(deltaCols.head),
+        deltaCols.tail.map(c => sum(c).as(c)): _*)
+      .withColumn("batch", lit(upToBatch))
+    folded.coalesce(1).write.mode("overwrite").partitionBy("batch", "shard")
+      .parquet(deltaDir)
+    Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        f.getName.stripPrefix("batch=").toLong < upToBatch)
+      .foreach(deleteRec)
+  }
+
+  /** Compact a composed-funnel state layout ([[maintainCurationFunnel]]:
+    * nd/ + key/ + delta/) or a standalone near-dup state in one call. The
+    * key index needs no compaction — it is one row per key already.
+    */
+  def compact(spark: SparkSession, stateDir: String, upToBatch: Long): Unit = {
+    if (new java.io.File(s"$stateDir/idx").exists())
+      compactNearDup(spark, stateDir, upToBatch)
+    if (new java.io.File(s"$stateDir/nd/idx").exists())
+      compactNearDup(spark, s"$stateDir/nd", upToBatch)
+    if (new java.io.File(s"$stateDir/delta").exists())
+      compactDeltas(spark, s"$stateDir/delta", upToBatch)
+  }
+
+  // ── incremental dup-SPAN screen (gram-count MV) ──────────────────────
+  // The one q300 stage the composed funnel lacked: the duplicated-span
+  // contamination screen (≤50% of a doc's tokens inside corpus-duplicated
+  // 15-grams, the q293 statistic) is corpus-GLOBAL — a doc's verdict can
+  // change when a LATER batch duplicates one of its grams — so its
+  // incremental form needs per-doc coverage RETRACTION, not just per-batch
+  // flags. Two sharded state MVs make that exact AND append-cheap:
+  //
+  //  - `gc/`: the gram-count MV — one row per distinct window hash
+  //    (gh → cnt), sharded pmod(gh, nGramShards). Because the corpus is
+  //    append-only, cnt is monotone and "duplicated" (cnt ≥ 2) flips at
+  //    most ONCE per gram — so the row also carries the holder (h_doc,
+  //    h_pos) of the single occurrence while cnt == 1: the crossing
+  //    1 → ≥2 is exactly when that one historical position must be
+  //    retro-covered, and after it no further retraction can ever occur.
+  //    No inverted gram→doc index is needed — state is O(distinct grams).
+  //  - `cov/`: the per-doc coverage MV — (doc_id, source, n_tok, starts),
+  //    sharded pmod(doc_id, nDocShards), where `starts` is the sorted
+  //    distinct set of covered WINDOW STARTS so far. The merge is a set
+  //    UNION (idempotent, order-free); kept-token counts derive on read by
+  //    a row-local interval sweep, so nothing global is ever recomputed.
+  //
+  // Per batch: hash the batch's windows once (graft_shingle_hashes, the
+  // q293 hash-first form), fold counts into the touched gc shards, emit
+  // (a) covered starts for batch occurrences whose gram is now duplicated
+  // and (b) retro starts for crossings' historical holders, and union both
+  // into the touched cov shards. Cost is O(batch grams + touched shards);
+  // nothing scans history.
+  //
+  // Crash-retry ordering: cov is written BEFORE gc, and both carry
+  // per-shard bmax guards. All deltas derive from gc's OLD state, so a
+  // retry before gc committed recomputes them bit-identically (cov's union
+  // merge is idempotent and its applied shards are skipped by bmax); once
+  // gc committed, the whole batch had already committed (cov precedes it).
+  // Exactness: window hashes stand in for exact gram strings (64-bit
+  // xxhash-fold; the batch scrubber's exact-string verify exists to kill
+  // collisions, and the differential gate + a corpus audit confirm the
+  // hash↔string map is bijective on the test corpora). A production run
+  // pairs this with a periodic batch audit — the maintained MV is the
+  // fast path, not the last word.
+  //
+  // Sizing nGramShards/nDocShards: same rule as [[applyCurationBatch]]'s
+  // nShards — size from the CORPUS (distinct grams / docs × row bytes ÷
+  // target shard file size), not the batch.
+
+  /** Apply one raw document micro-batch — (doc_id long, source string,
+    * text string) — to the span-screen state under `stateDir`
+    * (`gc/` + `cov/`). Tokenization is [[graft.llm.TextFns.portableTokens]];
+    * docs with zero tokens are ignored (same contract as the batch
+    * scrubber). Requires graft function registration (graft_shingle_hashes).
+    */
+  def applySpanBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      stateDir: String, n: Int = 15, nGramShards: Int = 32,
+      nDocShards: Int = 32): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val gcDir = s"$stateDir/gc"; val covDir = s"$stateDir/cov"
+    val b = batch
+      .select(col("doc_id").cast("long"), col("source"),
+        graft.llm.TextFns.portableTokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") > 0)
+      .persist()
+    // one window-hash pass over the batch (never over history)
+    val occ = b.selectExpr("doc_id", "n_tok",
+      s"posexplode(graft_shingle_hashes(toks, $n)) AS (pos, gh)")
+    val gAgg = occ.groupBy("gh")
+      .agg(count(lit(1)).as("cnt_b"),
+        min(struct(col("doc_id"), col("pos").cast("long").as("pos"))).as("hm"))
+      .withColumn("gshard", pmod(col("gh"), lit(nGramShards)).cast("long"))
+      .persist()
+    val touchedG = gAgg.select("gshard").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    if (touchedG.isEmpty) {
+      gAgg.unpersist(blocking = false); b.unpersist(blocking = false); return
+    }
+    val gcBmax = shardFooterMax(spark, gcDir, "gshard", "bmax").getOrElse {
+      spark.read.parquet(gcDir).filter(col("gshard").isin(touchedG: _*))
+        .groupBy("gshard").agg(max("bmax").as("bm"))
+        .collect().map(r => r.getAs[Number](0).longValue ->
+          r.getAs[Number](1).longValue).toMap
+    }
+    val freshG = touchedG.filterNot(s => gcBmax.get(s).exists(_ >= batchId))
+    val gcOld = (
+      if (new java.io.File(gcDir).exists()) spark.read.parquet(gcDir)
+      else spark.emptyDataFrame.select(lit(0L).as("gh"), lit(0L).as("cnt"),
+        lit(-1L).as("h_doc"), lit(-1L).as("h_pos"), lit(-1L).as("bmax"),
+        lit(0L).as("gshard")).limit(0))
+      .filter(col("gshard").isin(freshG: _*)) // partition-pruned
+      .select(col("gh"), col("cnt").as("cnt_o"), col("h_doc").as("hdoc_o"),
+        col("h_pos").as("hpos_o"), col("gshard").as("gshard_o"))
+    // fold batch counts into old counts; rows only-in-old pass through
+    // (the shard partitions rewrite whole), rows only-in-batch insert
+    val joined = gcOld
+      .join(gAgg.filter(col("gshard").isin(freshG: _*)), Seq("gh"),
+        "full_outer")
+      .withColumn("cnt",
+        coalesce(col("cnt_o"), lit(0L)) + coalesce(col("cnt_b"), lit(0L)))
+      .persist()
+    val gcNew = joined.select(col("gh"), col("cnt"),
+      when(col("cnt") === 1, coalesce(col("hdoc_o"), col("hm.doc_id")))
+        .otherwise(lit(-1L)).as("h_doc"),
+      when(col("cnt") === 1, coalesce(col("hpos_o"), col("hm.pos")))
+        .otherwise(lit(-1L)).as("h_pos"),
+      lit(batchId).as("bmax"),
+      coalesce(col("gshard_o"), col("gshard")).as("gshard"))
+    // crossings: a gram that WAS a singleton just became duplicated — its
+    // one historical occurrence gets retro-covered (the retraction)
+    val retro = joined
+      .filter(col("cnt_o") === 1 && col("cnt_b") >= 1)
+      .groupBy(col("hdoc_o").as("doc_id"))
+      .agg(collect_list(col("hpos_o")).as("starts"))
+      .select(col("doc_id"), lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_tok"), col("starts"))
+    // batch occurrences whose gram is duplicated NOW (by history, by the
+    // batch itself, or both) — a batch-gram-sized semi join, never O(state)
+    val dupGh = joined.filter(col("cnt_b") >= 1 && col("cnt") >= 2)
+      .select("gh")
+    val coveredStarts = occ.join(dupGh, Seq("gh"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("pos").cast("long")).as("starts"))
+    val emptyArr = array().cast("array<long>")
+    val base = b.select("doc_id", "source", "n_tok")
+      .join(coveredStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        coalesce(col("starts"), emptyArr).as("starts"))
+    val covDelta = base.unionByName(retro)
+      .groupBy("doc_id")
+      .agg(max(col("source")).as("src_d"), max(col("n_tok")).as("nt_d"),
+        flatten(collect_list(col("starts"))).as("starts_d"))
+      .withColumn("dshard", pmod(col("doc_id"), lit(nDocShards)).cast("long"))
+      .persist()
+    val touchedD = covDelta.select("dshard").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    val covBmax = shardFooterMax(spark, covDir, "dshard", "bmax").getOrElse {
+      spark.read.parquet(covDir).filter(col("dshard").isin(touchedD: _*))
+        .groupBy("dshard").agg(max("bmax").as("bm"))
+        .collect().map(r => r.getAs[Number](0).longValue ->
+          r.getAs[Number](1).longValue).toMap
+    }
+    val freshD = touchedD.filterNot(s => covBmax.get(s).exists(_ >= batchId))
+    if (freshD.nonEmpty) {
+      val covOld = (
+        if (new java.io.File(covDir).exists()) spark.read.parquet(covDir)
+        else spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+          lit("").as("source"), lit(0L).as("n_tok"), emptyArr.as("starts"),
+          lit(-1L).as("bmax"), lit(0L).as("dshard")).limit(0))
+        .filter(col("dshard").isin(freshD: _*)) // partition-pruned
+        .select(col("doc_id"), col("source").as("src_o"),
+          col("n_tok").as("nt_o"), col("starts").as("starts_o"),
+          col("dshard").as("dsh_o"))
+      // coverage merge = set UNION of window starts (idempotent); a doc's
+      // n_tok/source come from whichever side knows them (retro rows don't)
+      val mergedCov = covOld
+        .join(covDelta.filter(col("dshard").isin(freshD: _*)), Seq("doc_id"),
+          "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("src_o"), col("src_d")).as("source"),
+          coalesce(col("nt_o"), col("nt_d")).as("n_tok"),
+          array_sort(array_distinct(concat(
+            coalesce(col("starts_o"), emptyArr),
+            coalesce(col("starts_d"), emptyArr)))).as("starts"),
+          lit(batchId).as("bmax"),
+          coalesce(col("dsh_o"), col("dshard")).as("dshard"))
+      // cov BEFORE gc: every delta above derives from gc's OLD state, so a
+      // crash-retry anywhere recomputes bit-identical content (gc's bmax is
+      // the batch's commit marker; cov's own bmax skips its applied shards)
+      mergedCov.repartition(col("dshard"))
+        .write.mode("overwrite").partitionBy("dshard").parquet(covDir)
+    }
+    if (freshG.nonEmpty)
+      gcNew.repartition(col("gshard"))
+        .write.mode("overwrite").partitionBy("gshard").parquet(gcDir)
+    joined.unpersist(blocking = false)
+    covDelta.unpersist(blocking = false)
+    gAgg.unpersist(blocking = false)
+    b.unpersist(blocking = false)
+  }
+
+  /** The maintained span-screen verdicts: per doc (n_tok, n_kept, ok_span)
+    * where n_kept counts tokens OUTSIDE the union of covered windows — a
+    * row-local interval sweep over the stored sorted starts; ok_span is
+    * the q300 gate (kept tokens ≥ half). Never touches the gram MV.
+    */
+  def spanVerdicts(spark: SparkSession, stateDir: String,
+      n: Int = 15): DataFrame =
+    spark.read.parquet(s"$stateDir/cov")
+      .withColumn("covered", expr(
+        s"""aggregate(starts, named_struct('a', 0L, 'e', -1L),
+           |  (s, x) -> named_struct(
+           |    'a', s.a + greatest(0L, least(x + ${n - 1}, n_tok - 1)
+           |                        - greatest(x, s.e + 1) + 1L),
+           |    'e', greatest(s.e, least(x + ${n - 1}, n_tok - 1))),
+           |  s -> s.a)""".stripMargin))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("n_tok") - col("covered")).as("n_kept"),
+        ((col("n_tok") - col("covered")) * 2 >= col("n_tok"))
+          .cast("long").as("ok_span"))
+
+  /** Run the span-screen maintenance loop over everything staged in
+    * `srcDir` (AvailableNow + checkpoint, like [[maintainCuration]] —
+    * call again after more shards land; only new files process).
+    */
+  def maintainSpans(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
+      n: Int = 15, nGramShards: Int = 32, nDocShards: Int = 32): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        applySpanBatch(spark, bt, id, stateDir, n, nGramShards, nDocShards)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

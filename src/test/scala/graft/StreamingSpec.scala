@@ -756,6 +756,124 @@ class StreamingSpec extends SparkSuite {
     assert(decisions() == d)
   }
 
+  test("incremental state compaction: reads identical, folded-batch replay " +
+      "is a no-op, new batches unaffected, file count drops") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    def countFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+      walk(new java.io.File(dir))
+    }
+    val docs = graft.tools.ScaleProbe.corpus(spark, 900)
+      .withColumn("source", lit("s")).persist()
+    def enrich(bt: org.apache.spark.sql.DataFrame) =
+      bt.select(col("doc_id"), col("source"),
+        graft.llm.Dedup.minhashSignature(col("text"), numHashes = 32).as("sig"))
+    def applyK(state: String, k: Int): Unit =
+      Incremental.applyNearDupBatch(spark,
+        enrich(docs.filter(pmod(col("doc_id"), lit(3)) === k)), k.toLong,
+        state, bands = 16, rowsPerBand = 2, thresholdPct = 70)
+    def snap(state: String): (Set[String], Set[String]) = (
+      Incremental.ndDecisions(spark, state).collect()
+        .map(_.mkString(",")).toSet,
+      Incremental.ndPairs(spark, state).collect().map(_.mkString(",")).toSet)
+    val work = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val state = s"$work/state"; val control = s"$work/control"
+    applyK(state, 0); applyK(state, 1)
+    val before = snap(state)
+    val filesBefore = countFiles(state)
+    Incremental.compactNearDup(spark, state, upToBatch = 1L)
+    assert(countFiles(state) < filesBefore,
+      s"compaction did not shrink files: $filesBefore -> ${countFiles(state)}")
+    assert(snap(state) == before) // folded history reads identically
+    // a late replay of a folded batch is a guarded no-op
+    applyK(state, 1)
+    assert(snap(state) == before)
+    assert(!new java.io.File(s"$state/decisions/batch=1").exists())
+    // a NEW batch over compacted state == the never-compacted control run
+    applyK(state, 2)
+    applyK(control, 0); applyK(control, 1); applyK(control, 2)
+    assert(snap(state) == snap(control))
+    // compaction preserved the keep-first choices exactly (decisions carry
+    // matched_id picked by min(e_batch, e_id) — original batch ids must
+    // survive the fold as a data column)
+    docs.unpersist(blocking = false)
+
+    // delta-stream fold: the report is a sum over deltas, so folding must
+    // preserve it bit-for-bit, and new deltas still land afterwards
+    import spark.implicits._
+    val dwork = java.nio.file.Files.createTempDirectory("graft_compactd").toString
+    val st = s"$dwork/state"; val dl = s"$dwork/delta"
+    def cb(id: Long, rows: Seq[(Long, String, String, Long, Long, Long)]): Unit =
+      Incremental.applyCurationBatch(spark,
+        rows.toDF("doc_id", "source", "norm_key", "n_words", "ok_rules", "ok_clf"),
+        id, st, dl, nShards = 8)
+    cb(0L, Seq((10L, "a", "k1", 10L, 1L, 1L), (20L, "b", "k2", 5L, 1L, 0L)))
+    cb(1L, Seq((5L, "b", "k1", 8L, 0L, 0L)))
+    cb(2L, Seq((30L, "a", "k3", 7L, 1L, 1L)))
+    def rep() = Incremental.curationReport(spark, dl)
+      .orderBy("source").collect().map(_.mkString(",")).toSeq
+    val repBefore = rep()
+    val dFilesBefore = countFiles(dl)
+    Incremental.compactDeltas(spark, dl, upToBatch = 2L)
+    assert(countFiles(dl) < dFilesBefore)
+    assert(rep() == repBefore)
+    cb(3L, Seq((40L, "b", "k4", 9L, 1L, 1L)))
+    val repAfter = rep()
+    assert(repAfter != repBefore) // new batch landed
+    // source b: docs 20 (k2, rules-only), 5 (k1 survivor, fails rules),
+    // 40 (k4, kept, 9 tokens)
+    assert(repAfter.contains("b,3,3,2,1,9"))
+  }
+
+  test("incremental span screen: crossing retro-covers the holder, " +
+      "replay is a no-op, verdicts == batch scrub recompute") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_incspan_spec").toString
+    val state = s"$work/state"
+    // n=3 windows over short docs; gram "a b c" is a SINGLETON after batch
+    // 0 (held by doc 0) and crosses to duplicated in batch 1 — doc 0's
+    // verdict must be retracted retroactively. Grams "m n o" duplicate
+    // WITHIN batch 0 (docs 1 and 2), covering both on arrival.
+    val b0 = Seq(
+      (0L, "s", "a b c d e"),
+      (1L, "s", "m n o p q"),
+      (2L, "s", "z m n o y")).toDF("doc_id", "source", "text")
+    val b1 = Seq(
+      (3L, "s", "r a b c t")).toDF("doc_id", "source", "text")
+    def verdicts() = Incremental.spanVerdicts(spark, state, n = 3)
+      .select("doc_id", "n_tok", "n_kept", "ok_span").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    Incremental.applySpanBatch(spark, b0, 0L, state, n = 3,
+      nGramShards = 8, nDocShards = 8)
+    // in-batch dup: docs 1/2 covered on [pos..pos+2]; doc 0 untouched
+    assert(verdicts() == Map(
+      0L -> (5L, 5L, 1L), 1L -> (5L, 2L, 0L), 2L -> (5L, 2L, 0L)))
+    Incremental.applySpanBatch(spark, b1, 1L, state, n = 3,
+      nGramShards = 8, nDocShards = 8)
+    val afterB1 = verdicts()
+    // retraction: doc 0's "a b c" (window start 0 → tokens 0..2) is now
+    // corpus-duplicated; doc 3's occurrence (start 1 → tokens 1..3) too
+    assert(afterB1 == Map(
+      0L -> (5L, 2L, 0L), 1L -> (5L, 2L, 0L), 2L -> (5L, 2L, 0L),
+      3L -> (5L, 2L, 0L)))
+    // at-least-once retry: replaying batch 1 changes nothing
+    Incremental.applySpanBatch(spark, b1, 1L, state, n = 3,
+      nGramShards = 8, nDocShards = 8)
+    assert(verdicts() == afterB1)
+    // and the maintained verdicts equal the from-scratch batch scrub
+    val batch = graft.llm.Dedup.scrubDuplicateSpans(
+      b0.unionByName(b1), "doc_id", "text", n = 3, minCount = 2)
+      .select("doc_id", "n_tok", "n_kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(afterB1.view.mapValues(v => (v._1, v._2)).toMap == batch)
+  }
+
   test("near-dup index: per-batch state read prunes to the batch's bucket prefixes") {
     import graft.streaming.Incremental
     import org.apache.spark.sql.functions._
