@@ -56,10 +56,28 @@ object Bench {
       materialize(lhs); materialize(rhs) // inputs resident before timing
       val joined = lhs.join(rhs, "key")
       // warmup + best-of-5 measured runs, like the reference's warmup_rounds /
-      // runs flags (shared-machine noise makes single runs swing 5×)
+      // runs flags (shared-machine noise makes single runs swing 5×).
+      // CANARY GATE: the metric proved environment-sensitive (round 11:
+      // 0.423 driver-loaded vs 0.531 idle on identical code), so each
+      // measured run is preceded by a fixed reference workload; runs whose
+      // adjacent canary exceeds 1.3× the session's canary floor were taken
+      // under machine load and are discarded, converging the graded number
+      // to the idle figure without hand re-runs. If every run is gated out
+      // (machine loaded throughout), fall back to the plain minimum.
       materialize(joined)
       val outRows = joined.count()
-      val secs = (1 to 5).map(_ => time(materialize(joined))).min
+      def canary(): Double = time {
+        materialize(spark.range(1L << 21)
+          .select(pmod(col("id") * 2654435761L, lit(1L << 16)).as("k"),
+            (col("id") % 97).cast("double").as("v"))
+          .groupBy("k").agg(sum("v"), count(lit(1))))
+      }
+      canary() // canary's own codegen warmup
+      val measured = (1 to 5).map(_ => (canary(), time(materialize(joined))))
+      val floor = measured.map(_._1).min
+      val clean = measured.filter(_._1 <= floor * 1.3).map(_._2)
+      val secs = (if (clean.nonEmpty) clean else measured.map(_._2)).min
+      System.err.println(f"[bench] join canaries=${measured.map(m => f"${m._1}%.3f").mkString(",")} kept=${clean.size}/5")
       val bytesIn = (nrows * 2 + nrows * 2) * 8.0
       val bytesOut = outRows * 3 * 8.0
       lhs.unpersist(); rhs.unpersist()
@@ -150,21 +168,27 @@ object Bench {
     // best-of-3 still prints as that query's wall (round-10: q290 printed
     // 8.72 s under a load window; idle re-measure 1.07 s). The tail of the
     // run is the likeliest-idle moment we have, so re-run the N slowest
-    // queries once here and report min(main, remeasure) per query, keeping
-    // both the raw re-measure map and the pre-remeasure total for audit.
+    // queries with the SAME best-of-`runs` protocol here and REPLACE their
+    // values — not min(main, remeasure), which retried only unfavorable
+    // flukes and kept favorable ones, biasing the headline low relative to
+    // the documented protocol. Replacement keeps every query's number a
+    // best-of-N; the worst N are simply measured at a likelier-idle moment
+    // (and can move UP if the tail is the loaded window — that's honest).
+    // The raw tail map and the pre-remeasure total stay in the JSON for
+    // audit.
     val remeasureN = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_N", "10").toInt
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(remeasureN)
       .map(_._1).toSet
     val remeasured = named.filter(p => worst.contains(p._1)).map {
       case (name, fn) =>
-        val secs = try time(materialize(fn(spark, sfDir)))
+        val secs = try (1 to runs).map(_ => time(materialize(fn(spark, sfDir)))).min
           catch { case _: Throwable => -1.0 }
         name -> secs
     }.toMap
     val totalMain = results.map(_._2).filter(_ >= 0).sum
     val finalResults = results.map { case (name, s) =>
       val r = remeasured.getOrElse(name, -1.0)
-      name -> (if (r >= 0 && s >= 0) math.min(s, r) else s)
+      name -> (if (r >= 0 && s >= 0) r else s)
     }
     val joinNrows = sys.env.getOrElse("SPARK_GRAFT_JOIN_NROWS", (1L << 22).toString).toLong
     spark.stop() // join metric gets a fresh session (see joinThroughputGiBs)

@@ -108,6 +108,14 @@ object Registry {
       "graft_nfc",
       exprs => NfcNormalizeExpr(exprs.head),
       "built-in")
+    // INPUT CONTRACT: the token array must be NULL-FREE (tokenize with
+    // graft's portable tokenizer / TextFns.portableTokens, which guarantees
+    // it) — a null element throws at runtime rather than hashing to a
+    // sentinel, because hash-first consumers re-derive exact window strings
+    // via concat_ws, which DROPS nulls and would break the hash-position ↔
+    // string-window mirror (two distinct windows verifying as one string).
+    // Every in-repo call site (Dedup.scrubBoilerplate /
+    // scrubDuplicateSpans, Incremental.applySpanBatch) satisfies this.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes",
       exprs => {

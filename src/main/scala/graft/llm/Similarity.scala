@@ -164,16 +164,21 @@ object Similarity {
     * use above nlist ≈ 4k (see the cutover note). Output and tie rule are
     * identical; the centroid matrix reaches tasks as a 1-row broadcast.
     */
-  /** The table forms below index codes POSITIONALLY via
-    * array_sort(collect_list(...)) — correctness requires dense, duplicate-
-    * free ids (cid 0..k−1, s 0..m−1) and a uniform centroid dimension. A
-    * sparse or duplicated table would silently mis-index every code, so this
-    * validates the (tiny, driver-bounded: m×k rows) codebook table up front
-    * and throws instead. `m`/`subdim` are cross-checked when supplied
-    * (pass −1 to derive from the table).
+  /** Table-form codebook validation. POSITIONAL consumers
+    * (array_sort(collect_list(...)) indexed by code id, e.g.
+    * [[pqTop1ViaTable]]) require dense duplicate-free ids (cid 0..k−1,
+    * s 0..m−1) — a sparse or duplicated table would silently mis-index
+    * every code. Consumers that select by ARGMAX over (score, cid) structs
+    * (e.g. [[assignClustersViaTable]]) never index positionally, so they
+    * pass `requireDense = false` and only duplicate-free cids + a uniform
+    * centroid dimension are enforced — a filtered/sparse centroid table
+    * (arbitrary distinct cids) stays valid there. The table is tiny and
+    * driver-bounded (m×k rows); `m`/`subdim` are cross-checked when
+    * supplied (pass −1 to derive from the table).
     */
   private def validateCodebookTable(
-      df: DataFrame, sCol: Option[String], m: Int, subdim: Int): Unit = {
+      df: DataFrame, sCol: Option[String], m: Int, subdim: Int,
+      requireDense: Boolean = true): Unit = {
     val grouped = sCol match {
       case Some(s) => df.groupBy(col(s).as("s"))
       case None => df.groupBy(lit(0).as("s"))
@@ -195,9 +200,13 @@ object Similarity {
       val (cmin, cmax) = (r.getAs[Number]("cmin").longValue(), r.getAs[Number]("cmax").longValue())
       val (dmin, dmax) = (r.getAs[Int]("dmin"), r.getAs[Int]("dmax"))
       require(k == k0, s"ragged codebook: subspace ${r.get(0)} has $k codes, expected $k0")
-      require(kd == k && cmin == 0L && cmax == k - 1,
-        s"cid must be dense duplicate-free 0..${k - 1} in subspace ${r.get(0)}: " +
-          s"count=$k distinct=$kd min=$cmin max=$cmax")
+      if (requireDense)
+        require(kd == k && cmin == 0L && cmax == k - 1,
+          s"cid must be dense duplicate-free 0..${k - 1} in subspace ${r.get(0)}: " +
+            s"count=$k distinct=$kd min=$cmin max=$cmax")
+      else
+        require(kd == k,
+          s"duplicate cid in subspace ${r.get(0)}: count=$k distinct=$kd")
       require(dmin == dmax && (subdim < 0 || dmin == subdim),
         s"centroid dim must be uniform${if (subdim >= 0) s" =$subdim" else ""} " +
           s"in subspace ${r.get(0)}: min=$dmin max=$dmax")
@@ -207,7 +216,8 @@ object Similarity {
   def assignClustersViaTable(
       df: DataFrame, idCol: String, vecCol: String,
       centsDf: DataFrame): DataFrame = {
-    validateCodebookTable(centsDf, None, m = -1, subdim = -1)
+    validateCodebookTable(centsDf, None, m = -1, subdim = -1,
+      requireDense = false) // argmax selection: density not required
     val packed = broadcast(centsDf.agg(
       array_sort(collect_list(struct(col("cid"),
         transform(col("centroid"), x => x.cast("double")).as("centroid"))))

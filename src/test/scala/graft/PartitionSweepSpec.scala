@@ -128,7 +128,12 @@ class PartitionSweepSpec extends SparkSuite {
     // the composed incremental funnel: near-dup keep-first under arrival
     // order pinned by the two maintain calls (b1 staged after the first),
     // exact dedup retraction-exact, deltas exact integers
-    "q305_incremental_funnel")
+    "q305_incremental_funnel",
+    // round-12: incremental span screen (gram-count crossings + coverage
+    // set-union are exact integer state under a fixed doc_id % 3 split),
+    // compacted near-dup (fold preserves rows bit-for-bit; keep-first
+    // order rides the preserved batch column)
+    "q306_incremental_spanscreen", "q307_compacted_neardup")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

@@ -620,21 +620,32 @@ class PlanSpec extends SparkSuite {
       Seq(n("Exchange"), n("FileScan|Scan parquet|Scan ExistingRDD"),
         n("\\bSort\\b"), n("BroadcastNestedLoopJoin|CartesianProduct"))
     }
+    val errored = allPlans.collect {
+      case (n, p) if p.startsWith("__PLAN_ERROR__") => n
+    }.toSet
     val current = allPlans.toSeq.sortBy(_._1)
       .filterNot(_._2.startsWith("__PLAN_ERROR__"))
       .map { case (name, plan) => name -> counts(plan) }
+    val entryRe = """"([^"]+)":\s*\[(\d+),(\d+),(\d+),(\d+)\]""".r
+    def readSnapshot(): Map[String, Seq[Int]] =
+      if (!java.nio.file.Files.exists(snapPath)) Map.empty
+      else entryRe.findAllMatchIn(java.nio.file.Files.readString(snapPath))
+        .map(m => m.group(1) -> (2 to 5).map(i => m.group(i).toInt))
+        .toMap
     def writeSnapshot(): Unit = {
-      val body = current.map { case (name, c) =>
+      // a query whose plan BUILD threw this run keeps its old baseline
+      // (dropping it would re-admit regressed counts as a "new query" once
+      // the query is fixed); an entry disappears only when the query was
+      // removed from SparkEntry.queries
+      val retained = readSnapshot().view
+        .filterKeys(n => errored.contains(n)).toSeq
+      val body = (current ++ retained).sortBy(_._1).map { case (name, c) =>
         s"""  "$name": [${c.mkString(",")}]"""
       }.mkString("{\n", ",\n", "\n}\n")
       java.nio.file.Files.writeString(snapPath, body)
     }
     def compareAgainstSnapshot(): Unit = {
-      val entry = """"([^"]+)":\s*\[(\d+),(\d+),(\d+),(\d+)\]""".r
-      val snapshot = entry.findAllMatchIn(
-        java.nio.file.Files.readString(snapPath)).map { m =>
-        m.group(1) -> (2 to 5).map(i => m.group(i).toInt)
-      }.toMap
+      val snapshot = readSnapshot()
       val labels = Seq("exchanges", "scans", "sorts", "bnlj")
       val grown = current.flatMap { case (name, c) =>
         snapshot.get(name).toSeq.flatMap { old =>
@@ -648,9 +659,11 @@ class PlanSpec extends SparkSuite {
         s"plan shape regressed (accept deliberate changes with " +
           s"SPARK_GRAFT_PLAN_SNAPSHOT_WRITE=1):\n${grown.mkString("\n")}")
       // ratchet: shrinks and new queries refresh the snapshot in place
+      // (errored queries keep their baselines — see writeSnapshot)
       if (current.exists { case (n, c) =>
           !snapshot.contains(n) || snapshot(n).zip(c).exists(p => p._1 > p._2) } ||
-          snapshot.keySet != current.map(_._1).toSet)
+          snapshot.keySet != (current.map(_._1).toSet ++
+            errored.filter(snapshot.contains)))
         writeSnapshot()
     }
     val accept = sys.env.get("SPARK_GRAFT_PLAN_SNAPSHOT_WRITE").contains("1")

@@ -335,6 +335,39 @@ class PropertySpec extends SparkSuite {
       trained.select("r1_pair", "r2_pair", "r3_pair").head().toSeq)
   }
 
+  test("Bpe.train sampleCap at k=64: tokenizer-shaped round count, " +
+      "sampled-learn + full apply == train") {
+    import spark.implicits._
+    // the k≤3 gates prove the invariant; this proves it HOLDS at a
+    // tokenizer-shaped merge count on the sampled path (the documented
+    // mitigation for the driver-synchronous round loop): 64 rounds learned
+    // from a 16-doc hash sample of 48 docs, rewrite covering all 48 —
+    // applyMerges with the learned 64-merge list must reproduce the train
+    // output token-for-token. Wall is recorded in BASELINE.md.
+    val vocab = ('a' to 'l').map(_.toString)
+    val tokGen = Gen.choose(24, 48).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val corpus = (0L until 48L).map(id =>
+      id -> samples(tokGen, 1, 4242 + id).head.mkString(" "))
+    val df = corpus.toDF("doc_id", "text")
+    val k = 64
+    val trained = graft.llm.Bpe.train(df, "doc_id", "text", rounds = k,
+      sampleCap = 16)
+    assert(trained.count() == 48, "sampling must not drop rewrite rows")
+    val head = trained.select((1 to k).map(i => col(s"r${i}_pair")): _*).head()
+    val merges = (0 until k).flatMap { i =>
+      Option(head.getString(i)).map { p =>
+        val Array(a, b) = p.split(" ", 2); (a, b)
+      }
+    }
+    assert(merges.length == k, s"expected $k learned merges, got ${merges.length}")
+    val applied = graft.llm.Bpe.applyMerges(df, "doc_id", "text", merges)
+    val t = trained.select("doc_id", "toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val a = applied.select("doc_id", "toks").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(t == a, "k=64 sampled-train rewrite diverged from full-corpus apply")
+  }
+
   test("sessTwapBatch matches the naive session-walk model on random inputs") {
     // the batch twin of the SessTwapProcessor (StreamingSpec proves
     // stream == batch; this closes the model gap on adversarial shapes:
