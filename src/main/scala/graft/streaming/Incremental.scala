@@ -135,10 +135,12 @@ object Incremental {
   // it in production.)
   //
   // The q300 span screen (≤50% of tokens inside corpus-duplicated
-  // 15-grams) is deliberately NOT part of the incremental surface: it is a
-  // corpus-GLOBAL statistic whose incremental form needs a gram-count MV
-  // with per-doc coverage retractions — the incremental funnel covers the
-  // row-local (Gopher, classifier) and key-local (dedup) stages.
+  // 15-grams) is NOT folded into this operator: it is a corpus-GLOBAL
+  // statistic whose incremental form needs its own gram-count MV with
+  // per-doc coverage retractions — which is exactly what
+  // [[applySpanBatch]] / [[maintainSpans]] implement (q306); this funnel
+  // covers the row-local (Gopher, classifier) and key-local (dedup)
+  // stages.
 
   /** Per-shard high-water batch id read from parquet FOOTER statistics —
     * O(files) footer reads (a few KB each), never a data scan of the state
@@ -334,8 +336,12 @@ object Incremental {
   // hash-spread over min(bands·n, nBp) prefixes — so the pruned-read
   // fraction is ≈ min(1, bands·n / nBp). Size nBp ≫ bands·batch_docs
   // (micro-batches against a large corpus, the production regime) and a
-  // batch opens a small fraction of the index; the local[32] default (64)
-  // is a directory-count compromise for the test corpus. At 100 TB the
+  // batch opens a small fraction of the index; the local[32] default (32)
+  // is a directory-count compromise — measured on the test corpus, the
+  // per-batch dynamic-overwrite COMMIT cost grows with partition-dir
+  // count (nBp=64 ran ~1.5x nBp=32's wall with no pruning benefit at
+  // this batch size), so don't over-partition below the regime where
+  // pruning actually bites. At 100 TB the
   // same layout lives in a table format whose file-level column stats
   // prune at bucket granularity (millions of effective prefixes) — the
   // logical plan is unchanged.
@@ -362,7 +368,7 @@ object Incremental {
 
   def applyNearDupBatch(spark: SparkSession, enriched: DataFrame,
       batchId: Long, stateDir: String, bands: Int, rowsPerBand: Int,
-      thresholdPct: Int, nBp: Int = 64): Unit = {
+      thresholdPct: Int, nBp: Int = 32): Unit = {
     // a batch at or below the compaction high-water mark was folded into
     // the base partitions — its per-batch partitions no longer exist, so a
     // late replay must be a no-op (re-writing them would double the rows
@@ -463,7 +469,7 @@ object Incremental {
   def maintainNearDup(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       enrich: DataFrame => DataFrame, bands: Int = 16, rowsPerBand: Int = 2,
-      thresholdPct: Int = 70, nBp: Int = 64): Unit = {
+      thresholdPct: Int = 70, nBp: Int = 32): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -667,7 +673,10 @@ object Incremental {
   //
   // Sizing nGramShards/nDocShards: same rule as [[applyCurationBatch]]'s
   // nShards — size from the CORPUS (distinct grams / docs × row bytes ÷
-  // target shard file size), not the batch.
+  // target shard file size), not the batch. The local[32] default (16) is
+  // measured: per-batch wall is dominated by the two dynamic-overwrite
+  // COMMITS, whose cost grows with partition-dir count (32 shards ran
+  // ~1.4× 16's wall on the test corpus with no pruning benefit).
 
   /** Apply one raw document micro-batch — (doc_id long, source string,
     * text string) — to the span-screen state under `stateDir`
@@ -676,8 +685,8 @@ object Incremental {
     * scrubber). Requires graft function registration (graft_shingle_hashes).
     */
   def applySpanBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      stateDir: String, n: Int = 15, nGramShards: Int = 32,
-      nDocShards: Int = 32): Unit = {
+      stateDir: String, n: Int = 15, nGramShards: Int = 16,
+      nDocShards: Int = 16): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val gcDir = s"$stateDir/gc"; val covDir = s"$stateDir/cov"
     val b = batch
@@ -827,7 +836,7 @@ object Incremental {
     */
   def maintainSpans(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
-      n: Int = 15, nGramShards: Int = 32, nDocShards: Int = 32): Unit = {
+      n: Int = 15, nGramShards: Int = 16, nDocShards: Int = 16): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
