@@ -43,6 +43,7 @@ object Incremental {
     // Set it here, not only in the maintain* wrappers, so batch callers
     // (backfill jobs) can't run the operator under the destructive default.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pinLayout(stateDir, s"nShards=$nShards")
     val delta = batch
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
@@ -51,13 +52,11 @@ object Incremental {
     val touched = delta.select("shard").distinct()
       .collect().map(_.getAs[Number](0).longValue) // bounded by nShards
     if (touched.isEmpty) return
-    val existing =
-      if (new java.io.File(stateDir).exists())
-        spark.read.parquet(stateDir)
-          .filter(col("shard").isin(touched.toSeq: _*)) // partition-pruned
-      else spark.emptyDataFrame.select(lit(0L).as("user_id"),
+    val existing = parquetIfAny(spark, stateDir)
+      .map(_.filter(col("shard").isin(touched.toSeq: _*))) // partition-pruned
+      .getOrElse(spark.emptyDataFrame.select(lit(0L).as("user_id"),
         lit(0L).as("n"), lit(0L).as("cents"), lit(-1L).as("bmax"),
-        lit(0L).as("shard")).limit(0)
+        lit(0L).as("shard")).limit(0))
     val ex = existing.persist()
     val applied = ex.groupBy("shard").agg(max("bmax").as("b"))
       .filter(col("b") >= batchId)
@@ -142,6 +141,29 @@ object Incremental {
   // covers the row-local (Gopher, classifier) and key-local (dedup)
   // stages.
 
+  /** Pin a state directory's layout parameters on first use and REQUIRE
+    * them unchanged on every later batch. Every incremental state surface
+    * here derives its partition key from a parameter (shard =
+    * pmod(key, nShards), bp = pmod(bucket, nBp), gram space from the
+    * window n): a caller changing the parameter mid-stream would make the
+    * pruned reads consult the WRONG partitions — silently missing merges
+    * and duplicates — so the mismatch throws instead. Rebuild (or compact
+    * into a new layout) to change a parameter. The marker is
+    * underscore-prefixed, so Spark's file index never reads it as data.
+    */
+  private def pinLayout(stateDir: String, desc: String): Unit = {
+    val dir = new java.io.File(stateDir)
+    if (!dir.exists()) dir.mkdirs()
+    val f = new java.io.File(dir, "_layout")
+    if (f.exists()) {
+      val stored = new String(java.nio.file.Files.readAllBytes(f.toPath)).trim
+      require(stored == desc,
+        s"state at $stateDir was built with layout [$stored]; this batch " +
+          s"passed [$desc] — layout parameters are pinned at state " +
+          "creation (a mid-stream change would prune the wrong partitions)")
+    } else java.nio.file.Files.writeString(f.toPath, desc)
+  }
+
   /** Per-shard high-water batch id read from parquet FOOTER statistics —
     * O(files) footer reads (a few KB each), never a data scan of the state
     * table. The footer max is exact and crash-consistent: it is committed
@@ -211,6 +233,7 @@ object Incremental {
     // overwrite deletes ALL historical shard/batch partitions) — set here,
     // not only in the maintain* wrappers, so direct batch callers are safe.
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pinLayout(stateDir, s"nShards=$nShards,stages=${stages.mkString("+")}")
     val b = enriched
       .select(Seq(col("doc_id").cast("long"), col("source"), col("norm_key"),
         col("n_words").cast("long")) ++
@@ -220,13 +243,11 @@ object Incremental {
     val touched = b.select("shard").distinct()
       .collect().map(_.getAs[Number](0).longValue).toSeq // bounded by nShards
     if (touched.isEmpty) { b.unpersist(blocking = false); return }
-    val stateExists = new java.io.File(stateDir).exists()
-    val existingAll =
-      if (stateExists) spark.read.parquet(stateDir)
-      else spark.emptyDataFrame.select(Seq(lit("").as("norm_key"),
+    val existingAll = parquetIfAny(spark, stateDir)
+      .getOrElse(spark.emptyDataFrame.select(Seq(lit("").as("norm_key"),
         lit(0L).as("doc_id"), lit("").as("source"), lit(0L).as("n_words")) ++
         stages.map(st => lit(0L).as(st)) ++
-        Seq(lit(-1L).as("bmax"), lit(0L).as("shard")): _*).limit(0)
+        Seq(lit(-1L).as("bmax"), lit(0L).as("shard")): _*).limit(0))
     // which touched shards already applied this batch (at-least-once retry
     // guard): per-shard max(bmax) from footer stats — flat in state SIZE —
     // with a touched-shard-pruned scan as the stats-missing fallback
@@ -381,6 +402,8 @@ object Incremental {
     // delete all earlier batches' state) — required here, not just in the
     // maintain* wrappers, so direct batch callers are safe
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pinLayout(stateDir,
+      s"bands=$bands,rowsPerBand=$rowsPerBand,thresholdPct=$thresholdPct,nBp=$nBp")
     val k = bands * rowsPerBand
     val b = enriched
       .select(col("doc_id").cast("long"), col("source"), col("sig"))
@@ -688,6 +711,7 @@ object Incremental {
       stateDir: String, n: Int = 15, nGramShards: Int = 16,
       nDocShards: Int = 16): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pinLayout(stateDir, s"n=$n,nGramShards=$nGramShards,nDocShards=$nDocShards")
     val gcDir = s"$stateDir/gc"; val covDir = s"$stateDir/cov"
     val b = batch
       .select(col("doc_id").cast("long"), col("source"),

@@ -756,6 +756,38 @@ class StreamingSpec extends SparkSuite {
     assert(decisions() == d)
   }
 
+  test("state layout parameters are pinned: a mid-stream change throws") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // shard/bucket-prefix counts DERIVE the partition keys the pruned reads
+    // consult — changing one mid-stream would silently read the wrong
+    // partitions, so the second batch must throw, not corrupt
+    val work = java.nio.file.Files.createTempDirectory("graft_pin").toString
+    val b = Seq((1L, "s", "k1", 10L, 1L, 1L))
+      .toDF("doc_id", "source", "norm_key", "n_words", "ok_rules", "ok_clf")
+    Incremental.applyCurationBatch(spark, b, 0L, s"$work/key", s"$work/delta",
+      nShards = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      Incremental.applyCurationBatch(spark, b, 1L, s"$work/key",
+        s"$work/delta", nShards = 16)
+    }
+    assert(e1.getMessage.contains("pinned"))
+    val nd = Seq((1L, "s", "alpha beta gamma delta")).toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        graft.llm.Dedup.minhashSignature(col("text"), numHashes = 32).as("sig"))
+    Incremental.applyNearDupBatch(spark, nd, 0L, s"$work/nd",
+      bands = 16, rowsPerBand = 2, thresholdPct = 70)
+    val e2 = intercept[IllegalArgumentException] {
+      Incremental.applyNearDupBatch(spark, nd, 1L, s"$work/nd",
+        bands = 16, rowsPerBand = 2, thresholdPct = 70, nBp = 64)
+    }
+    assert(e2.getMessage.contains("pinned"))
+    // same parameters: proceeds fine
+    Incremental.applyNearDupBatch(spark, nd, 1L, s"$work/nd",
+      bands = 16, rowsPerBand = 2, thresholdPct = 70)
+  }
+
   test("incremental state compaction: reads identical, folded-batch replay " +
       "is a no-op, new batches unaffected, file count drops") {
     import graft.streaming.Incremental
