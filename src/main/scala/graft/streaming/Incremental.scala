@@ -556,9 +556,29 @@ object Incremental {
     * [[ndDecisions]] / [[ndPairs]], which union base + live partitions.
     */
   def compactNearDup(spark: SparkSession, stateDir: String,
-      upToBatch: Long): Unit = {
+      upToBatch: Long, newNBp: Int = -1): Unit = {
     require(new java.io.File(s"$stateDir/idx").exists(),
       s"no near-dup state under $stateDir")
+    // RE-BUCKETING (newNBp > 0): the sanctioned path to grow the pruning
+    // granularity as the corpus grows (the _layout pin rejects a mid-stream
+    // nBp change precisely because it must happen HERE, atomically with a
+    // full fold). bp is derived data (pmod(bucket, nBp)), so the fold just
+    // recomputes it — but every live batch must fold too, or old-bp live
+    // partitions would be pruned with new-bp sets. Re-running the same
+    // call after a crash converges (bp recomputes from bucket; distinct
+    // collapses fold overlap); do not resume ingestion between a crashed
+    // rebucket and its re-run.
+    if (newNBp > 0) {
+      val liveBatches = Option(new java.io.File(s"$stateDir/idx").listFiles())
+        .getOrElse(Array.empty)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("batch="))
+        .map(_.getName.stripPrefix("batch=").toLong)
+      require(liveBatches.forall(_ <= upToBatch),
+        s"re-bucketing requires folding ALL live batches: found batches " +
+          s"${liveBatches.filter(_ > upToBatch).distinct.sorted.mkString(",")} " +
+          s"above upToBatch=$upToBatch")
+    }
     def foldOne(live: String, base: String, finish: DataFrame => DataFrame,
         partCols: Seq[String]): Unit = {
       val liveDir = s"$stateDir/$live"; val baseDir = s"$stateDir/$base"
@@ -590,13 +610,26 @@ object Incremental {
       }
     }
     // postings: keep the bp partitioning (the per-batch pruned read needs
-    // it) but collapse each prefix's many per-batch files into one
+    // it) but collapse each prefix's many per-batch files into one;
+    // re-bucketing recomputes bp from the stored bucket
+    val reBp: DataFrame => DataFrame =
+      if (newNBp > 0)
+        _.withColumn("bp", pmod(col("bucket"), lit(newNBp)).cast("long"))
+      else identity
     foldOne("idx", "idx_base",
-      _.repartition(col("bp")).select("band", "bucket", "doc_id", "sig",
-        "batch", "bp"),
+      df => reBp(df).repartition(col("bp")).select("band", "bucket",
+        "doc_id", "sig", "batch", "bp"),
       Seq("bp"))
     foldOne("pairs", "pairs_base", _.coalesce(4), Nil)
     foldOne("decisions", "decisions_base", _.coalesce(4), Nil)
+    if (newNBp > 0) {
+      val lf = new java.io.File(stateDir, "_layout")
+      if (lf.exists()) {
+        val stored = new String(java.nio.file.Files.readAllBytes(lf.toPath)).trim
+        java.nio.file.Files.writeString(lf.toPath,
+          stored.replaceAll("nBp=\\d+", s"nBp=$newNBp"))
+      }
+    }
     java.nio.file.Files.writeString(
       new java.io.File(stateDir, "_highwater").toPath, upToBatch.toString)
   }

@@ -860,6 +860,40 @@ class StreamingSpec extends SparkSuite {
     assert(repAfter.contains("b,3,3,2,1,9"))
   }
 
+  test("compaction re-buckets the posting index: layout re-pins, new batches " +
+      "prune on the new prefix space, decisions unchanged") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    val docs = graft.tools.ScaleProbe.corpus(spark, 600)
+      .withColumn("source", lit("s")).persist()
+    def applyK(state: String, k: Int, nBp: Int = 32): Unit =
+      Incremental.applyNearDupBatch(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === k)
+          .select(col("doc_id"), col("source"),
+            graft.llm.Dedup.minhashSignature(col("text"), numHashes = 32)
+              .as("sig")),
+        k.toLong, state, bands = 16, rowsPerBand = 2, thresholdPct = 70,
+        nBp = nBp)
+    def snap(state: String) = Incremental.ndDecisions(spark, state)
+      .collect().map(_.mkString(",")).toSet
+    val work = java.nio.file.Files.createTempDirectory("graft_rebkt").toString
+    val state = s"$work/state"; val control = s"$work/control"
+    applyK(state, 0); applyK(state, 1)
+    Incremental.compactNearDup(spark, state, upToBatch = 1L, newNBp = 8)
+    // the re-bucketed base lives entirely in the new prefix space
+    val bps = new java.io.File(s"$state/idx_base").listFiles()
+      .filter(_.getName.startsWith("bp=")).map(_.getName.stripPrefix("bp=").toLong)
+    assert(bps.nonEmpty && bps.forall(_ < 8), s"unexpected prefixes: ${bps.sorted.mkString(",")}")
+    // the pin re-points to the new layout: the old nBp now throws…
+    val e = intercept[IllegalArgumentException] { applyK(state, 2, nBp = 32) }
+    assert(e.getMessage.contains("pinned"))
+    // …and a batch on the new layout matches the never-compacted control
+    applyK(state, 2, nBp = 8)
+    applyK(control, 0); applyK(control, 1); applyK(control, 2)
+    assert(snap(state) == snap(control))
+    docs.unpersist(blocking = false)
+  }
+
   test("incremental span screen: crossing retro-covers the holder, " +
       "replay is a no-op, verdicts == batch scrub recompute") {
     import graft.streaming.Incremental
