@@ -4314,6 +4314,36 @@ object SparkEntry {
         outNames = Seq("after_neardup", "after_rules", "kept_docs")),
         "source")
     }),
+    "q308_incremental_full_funnel" -> ((s, dir) => {
+      // THE COMPLETE INCREMENTAL q300 — all four stages of the from-scratch
+      // funnel (exact dedup → Gopher rules → duplicated-SPAN screen →
+      // classifier) as one maintained loop, closing the one stage q305's
+      // composition lacked. The span stage is corpus-global AND
+      // RETROACTIVE (a later arrival can flip an earlier doc's verdict),
+      // so per batch the loop updates the span MV (gram crossings
+      // retro-cover historical holders, q306's machinery) and the key
+      // index / delta stream (q301's machinery); the report takes
+      // docs_in/after_dedup/after_rules from the delta stream and derives
+      // the span-and-after counters by joining the survivors with the
+      // CURRENT span verdicts — O(batch) per batch, one survivor-index
+      // scan per report. Three arrivals + mid-stream restart; the oracle
+      // is q300's full from-scratch funnel, with no knowledge of the
+      // batching or the incremental machinery.
+      val work = java.nio.file.Files.createTempDirectory("graft_incfull").toString
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      for (k <- 0 to 1)
+        docs.filter(col("doc_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+      graft.streaming.Incremental.maintainFullFunnel(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema, curationEnrich(s))
+      docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+        .write.parquet(s"$work/src/b2")
+      graft.streaming.Incremental.maintainFullFunnel(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema,
+        curationEnrich(s)) // restart: only b2 processes
+      ord(graft.streaming.Incremental.fullFunnelReport(s, s"$work/state"),
+        "source")
+    }),
     "q307_compacted_neardup" -> ((s, dir) => {
       // COMPACTED incremental near-dup — q304's maintained screen with a
       // state COMPACTION between arrivals: batches 0–1 fold into base
@@ -7103,6 +7133,98 @@ object SparkEntry {
         |  md5(norm) AS norm_key
         |FROM n ORDER BY doc_id""".stripMargin,
     "q300_curation_pipeline" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, text, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, source, text, w, CAST(len(w) AS BIGINT) AS n_words,
+        |    md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+        |      AS norm_key
+        |  FROM tk WHERE len(w) > 0),
+        |feats AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS n_chars,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+        |      AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |        AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(w, t -> t IN
+        |      ('the','be','to','of','and','that','have','with'))) AS BIGINT)
+        |      AS n_stop
+        |  FROM base),
+        |shz AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |    CASE WHEN len(w) < 15 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(generate_series(1, len(w) - 14),
+        |        i -> array_to_string(w[i:i+14], ' ')) END AS grams
+        |  FROM base),
+        |gz AS (
+        |  SELECT doc_id, n,
+        |    unnest(generate_series(0, length(grams) - 1)) AS pos,
+        |    unnest(grams) AS gram
+        |  FROM shz),
+        |bz AS (SELECT gram FROM gz GROUP BY gram HAVING count(*) >= 2),
+        |covz AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT gz.doc_id,
+        |      unnest(generate_series(gz.pos, least(gz.pos + 14, gz.n - 1))) AS p
+        |    FROM gz JOIN bz USING (gram))),
+        |tokposz AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS p
+        |            FROM shz),
+        |spanz AS (
+        |  SELECT t.doc_id, CAST(max(t.n) AS BIGINT) AS sp_tok,
+        |    CAST(count(*) AS BIGINT) AS sp_kept
+        |  FROM tokposz t
+        |  WHERE NOT EXISTS (SELECT 1 FROM covz c
+        |                    WHERE c.doc_id = t.doc_id AND c.p = t.p)
+        |  GROUP BY t.doc_id),
+        |bgy AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, CAST(n_words AS INT) - 1),
+        |    i -> concat(w[i], ' ', w[i + 1]))) AS bg
+        |  FROM base WHERE n_words > 1),
+        |fy AS (SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |           list_transform(string_split(bg, ''),
+        |             c -> CAST(unicode(c) AS BIGINT))),
+        |           (h, c) -> (h * 131 + c) % 2147483647) % 256 AS bucket
+        |       FROM bgy),
+        |fxy AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x
+        |        FROM fy GROUP BY 1, 2),
+        |wty AS (SELECT b AS bucket, (b * 2654435761) % 2000001 - 1000000 AS w_micro
+        |        FROM (SELECT unnest(range(256)) AS b)),
+        |scorey AS (
+        |  SELECT fxy.doc_id,
+        |    CAST(50000 * sum(fxy.x) + sum(fxy.x * wty.w_micro) AS BIGINT)
+        |      AS score_num
+        |  FROM fxy JOIN wty USING (bucket) GROUP BY fxy.doc_id),
+        |staged AS (
+        |  SELECT b.source, b.n_words,
+        |    CASE WHEN b.doc_id = min(b.doc_id) OVER (PARTITION BY b.norm_key)
+        |      THEN 1 ELSE 0 END AS sv1,
+        |    CASE WHEN b.n_words BETWEEN 50 AND 100000
+        |      AND f.n_chars BETWEEN 3 * b.n_words AND 10 * b.n_words
+        |      AND f.n_sym * 10 <= b.n_words
+        |      AND f.n_alpha * 5 >= 4 * b.n_words
+        |      AND f.n_stop >= 2 THEN 1 ELSE 0 END AS sv2,
+        |    CASE WHEN sp.sp_kept IS NOT NULL AND sp.sp_kept * 2 >= sp.sp_tok
+        |      THEN 1 ELSE 0 END AS sv3,
+        |    CASE WHEN sc.score_num IS NOT NULL AND sc.score_num > 0
+        |      THEN 1 ELSE 0 END AS sv4
+        |  FROM base b
+        |  JOIN feats f USING (doc_id)
+        |  LEFT JOIN spanz sp ON sp.doc_id = b.doc_id
+        |  LEFT JOIN scorey sc ON sc.doc_id = b.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
+        |  CAST(sum(sv1) AS BIGINT) AS after_dedup,
+        |  CAST(sum(sv1 * sv2) AS BIGINT) AS after_rules,
+        |  CAST(sum(sv1 * sv2 * sv3) AS BIGINT) AS after_spans,
+        |  CAST(sum(sv1 * sv2 * sv3 * sv4) AS BIGINT) AS kept_docs,
+        |  CAST(sum(sv1 * sv2 * sv3 * sv4 * n_words) AS BIGINT) AS kept_tokens
+        |FROM staged GROUP BY source ORDER BY source""".stripMargin,
+    "q308_incremental_full_funnel" ->
       """WITH tk AS (
         |  SELECT doc_id, source, text, list_filter(
         |    regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS w

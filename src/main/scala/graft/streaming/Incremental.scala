@@ -985,6 +985,77 @@ object Incremental {
     q.awaitTermination()
   }
 
+  /** The FULL q300 program — exact dedup (lowest id survives) → Gopher
+    * rules → duplicated-SPAN screen → classifier — as ONE maintained loop.
+    * What q305 composed lacked was the span stage, because it is
+    * corpus-global AND retroactive: a later arrival can duplicate an
+    * earlier doc's 15-gram and flip that doc's verdict AFTER its funnel
+    * contribution was counted. The composition that keeps per-batch work
+    * O(batch):
+    *  - each batch updates the span MV ([[applySpanBatch]] — the gram
+    *    crossing retro-covers historical holders) and the key index /
+    *    delta stream ([[applyCurationBatch]], stages ok_rules + ok_clf);
+    *  - the REPORT takes docs_in / after_dedup / after_rules from the
+    *    delta stream (O(batches × sources × shards) rows) and derives the
+    *    span-and-after counters by joining the key index's survivors with
+    *    the CURRENT span verdicts ([[fullFunnelReport]]) — retroactive
+    *    flips are always reflected because the span stage is read at
+    *    report time, not frozen at arrival time. That join scans the
+    *    survivor index once per REPORT (both sides hash-sharded,
+    *    embarrassingly parallel) — the right trade at 100 TB, where
+    *    batches are frequent and reports are rare.
+    * Crash-retry: the two state machines are independently bmax-guarded;
+    * a crash between them replays the applied one as a no-op.
+    */
+  def maintainFullFunnel(spark: SparkSession, srcDir: String,
+      stateDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      curEnrich: DataFrame => DataFrame, textCol: String = "text",
+      nShards: Int = 16, n: Int = 15): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        applySpanBatch(spark, bt.select(col("doc_id"), col("source"),
+          col(textCol).as("text")), id, s"$stateDir/span", n)
+        applyCurationBatch(spark, curEnrich(bt), id, s"$stateDir/key",
+          s"$stateDir/delta", nShards)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The maintained FULL-funnel report (q300's exact output shape):
+    * docs_in / after_dedup / after_rules from the delta stream;
+    * after_spans / kept_docs / kept_tokens from the survivor ⋈ current
+    * span-verdict join (see [[maintainFullFunnel]] for why the split).
+    */
+  def fullFunnelReport(spark: SparkSession, stateDir: String,
+      n: Int = 15): DataFrame = {
+    val head = curationReport(spark, s"$stateDir/delta")
+      .select("source", "docs_in", "after_dedup", "after_rules")
+    val surv = spark.read.parquet(s"$stateDir/key")
+      .select("doc_id", "source", "n_words", "ok_rules", "ok_clf")
+    val sv = surv
+      .join(spanVerdicts(spark, s"$stateDir/span", n)
+        .select(col("doc_id"), col("ok_span")), Seq("doc_id"), "left")
+      .withColumn("ok_span", coalesce(col("ok_span"), lit(0L)))
+    val tail = sv.groupBy("source").agg(
+      sum(col("ok_rules") * col("ok_span")).as("after_spans"),
+      sum(col("ok_rules") * col("ok_span") * col("ok_clf")).as("kept_docs"),
+      sum(col("ok_rules") * col("ok_span") * col("ok_clf") * col("n_words"))
+        .as("kept_tokens"))
+    head.join(tail, Seq("source"), "left")
+      .select(col("source"), col("docs_in"), col("after_dedup"),
+        col("after_rules"),
+        coalesce(col("after_spans"), lit(0L)).as("after_spans"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
+
   /** End-to-end demonstration over the static events table: stage the
     * events as three arrival batches, maintain the view incrementally
     * (including a restart between arrivals, same checkpoint), and return

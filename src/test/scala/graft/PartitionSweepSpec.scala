@@ -133,7 +133,9 @@ class PartitionSweepSpec extends SparkSuite {
     // set-union are exact integer state under a fixed doc_id % 3 split),
     // compacted near-dup (fold preserves rows bit-for-bit; keep-first
     // order rides the preserved batch column)
-    "q306_incremental_spanscreen", "q307_compacted_neardup")
+    "q306_incremental_spanscreen", "q307_compacted_neardup",
+    // full incremental q300: every stage exact-integer, report join keyed
+    "q308_incremental_full_funnel")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {

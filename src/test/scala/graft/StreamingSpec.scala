@@ -940,6 +940,40 @@ class StreamingSpec extends SparkSuite {
     assert(afterB1.view.mapValues(v => (v._1, v._2)).toMap == batch)
   }
 
+  test("full-funnel report reflects RETROACTIVE span flips without reprocessing") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 0 (source a, batch 0) passes every stage; batch 1 brings doc 1
+    // (source b) whose whole text equals 15 consecutive tokens of doc 0 —
+    // the shared 15-gram crosses to duplicated, covering 15 of doc 0's 20
+    // tokens (> 50%), so doc 0's span verdict flips AFTER its funnel
+    // contribution was counted. The report must reflect the flip because
+    // span verdicts are read at REPORT time — no batch-0 reprocessing.
+    val work = java.nio.file.Files.createTempDirectory("graft_retro").toString
+    val t0 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val t1 = (2 to 16).map(i => s"w$i").mkString(" ")
+    def enrich(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), col("source"), md5(col("text")).as("norm_key"),
+      size(split(col("text"), " ")).cast("long").as("n_words"),
+      lit(1L).as("ok_rules"), lit(1L).as("ok_clf"))
+    def apply(id: Long, rows: Seq[(Long, String, String)]): Unit = {
+      val df = rows.toDF("doc_id", "source", "text")
+      Incremental.applySpanBatch(spark, df, id, s"$work/state/span",
+        n = 15, nGramShards = 8, nDocShards = 8)
+      Incremental.applyCurationBatch(spark, enrich(df), id,
+        s"$work/state/key", s"$work/state/delta", nShards = 8)
+    }
+    def rep() = Incremental.fullFunnelReport(spark, s"$work/state")
+      .orderBy("source").collect().map(_.mkString(",")).toSeq
+    apply(0L, Seq((0L, "a", t0)))
+    assert(rep() == Seq("a,1,1,1,1,1,20")) // doc 0 fully kept
+    apply(1L, Seq((1L, "b", t1)))
+    // doc 0: 15/20 tokens covered -> flipped out at the span stage; doc 1:
+    // fully covered. docs_in/after_dedup/after_rules stay (delta-derived)
+    assert(rep() == Seq("a,1,1,1,0,0,0", "b,1,1,1,0,0,0"))
+  }
+
   test("near-dup index: per-batch state read prunes to the batch's bucket prefixes") {
     import graft.streaming.Incremental
     import org.apache.spark.sql.functions._
