@@ -4326,21 +4326,20 @@ object SparkEntry {
       // docs_in/after_dedup/after_rules from the delta stream and derives
       // the span-and-after counters by joining the survivors with the
       // CURRENT span verdicts — O(batch) per batch, one survivor-index
-      // scan per report. Three arrivals + mid-stream restart; the oracle
+      // scan per report. Two arrivals + mid-stream restart; the oracle
       // is q300's full from-scratch funnel, with no knowledge of the
       // batching or the incremental machinery.
       val work = java.nio.file.Files.createTempDirectory("graft_incfull").toString
       val docs = t(s, dir, "documents").select("doc_id", "source", "text")
-      for (k <- 0 to 1)
-        docs.filter(col("doc_id") % 3 === k).coalesce(1)
-          .write.parquet(s"$work/src/b$k")
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.parquet(s"$work/src/b0")
       graft.streaming.Incremental.maintainFullFunnel(s, s"$work/src/*",
         s"$work/state", s"$work/ck", docs.schema, curationEnrich(s))
-      docs.filter(col("doc_id") % 3 === 2).coalesce(1)
-        .write.parquet(s"$work/src/b2")
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.parquet(s"$work/src/b1")
       graft.streaming.Incremental.maintainFullFunnel(s, s"$work/src/*",
         s"$work/state", s"$work/ck", docs.schema,
-        curationEnrich(s)) // restart: only b2 processes
+        curationEnrich(s)) // restart: only b1 processes
       ord(graft.streaming.Incremental.fullFunnelReport(s, s"$work/state"),
         "source")
     }),
