@@ -757,6 +757,22 @@ object ScaleProbe {
             spark.read.parquet(s"$work/state/decisions")
               .agg(sum("kept")).head().getLong(0)
           }),
+        Probe("inc_spans", 15000,
+          n => corpus(spark, n.toInt),
+          df => {
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_probe_incspan").toString
+            val src = df.withColumn("source", lit("s"))
+              .select("doc_id", "source", "text")
+            (0 to 2).foreach { k =>
+              src.filter(pmod(col("doc_id"), lit(3)) === k).coalesce(1)
+                .write.parquet(s"$work/src/b$k")
+            }
+            graft.streaming.Incremental.maintainSpans(spark,
+              s"$work/src/*", s"$work/state", s"$work/ck", src.schema)
+            graft.streaming.Incremental.spanVerdicts(spark, s"$work/state")
+              .agg(sum("ok_span")).head().getLong(0)
+          }),
         Probe("inc_curation", 50000,
           n => corpus(spark, n.toInt),
           df => {
