@@ -4314,6 +4314,35 @@ object SparkEntry {
         outNames = Seq("after_neardup", "after_rules", "kept_docs")),
         "source")
     }),
+    "q309_incremental_ivf" -> ((s, dir) => {
+      // INCREMENTAL IVF ANN index — the similarity pillar's maintained
+      // form: vectors arrive as micro-batches; centroids train ONCE on the
+      // first arrival and stay fixed (stable assignment — the production
+      // vector-store pattern), posting lists accumulate in per-(list,
+      // batch) partitions with replay idempotence, and queries PRUNE the
+      // posting read to the probed lists. With nprobe = nlist the
+      // maintained index must return exactly the brute-force top-1 over
+      // the WHOLE corpus — q75's oracle, with no knowledge of the
+      // batching, the restart, or the index. Three arrivals, restart
+      // between 2 and 3.
+      val work = java.nio.file.Files.createTempDirectory("graft_incivf").toString
+      val e = t(s, dir, "embeddings")
+      for (k <- 0 to 1)
+        e.filter(col("vec_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+      graft.llm.Similarity.maintainIvfIndex(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", e.schema, "vec_id", "embedding",
+        nlist = 8)
+      e.filter(col("vec_id") % 3 === 2).coalesce(1)
+        .write.parquet(s"$work/src/b2")
+      graft.llm.Similarity.maintainIvfIndex(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", e.schema, "vec_id", "embedding",
+        nlist = 8) // restart: only b2 processes
+      ord(graft.llm.Similarity.queryIvfIndex(s, s"$work/state",
+          e.filter(col("vec_id") < 200), "vec_id", "embedding",
+          k = 1, nprobe = 8)
+        .withColumn("cosine", round(col("cosine"), 4)), "query_id")
+    }),
     "q308_incremental_full_funnel" -> ((s, dir) => {
       // THE COMPLETE INCREMENTAL q300 — all four stages of the from-scratch
       // funnel (exact dedup → Gopher rules → duplicated-SPAN screen →
@@ -9454,6 +9483,27 @@ object SparkEntry {
     // q75: nprobe = nlist ⇒ IVF must equal exact search — q49's brute-force
     // SQL restricted to the deterministic query set
     "q75_ann_ivf" ->
+      """WITH norms AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), sims AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (a.nrm * b.nrm) AS cosine
+        |  FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 200
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM sims
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+        |FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+    "q309_incremental_ivf" ->
       """WITH norms AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,

@@ -412,6 +412,108 @@ object Similarity {
       k)
   }
 
+  // ── incremental IVF index maintenance (beyond-reference) ─────────────
+  // The similarity-search pillar's maintained form: vectors arrive as
+  // micro-batches, posting lists accumulate — no retrain, no rebuild.
+  //  - Centroids train ONCE, on the first arrival, and are FIXED
+  //    thereafter (the production vector-store pattern: assignment must be
+  //    stable or every prior posting moves; retraining is an offline
+  //    rebuild, not a maintenance step). Stored as a tiny table under
+  //    `stateDir/centroids`.
+  //  - Postings (vec_id, v, nrm, cid, batch) land in per-(cid, batch)
+  //    partitions under dynamic overwrite: a replayed batch re-assigns
+  //    against the SAME centroids and overwrites its own partitions
+  //    bit-identically (the applyNearDupBatch idempotence argument).
+  //  - Queries probe nprobe lists and the posting read is PRUNED to the
+  //    probed cids (a partition filter) — query cost is O(probed lists),
+  //    never a corpus scan. With nprobe = nlist the result is EXACTLY
+  //    brute force, which is what the differential gate checks (q309);
+  //    production recall at nprobe < nlist is LlmSpec's harness territory.
+
+  /** Assign one vector micro-batch — (idCol, vecCol array<float>) — to the
+    * maintained IVF index under `stateDir`, training centroids if this is
+    * the first batch.
+    */
+  def applyIvfIndexBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, stateDir: String, idCol: String,
+      vecCol: String, nlist: Int, lloydIters: Int = 2): Unit = {
+    graft.streaming.Incremental.pinLayout(stateDir,
+      s"nlist=$nlist,lloydIters=$lloydIters")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val centDir = s"$stateDir/centroids"
+    val cents: Array[Array[Double]] =
+      graft.streaming.Incremental.parquetIfAny(spark, centDir) match {
+        case Some(df) => df.orderBy("cid").collect()
+          .map(_.getSeq[Double](1).toArray)
+        case None =>
+          // first arrival: train and persist; deterministic, so a crash
+          // before the posting write replays to identical centroids
+          val c = trainCentroids(batch, idCol, vecCol, nlist, lloydIters)
+          centroidsAsTable(spark, c).coalesce(1)
+            .write.mode("overwrite").parquet(centDir)
+          c
+      }
+    batch.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("cid", nearestCentroid(
+        transform(col("v"), x => x.cast("double")), cents))
+      .withColumn("batch", lit(batchId))
+      .repartition(math.min(nlist, 32), col("cid"))
+      .write.mode("overwrite").partitionBy("cid", "batch")
+      .parquet(s"$stateDir/posts")
+  }
+
+  /** Run the IVF maintenance loop over everything staged in `srcDir`
+    * (AvailableNow + checkpoint — call again after more shards land; only
+    * new files process).
+    */
+  def maintainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, stateDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType, idCol: String,
+      vecCol: String, nlist: Int = 16, lloydIters: Int = 2): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        applyIvfIndexBatch(spark, bt, id, stateDir, idCol, vecCol, nlist,
+          lloydIters)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Top-k cosine search against the maintained index: probe the `nprobe`
+    * nearest lists per query and read ONLY those posting partitions.
+    * Output shape and tie rule match [[ivfTopK]].
+    */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$stateDir/centroids").orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val qProbed = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qnorm"))
+      .withColumn("probe", explode(slice(reverse(array_sort(centroidStructs(
+        transform(col("qvec"), x => x.cast("double")), cents))), 1, nprobe)))
+      .withColumn("cid", col("probe.cid"))
+      .drop("probe")
+    val probed = qProbed.select("cid").distinct()
+      .collect().map(_.getAs[Number](0).intValue) // bounded by nlist
+    val posts = spark.read.parquet(s"$stateDir/posts")
+      .filter(col("cid").isin(probed.toSeq: _*)) // partition-pruned
+    rankTopK(
+      qProbed.join(posts, "cid")
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cosine",
+          dot(col("qvec"), col("v")) / (col("qnorm") * col("nrm")))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cosine")),
+      k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means cluster the embedding space, then inside each
     * cluster drop every vector that has a lower-id neighbor with cosine ≥

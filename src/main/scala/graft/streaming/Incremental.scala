@@ -151,7 +151,7 @@ object Incremental {
     * into a new layout) to change a parameter. The marker is
     * underscore-prefixed, so Spark's file index never reads it as data.
     */
-  private def pinLayout(stateDir: String, desc: String): Unit = {
+  private[graft] def pinLayout(stateDir: String, desc: String): Unit = {
     val dir = new java.io.File(stateDir)
     if (!dir.exists()) dir.mkdirs()
     val f = new java.io.File(dir, "_layout")
@@ -544,7 +544,7 @@ object Incremental {
       (f.isDirectory &&
         Option(f.listFiles()).exists(_.exists(hasParquet)))
 
-  private def parquetIfAny(spark: SparkSession, path: String): Option[DataFrame] = {
+  private[graft] def parquetIfAny(spark: SparkSession, path: String): Option[DataFrame] = {
     val f = new java.io.File(path)
     if (f.exists() && hasParquet(f)) Some(spark.read.parquet(path)) else None
   }

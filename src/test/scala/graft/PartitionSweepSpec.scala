@@ -135,7 +135,10 @@ class PartitionSweepSpec extends SparkSuite {
     // order rides the preserved batch column)
     "q306_incremental_spanscreen", "q307_compacted_neardup",
     // full incremental q300: every stage exact-integer, report join keyed
-    "q308_incremental_full_funnel")
+    "q308_incremental_full_funnel",
+    // incremental IVF: deterministic centroids (ordered init, fixed
+    // iters), exact cosine at nprobe = nlist, (cosine desc, id asc) ties
+    "q309_incremental_ivf")
 
   test("results are partition-count invariant") {
     for (q <- sweepQueries) {
