@@ -4314,6 +4314,119 @@ object SparkEntry {
         outNames = Seq("after_neardup", "after_rules", "kept_docs")),
         "source")
     }),
+    "q312_incremental_cc" -> ((s, dir) => {
+      // INCREMENTAL CONNECTED COMPONENTS — the graph MV: edge batches
+      // arrive (q222's part co-purchase graph, orders split 3 ways) and
+      // per-vertex component labels stay maintained WITHOUT relabeling
+      // whole components per merge: stored labels go stale (written once,
+      // never rewritten) and a fully path-compressed forwarding table
+      // (the union-find parent pointers, one row per merged component)
+      // resolves any read in one hop. CC of a union is arrival-order
+      // invariant, so the oracle is the from-scratch recursive min-label
+      // closure over ALL edges — q222's oracle, with zero knowledge of
+      // the batching, the restart, or the lazy-relabel machinery.
+      val work = java.nio.file.Files.createTempDirectory("graft_inccc").toString
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("okey"),
+          col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
+      def stage(k: Int, modMs: Long): Unit = {
+        pairs.filter(col("okey") % 3 === k).select("id_a", "id_b")
+          .distinct().coalesce(1).write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(modMs))
+      }
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      stage(0, now - 120000); stage(1, now - 60000)
+      val schema = pairs.select("id_a", "id_b").schema
+      graft.streaming.Incremental.maintainCc(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", schema)
+      stage(2, now)
+      graft.streaming.Incremental.maintainCc(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", schema) // restart: only b2
+      ord(graft.streaming.Incremental.ccLabels(s, s"$work/state"), "id")
+    }),
+    "q310_incremental_embdup" -> ((s, dir) => {
+      // INCREMENTAL EMBEDDING near-dup — the third dedup modality's
+      // maintained form (exact keys q301, MinHash text q304): vectors
+      // arrive as micro-batches and each is screened against every
+      // previously seen vector sharing a sign-LSH bucket, verified by an
+      // EXACT integer cosine gate in the quantized space (no FP anywhere —
+      // Spark and DuckDB agree bit-for-bit, so the oracle re-derives the
+      // WHOLE computation from scratch: buckets, dot products, norms, the
+      // keep-first order — with no stash and no knowledge of the batching
+      // or the restart). Random 64-dim embeddings are near-orthogonal, so
+      // the corpus is seeded with deterministic near-duplicate copies
+      // (every 5th vector, integer-perturbed — the q144 planted-dirty
+      // pattern): both engines derive the identical planted set by pure
+      // int arithmetic. Keep-first under (batch, vec_id); batch = id % 3
+      // (mod-time-pinned arrival order, as q304).
+      val work = java.nio.file.Files.createTempDirectory("graft_incemb").toString
+      val e = t(s, dir, "embeddings")
+      val base = e.select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as long))")
+        .as("qv"))
+      val planted = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(qv, (x, i) -> x + (vec_id + i) % 7 - 3)").as("qv"))
+      val all = base.unionByName(planted)
+      def stage(k: Int, modMs: Long): Unit = {
+        all.filter(col("vec_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(modMs))
+      }
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      stage(0, now - 120000); stage(1, now - 60000)
+      val enrich = (bt: DataFrame) =>
+        bt.select(col("vec_id").as("doc_id"), col("qv"))
+      graft.streaming.Incremental.maintainEmbDup(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", all.schema, enrich)
+      stage(2, now)
+      graft.streaming.Incremental.maintainEmbDup(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", all.schema, enrich) // restart: only b2
+      ord(s.read.parquet(s"$work/state/decisions")
+        .select("doc_id", "kept", "matched_id"), "doc_id")
+    }),
+    "q311_incremental_decontam" -> ((s, dir) => {
+      // INCREMENTAL DECONTAMINATION — q101's screen with a GROWING
+      // benchmark suite: training docs and eval docs arrive interleaved
+      // (eval = every 25th doc, q101's split), each training doc is
+      // screened against every benchmark 4-gram seen so far, and a later
+      // benchmark arrival RETROACTIVELY flips earlier training docs
+      // sharing its grams. Because the final count depends only on the
+      // union of benchmark grams, the maintained verdicts must equal
+      // q101's from-scratch recompute — the oracle IS q101's SQL, with
+      // zero knowledge of the batching, the restart, or the state
+      // machinery. Three arrivals (doc_id % 3, mod-time-pinned), restart
+      // between 2 and 3.
+      val work = java.nio.file.Files.createTempDirectory("graft_incdecon").toString
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      def stage(k: Int, modMs: Long): Unit = {
+        docs.filter(col("doc_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(modMs))
+      }
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      stage(0, now - 120000); stage(1, now - 60000)
+      val enrich = (bt: DataFrame) => bt.select(col("doc_id"), col("source"),
+        col("text"), (col("doc_id") % 25 === 0).as("is_eval"))
+      graft.streaming.Incremental.maintainContam(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema, enrich, n = 4)
+      stage(2, now)
+      graft.streaming.Incremental.maintainContam(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", docs.schema, enrich,
+        n = 4) // restart: only b2
+      ord(graft.streaming.Incremental.contamVerdicts(s, s"$work/state")
+        .filter(col("n_matched") >= 1)
+        .select(col("doc_id"), col("n_grams"), col("n_matched"),
+          round(col("n_matched").cast("double") / col("n_grams"), 4)
+            .as("frac")), "doc_id")
+    }),
     "q309_incremental_ivf" -> ((s, dir) => {
       // INCREMENTAL IVF ANN index — the similarity pillar's maintained
       // form: vectors arrive as micro-batches; centroids train ONCE on the
@@ -9503,6 +9616,89 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin,
+    // q312: the from-scratch recursive min-label closure over ALL edges —
+    // CC of a union is arrival-order invariant, so the oracle knows
+    // nothing of the batching or the lazy-relabel state machinery.
+    "q312_incremental_cc" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 97 = 0
+        |), pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u AS s, v AS d FROM pairs
+        |  UNION ALL
+        |  SELECT v, u FROM pairs
+        |), reach(id, lab) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
+        |)
+        |SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
+    // q310: full from-scratch re-derivation — quantization, planted
+    // duplicates, sign buckets, integer cosine gate, and the (batch, id)
+    // keep-first order (batch = vec_id % 3), all in exact integer
+    // arithmetic with no knowledge of the incremental machinery.
+    "q310_incremental_embdup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |), planted AS (
+        |  SELECT b.vec_id + 100000 AS vec_id,
+        |    list_transform(b.qv, (x, i) -> x + (b.vec_id + i - 1) % 7 - 3) AS qv
+        |  FROM base b WHERE b.vec_id % 5 = 0
+        |), allv AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM planted
+        |), v AS (
+        |  SELECT vec_id, qv, vec_id % 3 AS b,
+        |    (CASE WHEN qv[1] >= 0 THEN 8 ELSE 0 END
+        |     + CASE WHEN qv[2] >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN qv[3] >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN qv[4] >= 0 THEN 1 ELSE 0 END) AS bucket,
+        |    list_sum(list_transform(qv, x -> x * x)) AS n2
+        |  FROM allv
+        |), p AS (
+        |  SELECT e.vec_id AS e_id, e.b AS eb, d.vec_id AS d_id,
+        |    list_sum(list_transform(list_zip(e.qv, d.qv),
+        |      t -> t[1] * t[2])) AS dot,
+        |    e.n2 AS en, d.n2 AS dn
+        |  FROM v e JOIN v d ON e.bucket = d.bucket
+        |    AND ((e.b < d.b) OR (e.b = d.b AND e.vec_id < d.vec_id))
+        |), m AS (
+        |  SELECT d_id AS doc_id, min(eb * 10000000000 + e_id) AS enc
+        |  FROM p WHERE dot > 0 AND 10000 * dot * dot >= 6400 * en * dn
+        |  GROUP BY d_id
+        |)
+        |SELECT a.vec_id AS doc_id,
+        |  CAST(CASE WHEN m.enc IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+        |  CAST(m.enc % 10000000000 AS BIGINT) AS matched_id
+        |FROM allv a LEFT JOIN m ON a.vec_id = m.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // q311: the oracle is q101's from-scratch decontamination, verbatim —
+    // the maintained verdicts must equal it regardless of how the corpus
+    // and the benchmark suite were interleaved across arrivals.
+    "q311_incremental_decontam" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN length(w) < 4 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(generate_series(1, length(w)-3),
+        |        i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3])) END)) AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |        FROM documents)
+        |), b AS (
+        |  SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0
+        |)
+        |SELECT t.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  round(CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 4) AS frac
+        |FROM (SELECT * FROM g WHERE doc_id % 25 <> 0) t LEFT JOIN b USING (gram)
+        |GROUP BY t.doc_id
+        |HAVING CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) >= 1
+        |ORDER BY doc_id""".stripMargin,
     "q309_incremental_ivf" ->
       """WITH norms AS (
         |  SELECT vec_id, embedding,

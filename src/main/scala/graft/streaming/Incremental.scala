@@ -1056,6 +1056,574 @@ object Incremental {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
 
+  // ── incremental EMBEDDING near-dup (sign-bucket blocking) ────────────
+  // The third dedup modality's maintained form (exact keys → q301, MinHash
+  // text near-dup → q304): EMBEDDING near-duplicates, screened as vectors
+  // arrive. Blocking is sign-bucket LSH over FIXED hyperplanes (the first
+  // `nBits` quantized components' signs — deterministic, so a from-scratch
+  // oracle re-derives every bucket with no stash): two vectors are
+  // near-dups BY DEFINITION iff they share a bucket AND their quantized
+  // cosine clears the integer gate. Verification is EXACT int64 arithmetic
+  // (dot > 0 ∧ 100²·dot² ≥ thresholdPct²·‖a‖²·‖b‖², all in the quantized
+  // integer space), so Spark and a SQL oracle agree bit-for-bit with no
+  // floating-point boundary risk.
+  //
+  // State layout mirrors [[applyNearDupBatch]]: postings
+  // (doc_id, qv, n2, bucket, batch) partitioned by (bucket, batch); per
+  // arriving batch the history read is PRUNED to the batch's own buckets
+  // (partition filter) and earlier batches. Candidates are the
+  // bucket-confined pairs — the SemDeDup regime (q142): per-batch work is
+  // O(batch × touched-bucket density), never corpus all-pairs. Scaling
+  // knob: bucket count must GROW with the corpus (more sign bits — the
+  // same rule as IVF's nlist ∝ corpus) to hold per-bucket density
+  // constant; `nBits` is pinned per state dir, so growing it is a
+  // rebuild/compaction event, exactly like [[compactNearDup]]'s re-bucket.
+  //
+  // Quantization contract: the caller's enrich produces qv = round(x ×
+  // quantScale) per component. The integer gate computes 10⁴·dot² and
+  // thresholdPct²·n2·n2 in int64, so keep per-vector n2 = Σq² ≤ ~3×10⁷
+  // (e.g. dim ≤ 128 at quantScale 1000 with |x| ≤ 0.5) — comfortably
+  // inside int64 with a 30× margin.
+
+  /** Screen one enriched batch — (doc_id long, qv array<long>) — against
+    * the historical sign-bucket index + the in-batch prefix. Keep-first
+    * under the (batch, doc_id) total order, same rule as
+    * [[applyNearDupBatch]]. Writes pairs/ and decisions/ (per-batch
+    * partitions), then idx/ (per-(bucket, batch) postings) — the same
+    * crash-retry ordering and replay idempotence argument.
+    */
+  def applyEmbDupBatch(spark: SparkSession, enriched: DataFrame,
+      batchId: Long, stateDir: String, nBits: Int = 4,
+      thresholdPct: Int = 80): Unit = {
+    require(nBits >= 1 && nBits <= 16, s"nBits must be in [1,16], got $nBits")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pinLayout(stateDir, s"nBits=$nBits,thresholdPct=$thresholdPct")
+    // bucket = the sign bits of the first nBits quantized components
+    // (fixed axis hyperplanes — deterministic and oracle-rederivable)
+    def bucketOf(qv: Column): Column =
+      (0 until nBits).map(i =>
+        when(element_at(qv, i + 1) >= 0, lit(1L << (nBits - 1 - i)))
+          .otherwise(lit(0L))).reduce(_ + _)
+    val b = enriched
+      .select(col("doc_id").cast("long"), col("qv").cast("array<long>"))
+      .withColumn("n2", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+      .withColumn("bucket", bucketOf(col("qv")))
+      .withColumn("batch", lit(batchId))
+      .persist()
+    val buckets = b.select("bucket").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq // ≤ 2^nBits
+    if (buckets.isEmpty) { b.unpersist(blocking = false); return }
+    def emptyIdx = spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+      array().cast("array<long>").as("qv"), lit(0L).as("n2"),
+      lit(-1L).as("bucket"), lit(-1L).as("batch")).limit(0)
+    // pruned history read: ONLY the batch's buckets, ONLY earlier batches —
+    // both partition filters, so per-batch state access opens the touched
+    // buckets' files and nothing else
+    val hist = parquetIfAny(spark, s"$stateDir/idx").getOrElse(emptyIdx)
+      .filter(col("bucket").isin(buckets: _*) && col("batch") < batchId)
+    val earlier = hist.unionByName(b.select("doc_id", "qv", "n2", "bucket", "batch"))
+      .select(col("doc_id").as("e_id"), col("qv").as("e_qv"),
+        col("n2").as("e_n2"), col("bucket"), col("batch").as("e_batch"))
+    // bucket-confined candidates under the order predicate, verified by
+    // the exact integer cosine gate (dot and both norms² in the quantized
+    // space — no floating point anywhere)
+    val verified = b.select(col("doc_id").as("d_id"), col("qv").as("d_qv"),
+        col("n2").as("d_n2"), col("bucket"), col("batch"))
+      .join(earlier, Seq("bucket"))
+      .filter(col("e_batch") < col("batch") ||
+        (col("e_batch") === col("batch") && col("e_id") < col("d_id")))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(e_qv, d_qv, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .filter(col("dot") > 0 &&
+        lit(10000L) * col("dot") * col("dot") >=
+          lit(thresholdPct.toLong * thresholdPct) * col("e_n2") * col("d_n2"))
+      .select(col("e_id"), col("e_batch"), col("d_id"))
+      .persist()
+    val matched = verified.groupBy("d_id")
+      .agg(min(struct(col("e_batch"), col("e_id"))).as("m"))
+      .select(col("d_id").as("doc_id"), col("m.e_id").as("matched_id"))
+    val decisions = b.select("doc_id")
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("kept", col("matched_id").isNull.cast("long"))
+      .withColumn("batch", lit(batchId))
+    // pairs/decisions first, index last — on a crash-retry earlier batches'
+    // partitions are unchanged, every write recomputes bit-identically, and
+    // the per-batch partition overwrite replaces it (see applyNearDupBatch)
+    verified.select(col("e_id"), col("d_id")).withColumn("batch", lit(batchId))
+      .coalesce(4)
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/pairs")
+    decisions.coalesce(4).write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$stateDir/decisions")
+    b.select("doc_id", "qv", "n2", "bucket", "batch")
+      .repartition(math.min(1 << nBits, 32), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket", "batch")
+      .parquet(s"$stateDir/idx")
+    verified.unpersist(blocking = false)
+    b.unpersist(blocking = false)
+  }
+
+  /** Run the embedding near-dup loop over everything staged in `srcDir`
+    * (AvailableNow + checkpoint — call again after more shards land; only
+    * new files process). `enrich` must produce (doc_id, qv array<long>) —
+    * the quantized embedding (see the quantization contract above).
+    */
+  def maintainEmbDup(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
+      enrich: DataFrame => DataFrame, nBits: Int = 4,
+      thresholdPct: Int = 80): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        applyEmbDupBatch(spark, enrich(bt), id, stateDir, nBits, thresholdPct)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // ── incremental CONNECTED COMPONENTS (union-find MV) ─────────────────
+  // The graph MV: maintain per-vertex component labels as EDGE batches
+  // arrive, with final labels equal to from-scratch CC over the union of
+  // all edges — which is arrival-order-invariant, so the oracle needs no
+  // knowledge of the batching at all. The classic hard part of incremental
+  // CC is RELABELING: when two components merge, eagerly rewriting every
+  // member of the losing component costs O(component) per batch (and the
+  // members are spread across every vertex shard). The union-find answer,
+  // as a lakehouse MV:
+  //
+  //  - `lbl/`: (v, lbl) sharded pmod(v, nShards) — each vertex's label AS
+  //    OF ITS INSERTION batch, possibly STALE (lazy relabeling; a row is
+  //    written once and never rewritten).
+  //  - `fwd/`: the label FORWARDING table (old root → current root), the
+  //    union-find parent pointers kept FULLY PATH-COMPRESSED: every batch
+  //    rewrites the (small — one row per merged component ever, not per
+  //    vertex) table with this batch's merges applied, and writes it as a
+  //    self-contained per-batch SNAPSHOT partition fwd/batch=k. Reads
+  //    resolve any stored label in exactly ONE hop.
+  //
+  // Per batch: resolve the batch's endpoints through lbl (shard-pruned,
+  // endpoint semi-join) + the previous fwd snapshot; contract each edge to
+  // its endpoint ROOTS; run the (tiny — O(batch) nodes) min-label closure
+  // on the contracted graph ([[graft.llm.Dedup.connectedComponents]], the
+  // same large-star/small-star operator the batch q222 gates); the
+  // non-root rows of that closure are this batch's merges. Per-batch cost
+  // is O(batch + |fwd|) — independent of how many vertices history holds.
+  //
+  // Replay idempotence (at-least-once retries): NEW vertices are stored
+  // with their PRE-merge root (stale immediately, resolved through fwd
+  // like any other stale label). That choice is what makes every write
+  // recompute bit-identically on a retry at ANY crash point: the resolved
+  // roots a retry derives from (lbl ∪ fwd@<batchId) are the same whether
+  // or not the crashed attempt had committed lbl or fwd — the fwd read
+  // filters `batch < batchId`, so a partial own-batch snapshot is
+  // invisible, and the `_applied` marker (written last) is the batch
+  // commit record. Storing POST-merge roots instead would break this: a
+  // retry after lbl committed would find no merges and write a forwarding
+  // snapshot missing the crashed attempt's entries.
+
+  private def ccApplied(stateDir: String): Long = {
+    val f = new java.io.File(stateDir, "_applied")
+    if (f.exists()) new String(java.nio.file.Files.readAllBytes(f.toPath))
+      .trim.toLong
+    else -1L
+  }
+
+  private def batchDirsOf(dir: String): Seq[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong).toSeq
+
+  /** The current forwarding snapshot strictly BEFORE `beforeBatch`
+    * (Long.MaxValue = latest committed). Snapshots are cumulative — each
+    * carries every earlier entry re-pointed — so one partition is the
+    * whole table.
+    */
+  private def fwdSnapshot(spark: SparkSession, stateDir: String,
+      beforeBatch: Long): DataFrame = {
+    val dirs = batchDirsOf(s"$stateDir/fwd").filter(_ < beforeBatch)
+    if (dirs.isEmpty)
+      spark.emptyDataFrame.select(lit(0L).as("src_lbl"),
+        lit(0L).as("dst_lbl")).limit(0)
+    else spark.read.parquet(s"$stateDir/fwd/batch=${dirs.max}")
+      .select("src_lbl", "dst_lbl")
+  }
+
+  /** Apply one edge micro-batch — two columns, the endpoints — to the CC
+    * state under `stateDir`. Self-loops and duplicate edges are ignored;
+    * isolated vertices don't exist (every vertex arrives on an edge).
+    */
+  def applyCcBatch(spark: SparkSession, edges: DataFrame, batchId: Long,
+      stateDir: String, nShards: Int = 16): Unit = {
+    if (batchId <= ccApplied(stateDir)) return // committed: replay no-op
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pinLayout(stateDir, s"nShards=$nShards")
+    val lblDir = s"$stateDir/lbl"
+    val ec = edges.columns
+    val e = edges
+      .select(col(ec(0)).cast("long").as("a"), col(ec(1)).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct().persist()
+    val bv = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .distinct()
+      .withColumn("shard", pmod(col("v"), lit(nShards)).cast("long"))
+      .persist()
+    val shards = bv.select("shard").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq // bounded by nShards
+    if (shards.isEmpty) {
+      bv.unpersist(blocking = false); e.unpersist(blocking = false); return
+    }
+    def emptyLbl = spark.emptyDataFrame.select(lit(0L).as("v"),
+      lit(0L).as("lbl"), lit(-1L).as("bmax"), lit(-1L).as("shard")).limit(0)
+    // known endpoints: shard-pruned read, endpoint semi-join
+    val lblKnown = parquetIfAny(spark, lblDir).getOrElse(emptyLbl)
+      .filter(col("shard").isin(shards: _*)) // partition-pruned
+      .join(bv.select("v"), Seq("v"), "left_semi")
+      .select("v", "lbl")
+    val fwdPrev = fwdSnapshot(spark, stateDir, batchId).persist()
+    // resolve each endpoint to its current root (≤ 1 hop — fwd is
+    // compressed); unknown endpoints root at themselves
+    val resolved = bv.select("v", "shard")
+      .join(lblKnown, Seq("v"), "left")
+      .join(fwdPrev, col("lbl") === col("src_lbl"), "left")
+      .select(col("v"), col("shard"),
+        coalesce(col("dst_lbl"), col("lbl"), col("v")).as("root"),
+        col("lbl").isNull.as("is_new"))
+      .persist()
+    // contract edges to endpoint roots; the min-label closure of the
+    // contracted graph (O(batch) nodes) yields this batch's merges
+    val ra = resolved.select(col("v").as("a"), col("root").as("ra"))
+    val rb = resolved.select(col("v").as("b"), col("root").as("rb"))
+    val ce = e.join(ra, Seq("a")).join(rb, Seq("b"))
+      .select(col("ra"), col("rb")).filter(col("ra") =!= col("rb"))
+    val merges = graft.llm.Dedup.connectedComponents(ce)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("src_lbl"), col("cluster_id").as("dst_lbl"))
+      .persist()
+    merges.count() // materialize before any state write (self-read safety)
+    // new snapshot = old entries re-pointed through this batch's merges
+    // (path compression — every entry ends at a CURRENT root) ∪ the merges.
+    // Srcs are disjoint: fwdPrev's srcs are former roots, merges' srcs were
+    // roots until this batch, and a former root never re-enters as one.
+    val fwdNew = fwdPrev.as("f")
+      .join(merges.as("m"), col("f.dst_lbl") === col("m.src_lbl"), "left")
+      .select(col("f.src_lbl").as("src_lbl"),
+        coalesce(col("m.dst_lbl"), col("f.dst_lbl")).as("dst_lbl"))
+      .unionByName(merges)
+      .withColumn("batch", lit(batchId))
+    fwdNew.coalesce(1).write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$stateDir/fwd")
+    // insert new vertices at their PRE-merge root (see the idempotence
+    // note above); touched shards rewrite whole under the bmax guard
+    val newLbl = resolved.filter(col("is_new"))
+      .select(col("v"), col("root").as("lbl"), col("shard"))
+    val touched = newLbl.select("shard").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    val lblBmax = shardFooterMax(spark, lblDir, "shard", "bmax").getOrElse {
+      parquetIfAny(spark, lblDir).getOrElse(emptyLbl)
+        .filter(col("shard").isin(touched: _*))
+        .groupBy("shard").agg(max("bmax").as("bm"))
+        .collect().map(r => r.getAs[Number](0).longValue ->
+          r.getAs[Number](1).longValue).toMap
+    }
+    val fresh = touched.filterNot(s => lblBmax.get(s).exists(_ >= batchId))
+    if (fresh.nonEmpty) {
+      val old = parquetIfAny(spark, lblDir).getOrElse(emptyLbl)
+        .filter(col("shard").isin(fresh: _*)).select("v", "lbl", "shard")
+        .persist()
+      old.count() // materialize before overwriting the shards it came from
+      old.unionByName(newLbl.filter(col("shard").isin(fresh: _*)))
+        .withColumn("bmax", lit(batchId))
+        .select("v", "lbl", "bmax", "shard")
+        .repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(lblDir)
+      old.unpersist(blocking = false)
+    }
+    // commit marker LAST
+    java.nio.file.Files.writeString(
+      new java.io.File(stateDir, "_applied").toPath, batchId.toString)
+    merges.unpersist(blocking = false)
+    resolved.unpersist(blocking = false)
+    fwdPrev.unpersist(blocking = false)
+    bv.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+  }
+
+  /** The maintained component labels: every vertex ever seen, resolved to
+    * its component's min id in one forwarding hop. Reads the latest
+    * COMMITTED forwarding snapshot (`_applied` marker).
+    */
+  def ccLabels(spark: SparkSession, stateDir: String): DataFrame = {
+    val fwd = fwdSnapshot(spark, stateDir, ccApplied(stateDir) + 1)
+    spark.read.parquet(s"$stateDir/lbl")
+      .join(fwd, col("lbl") === col("src_lbl"), "left")
+      .select(col("v").as("id"),
+        coalesce(col("dst_lbl"), col("lbl")).as("cluster_id"))
+  }
+
+  /** Run the CC maintenance loop over everything staged in `srcDir`
+    * (AvailableNow + checkpoint — call again after more shards land; only
+    * new files process). Source schema: two long endpoint columns.
+    */
+  def maintainCc(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
+      nShards: Int = 16): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        applyCcBatch(spark, bt, id, stateDir, nShards)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold the forwarding table into the label table (the union-find
+    * "global path compression" pass): every stored label resolves to its
+    * current root and the folded snapshots drop. Run at a quiescent point
+    * (same contract as [[compactNearDup]]); re-running after a crash
+    * converges (relabeling through an already-applied snapshot is a
+    * no-op, and snapshots at or below `upToBatch` are only deleted after
+    * the relabeled table committed).
+    */
+  def compactCc(spark: SparkSession, stateDir: String, upToBatch: Long): Unit = {
+    require(upToBatch <= ccApplied(stateDir),
+      s"cannot compact past the last committed batch (${ccApplied(stateDir)})")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val lblDir = s"$stateDir/lbl"
+    val fwd = fwdSnapshot(spark, stateDir, upToBatch + 1).persist()
+    if (fwd.count() > 0) {
+      val relabeled = spark.read.parquet(lblDir)
+        .join(fwd, col("lbl") === col("src_lbl"), "left")
+        .select(col("v"), coalesce(col("dst_lbl"), col("lbl")).as("lbl"),
+          col("bmax"), col("shard"))
+        .persist()
+      relabeled.count() // materialize before overwriting its own source
+      relabeled.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(lblDir)
+      relabeled.unpersist(blocking = false)
+    }
+    fwd.unpersist(blocking = false)
+    // snapshots ≤ upToBatch are folded in; later snapshots still resolve
+    // the relabeled values (their entries for already-final roots are
+    // simply never matched)
+    batchDirsOf(s"$stateDir/fwd").filter(_ <= upToBatch)
+      .foreach(b => deleteRec(new java.io.File(s"$stateDir/fwd/batch=$b")))
+  }
+
+  // ── incremental DECONTAMINATION (growing benchmark suite) ────────────
+  // Training-data decontamination (q101's batch op) with BOTH sides
+  // arriving over time: training docs are screened against every benchmark
+  // gram seen SO FAR, and a LATER benchmark arrival retroactively flips
+  // earlier training docs that share its grams — the real production shape
+  // (eval suites are registered continually; the corpus must re-screen
+  // without a recompute). Because the final per-doc match count depends
+  // only on the UNION of benchmark grams, the maintained verdicts equal
+  // q101's from-scratch recompute regardless of arrival interleaving —
+  // which is exactly what the oracle checks, with zero knowledge of the
+  // batching.
+  //
+  // Three sharded state surfaces (same layout discipline as the funnel):
+  //  - `bg/`: the benchmark gram set — one row per distinct gram hash,
+  //    sharded pmod(gh, nGramShards). Append-only set; a gram enters
+  //    exactly once (anti-join against the old set), which is what makes
+  //    retro increments exactly-once by algebra.
+  //  - `tg/`: the training-corpus INVERTED gram index — (gh, doc_id)
+  //    postings partitioned by (gshard, batch). The span MV (q306) avoids
+  //    an inverted index because its counts are monotone with a single
+  //    holder; contamination needs ALL holders of a crossing gram, so the
+  //    index is the honest O(corpus grams) state.
+  //  - `ver/`: per-doc verdict MV — (doc_id, source, n_grams, n_matched),
+  //    sharded pmod(doc_id, nDocShards); n_matched is additive (each
+  //    matched gram counts exactly once: at doc arrival if the gram was
+  //    already benchmark, else at that gram's single 0→1 crossing).
+  //
+  // Per batch, cost is O(batch grams + touched shards): the benchmark-set
+  // read is pruned to the batch's gram shards, the retro probe is pruned
+  // to the NEW benchmark grams' shards (and earlier batches — both
+  // partition filters), and the verdict merge rewrites only touched doc
+  // shards. Nothing ever scans history.
+  //
+  // Crash-retry ordering: tg (derived from the batch alone — always
+  // recomputes bit-identically) → ver (derives from bg's OLD state;
+  // per-shard bmax guards skip applied shards) → bg LAST. If bg committed,
+  // the whole batch had committed (ver precedes it) and a replay's
+  // anti-join finds no new grams; if not, every delta recomputes
+  // bit-identically against the unchanged bg. Same argument as
+  // [[applySpanBatch]]'s cov-before-gc.
+
+  /** Apply one micro-batch — (doc_id long, source string, text string,
+    * is_eval boolean) — to the decontamination state under `stateDir`.
+    * Grams are distinct word `n`-grams per doc (the q101 derivation:
+    * [[graft.llm.TextFns.wordShingles]] over lowercased whitespace tokens,
+    * whole-text fallback for short docs), hashed to 64-bit. Hash-exactness
+    * has the same contract as the span MV: xxhash64 stands in for exact
+    * gram strings; collisions are absent on the test corpora (the oracle
+    * gate proves it) and a production run pairs this with a periodic
+    * batch audit.
+    */
+  def applyContamBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      stateDir: String, n: Int = 4, nGramShards: Int = 16,
+      nDocShards: Int = 16): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pinLayout(stateDir, s"n=$n,nGramShards=$nGramShards,nDocShards=$nDocShards")
+    val bgDir = s"$stateDir/bg"; val tgDir = s"$stateDir/tg"
+    val verDir = s"$stateDir/ver"
+    val b = batch.select(col("doc_id").cast("long"), col("source"),
+      col("text"), col("is_eval").cast("boolean").as("is_eval")).persist()
+    // one gram pass over the batch (never over history): distinct grams
+    // per doc, hashed — the q101 gram derivation
+    val grams = b.select(col("doc_id"), col("is_eval"),
+        explode(array_distinct(
+          graft.llm.TextFns.wordShingles(col("text"), n))).as("gram"))
+      .withColumn("gh", xxhash64(col("gram"))).drop("gram")
+      .withColumn("gshard", pmod(col("gh"), lit(nGramShards)).cast("long"))
+      .persist()
+    val touchedG = grams.select("gshard").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq // ≤ nGramShards
+    if (touchedG.isEmpty) {
+      grams.unpersist(blocking = false); b.unpersist(blocking = false); return
+    }
+    def emptyBg = spark.emptyDataFrame.select(lit(0L).as("gh"),
+      lit(-1L).as("bmax"), lit(-1L).as("gshard")).limit(0)
+    val bgOld = parquetIfAny(spark, bgDir).getOrElse(emptyBg)
+      .filter(col("gshard").isin(touchedG: _*)) // partition-pruned
+      .persist()
+    // genuinely-NEW benchmark grams: this batch's eval grams not yet in
+    // the set — each gram crosses 0→1 at most once, ever
+    val evalG = grams.filter(col("is_eval"))
+      .select("gh", "gshard").distinct()
+    val newBG = evalG.join(bgOld.select("gh"), Seq("gh"), "left_anti")
+      .persist()
+    // training-side matches vs the benchmark set AS OF this batch
+    // (old set ∪ same-batch eval grams — eval-before-train within a batch)
+    val benchNow = bgOld.select("gh").unionByName(newBG.select("gh"))
+    val trainG = grams.filter(!col("is_eval"))
+    val docNew = b.filter(!col("is_eval")).select("doc_id", "source")
+      .join(trainG.groupBy("doc_id").agg(count(lit(1)).as("n_grams")),
+        Seq("doc_id"), "left")
+      .join(trainG.join(benchNow, Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("dm")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dm"), lit(0L)).as("dm"))
+    // RETRO: historical training docs holding a crossing gram gain one
+    // match per such gram — the read is pruned to the new grams' shards
+    // and earlier batches (both partition filters)
+    val newShards = newBG.select("gshard").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    def emptyTg = spark.emptyDataFrame.select(lit(0L).as("gh"),
+      lit(0L).as("doc_id"), lit(-1L).as("gshard"), lit(-1L).as("batch"))
+      .limit(0)
+    val retro =
+      (if (newShards.isEmpty) emptyTg
+       else parquetIfAny(spark, tgDir).getOrElse(emptyTg)
+         .filter(col("gshard").isin(newShards: _*) && col("batch") < batchId))
+        .join(newBG.select("gh"), Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("dm"))
+        .select(col("doc_id"), lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_grams"), col("dm"))
+    val verDelta = docNew.unionByName(retro)
+      .groupBy("doc_id")
+      .agg(max(col("source")).as("src_d"), max(col("n_grams")).as("ng_d"),
+        sum(col("dm")).as("dm"))
+      .withColumn("dshard", pmod(col("doc_id"), lit(nDocShards)).cast("long"))
+      .persist()
+    val touchedD = verDelta.select("dshard").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    val verBmax = shardFooterMax(spark, verDir, "dshard", "bmax").getOrElse {
+      spark.read.parquet(verDir).filter(col("dshard").isin(touchedD: _*))
+        .groupBy("dshard").agg(max("bmax").as("bm"))
+        .collect().map(r => r.getAs[Number](0).longValue ->
+          r.getAs[Number](1).longValue).toMap
+    }
+    val freshD = touchedD.filterNot(s => verBmax.get(s).exists(_ >= batchId))
+    // tg FIRST (batch-only data — replays overwrite bit-identically; the
+    // retro read's `batch < batchId` filter keeps a crashed attempt's own
+    // partial partitions invisible to the retry)
+    trainG.select("gh", "doc_id", "gshard").withColumn("batch", lit(batchId))
+      .repartition(math.min(nGramShards, 32), col("gshard"))
+      .write.mode("overwrite").partitionBy("gshard", "batch").parquet(tgDir)
+    if (freshD.nonEmpty) {
+      val verOld = parquetIfAny(spark, verDir)
+        .getOrElse(spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+          lit("").as("source"), lit(0L).as("n_grams"), lit(0L).as("n_matched"),
+          lit(-1L).as("bmax"), lit(-1L).as("dshard")).limit(0))
+        .filter(col("dshard").isin(freshD: _*)) // partition-pruned
+        .select(col("doc_id"), col("source").as("src_o"),
+          col("n_grams").as("ng_o"), col("n_matched").as("nm_o"),
+          col("dshard").as("dsh_o"))
+      val merged = verOld
+        .join(verDelta.filter(col("dshard").isin(freshD: _*)), Seq("doc_id"),
+          "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("src_o"), col("src_d")).as("source"),
+          coalesce(col("ng_o"), col("ng_d")).as("n_grams"),
+          (coalesce(col("nm_o"), lit(0L)) + coalesce(col("dm"), lit(0L)))
+            .as("n_matched"),
+          lit(batchId).as("bmax"),
+          coalesce(col("dsh_o"), col("dshard")).as("dshard"))
+      merged.repartition(col("dshard"))
+        .write.mode("overwrite").partitionBy("dshard").parquet(verDir)
+    }
+    // bg LAST: fold the new grams into their shards (old rows pass through
+    // — the partition rewrites whole). On a replay after commit the
+    // anti-join finds nothing new, so the set is self-guarding.
+    if (newShards.nonEmpty) {
+      bgOld.filter(col("gshard").isin(newShards: _*))
+        .select("gh", "gshard")
+        .unionByName(newBG.select("gh", "gshard"))
+        .withColumn("bmax", lit(batchId))
+        .select("gh", "bmax", "gshard")
+        .repartition(col("gshard"))
+        .write.mode("overwrite").partitionBy("gshard").parquet(bgDir)
+    }
+    verDelta.unpersist(blocking = false)
+    newBG.unpersist(blocking = false)
+    bgOld.unpersist(blocking = false)
+    grams.unpersist(blocking = false)
+    b.unpersist(blocking = false)
+  }
+
+  /** The maintained contamination verdicts: per training doc
+    * (doc_id, source, n_grams, n_matched, contaminated) where contaminated
+    * applies q101's `minMatches` gate. A row-local read of ver/ — never
+    * touches the gram state.
+    */
+  def contamVerdicts(spark: SparkSession, stateDir: String,
+      minMatches: Long = 1L): DataFrame =
+    spark.read.parquet(s"$stateDir/ver")
+      .select(col("doc_id"), col("source"), col("n_grams"), col("n_matched"),
+        (col("n_matched") >= minMatches).cast("long").as("contaminated"))
+
+  /** Run the decontamination loop over everything staged in `srcDir`
+    * (AvailableNow + checkpoint — call again after more shards land; only
+    * new files process). `enrich` must produce (doc_id, source, text,
+    * is_eval) — is_eval marks benchmark docs.
+    */
+  def maintainContam(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
+      enrich: DataFrame => DataFrame, n: Int = 4, nGramShards: Int = 16,
+      nDocShards: Int = 16): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        applyContamBatch(spark, enrich(bt), id, stateDir, n, nGramShards,
+          nDocShards)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** End-to-end demonstration over the static events table: stage the
     * events as three arrival batches, maintain the view incrementally
     * (including a restart between arrivals, same checkpoint), and return

@@ -796,6 +796,57 @@ object ScaleProbe {
               src.schema, enrich)
             graft.streaming.Incremental.curationReport(spark, s"$work/delta")
               .agg(sum("after_dedup")).head().getLong(0)
+          }),
+        Probe("inc_embdup", 5000,
+          n => spark.range(n).select(col("id").as("doc_id"), expr(
+            "transform(sequence(0, 63), i -> pmod(xxhash64(id, i), 1001) - 500)")
+            .as("qv")),
+          df => {
+            // bucket count GROWS with the corpus (nBits ∝ log2 n — the IVF
+            // nlist rule), holding per-bucket density ~64 constant: total
+            // bucket-confined pairs stay ∝ n, so the family is linear
+            val n = df.count()
+            val nBits = math.max(4,
+              math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_probe_incemb").toString
+            (0 to 2).foreach { k =>
+              graft.streaming.Incremental.applyEmbDupBatch(spark,
+                df.filter(pmod(col("doc_id"), lit(3)) === k), k.toLong,
+                s"$work/state", nBits = nBits)
+            }
+            spark.read.parquet(s"$work/state/decisions")
+              .agg(sum("kept")).head().getLong(0)
+          }),
+        Probe("inc_cc", 50000, edgesFor,
+          df => {
+            // per-batch cost is O(batch + |fwd|): the contracted closure
+            // runs on O(batch) nodes and the forwarding table holds one
+            // row per merged component, not per vertex — linear family
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_probe_inccc").toString
+            (0 to 2).foreach { k =>
+              graft.streaming.Incremental.applyCcBatch(spark,
+                df.filter(pmod(col("a") + col("b"), lit(3)) === k),
+                k.toLong, s"$work/state")
+            }
+            graft.streaming.Incremental.ccLabels(spark, s"$work/state")
+              .agg(countDistinct(col("cluster_id"))).head().getLong(0)
+          }),
+        Probe("inc_contam", 15000,
+          n => corpus(spark, n.toInt),
+          df => {
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_probe_contam").toString
+            val src = df.select(col("doc_id"), lit("s").as("source"),
+              col("text"), (col("doc_id") % 25 === 0).as("is_eval"))
+            (0 to 2).foreach { k =>
+              graft.streaming.Incremental.applyContamBatch(spark,
+                src.filter(pmod(col("doc_id"), lit(3)) === k), k.toLong,
+                s"$work/state", n = 4)
+            }
+            graft.streaming.Incremental.contamVerdicts(spark, s"$work/state")
+              .agg(sum("n_matched")).head().getLong(0)
           }))
       // extra args past "suite" filter to named families (re-run one family
       // without the full sweep): runMain graft.tools.ScaleProbe suite inc_neardup

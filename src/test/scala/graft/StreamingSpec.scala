@@ -1006,4 +1006,147 @@ class StreamingSpec extends SparkSuite {
     assert(idx.columns.toSet ==
       Set("band", "bucket", "doc_id", "sig", "bp", "batch"))
   }
+
+  test("embedding near-dup: keep-first across batches, replay no-op, " +
+      "pruned bucket read") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_embdup_spec")
+      .toString
+    val state = s"$work/state"
+    // quantized 4-dim-prefix vectors: ids 1/2 are near-identical (same
+    // bucket 15, cosine ≈ 1), id 3 shares their bucket but is orthogonal
+    // enough to stay kept, id 4 lives in another bucket entirely
+    def v(sgn: Long, tail: Long*) =
+      Array(sgn * 500L, 500L, 500L, 500L) ++ tail
+    val b0 = Seq(
+      (1L, v(1, 500L, 0L)), (3L, v(1, -500L, 0L)), (4L, v(-1, 0L, 500L)))
+      .toDF("doc_id", "qv")
+    Incremental.applyEmbDupBatch(spark, b0, 0L, state)
+    val d0 = spark.read.parquet(s"$state/decisions")
+      .select("doc_id", "kept").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(d0 == Map(1L -> 1L, 3L -> 1L, 4L -> 1L)) // nothing similar yet
+    // batch 1: id 2 duplicates id 1 (dropped, matched to 1); replay of
+    // batch 1 must leave every decision identical (at-least-once retry)
+    val b1 = Seq((2L, v(1, 499L, 1L))).toDF("doc_id", "qv")
+    Incremental.applyEmbDupBatch(spark, b1, 1L, state)
+    def decisions() = rows(spark.read.parquet(s"$state/decisions")
+      .select("doc_id", "kept", "matched_id", "batch")
+      .orderBy("doc_id")).map(_.toString)
+    val after1 = decisions()
+    assert(spark.read.parquet(s"$state/decisions")
+      .filter(col("doc_id") === 2L).select("kept", "matched_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    Incremental.applyEmbDupBatch(spark, b1, 1L, state)
+    assert(decisions() == after1, "replayed batch changed decisions")
+    // the per-batch history read is bucket-pruned: a read filtered to one
+    // bucket + earlier batches opens strictly fewer index files
+    val idx = spark.read.parquet(s"$state/idx")
+    val total = idx.select(input_file_name()).distinct().count()
+    val pruned = idx.filter(col("bucket") === 15L && col("batch") < 1L)
+      .select(input_file_name()).distinct().count()
+    assert(pruned < total, s"pruned read opened $pruned of $total files")
+    // postings carry the quantized vector + norm: verification is a
+    // projection of the bucket join, no second state fetch
+    assert(idx.columns.toSet == Set("doc_id", "qv", "n2", "bucket", "batch"))
+  }
+
+  test("incremental decontamination: a later benchmark arrival " +
+      "RETROACTIVELY flips an earlier training doc; replay is a no-op") {
+    import graft.streaming.Incremental
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_contam_spec")
+      .toString
+    val state = s"$work/state"
+    def verd() = spark.read.parquet(s"$state/ver")
+      .select("doc_id", "n_grams", "n_matched")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch 0: two training docs, no benchmark yet — both clean
+    val b0 = Seq(
+      (1L, "s", "alpha beta gamma delta epsilon", false),
+      (2L, "s", "one two three four", false))
+      .toDF("doc_id", "source", "text", "is_eval")
+    Incremental.applyContamBatch(spark, b0, 0L, state, n = 4)
+    assert(verd() == Map(1L -> (2L, 0L), 2L -> (1L, 0L)))
+    // batch 1: a benchmark doc sharing doc 1's first 4-gram arrives —
+    // doc 1 must flip retroactively; doc 2 stays clean. A same-batch
+    // training doc sharing the gram is flagged immediately.
+    val b1 = Seq(
+      (100L, "s", "alpha beta gamma delta", true),
+      (3L, "s", "alpha beta gamma delta zeta", false))
+      .toDF("doc_id", "source", "text", "is_eval")
+    Incremental.applyContamBatch(spark, b1, 1L, state, n = 4)
+    val after1 = verd()
+    assert(after1 == Map(1L -> (2L, 1L), 2L -> (1L, 0L), 3L -> (2L, 1L)),
+      s"retro flip missing: $after1")
+    // replay of batch 1 (at-least-once retry): counts must not double —
+    // the benchmark-set anti-join finds nothing new and the verdict
+    // shards' bmax guard skips the applied merge
+    Incremental.applyContamBatch(spark, b1, 1L, state, n = 4)
+    assert(verd() == after1, "replayed batch changed verdicts")
+    // a SECOND benchmark doc with the same gram adds no new gram — no
+    // double count on doc 1
+    val b2 = Seq((101L, "s", "alpha beta gamma delta", true))
+      .toDF("doc_id", "source", "text", "is_eval")
+    Incremental.applyContamBatch(spark, b2, 2L, state, n = 4)
+    assert(verd()(1L) == (2L, 1L), "duplicate benchmark gram double-counted")
+  }
+
+  test("incremental CC: lazy relabel through compressed forwarding, " +
+      "replay + marker-less retry converge, compaction folds") {
+    import graft.streaming.Incremental
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_inccc_spec")
+      .toString
+    val state = s"$work/state"
+    def labels() = Incremental.ccLabels(spark, state)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def stored() = spark.read.parquet(s"$state/lbl")
+      .select("v", "lbl").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 0: two separate components
+    Incremental.applyCcBatch(spark,
+      Seq((1L, 2L), (5L, 6L)).toDF("a", "b"), 0L, state)
+    assert(labels() == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+    // batch 1: one edge merges them — NO member rows are rewritten; the
+    // stored label of vertex 6 stays stale (5) and resolves through fwd
+    Incremental.applyCcBatch(spark, Seq((2L, 5L)).toDF("a", "b"), 1L, state)
+    assert(labels() == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+    // a brand-new vertex stores its PRE-merge root (itself) — stale from
+    // the start; resolution always goes through the forwarding snapshot
+    assert(stored()(6L) == 6L, "lazy relabel: stored label must stay stale")
+    // committed replay: the _applied marker makes it a guarded no-op
+    Incremental.applyCcBatch(spark, Seq((2L, 5L)).toDF("a", "b"), 1L, state)
+    assert(labels() == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L))
+    // batch 2: a smaller vertex takes over as the component min — every
+    // forwarding entry re-points (path compression: no dst is ever a src)
+    Incremental.applyCcBatch(spark, Seq((0L, 1L)).toDF("a", "b"), 2L, state)
+    assert(labels() ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L))
+    def fwdRows() = spark.read
+      .parquet(s"$state/fwd/batch=2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fwd2 = fwdRows()
+    assert(fwd2.values.toSet.intersect(fwd2.keySet).isEmpty,
+      s"forwarding not compressed: $fwd2")
+    // marker-less retry (crash after all writes, before the commit
+    // marker): re-running the batch must converge to the identical state
+    // — pre-merge-root inserts make every write recompute bit-identically
+    new java.io.File(state, "_applied").delete()
+    Incremental.applyCcBatch(spark, Seq((0L, 1L)).toDF("a", "b"), 2L, state)
+    assert(labels() ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L))
+    assert(fwdRows() == fwd2, "retry rewrote a different forwarding table")
+    // compaction folds fwd into lbl (global path compression) and later
+    // batches start from the folded state
+    Incremental.compactCc(spark, state, upToBatch = 2L)
+    assert(stored() ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L))
+    assert(labels() ==
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 0L, 6L -> 0L))
+    Incremental.applyCcBatch(spark, Seq((6L, 9L)).toDF("a", "b"), 3L, state)
+    assert(labels()(9L) == 0L, "post-compaction batch missed the fold")
+  }
 }
