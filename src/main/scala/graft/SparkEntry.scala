@@ -4314,6 +4314,91 @@ object SparkEntry {
         outNames = Seq("after_neardup", "after_rules", "kept_docs")),
         "source")
     }),
+    "q314_incremental_cdc" -> ((s, dir) => {
+      // INCREMENTAL CDC APPLY — the maintained twin of q135's batch MERGE
+      // INTO: change batches (insert/update/delete + sequence) arrive as
+      // micro-batches and the target table stays merged, highest change
+      // wins under the (batch, seq) total order, a winning delete drops
+      // the row and a later change re-creates it. Same changeset shapes
+      // as q135 (inserts of absent keys, updates, multi-change keys,
+      // update-then-delete), spread over three arrivals with a restart;
+      // the oracle replays every change from scratch (argmax per key)
+      // with zero knowledge of the incremental machinery.
+      val work = java.nio.file.Files.createTempDirectory("graft_inccdc").toString
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      def ch(f: Column, op: String, seq: Int, price: Column) =
+        o.filter(f).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), price.as("o_totalprice"),
+          lit(op).as("op"), lit(seq.toLong).as("seq"))
+      val batches = Seq(
+        // arrival 0: the initial snapshot, as inserts
+        ch(col("o_orderkey") % 5 =!= 4, "I", 0, col("o_totalprice")),
+        // arrival 1: inserts of absent keys + first-round updates
+        ch(col("o_orderkey") % 5 === 4, "I", 1, col("o_totalprice"))
+          .unionAll(ch(col("o_orderkey") % 5 === 0, "U", 1,
+            col("o_totalprice") + 1))
+          .unionAll(ch(col("o_orderkey") % 5 === 1, "U", 1,
+            col("o_totalprice"))),
+        // arrival 2: second-round updates + update-then-delete keys
+        ch(col("o_orderkey") % 10 === 0, "U", 2, col("o_totalprice") + 2)
+          .unionAll(ch(col("o_orderkey") % 5 === 1, "D", 2,
+            col("o_totalprice"))))
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      def stage(k: Int): Unit = {
+        batches(k).coalesce(1).write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(now - (2 - k) * 60000L))
+      }
+      stage(0); stage(1)
+      graft.streaming.Incremental.maintainCdc(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", batches(0).schema, "o_orderkey")
+      stage(2)
+      graft.streaming.Incremental.maintainCdc(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", batches(0).schema,
+        "o_orderkey") // restart: only b2
+      ord(graft.streaming.Incremental.cdcTable(s, s"$work/state",
+        "o_orderkey"), "o_orderkey")
+    }),
+    "q313_compacted_embdup" -> ((s, dir) => {
+      // COMPACTED embedding near-dup — q310's maintained screen with a
+      // state COMPACTION between arrivals: batches 0–1 fold into
+      // bucket-partitioned base postings (original batch ids preserved as
+      // a data column so the (batch, id) keep-first order survives), the
+      // _highwater marker turns a late replay of a folded batch into a
+      // guarded no-op, and arrival 3 screens against compacted base + its
+      // own in-batch prefix. Decisions must equal the never-compacted run
+      // — the oracle is q310's from-scratch SQL verbatim (compaction AND
+      // batching invisible).
+      val work = java.nio.file.Files.createTempDirectory("graft_cmpemb").toString
+      val e = t(s, dir, "embeddings")
+      val base = e.select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as long))")
+        .as("qv"))
+      val planted = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(qv, (x, i) -> x + (vec_id + i) % 7 - 3)").as("qv"))
+      val all = base.unionByName(planted)
+      def stage(k: Int, modMs: Long): Unit = {
+        all.filter(col("vec_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(modMs))
+      }
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      stage(0, now - 120000); stage(1, now - 60000)
+      val enrich = (bt: DataFrame) =>
+        bt.select(col("vec_id").as("doc_id"), col("qv"))
+      graft.streaming.Incremental.maintainEmbDup(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", all.schema, enrich)
+      graft.streaming.Incremental.compact(s, s"$work/state", upToBatch = 1L)
+      stage(2, now)
+      graft.streaming.Incremental.maintainEmbDup(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", all.schema, enrich) // restart: only b2
+      ord(graft.streaming.Incremental.embDecisions(s, s"$work/state")
+        .select("doc_id", "kept", "matched_id"), "doc_id")
+    }),
     "q312_incremental_cc" -> ((s, dir) => {
       // INCREMENTAL CONNECTED COMPONENTS — the graph MV: edge batches
       // arrive (q222's part co-purchase graph, orders split 3 ways) and
@@ -5584,6 +5669,46 @@ object SparkEntry {
         .select("media_id", "mime", "byte_len", "digest"), "media_id")
     })
   )
+
+  /** Shared by q310 and q313: the compaction must be invisible, so both
+    * gates compare against the identical from-scratch SQL.
+    */
+  private val embDupOracle: String =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), planted AS (
+      |  SELECT b.vec_id + 100000 AS vec_id,
+      |    list_transform(b.qv, (x, i) -> x + (b.vec_id + i - 1) % 7 - 3) AS qv
+      |  FROM base b WHERE b.vec_id % 5 = 0
+      |), allv AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM planted
+      |), v AS (
+      |  SELECT vec_id, qv, vec_id % 3 AS b,
+      |    (CASE WHEN qv[1] >= 0 THEN 8 ELSE 0 END
+      |     + CASE WHEN qv[2] >= 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN qv[3] >= 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN qv[4] >= 0 THEN 1 ELSE 0 END) AS bucket,
+      |    list_sum(list_transform(qv, x -> x * x)) AS n2
+      |  FROM allv
+      |), p AS (
+      |  SELECT e.vec_id AS e_id, e.b AS eb, d.vec_id AS d_id,
+      |    list_sum(list_transform(list_zip(e.qv, d.qv),
+      |      t -> t[1] * t[2])) AS dot,
+      |    e.n2 AS en, d.n2 AS dn
+      |  FROM v e JOIN v d ON e.bucket = d.bucket
+      |    AND ((e.b < d.b) OR (e.b = d.b AND e.vec_id < d.vec_id))
+      |), m AS (
+      |  SELECT d_id AS doc_id, min(eb * 10000000000 + e_id) AS enc
+      |  FROM p WHERE dot > 0 AND 10000 * dot * dot >= 6400 * en * dn
+      |  GROUP BY d_id
+      |)
+      |SELECT a.vec_id AS doc_id,
+      |  CAST(CASE WHEN m.enc IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+      |  CAST(m.enc % 10000000000 AS BIGINT) AS matched_id
+      |FROM allv a LEFT JOIN m ON a.vec_id = m.doc_id
+      |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -9637,46 +9762,42 @@ object SparkEntry {
         |)
         |SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
-    // q310: full from-scratch re-derivation — quantization, planted
+    // q310/q313: full from-scratch re-derivation — quantization, planted
     // duplicates, sign buckets, integer cosine gate, and the (batch, id)
     // keep-first order (batch = vec_id % 3), all in exact integer
-    // arithmetic with no knowledge of the incremental machinery.
-    "q310_incremental_embdup" ->
-      """WITH base AS (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-        |  FROM embeddings
-        |), planted AS (
-        |  SELECT b.vec_id + 100000 AS vec_id,
-        |    list_transform(b.qv, (x, i) -> x + (b.vec_id + i - 1) % 7 - 3) AS qv
-        |  FROM base b WHERE b.vec_id % 5 = 0
-        |), allv AS (
-        |  SELECT * FROM base UNION ALL SELECT * FROM planted
-        |), v AS (
-        |  SELECT vec_id, qv, vec_id % 3 AS b,
-        |    (CASE WHEN qv[1] >= 0 THEN 8 ELSE 0 END
-        |     + CASE WHEN qv[2] >= 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN qv[3] >= 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN qv[4] >= 0 THEN 1 ELSE 0 END) AS bucket,
-        |    list_sum(list_transform(qv, x -> x * x)) AS n2
-        |  FROM allv
-        |), p AS (
-        |  SELECT e.vec_id AS e_id, e.b AS eb, d.vec_id AS d_id,
-        |    list_sum(list_transform(list_zip(e.qv, d.qv),
-        |      t -> t[1] * t[2])) AS dot,
-        |    e.n2 AS en, d.n2 AS dn
-        |  FROM v e JOIN v d ON e.bucket = d.bucket
-        |    AND ((e.b < d.b) OR (e.b = d.b AND e.vec_id < d.vec_id))
-        |), m AS (
-        |  SELECT d_id AS doc_id, min(eb * 10000000000 + e_id) AS enc
-        |  FROM p WHERE dot > 0 AND 10000 * dot * dot >= 6400 * en * dn
-        |  GROUP BY d_id
+    // arithmetic with no knowledge of the incremental machinery (q313:
+    // nor of the mid-stream compaction, which must be invisible).
+    "q310_incremental_embdup" -> embDupOracle,
+    "q313_compacted_embdup" -> embDupOracle,
+    // q314: replay every change from scratch — per key the (batch, seq)
+    // argmax decides, a winning D deletes; no knowledge of the
+    // incremental merge. (Per-key (b, seq) pairs are unique by
+    // construction, so no tie-break is needed.)
+    "q314_incremental_cdc" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders
+        |), ch AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    'I' AS op, 0 AS b, 0 AS seq FROM src WHERE o_orderkey % 5 <> 4
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, 'I', 1, 1 FROM src WHERE o_orderkey % 5 = 4
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 1, 'U', 1, 1 FROM src WHERE o_orderkey % 5 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, 'U', 1, 1 FROM src WHERE o_orderkey % 5 = 1
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 2, 'U', 2, 2 FROM src WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, 'D', 2, 2 FROM src WHERE o_orderkey % 5 = 1
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY b DESC, seq DESC) AS rn
+        |  FROM ch
         |)
-        |SELECT a.vec_id AS doc_id,
-        |  CAST(CASE WHEN m.enc IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
-        |  CAST(m.enc % 10000000000 AS BIGINT) AS matched_id
-        |FROM allv a LEFT JOIN m ON a.vec_id = m.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     // q311: the oracle is q101's from-scratch decontamination, verbatim —
     // the maintained verdicts must equal it regardless of how the corpus
     // and the benchmark suite were interleaved across arrivals.

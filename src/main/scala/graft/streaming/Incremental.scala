@@ -549,6 +549,45 @@ object Incremental {
     if (f.exists() && hasParquet(f)) Some(spark.read.parquet(path)) else None
   }
 
+  /** Fold one state surface's per-batch partitions ≤ `upToBatch` into base
+    * storage (write-then-swap-then-delete; see the compaction contract
+    * above). The original batch ids survive as a data column, so read
+    * predicates (`batch < batchId`, keep-first orders) are unchanged, and
+    * `distinct()` makes a crash-interrupted fold self-repairing for
+    * bit-identical row streams.
+    */
+  private def foldBatches(spark: SparkSession, stateDir: String,
+      live: String, base: String, upToBatch: Long,
+      finish: DataFrame => DataFrame, partCols: Seq[String]): Unit = {
+    val liveDir = s"$stateDir/$live"; val baseDir = s"$stateDir/$base"
+    val tmpDir = s"$stateDir/_$base.tmp"
+    def rd(p: String) = parquetIfAny(spark, p)
+    val folded = (rd(liveDir).map(_.filter(col("batch") <= upToBatch)).toSeq ++
+      rd(baseDir).toSeq).reduceOption(_ unionByName _)
+    folded.foreach { df =>
+      // distinct: a re-run after a crash between swap and delete sees the
+      // folded rows twice (still-present live partitions + new base);
+      // rows are bit-identical, so this collapses the overlap
+      val out = finish(df.distinct())
+      if (partCols.isEmpty) out.write.mode("overwrite").parquet(tmpDir)
+      else out.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmpDir)
+      // swap base, then drop the folded per-batch partitions
+      val baseF = new java.io.File(baseDir)
+      if (baseF.exists()) deleteRec(baseF)
+      new java.io.File(tmpDir).renameTo(baseF)
+      val liveF = new java.io.File(liveDir)
+      val batchDirs = Option(liveF.listFiles()).getOrElse(Array.empty)
+        .flatMap { d =>
+          if (d.getName.startsWith("batch=")) Array(d)
+          else Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("batch="))
+        }
+      batchDirs
+        .filter(_.getName.stripPrefix("batch=").toLong <= upToBatch)
+        .foreach(deleteRec)
+    }
+  }
+
   /** Fold the near-dup screen's per-batch partitions ≤ `upToBatch` into
     * base storage: idx_base/ (bp-partitioned postings, original batch ids
     * as a data column), pairs_base/ and decisions_base/ (flat, few files).
@@ -580,35 +619,8 @@ object Incremental {
           s"above upToBatch=$upToBatch")
     }
     def foldOne(live: String, base: String, finish: DataFrame => DataFrame,
-        partCols: Seq[String]): Unit = {
-      val liveDir = s"$stateDir/$live"; val baseDir = s"$stateDir/$base"
-      val tmpDir = s"$stateDir/_$base.tmp"
-      def rd(p: String) = parquetIfAny(spark, p)
-      val folded = (rd(liveDir).map(_.filter(col("batch") <= upToBatch)).toSeq ++
-        rd(baseDir).toSeq).reduceOption(_ unionByName _)
-      folded.foreach { df =>
-        // distinct: a re-run after a crash between swap and delete sees the
-        // folded rows twice (still-present live partitions + new base);
-        // rows are bit-identical, so this collapses the overlap
-        val out = finish(df.distinct())
-        if (partCols.isEmpty) out.write.mode("overwrite").parquet(tmpDir)
-        else out.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmpDir)
-        // swap base, then drop the folded per-batch partitions
-        val baseF = new java.io.File(baseDir)
-        if (baseF.exists()) deleteRec(baseF)
-        new java.io.File(tmpDir).renameTo(baseF)
-        val liveF = new java.io.File(liveDir)
-        val batchDirs = Option(liveF.listFiles()).getOrElse(Array.empty)
-          .flatMap { d =>
-            if (d.getName.startsWith("batch=")) Array(d)
-            else Option(d.listFiles()).getOrElse(Array.empty)
-              .filter(_.getName.startsWith("batch="))
-          }
-        batchDirs
-          .filter(_.getName.stripPrefix("batch=").toLong <= upToBatch)
-          .foreach(deleteRec)
-      }
-    }
+        partCols: Seq[String]): Unit =
+      foldBatches(spark, stateDir, live, base, upToBatch, finish, partCols)
     // postings: keep the bp partitioning (the per-batch pruned read needs
     // it) but collapse each prefix's many per-batch files into one;
     // re-bucketing recomputes bp from the stored bucket
@@ -630,6 +642,52 @@ object Incremental {
           stored.replaceAll("nBp=\\d+", s"nBp=$newNBp"))
       }
     }
+    java.nio.file.Files.writeString(
+      new java.io.File(stateDir, "_highwater").toPath, upToBatch.toString)
+  }
+
+  /** Fold the embedding near-dup screen's per-batch partitions ≤
+    * `upToBatch` into base storage: idx_base/ (bucket-partitioned postings,
+    * original batch ids as a data column), pairs_base/ and decisions_base/
+    * (flat, few files). Same contract and crash-repair story as
+    * [[compactNearDup]]. Read decisions through [[embDecisions]].
+    */
+  def compactEmbDup(spark: SparkSession, stateDir: String,
+      upToBatch: Long): Unit = {
+    require(new java.io.File(s"$stateDir/idx").exists(),
+      s"no embedding near-dup state under $stateDir")
+    foldBatches(spark, stateDir, "idx", "idx_base", upToBatch,
+      df => df.repartition(col("bucket"))
+        .select("doc_id", "qv", "n2", "batch", "bucket"),
+      Seq("bucket"))
+    foldBatches(spark, stateDir, "pairs", "pairs_base", upToBatch,
+      _.coalesce(4), Nil)
+    foldBatches(spark, stateDir, "decisions", "decisions_base", upToBatch,
+      _.coalesce(4), Nil)
+    java.nio.file.Files.writeString(
+      new java.io.File(stateDir, "_highwater").toPath, upToBatch.toString)
+  }
+
+  /** All embedding near-dup decisions: compacted base + live partitions. */
+  def embDecisions(spark: SparkSession, stateDir: String): DataFrame =
+    Seq(s"$stateDir/decisions", s"$stateDir/decisions_base")
+      .flatMap(parquetIfAny(spark, _))
+      .map(_.select("doc_id", "kept", "matched_id", "batch"))
+      .reduce(_ unionByName _)
+
+  /** Fold the decontamination screen's inverted gram index per-batch
+    * partitions ≤ `upToBatch` into tg_base/ (gshard-partitioned, original
+    * batch ids as a data column). bg/ and ver/ are one-row-per-key MVs —
+    * nothing to fold. Same contract as [[compactNearDup]].
+    */
+  def compactContam(spark: SparkSession, stateDir: String,
+      upToBatch: Long): Unit = {
+    require(new java.io.File(s"$stateDir/tg").exists(),
+      s"no decontamination state under $stateDir")
+    foldBatches(spark, stateDir, "tg", "tg_base", upToBatch,
+      df => df.repartition(col("gshard"))
+        .select("gh", "doc_id", "batch", "gshard"),
+      Seq("gshard"))
     java.nio.file.Files.writeString(
       new java.io.File(stateDir, "_highwater").toPath, upToBatch.toString)
   }
@@ -673,17 +731,34 @@ object Incremental {
       .foreach(deleteRec)
   }
 
-  /** Compact a composed-funnel state layout ([[maintainCurationFunnel]]:
-    * nd/ + key/ + delta/) or a standalone near-dup state in one call. The
-    * key index needs no compaction — it is one row per key already.
+  /** Compact any incremental state layout in one call: a composed-funnel
+    * dir ([[maintainCurationFunnel]]: nd/ + key/ + delta/), a standalone
+    * MinHash or embedding near-dup state (distinguished by the pinned
+    * layout), a decontamination state (tg/), or a CC state (lbl/ + fwd/).
+    * Per-key MVs (key index, bg, ver, gc, cov) need no compaction — they
+    * are one row per key already.
     */
   def compact(spark: SparkSession, stateDir: String, upToBatch: Long): Unit = {
-    if (new java.io.File(s"$stateDir/idx").exists())
-      compactNearDup(spark, stateDir, upToBatch)
+    def layoutOf(dir: String): String = {
+      val f = new java.io.File(dir, "_layout")
+      if (f.exists())
+        new String(java.nio.file.Files.readAllBytes(f.toPath)).trim
+      else ""
+    }
+    if (new java.io.File(s"$stateDir/idx").exists()) {
+      if (layoutOf(stateDir).startsWith("nBits="))
+        compactEmbDup(spark, stateDir, upToBatch)
+      else compactNearDup(spark, stateDir, upToBatch)
+    }
     if (new java.io.File(s"$stateDir/nd/idx").exists())
       compactNearDup(spark, s"$stateDir/nd", upToBatch)
     if (new java.io.File(s"$stateDir/delta").exists())
       compactDeltas(spark, s"$stateDir/delta", upToBatch)
+    if (new java.io.File(s"$stateDir/tg").exists())
+      compactContam(spark, stateDir, upToBatch)
+    if (new java.io.File(s"$stateDir/lbl").exists() &&
+        new java.io.File(s"$stateDir/fwd").exists())
+      compactCc(spark, stateDir, math.min(upToBatch, ccApplied(stateDir)))
   }
 
   // ── incremental dup-SPAN screen (gram-count MV) ──────────────────────
@@ -1096,6 +1171,10 @@ object Incremental {
       batchId: Long, stateDir: String, nBits: Int = 4,
       thresholdPct: Int = 80): Unit = {
     require(nBits >= 1 && nBits <= 16, s"nBits must be in [1,16], got $nBits")
+    // a batch at or below the compaction high-water mark was folded into
+    // the base partitions — a late replay must be a guarded no-op (same
+    // contract as applyNearDupBatch)
+    if (batchId <= highwater(stateDir)) return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pinLayout(stateDir, s"nBits=$nBits,thresholdPct=$thresholdPct")
     // bucket = the sign bits of the first nBits quantized components
@@ -1118,9 +1197,13 @@ object Incremental {
       lit(-1L).as("bucket"), lit(-1L).as("batch")).limit(0)
     // pruned history read: ONLY the batch's buckets, ONLY earlier batches —
     // both partition filters, so per-batch state access opens the touched
-    // buckets' files and nothing else
+    // buckets' files and nothing else. Compacted history lives in
+    // idx_base/ (bucket-partitioned, original batch ids as a data column).
     val hist = parquetIfAny(spark, s"$stateDir/idx").getOrElse(emptyIdx)
       .filter(col("bucket").isin(buckets: _*) && col("batch") < batchId)
+      .unionByName(parquetIfAny(spark, s"$stateDir/idx_base")
+        .getOrElse(emptyIdx)
+        .filter(col("bucket").isin(buckets: _*) && col("batch") < batchId))
     val earlier = hist.unionByName(b.select("doc_id", "qv", "n2", "bucket", "batch"))
       .select(col("doc_id").as("e_id"), col("qv").as("e_qv"),
         col("n2").as("e_n2"), col("bucket"), col("batch").as("e_batch"))
@@ -1178,6 +1261,128 @@ object Incremental {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (bt: DataFrame, id: Long) =>
         applyEmbDupBatch(spark, enrich(bt), id, stateDir, nBits, thresholdPct)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // ── incremental CDC APPLY (maintained MERGE INTO) ────────────────────
+  // The maintained twin of the batch CDC apply (SetOps.applyChanges,
+  // q135): CHANGE batches — insert/update/delete rows with a sequence
+  // number — arrive as micro-batches and the target table stays merged,
+  // the lakehouse MERGE INTO ingestion loop. Semantics are q135's
+  // highest-change-wins under the (batch, seq) total order: per key the
+  // latest change's image survives, a latest D deletes the row (a later
+  // batch's I/U re-creates it). State is the target table itself, hash-
+  // sharded on the key with the usual discipline: per batch, reduce the
+  // batch to its last change per key (one agg), merge into the touched
+  // shards only (max-struct pick — the same algebra as the curation key
+  // index, so replays are no-ops by idempotence AND skipped by the
+  // per-shard bmax guard). Rows carry the (cbatch, cseq) of their last
+  // applied change so later merges compare correctly; a winning D persists
+  // as a TOMBSTONE row (filtered on read) — required by the write
+  // mechanics, see the note in [[applyCdcBatch]] — and a later change
+  // beats it at merge time, re-creating the key.
+
+  /** Apply one change micro-batch to the maintained table under
+    * `stateDir`. `changes` must carry `keyCol` (long), `opCol` (string:
+    * "I"/"U" upsert the row image, "D" deletes), `seqCol` (long — the
+    * within-batch change order), and any payload columns. Payload columns
+    * are pinned at state creation.
+    */
+  def applyCdcBatch(spark: SparkSession, changes: DataFrame, batchId: Long,
+      stateDir: String, keyCol: String, opCol: String = "op",
+      seqCol: String = "seq", nShards: Int = 16): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val payload = changes.columns.toSeq
+      .filterNot(c => c == keyCol || c == opCol || c == seqCol)
+    pinLayout(stateDir,
+      s"key=$keyCol,nShards=$nShards,payload=${payload.mkString("+")}")
+    // last change per key within the batch: one agg, seq-ordered struct
+    val winStruct = struct(Seq(col(seqCol).cast("long").as("cseq"),
+      col(opCol).as("op")) ++ payload.map(col): _*)
+    val delta = changes
+      .groupBy(col(keyCol).cast("long").as(keyCol))
+      .agg(max(winStruct).as("w"))
+      .select(Seq(col(keyCol), lit(batchId).as("cbatch"),
+        col("w.cseq").as("cseq"), col("w.op").as("op")) ++
+        payload.map(c => col(s"w.$c").as(c)): _*)
+      .withColumn("shard", pmod(col(keyCol), lit(nShards)).cast("long"))
+      .persist()
+    val touched = delta.select("shard").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq // bounded by nShards
+    if (touched.isEmpty) { delta.unpersist(blocking = false); return }
+    // zero-row state template with the DELTA's payload types. The stored
+    // table KEEPS the op column: a winning D persists as a TOMBSTONE row
+    // rather than being filtered out, because dynamic partition overwrite
+    // only rewrites partitions PRESENT in the output — a shard whose every
+    // key was deleted would otherwise produce an empty output partition,
+    // never be rewritten, and silently resurrect its old rows. The
+    // tombstone also keeps (cbatch, cseq) comparable for later re-creates;
+    // [[cdcTable]] filters tombstones on read.
+    def emptyState = delta.withColumn("bmax", lit(-1L)).limit(0)
+    val bmaxByShard = shardFooterMax(spark, stateDir, "shard", "bmax")
+      .getOrElse {
+        parquetIfAny(spark, stateDir).getOrElse(emptyState)
+          .filter(col("shard").isin(touched: _*))
+          .groupBy("shard").agg(max("bmax").as("bm"))
+          .collect().map(r => r.getAs[Number](0).longValue ->
+            r.getAs[Number](1).longValue).toMap
+      }
+    val fresh = touched.filterNot(s => bmaxByShard.get(s).exists(_ >= batchId))
+    if (fresh.nonEmpty) {
+      val keep = Seq(keyCol, "cbatch", "cseq", "op") ++ payload :+ "shard"
+      val old = parquetIfAny(spark, stateDir).getOrElse(emptyState)
+        .filter(col("shard").isin(fresh: _*)) // partition-pruned
+        .select(keep.head, keep.tail: _*)
+        .persist()
+      old.count() // materialize before overwriting the shards it came from
+      // winner per key = max (cbatch, cseq); a winning D stays as a
+      // tombstone row (see the emptyState note)
+      val mergeStruct = struct(Seq(col("cbatch"), col("cseq"),
+        col("op")) ++ payload.map(col): _*)
+      val merged = old
+        .unionByName(delta.filter(col("shard").isin(fresh: _*))
+          .select(keep.head, keep.tail: _*))
+        .groupBy(keyCol, "shard")
+        .agg(max(mergeStruct).as("w"))
+        .select(Seq(col(keyCol), col("w.cbatch").as("cbatch"),
+          col("w.cseq").as("cseq"), col("w.op").as("op")) ++
+          payload.map(c => col(s"w.$c").as(c)) ++
+          Seq(lit(batchId).as("bmax"), col("shard")): _*)
+      merged.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(stateDir)
+      old.unpersist(blocking = false)
+    }
+    delta.unpersist(blocking = false)
+  }
+
+  /** The maintained table: key + payload columns, tombstones filtered,
+    * change bookkeeping dropped.
+    */
+  def cdcTable(spark: SparkSession, stateDir: String, keyCol: String): DataFrame = {
+    val df = spark.read.parquet(stateDir)
+    df.filter(col("op") =!= "D")
+      .select(keyCol, df.columns.toSeq
+        .filterNot(Set(keyCol, "cbatch", "cseq", "op", "bmax", "shard")): _*)
+  }
+
+  /** Run the CDC loop over everything staged in `srcDir` (AvailableNow +
+    * checkpoint — call again after more changesets land; only new files
+    * process).
+    */
+  def maintainCdc(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
+      keyCol: String, opCol: String = "op", seqCol: String = "seq",
+      nShards: Int = 16): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        applyCdcBatch(spark, bt, id, stateDir, keyCol, opCol, seqCol, nShards)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1470,6 +1675,11 @@ object Incremental {
   def applyContamBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       stateDir: String, n: Int = 4, nGramShards: Int = 16,
       nDocShards: Int = 16): Unit = {
+    // a batch at or below the compaction high-water mark had its tg
+    // partitions folded into tg_base — a late replay must be a guarded
+    // no-op (re-writing them would duplicate the folded postings and
+    // double-count future retro crossings)
+    if (batchId <= highwater(stateDir)) return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pinLayout(stateDir, s"n=$n,nGramShards=$nGramShards,nDocShards=$nDocShards")
     val bgDir = s"$stateDir/bg"; val tgDir = s"$stateDir/tg"
@@ -1523,7 +1733,12 @@ object Incremental {
     val retro =
       (if (newShards.isEmpty) emptyTg
        else parquetIfAny(spark, tgDir).getOrElse(emptyTg)
-         .filter(col("gshard").isin(newShards: _*) && col("batch") < batchId))
+         .filter(col("gshard").isin(newShards: _*) && col("batch") < batchId)
+         .select("gh", "doc_id", "gshard", "batch")
+         .unionByName(parquetIfAny(spark, s"$stateDir/tg_base")
+           .getOrElse(emptyTg)
+           .filter(col("gshard").isin(newShards: _*) && col("batch") < batchId)
+           .select("gh", "doc_id", "gshard", "batch")))
         .join(newBG.select("gh"), Seq("gh"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("dm"))
         .select(col("doc_id"), lit(null).cast("string").as("source"),

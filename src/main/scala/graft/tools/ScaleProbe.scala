@@ -818,6 +818,24 @@ object ScaleProbe {
             spark.read.parquet(s"$work/state/decisions")
               .agg(sum("kept")).head().getLong(0)
           }),
+        Probe("inc_cdc", 200000,
+          n => spark.range(n).select(
+            pmod(xxhash64(col("id")), lit(math.max(n / 2, 1))).as("k"),
+            col("id").as("v"),
+            when(col("id") % 10 === 9, "D")
+              .when(col("id") % 3 === 0, "I").otherwise("U").as("op"),
+            col("id").as("seq")),
+          df => {
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_probe_inccdc").toString
+            (0 to 2).foreach { k =>
+              graft.streaming.Incremental.applyCdcBatch(spark,
+                df.filter(pmod(col("seq"), lit(3)) === k), k.toLong,
+                s"$work/state", "k")
+            }
+            graft.streaming.Incremental.cdcTable(spark, s"$work/state", "k")
+              .count()
+          }),
         Probe("inc_cc", 50000, edgesFor,
           df => {
             // per-batch cost is O(batch + |fwd|): the contracted closure

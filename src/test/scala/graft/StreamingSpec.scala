@@ -1094,6 +1094,109 @@ class StreamingSpec extends SparkSuite {
     assert(verd()(1L) == (2L, 1L), "duplicate benchmark gram double-counted")
   }
 
+  test("incremental CDC apply: highest (batch, seq) wins, delete then " +
+      "re-create, replay no-op") {
+    import graft.streaming.Incremental
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft_cdc_spec")
+      .toString + "/state"
+    def table() = Incremental.cdcTable(spark, state, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b0 = Seq((1L, "a", "I", 0L), (2L, "b", "I", 1L), (17L, "c", "I", 2L))
+      .toDF("k", "v", "op", "seq")
+    Incremental.applyCdcBatch(spark, b0, 0L, state, "k")
+    assert(table() == Map(1L -> "a", 2L -> "b", 17L -> "c"))
+    // batch 1: update (with an out-of-order multi-change key — the
+    // highest in-batch seq must win), delete, insert
+    val b1 = Seq((1L, "a2", "U", 1L), (1L, "a3", "U", 5L),
+      (2L, "b", "D", 2L), (3L, "d", "I", 3L))
+      .toDF("k", "v", "op", "seq")
+    Incremental.applyCdcBatch(spark, b1, 1L, state, "k")
+    val after1 = table()
+    assert(after1 == Map(1L -> "a3", 3L -> "d", 17L -> "c"), s"$after1")
+    // replay (at-least-once retry): the per-shard bmax guard skips it —
+    // in particular the deleted key must NOT resurrect
+    Incremental.applyCdcBatch(spark, b1, 1L, state, "k")
+    assert(table() == after1, "replayed changeset altered the table")
+    // a later batch re-creates the deleted key
+    Incremental.applyCdcBatch(spark,
+      Seq((2L, "b2", "I", 1L)).toDF("k", "v", "op", "seq"), 2L, state, "k")
+    assert(table() ==
+      Map(1L -> "a3", 2L -> "b2", 3L -> "d", 17L -> "c"))
+  }
+
+  test("embdup compaction: reads identical, folded replay no-op, retro " +
+      "candidates found in the base partitions") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_embcmp_spec")
+      .toString
+    val state = s"$work/state"
+    def v(sgn: Long, tail: Long*) =
+      Array(sgn * 500L, 500L, 500L, 500L) ++ tail
+    val b0 = Seq((1L, v(1, 500L, 0L)), (4L, v(-1, 0L, 500L)))
+      .toDF("doc_id", "qv")
+    val b1 = Seq((3L, v(1, -500L, 0L))).toDF("doc_id", "qv")
+    Incremental.applyEmbDupBatch(spark, b0, 0L, state)
+    Incremental.applyEmbDupBatch(spark, b1, 1L, state)
+    def dec() = rows(Incremental.embDecisions(spark, state)
+      .select("doc_id", "kept", "matched_id", "batch")
+      .orderBy("doc_id")).map(_.toString)
+    val before = dec()
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+        else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      walk(new java.io.File(p))
+    }
+    val filesBefore = parquetFiles(s"$state/idx")
+    Incremental.compact(spark, state, upToBatch = 1L)
+    assert(dec() == before, "compaction changed the decision read")
+    assert(parquetFiles(s"$state/idx") == 0 &&
+      parquetFiles(s"$state/idx_base") > 0 &&
+      parquetFiles(s"$state/idx_base") < filesBefore,
+      "fold did not shrink the posting file count")
+    // a replay of a folded batch is a guarded no-op (highwater)
+    Incremental.applyEmbDupBatch(spark, b1, 1L, state)
+    assert(dec() == before, "folded-batch replay changed state")
+    // a NEW batch's duplicate of a folded doc must match against the BASE
+    // partitions (same bucket, near-identical vector → dropped, matched 1)
+    Incremental.applyEmbDupBatch(spark,
+      Seq((9L, v(1, 499L, 1L))).toDF("doc_id", "qv"), 2L, state)
+    val d9 = Incremental.embDecisions(spark, state)
+      .filter(col("doc_id") === 9L).select("kept", "matched_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(d9 == Seq((0L, 1L)), s"base-partition candidate missed: $d9")
+  }
+
+  test("contam compaction: a crossing AFTER the fold still retro-flips a " +
+      "doc whose posting lives in tg_base") {
+    import graft.streaming.Incremental
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_ctcmp_spec")
+      .toString
+    val state = s"$work/state"
+    def verd() = spark.read.parquet(s"$state/ver")
+      .select("doc_id", "n_matched")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = Seq((1L, "s", "alpha beta gamma delta epsilon", false))
+      .toDF("doc_id", "source", "text", "is_eval")
+    Incremental.applyContamBatch(spark, b0, 0L, state, n = 4)
+    Incremental.compact(spark, state, upToBatch = 0L)
+    assert(verd() == Map(1L -> 0L))
+    // replay of the folded batch: guarded no-op (would otherwise
+    // duplicate the folded postings)
+    Incremental.applyContamBatch(spark, b0, 0L, state, n = 4)
+    assert(verd() == Map(1L -> 0L))
+    // the benchmark gram arrives AFTER the fold — the retro probe must
+    // find doc 1's posting in tg_base
+    val b1 = Seq((100L, "s", "alpha beta gamma delta", true))
+      .toDF("doc_id", "source", "text", "is_eval")
+    Incremental.applyContamBatch(spark, b1, 1L, state, n = 4)
+    assert(verd() == Map(1L -> 1L), s"retro flip missed tg_base: ${verd()}")
+  }
+
   test("incremental CC: lazy relabel through compressed forwarding, " +
       "replay + marker-less retry converge, compaction folds") {
     import graft.streaming.Incremental
