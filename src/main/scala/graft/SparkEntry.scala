@@ -4314,6 +4314,37 @@ object SparkEntry {
         outNames = Seq("after_neardup", "after_rules", "kept_docs")),
         "source")
     }),
+    "q315_incremental_sessions" -> ((s, dir) => {
+      // INCREMENTAL SESSIONIZATION with LATE DATA — the session-window MV:
+      // event batches arrive in event_id order (NOT time order, so most
+      // events are late relative to already-built sessions; a late event
+      // can MERGE two stored sessions into one). The per-user state is the
+      // gap-maximal interval set, and interval union with gap tolerance is
+      // order-independent — so the maintained sessions must equal the
+      // from-scratch gaps-and-islands recompute (q52's regime), which is
+      // the oracle, with zero knowledge of the batching or the restart.
+      // Integer-microsecond arithmetic throughout.
+      val work = java.nio.file.Files.createTempDirectory("graft_incsess").toString
+      val ev = Engine.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"))
+      def stage(k: Int, modMs: Long): Unit = {
+        ev.filter(col("event_id") % 3 === k).select("user_id", "ts_us")
+          .coalesce(1).write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(modMs))
+      }
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      stage(0, now - 120000); stage(1, now - 60000)
+      val schema = ev.select("user_id", "ts_us").schema
+      graft.streaming.Incremental.maintainSessions(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", schema)
+      stage(2, now)
+      graft.streaming.Incremental.maintainSessions(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", schema) // restart: only b2
+      ord(graft.streaming.Incremental.sessionTable(s, s"$work/state"),
+        "user_id", "sess_start")
+    }),
     "q314_incremental_cdc" -> ((s, dir) => {
       // INCREMENTAL CDC APPLY — the maintained twin of q135's batch MERGE
       // INTO: change batches (insert/update/delete + sequence) arrive as
@@ -9769,6 +9800,27 @@ object SparkEntry {
     // nor of the mid-stream compaction, which must be invisible).
     "q310_incremental_embdup" -> embDupOracle,
     "q313_compacted_embdup" -> embDupOracle,
+    // q315: from-scratch gaps-and-islands over ALL events — interval
+    // union with gap tolerance is arrival-order-invariant, so the oracle
+    // knows nothing of the batching or the late-data merges.
+    "q315_incremental_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events
+        |), x AS (
+        |  SELECT user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        |), g AS (
+        |  SELECT user_id, t,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x
+        |)
+        |SELECT user_id, min(t) AS sess_start, max(t) AS sess_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
     // q314: replay every change from scratch — per key the (batch, seq)
     // argmax decides, a winning D deletes; no knowledge of the
     // incremental merge. (Per-key (b, seq) pairs are unique by

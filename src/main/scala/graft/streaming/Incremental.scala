@@ -1267,6 +1267,136 @@ object Incremental {
     q.awaitTermination()
   }
 
+  // ── incremental SESSIONIZATION (interval-set MV, late data) ──────────
+  // Sessionization as a maintained view with LATE DATA: event batches
+  // arrive in arbitrary order (an event may land between, before, or
+  // inside already-built sessions) and the per-user session set stays
+  // exact — a late event can MERGE two existing sessions into one. The
+  // algebra that makes this maintainable: a user's state is their set of
+  // gap-maximal session INTERVALS (start, end, n_events), and gap-merging
+  // two interval sets equals sessionizing the union of the underlying
+  // points — interval union with gap tolerance is associative and
+  // order-independent, so the maintained view equals the from-scratch
+  // gaps-and-islands recompute regardless of batching (which is exactly
+  // what the oracle checks). All arithmetic is integer microseconds.
+  //
+  // State: ver-style sharded MV — (user_id, ivs array<(s, e, n)>),
+  // pmod(user_id, nShards), bmax-guarded. Per batch: one sort+sweep per
+  // touched user over the batch (an aggregate lambda — no window over
+  // history), then an interval-set merge into the touched shards. Unlike
+  // the coverage MV's pure set union, the n counts make the merge
+  // NON-idempotent by algebra — the per-shard bmax guard is what makes
+  // retries exact (same discipline as [[applyBatch]]'s counts).
+
+  /** One user's sorted (s, e, n) intervals gap-merged: consecutive
+    * intervals closer than `gapUs` fold together (overlaps included —
+    * late data can land inside an existing session).
+    */
+  private def gapMergeExpr(src: String, gapUs: Long): String =
+    s"""aggregate($src,
+       |  cast(array() as array<struct<s: bigint, e: bigint, n: bigint>>),
+       |  (acc, x) -> case
+       |    when size(acc) > 0 and x.s - element_at(acc, -1).e <= $gapUs
+       |    then concat(slice(acc, 1, size(acc) - 1),
+       |      array(named_struct(
+       |        's', element_at(acc, -1).s,
+       |        'e', greatest(element_at(acc, -1).e, x.e),
+       |        'n', element_at(acc, -1).n + x.n)))
+       |    else concat(acc, array(x)) end)""".stripMargin
+
+  /** Apply one event micro-batch — (user_id long, ts_us long) — to the
+    * session MV under `stateDir`.
+    */
+  def applySessionBatch(spark: SparkSession, events: DataFrame, batchId: Long,
+      stateDir: String, gapUs: Long = 30L * 60 * 1000000,
+      nShards: Int = 16): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    pinLayout(stateDir, s"gapUs=$gapUs,nShards=$nShards")
+    // batch-local sessionization: one sorted sweep per user over the
+    // BATCH's events only (points become width-0 intervals, then gap-merge)
+    val delta = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts_us").cast("long").as("ts_us"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts_us").as("s"), col("ts_us").as("e"),
+          lit(1L).as("n")))).as("pts"))
+      .withColumn("ivs", expr(gapMergeExpr("pts", gapUs))).drop("pts")
+      .withColumn("shard", pmod(col("user_id"), lit(nShards)).cast("long"))
+      .persist()
+    val touched = delta.select("shard").distinct()
+      .collect().map(_.getAs[Number](0).longValue).toSeq // bounded by nShards
+    if (touched.isEmpty) { delta.unpersist(blocking = false); return }
+    val bmaxByShard = shardFooterMax(spark, stateDir, "shard", "bmax")
+      .getOrElse {
+        parquetIfAny(spark, stateDir)
+          .map(_.filter(col("shard").isin(touched: _*))
+            .groupBy("shard").agg(max("bmax").as("bm"))
+            .collect().map(r => r.getAs[Number](0).longValue ->
+              r.getAs[Number](1).longValue).toMap)
+          .getOrElse(Map.empty)
+      }
+    val fresh = touched.filterNot(s => bmaxByShard.get(s).exists(_ >= batchId))
+    if (fresh.nonEmpty) {
+      def emptyState = delta.drop("pts").withColumn("bmax", lit(-1L)).limit(0)
+        .select("user_id", "ivs", "bmax", "shard")
+      val old = parquetIfAny(spark, stateDir).getOrElse(emptyState)
+        .filter(col("shard").isin(fresh: _*)) // partition-pruned
+        .select(col("user_id"), col("ivs").as("ivs_o"), col("shard"))
+        .persist()
+      old.count() // materialize before overwriting the shards it came from
+      val emptyIvs = expr(
+        "cast(array() as array<struct<s: bigint, e: bigint, n: bigint>>)")
+      // interval-set merge: sort the union by (s, e), one gap sweep — a
+      // late batch's interval can bridge two stored sessions into one
+      val merged = old
+        .join(delta.filter(col("shard").isin(fresh: _*))
+          .select(col("user_id"), col("ivs").as("ivs_d")),
+          Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          array_sort(concat(coalesce(col("ivs_o"), emptyIvs),
+            coalesce(col("ivs_d"), emptyIvs))).as("uni"),
+          coalesce(col("shard"),
+            pmod(col("user_id"), lit(nShards)).cast("long")).as("shard"))
+        .withColumn("ivs", expr(gapMergeExpr("uni", gapUs)))
+        .select(col("user_id"), col("ivs"), lit(batchId).as("bmax"),
+          col("shard"))
+      merged.repartition(col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(stateDir)
+      old.unpersist(blocking = false)
+    }
+    delta.unpersist(blocking = false)
+  }
+
+  /** The maintained sessions: (user_id, sess_start, sess_end, n_events),
+    * one row per gap-maximal session — a row-local explode of the MV.
+    */
+  def sessionTable(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+      .select(col("user_id"), explode(col("ivs")).as("iv"))
+      .select(col("user_id"), col("iv.s").as("sess_start"),
+        col("iv.e").as("sess_end"), col("iv.n").as("n_events"))
+
+  /** Run the session-MV loop over everything staged in `srcDir`
+    * (AvailableNow + checkpoint — call again after more shards land; only
+    * new files process).
+    */
+  def maintainSessions(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
+      gapUs: Long = 30L * 60 * 1000000, nShards: Int = 16): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (bt: DataFrame, id: Long) =>
+        applySessionBatch(spark, bt, id, stateDir, gapUs, nShards)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   // ── incremental CDC APPLY (maintained MERGE INTO) ────────────────────
   // The maintained twin of the batch CDC apply (SetOps.applyChanges,
   // q135): CHANGE batches — insert/update/delete rows with a sequence

@@ -818,6 +818,24 @@ object ScaleProbe {
             spark.read.parquet(s"$work/state/decisions")
               .agg(sum("kept")).head().getLong(0)
           }),
+        Probe("inc_sessions", 200000,
+          n => spark.range(n).select(
+            pmod(xxhash64(col("id"), lit(7)), lit(math.max(n / 50, 1)))
+              .as("user_id"),
+            (pmod(xxhash64(col("id"), lit(11)), lit(86400L)) * 1000000L)
+              .as("ts_us")),
+          df => {
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_probe_incsess").toString
+            (0 to 2).foreach { k =>
+              graft.streaming.Incremental.applySessionBatch(spark,
+                df.filter(
+                  pmod(xxhash64(col("user_id"), col("ts_us")), lit(3)) === k),
+                k.toLong, s"$work/state")
+            }
+            graft.streaming.Incremental.sessionTable(spark, s"$work/state")
+              .count()
+          }),
         Probe("inc_cdc", 200000,
           n => spark.range(n).select(
             pmod(xxhash64(col("id")), lit(math.max(n / 2, 1))).as("k"),

@@ -1094,6 +1094,35 @@ class StreamingSpec extends SparkSuite {
     assert(verd()(1L) == (2L, 1L), "duplicate benchmark gram double-counted")
   }
 
+  test("incremental sessionization: a late event MERGES two stored " +
+      "sessions; replay is a no-op") {
+    import graft.streaming.Incremental
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft_sess_spec")
+      .toString + "/state"
+    val m = 60L * 1000000 // one minute in µs
+    def sessions() = Incremental.sessionTable(spark, state)
+      .orderBy("user_id", "sess_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // batch 0: two events 40 min apart → two sessions (gap 30 min)
+    Incremental.applySessionBatch(spark,
+      Seq((1L, 0L), (1L, 40 * m)).toDF("user_id", "ts_us"), 0L, state)
+    assert(sessions() == Seq((1L, 0L, 0L, 1L), (1L, 40 * m, 40 * m, 1L)))
+    // batch 1: a LATE event between them bridges both gaps — the two
+    // stored sessions must merge into one
+    Incremental.applySessionBatch(spark,
+      Seq((1L, 20 * m)).toDF("user_id", "ts_us"), 1L, state)
+    assert(sessions() == Seq((1L, 0L, 40 * m, 3L)),
+      s"late event did not merge sessions: ${sessions()}")
+    // replay (at-least-once retry): n counts make the merge non-idempotent
+    // by algebra — the per-shard bmax guard is what keeps it exact
+    Incremental.applySessionBatch(spark,
+      Seq((1L, 20 * m)).toDF("user_id", "ts_us"), 1L, state)
+    assert(sessions() == Seq((1L, 0L, 40 * m, 3L)),
+      "replayed batch double-counted")
+  }
+
   test("incremental CDC apply: highest (batch, seq) wins, delete then " +
       "re-create, replay no-op") {
     import graft.streaming.Incremental
