@@ -4314,6 +4314,47 @@ object SparkEntry {
         outNames = Seq("after_neardup", "after_rules", "kept_docs")),
         "source")
     }),
+    "q316_incremental_join_mv" -> ((s, dir) => {
+      // INCREMENTAL JOIN MATERIALIZATION (delta-join IVM) — maintain an
+      // inner-join MV as rows arrive on BOTH sides, out of order: batch 0
+      // stages half the lineitem facts with NO orders (they wait,
+      // unjoined), batch 1 stages every order (the waiting facts join
+      // late), batch 2 the remaining facts — with a restart before it.
+      // The delta rule ΔJ = ΔL ⋈ (O_old ∪ ΔO) ∪ L_old ⋈ ΔO keeps per-batch
+      // cost O(Δ × matches); inner-join contents depend only on the SET of
+      // arrived rows, so the MV must equal the from-scratch join — the
+      // oracle, with zero knowledge of sides' interleaving.
+      val work = java.nio.file.Files.createTempDirectory("graft_incjoin").toString
+      val l = t(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey").as("okey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .withColumn("side", lit("l"))
+      val o = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .withColumn("side", lit("o"))
+      val all = l.unionByName(o, allowMissingColumns = true)
+      val parts = Seq(
+        col("side") === "l" && col("l_linenumber") % 2 === 1,
+        col("side") === "o",
+        col("side") === "l" && col("l_linenumber") % 2 === 0)
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      def stage(k: Int): Unit = {
+        all.filter(parts(k)).coalesce(1).write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(now - (2 - k) * 60000L))
+      }
+      val lCols = Seq("l_linenumber", "l_quantity", "l_extendedprice")
+      val oCols = Seq("o_orderpriority", "o_totalprice")
+      stage(0); stage(1)
+      graft.streaming.Incremental.maintainJoin(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", all.schema, "okey", lCols, oCols)
+      stage(2)
+      graft.streaming.Incremental.maintainJoin(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", all.schema, "okey", lCols,
+        oCols) // restart: only b2
+      ordAll(graft.streaming.Incremental.joinMv(s, s"$work/state", "okey"))
+    }),
     "q315_incremental_sessions" -> ((s, dir) => {
       // INCREMENTAL SESSIONIZATION with LATE DATA — the session-window MV:
       // event batches arrive in event_id order (NOT time order, so most
@@ -9800,6 +9841,14 @@ object SparkEntry {
     // nor of the mid-stream compaction, which must be invisible).
     "q310_incremental_embdup" -> embDupOracle,
     "q313_compacted_embdup" -> embDupOracle,
+    // q316: the from-scratch inner join — IVM must be invisible; MV row
+    // multiset == the join's bag semantics, ORDER BY ALL both sides.
+    "q316_incremental_join_mv" ->
+      """SELECT l_orderkey AS okey, l_linenumber, l_quantity,
+        |  l_extendedprice, o_orderpriority, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 7 = 0
+        |ORDER BY ALL""".stripMargin,
     // q315: from-scratch gaps-and-islands over ALL events — interval
     // union with gap tolerance is arrival-order-invariant, so the oracle
     // knows nothing of the batching or the late-data merges.

@@ -818,6 +818,30 @@ object ScaleProbe {
             spark.read.parquet(s"$work/state/decisions")
               .agg(sum("kept")).head().getLong(0)
           }),
+        Probe("inc_join", 200000,
+          n => {
+            val dims = spark.range(math.max(n / 10, 1)).select(
+              col("id").as("okey"), lit("o").as("side"),
+              lit(null).cast("long").as("lv"),
+              concat(lit("p"), (col("id") % 5).cast("string")).as("ov"))
+            val facts = spark.range(n).select(
+              pmod(xxhash64(col("id")), lit(math.max(n / 10, 1))).as("okey"),
+              lit("l").as("side"), col("id").as("lv"),
+              lit(null).cast("string").as("ov"))
+            facts.unionByName(dims)
+          },
+          df => {
+            val work = java.nio.file.Files
+              .createTempDirectory("graft_probe_incjoin").toString
+            (0 to 2).foreach { k =>
+              graft.streaming.Incremental.applyJoinBatch(spark,
+                df.filter(pmod(xxhash64(col("side"), col("lv"),
+                  col("okey")), lit(3)) === k),
+                k.toLong, s"$work/state", "okey", Seq("lv"), Seq("ov"))
+            }
+            graft.streaming.Incremental.joinMv(spark, s"$work/state", "okey")
+              .count()
+          }),
         Probe("inc_sessions", 200000,
           n => spark.range(n).select(
             pmod(xxhash64(col("id"), lit(7)), lit(math.max(n / 50, 1)))

@@ -1094,6 +1094,42 @@ class StreamingSpec extends SparkSuite {
     assert(verd()(1L) == (2L, 1L), "duplicate benchmark gram double-counted")
   }
 
+  test("incremental join MV: facts join LATE when their dimension " +
+      "arrives; replay is a no-op") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("graft_joinmv_spec")
+      .toString + "/state"
+    def mk(rows: Seq[(Long, String, java.lang.Long, String)]) =
+      rows.toDF("okey", "side", "lv", "ov")
+    def mv() = Incremental.joinMv(spark, state, "okey")
+      .orderBy("okey", "lv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // batch 0: two facts for key 1, no dimension yet → MV stays empty
+    Incremental.applyJoinBatch(spark,
+      mk(Seq((1L, "l", 10L, null), (1L, "l", 11L, null))),
+      0L, state, "okey", Seq("lv"), Seq("ov"))
+    // no dimension yet → the MV surface has nothing committed at all
+    assert(!new java.io.File(s"$state/mv").exists())
+    // batch 1: the dimension arrives WITH one more fact — the two waiting
+    // facts join late (L_old ⋈ ΔO) and the in-batch fact joins once
+    // (ΔL ⋈ ΔO, counted exactly once)
+    val b1 = mk(Seq((1L, "o", null, "A"), (1L, "l", 12L, null)))
+    Incremental.applyJoinBatch(spark, b1, 1L, state, "okey",
+      Seq("lv"), Seq("ov"))
+    val after1 = Seq((1L, 10L, "A"), (1L, 11L, "A"), (1L, 12L, "A"))
+    assert(mv() == after1, s"late join wrong: ${mv()}")
+    // replay (at-least-once retry): bmax guards skip every surface
+    Incremental.applyJoinBatch(spark, b1, 1L, state, "okey",
+      Seq("lv"), Seq("ov"))
+    assert(mv() == after1, "replayed batch duplicated MV rows")
+    // batch 2: a fact for a key whose dimension is already old state
+    Incremental.applyJoinBatch(spark,
+      mk(Seq((1L, "l", 13L, null))), 2L, state, "okey", Seq("lv"), Seq("ov"))
+    assert(mv() == after1 :+ ((1L, 13L, "A")))
+  }
+
   test("incremental sessionization: a late event MERGES two stored " +
       "sessions; replay is a no-op") {
     import graft.streaming.Incremental
