@@ -1676,11 +1676,13 @@ object Incremental {
   //
   // Per batch: resolve the batch's endpoints through lbl (shard-pruned,
   // endpoint semi-join) + the previous fwd snapshot; contract each edge to
-  // its endpoint ROOTS; run the (tiny — O(batch) nodes) min-label closure
-  // on the contracted graph ([[graft.llm.Dedup.connectedComponents]], the
-  // same large-star/small-star operator the batch q222 gates); the
-  // non-root rows of that closure are this batch's merges. Per-batch cost
-  // is O(batch + |fwd|) — independent of how many vertices history holds.
+  // its endpoint ROOTS; close the contracted graph — component-scale, so
+  // below a bounded edge threshold a driver union-find does it in
+  // microseconds, with the distributed min-label closure
+  // ([[graft.llm.Dedup.connectedComponents]], the q222 operator) as the
+  // huge-batch fallback; the non-root rows of that closure are this
+  // batch's merges. Per-batch cost is O(batch + |fwd|) — independent of
+  // how many vertices history holds.
   //
   // Replay idempotence (at-least-once retries): NEW vertices are stored
   // with their PRE-merge root (stale immediately, resolved through fwd
