@@ -74,6 +74,26 @@ object Incremental {
     ex.unpersist()
   }
 
+  /** The shared maintenance loop every maintain* wrapper runs: stream the
+    * staged files (one file per micro-batch, AvailableNow + checkpoint —
+    * call again after more shards land; only new files process) through
+    * the per-batch apply. Factored once so the twelve maintained-view
+    * operators cannot drift in their streaming mechanics.
+    */
+  private def maintainLoop(spark: SparkSession, srcDir: String,
+      checkpointDir: String, schema: org.apache.spark.sql.types.StructType)(
+      applyFn: (DataFrame, Long) => Unit): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) => applyFn(b, id) }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run the maintenance loop over everything currently staged in `srcDir`
     * (AvailableNow, checkpointed like [[Events.toParquetSink]]) and return
     * the maintained view.
@@ -81,17 +101,8 @@ object Incremental {
   def maintain(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       nShards: Int = 16): DataFrame = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(spark, b, id, stateDir, nShards)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema)(
+      applyBatch(spark, _, _, stateDir, nShards))
     spark.read.parquet(stateDir).select("user_id", "n", "cents")
   }
 
@@ -493,18 +504,9 @@ object Incremental {
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       enrich: DataFrame => DataFrame, bands: Int = 16, rowsPerBand: Int = 2,
       thresholdPct: Int = 70, nBp: Int = 32): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        applyNearDupBatch(spark, enrich(bt), id, stateDir, bands,
-          rowsPerBand, thresholdPct, nBp)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema)((bt, id) =>
+      applyNearDupBatch(spark, enrich(bt), id, stateDir, bands,
+        rowsPerBand, thresholdPct, nBp))
   }
 
   // ── incremental state compaction ─────────────────────────────────────
@@ -561,9 +563,17 @@ object Incremental {
       finish: DataFrame => DataFrame, partCols: Seq[String]): Unit = {
     val liveDir = s"$stateDir/$live"; val baseDir = s"$stateDir/$base"
     val tmpDir = s"$stateDir/_$base.tmp"
+    // retired-base dir from a prior fold's crash window (underscore-
+    // prefixed so Spark's file index never reads it as data): the previous
+    // base is RENAMED here, never deleted before the new base is in place,
+    // so no crash point loses folded history
+    val oldDir = s"$stateDir/_$base.old"
     def rd(p: String) = parquetIfAny(spark, p)
+    // read the current base wherever it lives: baseDir normally, oldDir if
+    // a prior fold crashed between its two renames
+    val baseNow = rd(baseDir).orElse(rd(oldDir))
     val folded = (rd(liveDir).map(_.filter(col("batch") <= upToBatch)).toSeq ++
-      rd(baseDir).toSeq).reduceOption(_ unionByName _)
+      baseNow.toSeq).reduceOption(_ unionByName _)
     folded.foreach { df =>
       // distinct: a re-run after a crash between swap and delete sees the
       // folded rows twice (still-present live partitions + new base);
@@ -571,10 +581,16 @@ object Incremental {
       val out = finish(df.distinct())
       if (partCols.isEmpty) out.write.mode("overwrite").parquet(tmpDir)
       else out.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmpDir)
-      // swap base, then drop the folded per-batch partitions
-      val baseF = new java.io.File(baseDir)
-      if (baseF.exists()) deleteRec(baseF)
-      new java.io.File(tmpDir).renameTo(baseF)
+      // swap: retire base → old (its rows are already IN tmp), promote
+      // tmp → base, then drop old. A crash between the renames leaves the
+      // history in oldDir, which the re-run's baseNow picks up.
+      val baseF = new java.io.File(baseDir); val oldF = new java.io.File(oldDir)
+      if (oldF.exists()) deleteRec(oldF) // stale retiree already folded in
+      if (baseF.exists())
+        require(baseF.renameTo(oldF), s"failed to retire $baseDir")
+      require(new java.io.File(tmpDir).renameTo(baseF),
+        s"failed to promote $tmpDir to $baseDir")
+      deleteRec(oldF)
       val liveF = new java.io.File(liveDir)
       val batchDirs = Option(liveF.listFiles()).getOrElse(Array.empty)
         .flatMap { d =>
@@ -668,12 +684,22 @@ object Incremental {
       new java.io.File(stateDir, "_highwater").toPath, upToBatch.toString)
   }
 
+  /** Base + live union of one decision/pair surface, with a clear error
+    * instead of an empty-reduce throw when neither dir holds data yet.
+    */
+  private def baseLiveUnion(spark: SparkSession, stateDir: String,
+      sub: String, cols: Seq[String]): DataFrame = {
+    val parts = Seq(s"$stateDir/$sub", s"$stateDir/${sub}_base")
+      .flatMap(parquetIfAny(spark, _))
+      .map(_.select(cols.head, cols.tail: _*))
+    require(parts.nonEmpty, s"no $sub state under $stateDir")
+    parts.reduce(_ unionByName _)
+  }
+
   /** All embedding near-dup decisions: compacted base + live partitions. */
   def embDecisions(spark: SparkSession, stateDir: String): DataFrame =
-    Seq(s"$stateDir/decisions", s"$stateDir/decisions_base")
-      .flatMap(parquetIfAny(spark, _))
-      .map(_.select("doc_id", "kept", "matched_id", "batch"))
-      .reduce(_ unionByName _)
+    baseLiveUnion(spark, stateDir, "decisions",
+      Seq("doc_id", "kept", "matched_id", "batch"))
 
   /** Fold the decontamination screen's inverted gram index per-batch
     * partitions ≤ `upToBatch` into tg_base/ (gshard-partitioned, original
@@ -694,17 +720,12 @@ object Incremental {
 
   /** All near-dup decisions: compacted base + live per-batch partitions. */
   def ndDecisions(spark: SparkSession, stateDir: String): DataFrame =
-    Seq(s"$stateDir/decisions", s"$stateDir/decisions_base")
-      .flatMap(parquetIfAny(spark, _))
-      .map(_.select("doc_id", "source", "kept", "matched_id", "batch"))
-      .reduce(_ unionByName _)
+    baseLiveUnion(spark, stateDir, "decisions",
+      Seq("doc_id", "source", "kept", "matched_id", "batch"))
 
   /** All verified near-dup pairs: compacted base + live partitions. */
   def ndPairs(spark: SparkSession, stateDir: String): DataFrame =
-    Seq(s"$stateDir/pairs", s"$stateDir/pairs_base")
-      .flatMap(parquetIfAny(spark, _))
-      .map(_.select("e_id", "d_id", "batch"))
-      .reduce(_ unionByName _)
+    baseLiveUnion(spark, stateDir, "pairs", Seq("e_id", "d_id", "batch"))
 
   /** Fold the curation delta stream's per-(batch, shard) partitions ≤
     * `upToBatch` into the single partition (upToBatch, shard) — the report
@@ -969,17 +990,8 @@ object Incremental {
   def maintainSpans(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       n: Int = 15, nGramShards: Int = 16, nDocShards: Int = 16): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        applySpanBatch(spark, bt, id, stateDir, n, nGramShards, nDocShards)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema)(
+      applySpanBatch(spark, _, _, stateDir, n, nGramShards, nDocShards))
   }
 
   /** The maintained funnel report: per-source docs_in / after_dedup /
@@ -1007,17 +1019,8 @@ object Incremental {
       deltaDir: String, checkpointDir: String,
       schema: org.apache.spark.sql.types.StructType,
       enrich: DataFrame => DataFrame, nShards: Int = 16): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        applyCurationBatch(spark, enrich(bt), id, stateDir, deltaDir, nShards)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema)((bt, id) =>
+      applyCurationBatch(spark, enrich(bt), id, stateDir, deltaDir, nShards))
   }
 
   /** The COMPLETE incremental funnel — q300's program with near-dedup
@@ -1037,27 +1040,19 @@ object Incremental {
       curEnrich: DataFrame => DataFrame, textCol: String = "text",
       nShards: Int = 16, bands: Int = 16, rowsPerBand: Int = 2,
       thresholdPct: Int = 70): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        val nd = bt.select(col("doc_id"), col("source"),
-          graft.llm.Dedup.minhashSignature(col(textCol),
-            numHashes = bands * rowsPerBand).as("sig"))
-        applyNearDupBatch(spark, nd, id, s"$stateDir/nd", bands,
-          rowsPerBand, thresholdPct)
-        val ndKept = spark.read.parquet(s"$stateDir/nd/decisions")
-          .filter(col("batch") === id)
-          .select(col("doc_id"), col("kept").as("ok_nd"))
-        applyCurationBatch(spark, curEnrich(bt).join(ndKept, Seq("doc_id")),
-          id, s"$stateDir/key", s"$stateDir/delta", nShards,
-          stages = Seq("ok_nd", "ok_rules", "ok_clf"))
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema) { (bt, id) =>
+      val nd = bt.select(col("doc_id"), col("source"),
+        graft.llm.Dedup.minhashSignature(col(textCol),
+          numHashes = bands * rowsPerBand).as("sig"))
+      applyNearDupBatch(spark, nd, id, s"$stateDir/nd", bands,
+        rowsPerBand, thresholdPct)
+      val ndKept = spark.read.parquet(s"$stateDir/nd/decisions")
+        .filter(col("batch") === id)
+        .select(col("doc_id"), col("kept").as("ok_nd"))
+      applyCurationBatch(spark, curEnrich(bt).join(ndKept, Seq("doc_id")),
+        id, s"$stateDir/key", s"$stateDir/delta", nShards,
+        stages = Seq("ok_nd", "ok_rules", "ok_clf"))
+    }
   }
 
   /** The FULL q300 program — exact dedup (lowest id survives) → Gopher
@@ -1087,20 +1082,12 @@ object Incremental {
       schema: org.apache.spark.sql.types.StructType,
       curEnrich: DataFrame => DataFrame, textCol: String = "text",
       nShards: Int = 16, n: Int = 15): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        applySpanBatch(spark, bt.select(col("doc_id"), col("source"),
-          col(textCol).as("text")), id, s"$stateDir/span", n)
-        applyCurationBatch(spark, curEnrich(bt), id, s"$stateDir/key",
-          s"$stateDir/delta", nShards)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema) { (bt, id) =>
+      applySpanBatch(spark, bt.select(col("doc_id"), col("source"),
+        col(textCol).as("text")), id, s"$stateDir/span", n)
+      applyCurationBatch(spark, curEnrich(bt), id, s"$stateDir/key",
+        s"$stateDir/delta", nShards)
+    }
   }
 
   /** The maintained FULL-funnel report (q300's exact output shape):
@@ -1254,17 +1241,8 @@ object Incremental {
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       enrich: DataFrame => DataFrame, nBits: Int = 4,
       thresholdPct: Int = 80): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        applyEmbDupBatch(spark, enrich(bt), id, stateDir, nBits, thresholdPct)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema)((bt, id) =>
+      applyEmbDupBatch(spark, enrich(bt), id, stateDir, nBits, thresholdPct))
   }
 
   // ── incremental JOIN materialization (delta-join IVM) ────────────────
@@ -1331,16 +1309,22 @@ object Incremental {
     dJ.count() // materialize before any state write
     def commit(sub: String, cols: Seq[String], delta: DataFrame): Unit = {
       val dir = s"$stateDir/$sub"
+      // per-SURFACE touched shards — the batch-global set would rewrite
+      // shards this surface's delta never touches (a one-fact batch would
+      // rewrite the whole MV), turning O(Δ × matches) into O(table)
+      val dTouched = delta.select("shard").distinct()
+        .collect().map(_.getAs[Number](0).longValue).toSeq
+      if (dTouched.isEmpty) return
       val bmaxByShard = shardFooterMax(spark, dir, "shard", "bmax")
         .getOrElse {
           parquetIfAny(spark, dir)
-            .map(_.filter(col("shard").isin(touched: _*))
+            .map(_.filter(col("shard").isin(dTouched: _*))
               .groupBy("shard").agg(max("bmax").as("bm"))
               .collect().map(r => r.getAs[Number](0).longValue ->
                 r.getAs[Number](1).longValue).toMap)
             .getOrElse(Map.empty)
         }
-      val fresh = touched.filterNot(s =>
+      val fresh = dTouched.filterNot(s =>
         bmaxByShard.get(s).exists(_ >= batchId))
       // an empty fresh-shard delta adds nothing and needs no commit
       // marker: a retry recomputes the same empty delta (shown above), and
@@ -1389,17 +1373,8 @@ object Incremental {
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       keyCol: String, lCols: Seq[String], oCols: Seq[String],
       nShards: Int = 16): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        applyJoinBatch(spark, bt, id, stateDir, keyCol, lCols, oCols, nShards)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema)(
+      applyJoinBatch(spark, _, _, stateDir, keyCol, lCols, oCols, nShards))
   }
 
   // ── incremental SESSIONIZATION (interval-set MV, late data) ──────────
@@ -1519,17 +1494,8 @@ object Incremental {
   def maintainSessions(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       gapUs: Long = 30L * 60 * 1000000, nShards: Int = 16): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        applySessionBatch(spark, bt, id, stateDir, gapUs, nShards)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema)(
+      applySessionBatch(spark, _, _, stateDir, gapUs, nShards))
   }
 
   // ── incremental CDC APPLY (maintained MERGE INTO) ────────────────────
@@ -1641,17 +1607,8 @@ object Incremental {
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       keyCol: String, opCol: String = "op", seqCol: String = "seq",
       nShards: Int = 16): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        applyCdcBatch(spark, bt, id, stateDir, keyCol, opCol, seqCol, nShards)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema)(
+      applyCdcBatch(spark, _, _, stateDir, keyCol, opCol, seqCol, nShards))
   }
 
   // ── incremental CONNECTED COMPONENTS (union-find MV) ─────────────────
@@ -1876,17 +1833,8 @@ object Incremental {
   def maintainCc(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       nShards: Int = 16): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        applyCcBatch(spark, bt, id, stateDir, nShards)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema)(
+      applyCcBatch(spark, _, _, stateDir, nShards))
   }
 
   /** Fold the forwarding table into the label table (the union-find
@@ -2041,7 +1989,12 @@ object Incremental {
            .filter(col("gshard").isin(newShards: _*) && col("batch") < batchId)
            .select("gh", "doc_id", "gshard", "batch")))
         .join(newBG.select("gh"), Seq("gh"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("dm"))
+        // countDistinct, not count: postings are unique per (doc, gh) by
+        // construction, but a compaction crash between the base swap and
+        // the live-partition delete can leave a folded posting visible in
+        // BOTH tg and tg_base — count(*) would bake a permanent double
+        // increment into the additive verdict MV; distinct collapses it
+        .groupBy("doc_id").agg(countDistinct(col("gh")).as("dm"))
         .select(col("doc_id"), lit(null).cast("string").as("source"),
           lit(null).cast("long").as("n_grams"), col("dm"))
     val verDelta = docNew.unionByName(retro)
@@ -2126,18 +2079,9 @@ object Incremental {
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       enrich: DataFrame => DataFrame, n: Int = 4, nGramShards: Int = 16,
       nDocShards: Int = 16): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (bt: DataFrame, id: Long) =>
-        applyContamBatch(spark, enrich(bt), id, stateDir, n, nGramShards,
-          nDocShards)
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    maintainLoop(spark, srcDir, checkpointDir, schema)((bt, id) =>
+      applyContamBatch(spark, enrich(bt), id, stateDir, n, nGramShards,
+        nDocShards))
   }
 
   /** End-to-end demonstration over the static events table: stage the

@@ -806,8 +806,11 @@ object ScaleProbe {
             // nlist rule), holding per-bucket density ~64 constant: total
             // bucket-confined pairs stay ∝ n, so the family is linear
             val n = df.count()
-            val nBits = math.max(4,
-              math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+            // capped at the operator's 16-bit bucket space: past the cap
+            // (n ≥ 64·2^16) density grows again — at that corpus size a
+            // real deployment widens the bucket id, not this probe
+            val nBits = math.min(16, math.max(4,
+              math.ceil(math.log(n / 64.0) / math.log(2)).toInt))
             val work = java.nio.file.Files
               .createTempDirectory("graft_probe_incemb").toString
             (0 to 2).foreach { k =>
