@@ -163,28 +163,71 @@ object Bench {
     }
     canaries += canaryOnce() // closing segment
 
+    // LOAD ADJUDICATION (round-12 verdict ask): the session-relative canary
+    // skew attributes drift but leaves the graded record wrong until a
+    // human re-runs idle (r12 shipped 385.6 s under skew 26 vs ~309 s
+    // idle). So the record now adjudicates itself against an ABSOLUTE
+    // canary floor — the known-idle wall of the fixed canary workload on
+    // this machine, persisted in bench_canary_floor.json (override with
+    // SPARK_GRAFT_CANARY_FLOOR; falls back to the session minimum when
+    // neither exists, which degrades to the old relative behavior). A
+    // segment whose bracketing canaries exceed floor×2 is stamped
+    // loaded=true, and EVERY query in a loaded segment joins the tail
+    // re-measure below, so the printed totals are already corrected.
+    val floorAbs: Double = sys.env.get("SPARK_GRAFT_CANARY_FLOOR")
+      .map(_.toDouble)
+      .orElse {
+        val f = java.nio.file.Paths.get("bench_canary_floor.json")
+        if (java.nio.file.Files.exists(f))
+          "\"canary_floor_s\"\\s*:\\s*([0-9.]+)".r
+            .findFirstMatchIn(java.nio.file.Files.readString(f))
+            .map(_.group(1).toDouble)
+        else None
+      }
+      .getOrElse(canaries.min)
+    val loadedThreshold = floorAbs * 2
+    // segment i covers sorted queries [i·canaryEvery, (i+1)·canaryEvery),
+    // bracketed by canaries(i) and canaries(i+1); a spike at either end
+    // implicates the window
+    val nSegments = canaries.size - 1
+    val segLoaded = (0 until nSegments).map(i =>
+      canaries(i) > loadedThreshold || canaries(i + 1) > loadedThreshold)
+    val loadedQueries = named.zipWithIndex.collect {
+      case ((name, _), i) if segLoaded(math.min(i / canaryEvery, nSegments - 1)) =>
+        name
+    }.toSet
+
     // Worst-N re-measure: the canary ATTRIBUTES drift windows but cannot
     // repair per-query numbers — a machine-load spike during one query's
     // best-of-3 still prints as that query's wall (round-10: q290 printed
     // 8.72 s under a load window; idle re-measure 1.07 s). The tail of the
     // run is the likeliest-idle moment we have, so re-run the N slowest
-    // queries with the SAME best-of-`runs` protocol here and REPLACE their
-    // values — not min(main, remeasure), which retried only unfavorable
-    // flukes and kept favorable ones, biasing the headline low relative to
-    // the documented protocol. Replacement keeps every query's number a
-    // best-of-N; the worst N are simply measured at a likelier-idle moment
-    // (and can move UP if the tail is the loaded window — that's honest).
-    // The raw tail map and the pre-remeasure total stay in the JSON for
-    // audit.
+    // queries PLUS every query from a loaded segment with the SAME
+    // best-of-`runs` protocol here and REPLACE their values — not
+    // min(main, remeasure), which retried only unfavorable flukes and kept
+    // favorable ones, biasing the headline low relative to the documented
+    // protocol. Replacement keeps every query's number a best-of-N; the
+    // re-measured set is simply timed at a likelier-idle moment (and can
+    // move UP if the tail is the loaded window — that's honest). A canary
+    // bracket around the tail stamps whether the adjudication itself ran
+    // loaded. The raw tail map and the pre-remeasure total stay in the
+    // JSON for audit.
     val remeasureN = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_N", "10").toInt
+    val remeasureMax =
+      sys.env.getOrElse("SPARK_GRAFT_REMEASURE_MAX", "80").toInt
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(remeasureN)
-      .map(_._1).toSet
+      .map(_._1).toSet ++ loadedQueries.take(
+        math.max(0, remeasureMax - remeasureN))
+    val tailCanaryBefore = canaryOnce()
     val remeasured = named.filter(p => worst.contains(p._1)).map {
       case (name, fn) =>
         val secs = try (1 to runs).map(_ => time(materialize(fn(spark, sfDir)))).min
           catch { case _: Throwable => -1.0 }
         name -> secs
     }.toMap
+    val tailCanaryAfter = canaryOnce()
+    val tailLoaded = tailCanaryBefore > loadedThreshold ||
+      tailCanaryAfter > loadedThreshold
     val totalMain = results.map(_._2).filter(_ >= 0).sum
     val finalResults = results.map { case (name, s) =>
       val r = remeasured.getOrElse(name, -1.0)
@@ -213,12 +256,24 @@ object Bench {
     val remArr = remeasured.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + f(v)
     }.mkString("{", ",", "}")
+    // self-adjudication record: per-segment load flags against the
+    // absolute canary floor, plus whether the corrective tail itself ran
+    // loaded (if so, the corrected totals are STILL suspect — re-run)
+    val segArr = segLoaded.map(b => if (b) "true" else "false")
+      .mkString("[", ",", "]")
+    val loadAdj = s"""{"canary_floor_s":${f(floorAbs)},""" +
+      s""""loaded_threshold_s":${f(loadedThreshold)},""" +
+      s""""segments_loaded":$segArr,""" +
+      s""""n_loaded_segments":${segLoaded.count(identity)},""" +
+      s""""n_requeried":${remeasured.size},""" +
+      s""""tail_canary_s":[${f(tailCanaryBefore)},${f(tailCanaryAfter)}],""" +
+      s""""tail_loaded":$tailLoaded}"""
     val qsFull = finalResults.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val fullPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_full.json"))
     java.nio.file.Files.writeString(fullPath,
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir","join_throughput_gibs":${f(joinGiBs)},"join_nrows":$joinNrows,"runs":$runs,"canary":$canArr,"canary_every":$canaryEvery,"canary_skew":${f(canSkew)},"remeasured":$remArr,"total_premeasure":${f(totalMain)}}""" + "\n")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir","join_throughput_gibs":${f(joinGiBs)},"join_nrows":$joinNrows,"runs":$runs,"canary":$canArr,"canary_every":$canaryEvery,"canary_skew":${f(canSkew)},"remeasured":$remArr,"total_premeasure":${f(totalMain)},"load_adjudicated":$loadAdj}""" + "\n")
     System.err.println(s"[bench] full per-query map: $fullPath")
     val qsShort = finalResults.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + "%.2f".format(v)
@@ -232,7 +287,7 @@ object Bench {
     // canary: fixed-workload walls sampled every `canary_every` queries
     // (chronological) — a flat array means a clean run; a spike localizes a
     // machine-load window to its query segment. canary_skew = max/min.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"canary":$canArr,"canary_every":$canaryEvery,"canary_skew":${f(canSkew)},"remeasured":$remArr,"total_premeasure":${f(totalMain)},"queries_file":"$fullPath"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"canary":$canArr,"canary_every":$canaryEvery,"canary_skew":${f(canSkew)},"load_adjudicated":$loadAdj,"total_premeasure":${f(totalMain)},"queries_file":"$fullPath"}""")
     System.out.flush()
   }
 }

@@ -4355,6 +4355,46 @@ object SparkEntry {
         oCols) // restart: only b2
       ordAll(graft.streaming.Incremental.joinMv(s, s"$work/state", "okey"))
     }),
+    "q317_capped_embdup" -> ((s, dir) => {
+      // CAPPED incremental embedding near-dup — q310's maintained screen
+      // with the maxBucket skew guard LOW enough (40) that sign-buckets
+      // actually cross it mid-stream at this scale: a bucket whose
+      // lifetime population exceeds the cap at batch k generates no
+      // candidates from that batch on (the batch path's Dedup.capBuckets
+      // drop rule, made incremental — population is monotone, so
+      // dead-ness needs no hysteresis). The oracle re-derives EVERYTHING
+      // from scratch in exact integer arithmetic, including the cap: a
+      // pair is admitted only if its bucket's cumulative population
+      // through the later doc's batch is ≤ 40. Same corpus, batching
+      // (id % 3, mod-time-pinned), and restart as q310.
+      val work = java.nio.file.Files.createTempDirectory("graft_capemb").toString
+      val e = t(s, dir, "embeddings")
+      val base = e.select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as long))")
+        .as("qv"))
+      val planted = base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(qv, (x, i) -> x + (vec_id + i) % 7 - 3)").as("qv"))
+      val all = base.unionByName(planted)
+      def stage(k: Int, modMs: Long): Unit = {
+        all.filter(col("vec_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(modMs))
+      }
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      stage(0, now - 120000); stage(1, now - 60000)
+      val enrich = (bt: DataFrame) =>
+        bt.select(col("vec_id").as("doc_id"), col("qv"))
+      graft.streaming.Incremental.maintainEmbDup(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", all.schema, enrich, maxBucket = 40)
+      stage(2, now)
+      graft.streaming.Incremental.maintainEmbDup(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", all.schema, enrich,
+        maxBucket = 40) // restart: only b2
+      ord(s.read.parquet(s"$work/state/decisions")
+        .select("doc_id", "kept", "matched_id"), "doc_id")
+    }),
     "q315_incremental_sessions" -> ((s, dir) => {
       // INCREMENTAL SESSIONIZATION with LATE DATA — the session-window MV:
       // event batches arrive in event_id order (NOT time order, so most
@@ -4611,6 +4651,36 @@ object SparkEntry {
       ord(graft.llm.Similarity.queryIvfIndex(s, s"$work/state",
           e.filter(col("vec_id") < 200), "vec_id", "embedding",
           k = 1, nprobe = 8)
+        .withColumn("cosine", round(col("cosine"), 4)), "query_id")
+    }),
+    "q318_compacted_ivf" -> ((s, dir) => {
+      // IVF CENTROID REFRESH at compaction — q309's maintained index, then
+      // compactIvf: centroids RETRAIN on the accumulated postings, every
+      // posting re-assigns, and the list count GROWS 8 → 12 (nlist ∝
+      // corpus, the near-dup families' re-bucket analog) under a
+      // versioned retire-rename swap. A late replay of an already-folded
+      // batch must be a no-op (highwater guard), and with nprobe = nlist
+      // the refreshed index must STILL return exactly the brute-force
+      // top-1 — the refresh-invariant q309 oracle, with no knowledge of
+      // the index, the batching, or the refresh.
+      val work = java.nio.file.Files.createTempDirectory("graft_civf").toString
+      val e = t(s, dir, "embeddings")
+      for (k <- 0 to 2)
+        e.filter(col("vec_id") % 3 === k).coalesce(1)
+          .write.parquet(s"$work/src/b$k")
+      graft.llm.Similarity.maintainIvfIndex(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", e.schema, "vec_id", "embedding",
+        nlist = 8)
+      graft.llm.Similarity.compactIvf(s, s"$work/state", upToBatch = 2L,
+        newNlist = 12)
+      // late replay of a folded batch: guarded no-op (stale-centroid
+      // assignments must never overwrite refreshed partitions)
+      graft.llm.Similarity.applyIvfIndexBatch(s,
+        e.filter(col("vec_id") % 3 === 0), 0L, s"$work/state",
+        "vec_id", "embedding", nlist = 12)
+      ord(graft.llm.Similarity.queryIvfIndex(s, s"$work/state",
+          e.filter(col("vec_id") < 200), "vec_id", "embedding",
+          k = 1, nprobe = 12)
         .withColumn("cosine", round(col("cosine"), 4)), "query_id")
     }),
     "q308_incremental_full_funnel" -> ((s, dir) => {
@@ -5742,11 +5812,24 @@ object SparkEntry {
     })
   )
 
-  /** Shared by q310 and q313: the compaction must be invisible, so both
-    * gates compare against the identical from-scratch SQL.
+  /** From-scratch embedding near-dup oracle, shared by q310 and q313
+    * (cap = None: the compaction must be invisible, so both gates compare
+    * against the identical SQL) and q317 (cap = Some(40): a candidate
+    * pair is admitted only while its bucket's cumulative population
+    * through the later doc's batch is ≤ cap — the maxBucket drop rule,
+    * re-derived with zero knowledge of the maintained state).
     */
-  private val embDupOracle: String =
-    """WITH base AS (
+  private def embDupOracleSql(cap: Option[Int]): String = {
+    val popCte = if (cap.isEmpty) ""
+    else """, pops AS (
+      |  SELECT bucket, b, sum(cnt) OVER (PARTITION BY bucket ORDER BY b)
+      |    AS pop
+      |  FROM (SELECT bucket, b, count(*) AS cnt FROM v GROUP BY bucket, b)
+      |)""".stripMargin
+    val popJoin = cap.map(c =>
+      s"\n    JOIN pops pp ON pp.bucket = d.bucket AND pp.b = d.b" +
+        s" AND pp.pop <= $c").getOrElse("")
+    s"""WITH base AS (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
       |  FROM embeddings
@@ -5764,13 +5847,13 @@ object SparkEntry {
       |     + CASE WHEN qv[4] >= 0 THEN 1 ELSE 0 END) AS bucket,
       |    list_sum(list_transform(qv, x -> x * x)) AS n2
       |  FROM allv
-      |), p AS (
+      |)$popCte, p AS (
       |  SELECT e.vec_id AS e_id, e.b AS eb, d.vec_id AS d_id,
       |    list_sum(list_transform(list_zip(e.qv, d.qv),
       |      t -> t[1] * t[2])) AS dot,
       |    e.n2 AS en, d.n2 AS dn
       |  FROM v e JOIN v d ON e.bucket = d.bucket
-      |    AND ((e.b < d.b) OR (e.b = d.b AND e.vec_id < d.vec_id))
+      |    AND ((e.b < d.b) OR (e.b = d.b AND e.vec_id < d.vec_id))$popJoin
       |), m AS (
       |  SELECT d_id AS doc_id, min(eb * 10000000000 + e_id) AS enc
       |  FROM p WHERE dot > 0 AND 10000 * dot * dot >= 6400 * en * dn
@@ -5781,6 +5864,9 @@ object SparkEntry {
       |  CAST(m.enc % 10000000000 AS BIGINT) AS matched_id
       |FROM allv a LEFT JOIN m ON a.vec_id = m.doc_id
       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val embDupOracle: String = embDupOracleSql(None)
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan_project" ->
@@ -9840,6 +9926,7 @@ object SparkEntry {
     // arithmetic with no knowledge of the incremental machinery (q313:
     // nor of the mid-stream compaction, which must be invisible).
     "q310_incremental_embdup" -> embDupOracle,
+    "q317_capped_embdup" -> embDupOracleSql(Some(40)),
     "q313_compacted_embdup" -> embDupOracle,
     // q316: the from-scratch inner join — IVM must be invisible; MV row
     // multiset == the join's bag semantics, ORDER BY ALL both sides.
@@ -9921,7 +10008,15 @@ object SparkEntry {
         |GROUP BY t.doc_id
         |HAVING CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) >= 1
         |ORDER BY doc_id""".stripMargin,
-    "q309_incremental_ivf" ->
+    "q309_incremental_ivf" -> ivfExactOracle,
+    "q318_compacted_ivf" -> ivfExactOracle
+  ) ++ dynamicOracles
+
+  /** Brute-force top-1 over the whole corpus — the nprobe = nlist
+    * exactness gate shared by q309 (fixed centroids) and q318 (refreshed
+    * + re-bucketed centroids): the refresh must be invisible.
+    */
+  private val ivfExactOracle: String =
       """WITH norms AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_sum(list_transform(embedding,
@@ -9942,7 +10037,6 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
         |FROM ranked WHERE rank <= 1 ORDER BY query_id""".stripMargin
-  ) ++ dynamicOracles
 
   /** Oracles generated from Spark-computed artifacts (see [[OracleAux]]):
     * q45's simhash signatures and q50's LSH candidate pairs ride into the

@@ -436,7 +436,12 @@ object Similarity {
     */
   def applyIvfIndexBatch(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, batchId: Long, stateDir: String, idCol: String,
-      vecCol: String, nlist: Int, lloydIters: Int = 2): Unit = {
+      vecCol: String, nlist: Int, lloydIters: Int = 2): Unit =
+    graft.streaming.Incremental.withLease(stateDir) {
+    // a batch at or below the compaction high-water mark was re-assigned
+    // into the refreshed index — a late replay must be a no-op (it would
+    // overwrite (cid, batch) partitions with STALE-centroid assignments)
+    if (batchId <= graft.streaming.Incremental.highwater(stateDir)) return
     graft.streaming.Incremental.pinLayout(stateDir,
       s"nlist=$nlist,lloydIters=$lloydIters")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -512,6 +517,83 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("cosine")),
       k)
+  }
+
+  /** Centroid REFRESH at compaction (round-12 verdict ask): the maintained
+    * index fixes centroids at the first arrival, so on a drifting corpus
+    * recall decays and nlist cannot grow. This retrains centroids from a
+    * deterministic sample of the accumulated postings, re-assigns EVERY
+    * posting, and promotes both surfaces under the retire-rename pattern
+    * ([[graft.streaming.Incremental]]'s foldBatches contract: the old dir
+    * is renamed to `_<name>.old`, never deleted before the new dir is in
+    * place, and a stale retiree is only dropped when the primary exists).
+    * Crash anywhere → re-running the same call converges: the retrain
+    * input is the same vector SET regardless of which surfaces promoted
+    * (posts are read from `posts/` or the retiree), and trainCentroids is
+    * deterministic. Queries must not be served between a crashed compact
+    * and its re-run (single-writer maintenance window). Writes
+    * `_highwater` last; a replayed batch ≤ highwater is a no-op in
+    * [[applyIvfIndexBatch]]. `newNlist` grows the list count with the
+    * corpus (the near-dup families' re-bucket analog — nlist ∝ corpus so
+    * per-list density stays bounded); the `_layout` pin is updated
+    * atomically with the fold.
+    */
+  def compactIvf(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      upToBatch: Long, newNlist: Int = -1, sampleCap: Int = 200000): Unit =
+    graft.streaming.Incremental.withLease(stateDir) {
+    import graft.streaming.Incremental.{parquetIfAny, deleteRec}
+    def rdOr(name: String) = parquetIfAny(spark, s"$stateDir/$name")
+      .orElse(parquetIfAny(spark, s"$stateDir/_$name.old"))
+    val posts = rdOr("posts").getOrElse(
+      throw new IllegalArgumentException(s"no IVF state under $stateDir"))
+    // re-assignment is global, so every live batch must fold
+    val liveBatches = posts.select("batch").distinct()
+      .collect().map(_.getAs[Number](0).longValue)
+    require(liveBatches.forall(_ <= upToBatch),
+      s"centroid refresh re-assigns ALL postings: found batches " +
+        s"${liveBatches.filter(_ > upToBatch).sorted.mkString(",")} above " +
+        s"upToBatch=$upToBatch")
+    val lf = new java.io.File(stateDir, "_layout")
+    val stored = new String(java.nio.file.Files.readAllBytes(lf.toPath)).trim
+    val oldNlist = "nlist=(\\d+)".r.findFirstMatchIn(stored).get.group(1).toInt
+    val lloydIters =
+      "lloydIters=(\\d+)".r.findFirstMatchIn(stored).get.group(1).toInt
+    val nlist = if (newNlist > 0) newNlist else oldNlist
+    val vecs = posts.select("vec_id", "v", "nrm", "batch").persist()
+    vecs.count() // materialize before retiring the dir it was read from
+    val cents = trainCentroids(vecs, "vec_id", "v", nlist, lloydIters,
+      sampleCap = sampleCap)
+    vecs.withColumn("cid", nearestCentroid(
+        transform(col("v"), x => x.cast("double")), cents))
+      .select("vec_id", "v", "nrm", "cid", "batch")
+      .repartition(math.min(nlist, 32), col("cid"))
+      .write.mode("overwrite").partitionBy("cid", "batch")
+      .parquet(s"$stateDir/_posts.tmp")
+    centroidsAsTable(spark, cents).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/_centroids.tmp")
+    vecs.unpersist(blocking = false)
+    // versioned swap, one surface at a time; a crash between the two is
+    // repaired by re-running (see scaladoc)
+    def promote(name: String): Unit = {
+      val dir = new java.io.File(stateDir, name)
+      val old = new java.io.File(stateDir, s"_$name.old")
+      val tmp = new java.io.File(stateDir, s"_$name.tmp")
+      if (dir.exists()) {
+        // a stale retiree alongside the primary is already superseded;
+        // when the primary is ABSENT the retiree IS the data and must
+        // survive until tmp promotes (the foldBatches repair ordering)
+        if (old.exists()) deleteRec(old)
+        require(dir.renameTo(old), s"failed to retire $dir")
+      }
+      require(tmp.renameTo(dir), s"failed to promote $tmp")
+      deleteRec(old)
+    }
+    promote("centroids")
+    promote("posts")
+    if (newNlist > 0) java.nio.file.Files.writeString(lf.toPath,
+      stored.replaceAll("nlist=\\d+", s"nlist=$newNlist"))
+    java.nio.file.Files.writeString(
+      new java.io.File(stateDir, "_highwater").toPath, upToBatch.toString)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

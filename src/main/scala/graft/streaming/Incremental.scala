@@ -36,7 +36,7 @@ object Incremental {
     * can use the same upsert.
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      stateDir: String, nShards: Int): Unit = {
+      stateDir: String, nShards: Int): Unit = withLease(stateDir) {
     // The partition-granular overwrite below REQUIRES dynamic mode: under
     // Spark's default (STATIC) the write would delete every existing
     // shard partition first — silently destroying all historical state.
@@ -175,6 +175,71 @@ object Incremental {
     } else java.nio.file.Files.writeString(f.toPath, desc)
   }
 
+  // ── single-writer lease ───────────────────────────────────────────────
+  // The state-dir maintenance contract is SINGLE-WRITER: two concurrent
+  // maintainers interleaving dynamic partition overwrites on one state dir
+  // would corrupt it silently (round-12 verdict: "single-writer is
+  // assumed, not enforced"). Enforced here: every applyBatch-family and
+  // compaction entry point runs under [[withLease]], which layers
+  //  (a) in-process: a holder-thread map per dir, re-entrant so a
+  //      maintainer may compact under its own lease (applyCcBatch's
+  //      auto-fold), with a second thread failing fast; and
+  //  (b) cross-process: a `_lease` file created O_EXCL holding pid@host,
+  //      removed on release (normal return OR exception — only a process
+  //      DEATH mid-batch leaves one), with the next maintainer failing
+  //      fast and naming the file to delete once the holder is confirmed
+  //      dead — the standard lakehouse lock-file discipline. On an object
+  //      store, a conditional-put of the same file plays this role.
+
+  private final case class LeaseEntry(thread: Long, depth: Int)
+  private val leases =
+    new java.util.concurrent.ConcurrentHashMap[String, LeaseEntry]()
+  /** Test hook: overrides the pid@host holder id written to lease files. */
+  @volatile private[graft] var leaseHolderOverride: Option[String] = None
+  private def leaseHolderId: String = leaseHolderOverride.getOrElse(
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
+
+  private[graft] def withLease[T](stateDir: String)(body: => T): T = {
+    val key = new java.io.File(stateDir).getAbsolutePath
+    val tid = Thread.currentThread().getId
+    var conflictThread = -1L
+    val entry = leases.compute(key, (_, v) =>
+      if (v == null) LeaseEntry(tid, 1)
+      else if (v.thread == tid) LeaseEntry(tid, v.depth + 1)
+      else { conflictThread = v.thread; v })
+    if (conflictThread >= 0)
+      throw new IllegalStateException(
+        s"state dir $stateDir is being maintained by thread " +
+          s"$conflictThread of this process — state maintenance is " +
+          "single-writer; serialize the maintainers")
+    val leaseFile = new java.io.File(key, "_lease")
+    if (entry.depth == 1) {
+      new java.io.File(key).mkdirs()
+      try java.nio.file.Files.write(leaseFile.toPath,
+        leaseHolderId.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          leases.remove(key)
+          val holder = try new String(java.nio.file.Files
+            .readAllBytes(leaseFile.toPath), "UTF-8").trim
+          catch { case _: java.io.IOException => "unknown" }
+          throw new IllegalStateException(
+            s"state dir $stateDir is leased by '$holder' (this " +
+              s"maintainer is '$leaseHolderId') — state maintenance is " +
+              "single-writer. If the holder is a live maintainer, let it " +
+              s"finish; if it died mid-batch, delete $leaseFile to " +
+              "reclaim (every batch write is crash-idempotent).")
+      }
+    }
+    try body
+    finally {
+      val left = leases.compute(key, (_, v) =>
+        if (v == null || v.depth <= 1) null else LeaseEntry(tid, v.depth - 1))
+      if (left == null) leaseFile.delete()
+    }
+  }
+
   /** Per-shard high-water batch id read from parquet FOOTER statistics —
     * O(files) footer reads (a few KB each), never a data scan of the state
     * table. The footer max is exact and crash-consistent: it is committed
@@ -238,7 +303,8 @@ object Incremental {
     */
   def applyCurationBatch(spark: SparkSession, enriched: DataFrame, batchId: Long,
       stateDir: String, deltaDir: String, nShards: Int,
-      stages: Seq[String] = Seq("ok_rules", "ok_clf")): Unit = {
+      stages: Seq[String] = Seq("ok_rules", "ok_clf")): Unit =
+    withLease(stateDir) { withLease(deltaDir) {
     require(stages.nonEmpty, "at least one stage flag required")
     // The partition-granular overwrites below REQUIRE dynamic mode (static
     // overwrite deletes ALL historical shard/batch partitions) — set here,
@@ -331,7 +397,7 @@ object Incremental {
     }
     ex.unpersist(blocking = false)
     b.unpersist(blocking = false)
-  }
+  } }
 
   // ── incremental NEAR-dup screen (MinHash index) ──────────────────────
   // The near-dup half of the incremental dedup story: [[applyCurationBatch]]
@@ -391,7 +457,7 @@ object Incremental {
     * compacted). Underscore-prefixed so Spark's file index never reads it
     * as data.
     */
-  private def highwater(stateDir: String): Long = {
+  private[graft] def highwater(stateDir: String): Long = {
     val f = new java.io.File(stateDir, "_highwater")
     if (f.exists()) new String(java.nio.file.Files.readAllBytes(f.toPath))
       .trim.toLong
@@ -400,7 +466,8 @@ object Incremental {
 
   def applyNearDupBatch(spark: SparkSession, enriched: DataFrame,
       batchId: Long, stateDir: String, bands: Int, rowsPerBand: Int,
-      thresholdPct: Int, nBp: Int = 32): Unit = {
+      thresholdPct: Int, nBp: Int = 32, maxBucket: Int = 1000): Unit =
+    withLease(stateDir) {
     // a batch at or below the compaction high-water mark was folded into
     // the base partitions — its per-batch partitions no longer exist, so a
     // late replay must be a no-op (re-writing them would double the rows
@@ -413,8 +480,8 @@ object Incremental {
     // delete all earlier batches' state) — required here, not just in the
     // maintain* wrappers, so direct batch callers are safe
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    pinLayout(stateDir,
-      s"bands=$bands,rowsPerBand=$rowsPerBand,thresholdPct=$thresholdPct,nBp=$nBp")
+    pinLayout(stateDir, s"bands=$bands,rowsPerBand=$rowsPerBand," +
+      s"thresholdPct=$thresholdPct,nBp=$nBp,maxBucket=$maxBucket")
     val k = bands * rowsPerBand
     val b = enriched
       .select(col("doc_id").cast("long"), col("source"), col("sig"))
@@ -433,6 +500,40 @@ object Incremental {
       .collect().map(_.getAs[Number](0).longValue).toSeq // bounded by nBp
     def existingOr(path: String, empty: => DataFrame): DataFrame =
       parquetIfAny(spark, path).getOrElse(empty)
+    // DEAD buckets — the maintained twin of the batch path's maxBucket
+    // skew guard (Dedup.capBuckets): a bucket whose lifetime population
+    // crossed `maxBucket` generates no candidates from that batch on —
+    // without it a degenerate boilerplate bucket costs
+    // |batch ∩ bucket| × |history ∩ bucket| pairs per batch, quadratic
+    // in its lifetime population. Population only grows, so "dead iff
+    // pop > maxBucket" is monotone: recorded once (at the crossing
+    // batch, in dead/batch=k with the pop at death — the audit surface,
+    // read via [[ndDeadBuckets]]), then excluded from the history READ
+    // itself — the idx files are sorted by bucket within each partition,
+    // so a monster bucket's row groups have min==max stats and the
+    // not-equal pushdown skips them entirely. Dead-ness is keyed by the
+    // 64-bit bucket value alone (band is already hashed into it;
+    // a cross-band value collision is a 2⁻⁶⁴ event whose failure mode is
+    // one innocent bucket retired early — a marginal recall loss in an
+    // already-probabilistic screen, never a correctness break).
+    def emptyDead = spark.emptyDataFrame.select(lit(0L).as("bucket"),
+      lit(0L).as("pop"), lit(-1L).as("batch")).limit(0)
+    val deadDf = existingOr(s"$stateDir/dead", emptyDead)
+      .unionByName(existingOr(s"$stateDir/dead_base", emptyDead))
+      .filter(col("batch") < batchId).select("bucket").distinct().persist()
+    // small in every sane deployment (≤ postings/maxBucket buckets ever
+    // die); collect for parquet-pushdown exclusion, fall back to an
+    // anti-join past 1000 values (a not-in that large stops helping the
+    // scan anyway)
+    val deadVals: Option[Seq[Long]] = {
+      val rows = deadDf.limit(1001).collect()
+      if (rows.length <= 1000) Some(rows.map(_.getLong(0)).toSeq) else None
+    }
+    def dropDead(df: DataFrame): DataFrame = deadVals match {
+      case Some(vs) =>
+        vs.foldLeft(df)((d, v) => d.filter(col("bucket") =!= v))
+      case None => df.join(deadDf, Seq("bucket"), "left_anti")
+    }
     // pruned history read: ONLY the batch's bucket prefixes, ONLY earlier
     // batches — bp and (on the live side) batch are partition filters;
     // per-batch state access is O(touched prefixes), independent of how
@@ -442,16 +543,31 @@ object Incremental {
     def emptyIdx = spark.emptyDataFrame.select(lit(0L).as("doc_id"),
       array().cast("array<long>").as("sig"), lit(0).as("band"),
       lit(0L).as("bucket"), lit(-1L).as("bp"), lit(-1L).as("batch")).limit(0)
-    val hist = existingOr(s"$stateDir/idx", emptyIdx)
+    val hist = dropDead(existingOr(s"$stateDir/idx", emptyIdx)
       .filter(col("bp").isin(bps: _*) && col("batch") < batchId)
       .unionByName(existingOr(s"$stateDir/idx_base", emptyIdx)
-        .filter(col("bp").isin(bps: _*) && col("batch") < batchId))
-    val earlier = hist.select(col("doc_id"), col("batch"), col("sig"),
+        .filter(col("bp").isin(bps: _*) && col("batch") < batchId)))
+    // buckets crossing the cap AT THIS batch: population = complete
+    // under-cap history (dead buckets are excluded from hist, but were
+    // counted at their own crossing batch) + the full arriving batch.
+    // The recount scans only the bucket column (parquet prunes the rest)
+    // over the already-pruned partitions, so it is cheap relative to the
+    // candidate join it guards.
+    val newlyDead = hist.select("bucket")
+      .unionByName(dropDead(newIdx.select("bucket")))
+      .groupBy("bucket").agg(count(lit(1)).as("pop"))
+      .filter(col("pop") > lit(maxBucket.toLong)).persist()
+    def dropNewlyDead(df: DataFrame): DataFrame =
+      df.join(broadcast(newlyDead.select("bucket")), Seq("bucket"),
+        "left_anti")
+    val earlier = dropNewlyDead(hist)
+      .select(col("doc_id"), col("batch"), col("sig"),
         col("band"), col("bucket"))
-      .unionByName(newIdx.drop("bp"))
+      .unionByName(dropNewlyDead(dropDead(newIdx.drop("bp"))))
       .select(col("doc_id").as("e_id"), col("batch").as("e_batch"),
         col("sig").as("e_sig"), col("band"), col("bucket"))
-    val cands = newIdx.select("doc_id", "batch", "band", "bucket")
+    val cands = dropNewlyDead(dropDead(
+        newIdx.select("doc_id", "batch", "band", "bucket")))
       .join(earlier, Seq("band", "bucket"))
       .filter(col("e_batch") < col("batch") ||
         (col("e_batch") === col("batch") && col("e_id") < col("doc_id")))
@@ -485,15 +601,38 @@ object Incremental {
       .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/pairs")
     decisions.coalesce(files).write.mode("overwrite").partitionBy("batch")
       .parquet(s"$stateDir/decisions")
+    // buckets that crossed the cap at this batch, with their population at
+    // death — the dropped-bucket audit surface (same crash-retry
+    // idempotence: recomputed bit-identically, partition overwritten)
+    newlyDead.withColumn("batch", lit(batchId)).coalesce(1)
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/dead")
     // the index write routes each bucket prefix to one task so every
-    // (bp, batch) partition dir gets ONE file, not one per upstream task
+    // (bp, batch) partition dir gets ONE file, not one per upstream task;
+    // sorting by bucket within each file gives a monster bucket min==max
+    // row-group stats, so the dead-bucket not-equal filter skips its row
+    // groups on every later batch's pruned read
     newIdx.select("band", "bucket", "doc_id", "sig", "bp", "batch")
       .repartition(math.min(nBp, 32), col("bp"))
+      .sortWithinPartitions("bucket")
       .write.mode("overwrite").partitionBy("bp", "batch")
       .parquet(s"$stateDir/idx")
+    newlyDead.unpersist(blocking = false)
+    deadDf.unpersist(blocking = false)
     verified.unpersist(blocking = false)
     newIdx.unpersist(blocking = false)
     b.unpersist(blocking = false)
+  }
+
+  /** The dropped-bucket audit: every (bucket, pop, batch) row records a
+    * band-bucket retired by the maxBucket skew guard at `batch`, with its
+    * population at death (base + live union — survives compaction).
+    */
+  def ndDeadBuckets(spark: SparkSession, stateDir: String): DataFrame = {
+    def emptyDead = spark.emptyDataFrame.select(lit(0L).as("bucket"),
+      lit(0L).as("pop"), lit(-1L).as("batch")).limit(0)
+    parquetIfAny(spark, s"$stateDir/dead").getOrElse(emptyDead)
+      .unionByName(parquetIfAny(spark, s"$stateDir/dead_base")
+        .getOrElse(emptyDead))
   }
 
   /** Run the near-dup maintenance loop over everything staged in `srcDir`
@@ -503,10 +642,10 @@ object Incremental {
   def maintainNearDup(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       enrich: DataFrame => DataFrame, bands: Int = 16, rowsPerBand: Int = 2,
-      thresholdPct: Int = 70, nBp: Int = 32): Unit = {
+      thresholdPct: Int = 70, nBp: Int = 32, maxBucket: Int = 1000): Unit = {
     maintainLoop(spark, srcDir, checkpointDir, schema)((bt, id) =>
       applyNearDupBatch(spark, enrich(bt), id, stateDir, bands,
-        rowsPerBand, thresholdPct, nBp))
+        rowsPerBand, thresholdPct, nBp, maxBucket))
   }
 
   // ── incremental state compaction ─────────────────────────────────────
@@ -532,7 +671,7 @@ object Incremental {
   // is what closes it in production; on plain parquet, quiesce and don't
   // crash mid-compact.
 
-  private def deleteRec(f: java.io.File): Unit = {
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
     f.delete()
   }
@@ -550,6 +689,192 @@ object Incremental {
     val f = new java.io.File(path)
     if (f.exists() && hasParquet(f)) Some(spark.read.parquet(path)) else None
   }
+
+  /** Promote `_<name>.tmp` over `<name>` under `parent` with the
+    * retire-rename discipline (the foldBatches crash contract): a stale
+    * retiree is dropped only when the primary exists (it is then already
+    * superseded and must free the rename target); when the primary is
+    * ABSENT the retiree IS the data and survives until tmp promotes.
+    */
+  private[graft] def swapInPlace(parent: String, name: String): Unit = {
+    val dir = new java.io.File(parent, name)
+    val old = new java.io.File(parent, s"_$name.old")
+    val tmp = new java.io.File(parent, s"_$name.tmp")
+    if (dir.exists()) {
+      if (old.exists()) deleteRec(old)
+      require(dir.renameTo(old), s"failed to retire $dir")
+    }
+    require(tmp.renameTo(dir), s"failed to promote $tmp")
+    deleteRec(old)
+  }
+
+  /** Re-shard one hash-sharded MV surface in place: recompute `shardCol`
+    * as `shardOf`, pin every row's bmax (when present) to the table's
+    * global max — at the quiescent point where resharding is legal, every
+    * committed batch is applied everywhere, so the per-shard replay guard
+    * stays exact after rows migrate between shards — and swap via
+    * [[swapInPlace]]. Reads the primary or its retiree, so a crashed
+    * reshard re-runs to convergence (recomputing a shard column is
+    * idempotent). No-op when the surface holds no data yet.
+    */
+  private def reshardDir(spark: SparkSession, parent: String, name: String,
+      shardCol: String, shardOf: Column, partCols: Seq[String]): Unit = {
+    val cur = parquetIfAny(spark, s"$parent/$name")
+      .orElse(parquetIfAny(spark, s"$parent/_$name.old"))
+      .getOrElse(return)
+    val re0 = cur.withColumn(shardCol, shardOf.cast("long"))
+    val re = if (cur.columns.contains("bmax")) {
+      val mx = cur.agg(max("bmax")).collect()(0).getAs[Number](0).longValue
+      re0.withColumn("bmax", lit(mx))
+    } else re0
+    re.repartition(col(shardCol))
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(s"$parent/_$name.tmp")
+    // flat-table families keep their marker files (_layout, _highwater, …)
+    // in the data dir itself — carry them into the replacement before the
+    // swap or the promote would drop the pins
+    val prim = new java.io.File(parent, name)
+    val src = if (prim.exists()) prim else new java.io.File(parent, s"_$name.old")
+    Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("_") &&
+        f.getName != "_SUCCESS")
+      .foreach { f =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(s"$parent/_$name.tmp", f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    swapInPlace(parent, name)
+  }
+
+  /** Update one `k=v` entry in a state dir's `_layout` pin (used by the
+    * reshard/re-bucket entry points, atomically with their fold).
+    */
+  private def updateLayout(stateDir: String, key: String, v: Any): Unit = {
+    val lf = new java.io.File(stateDir, "_layout")
+    if (lf.exists()) {
+      val stored = new String(java.nio.file.Files.readAllBytes(lf.toPath)).trim
+      java.nio.file.Files.writeString(lf.toPath,
+        stored.replaceAll(s"$key=[^,]*", s"$key=$v"))
+    }
+  }
+
+  // ── compaction-time RE-SHARDING (round-12 verdict ask) ────────────────
+  // Shard counts prune nothing once batches touch every shard: with the
+  // local-test default nShards=16 any realistic batch opens all 16
+  // partitions, so "partition-pruned" reads only bite when shard counts
+  // are sized ≫ batch footprint. Like nBp ([[compactNearDup]]'s
+  // re-bucket) and nlist (Similarity.compactIvf), every sharded layout can
+  // now GROW at a quiescent point: recompute the shard column, pin bmax,
+  // swap, update the `_layout` pin — subsequent maintainers must pass the
+  // new count (the pin enforces it). Sizing rule, all families: pick the
+  // count so expected batch keys / nShards ≪ 1 shard's rows, i.e. shards
+  // ∝ corpus/batch ratio; at 100 TB these layouts live in a table format
+  // whose file-level stats prune at key granularity, same plan shape.
+
+  /** Grow the generic agg MV's shard count ([[applyBatch]] layout). */
+  def reshardAgg(spark: SparkSession, stateDir: String, newNShards: Int): Unit =
+    withLease(stateDir) {
+      reshardDir(spark, new java.io.File(stateDir).getParent,
+        new java.io.File(stateDir).getName, "shard",
+        pmod(col("user_id"), lit(newNShards)), Seq("shard"))
+      updateLayout(stateDir, "nShards", newNShards)
+    }
+
+  /** Grow the curation key index's shard count ([[applyCurationBatch]]).
+    * The delta stream keeps its historical shard values (its shard column
+    * is write parallelism, not a read key); subsequent maintainers must
+    * pass the new nShards — the layout pin enforces it.
+    */
+  def reshardCuration(spark: SparkSession, stateDir: String,
+      newNShards: Int): Unit = withLease(stateDir) {
+    reshardDir(spark, new java.io.File(stateDir).getParent,
+      new java.io.File(stateDir).getName, "shard",
+      pmod(xxhash64(col("norm_key")), lit(newNShards)), Seq("shard"))
+    updateLayout(stateDir, "nShards", newNShards)
+  }
+
+  /** Grow the CDC target table's shard count ([[applyCdcBatch]]). */
+  def reshardCdc(spark: SparkSession, stateDir: String, newNShards: Int): Unit =
+    withLease(stateDir) {
+      val stored = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(stateDir, "_layout").toPath)).trim
+      val keyCol = "key=([^,]+)".r.findFirstMatchIn(stored).get.group(1)
+      reshardDir(spark, new java.io.File(stateDir).getParent,
+        new java.io.File(stateDir).getName, "shard",
+        pmod(col(keyCol), lit(newNShards)), Seq("shard"))
+      updateLayout(stateDir, "nShards", newNShards)
+    }
+
+  /** Grow the session MV's shard count ([[applySessionBatch]]). */
+  def reshardSessions(spark: SparkSession, stateDir: String,
+      newNShards: Int): Unit = withLease(stateDir) {
+    reshardDir(spark, new java.io.File(stateDir).getParent,
+      new java.io.File(stateDir).getName, "shard",
+      pmod(col("user_id"), lit(newNShards)), Seq("shard"))
+    updateLayout(stateDir, "nShards", newNShards)
+  }
+
+  /** Grow the join MV's shard count across all three surfaces
+    * ([[applyJoinBatch]]'s l/, o/, mv/).
+    */
+  def reshardJoin(spark: SparkSession, stateDir: String,
+      newNShards: Int): Unit = withLease(stateDir) {
+    val stored = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(stateDir, "_layout").toPath)).trim
+    val keyCol = "key=([^,]+)".r.findFirstMatchIn(stored).get.group(1)
+    for (s <- Seq("l", "o", "mv"))
+      reshardDir(spark, stateDir, s, "shard",
+        pmod(col(keyCol), lit(newNShards)), Seq("shard"))
+    updateLayout(stateDir, "nShards", newNShards)
+  }
+
+  /** Grow the CC label table's shard count ([[applyCcBatch]]'s lbl/). */
+  def reshardCc(spark: SparkSession, stateDir: String, newNShards: Int): Unit =
+    withLease(stateDir) {
+      reshardDir(spark, stateDir, "lbl", "shard",
+        pmod(col("v"), lit(newNShards)), Seq("shard"))
+      updateLayout(stateDir, "nShards", newNShards)
+    }
+
+  /** Grow the span screen's gram and/or doc shard counts
+    * ([[applySpanBatch]]'s gc/ and cov/); pass -1 to leave one unchanged.
+    */
+  def reshardSpans(spark: SparkSession, stateDir: String,
+      newNGramShards: Int = -1, newNDocShards: Int = -1): Unit =
+    withLease(stateDir) {
+      if (newNGramShards > 0) {
+        reshardDir(spark, stateDir, "gc", "gshard",
+          pmod(col("gh"), lit(newNGramShards)), Seq("gshard"))
+        updateLayout(stateDir, "nGramShards", newNGramShards)
+      }
+      if (newNDocShards > 0) {
+        reshardDir(spark, stateDir, "cov", "dshard",
+          pmod(col("doc_id"), lit(newNDocShards)), Seq("dshard"))
+        updateLayout(stateDir, "nDocShards", newNDocShards)
+      }
+    }
+
+  /** Grow the decontamination screen's gram and/or doc shard counts
+    * ([[applyContamBatch]]'s tg/ + tg_base/ + bg/ and ver/).
+    */
+  def reshardContam(spark: SparkSession, stateDir: String,
+      newNGramShards: Int = -1, newNDocShards: Int = -1): Unit =
+    withLease(stateDir) {
+      if (newNGramShards > 0) {
+        reshardDir(spark, stateDir, "tg", "gshard",
+          pmod(col("gh"), lit(newNGramShards)), Seq("gshard", "batch"))
+        reshardDir(spark, stateDir, "tg_base", "gshard",
+          pmod(col("gh"), lit(newNGramShards)), Seq("gshard"))
+        reshardDir(spark, stateDir, "bg", "gshard",
+          pmod(col("gh"), lit(newNGramShards)), Seq("gshard"))
+        updateLayout(stateDir, "nGramShards", newNGramShards)
+      }
+      if (newNDocShards > 0) {
+        reshardDir(spark, stateDir, "ver", "dshard",
+          pmod(col("doc_id"), lit(newNDocShards)), Seq("dshard"))
+        updateLayout(stateDir, "nDocShards", newNDocShards)
+      }
+    }
 
   /** Fold one state surface's per-batch partitions ≤ `upToBatch` into base
     * storage (write-then-swap-then-delete; see the compaction contract
@@ -585,9 +910,18 @@ object Incremental {
       // tmp → base, then drop old. A crash between the renames leaves the
       // history in oldDir, which the re-run's baseNow picks up.
       val baseF = new java.io.File(baseDir); val oldF = new java.io.File(oldDir)
-      if (oldF.exists()) deleteRec(oldF) // stale retiree already folded in
-      if (baseF.exists())
+      if (baseF.exists()) {
+        // A stale retiree can coexist with baseDir only after a crash
+        // between promote and the post-promote vacuum — its rows are then
+        // already in baseDir (and hence in tmp), so it is safe to drop
+        // here to free the rename target. When baseDir is ABSENT, oldF IS
+        // the sole copy of the folded history (prior fold crashed between
+        // its renames): it must survive until tmp is promoted, else a
+        // crash in this window loses every previously folded batch. It is
+        // vacuumed by the post-promote deleteRec below.
+        if (oldF.exists()) deleteRec(oldF)
         require(baseF.renameTo(oldF), s"failed to retire $baseDir")
+      }
       require(new java.io.File(tmpDir).renameTo(baseF),
         s"failed to promote $tmpDir to $baseDir")
       deleteRec(oldF)
@@ -611,7 +945,7 @@ object Incremental {
     * [[ndDecisions]] / [[ndPairs]], which union base + live partitions.
     */
   def compactNearDup(spark: SparkSession, stateDir: String,
-      upToBatch: Long, newNBp: Int = -1): Unit = {
+      upToBatch: Long, newNBp: Int = -1): Unit = withLease(stateDir) {
     require(new java.io.File(s"$stateDir/idx").exists(),
       s"no near-dup state under $stateDir")
     // RE-BUCKETING (newNBp > 0): the sanctioned path to grow the pruning
@@ -650,6 +984,7 @@ object Incremental {
       Seq("bp"))
     foldOne("pairs", "pairs_base", _.coalesce(4), Nil)
     foldOne("decisions", "decisions_base", _.coalesce(4), Nil)
+    foldOne("dead", "dead_base", _.coalesce(1), Nil)
     if (newNBp > 0) {
       val lf = new java.io.File(stateDir, "_layout")
       if (lf.exists()) {
@@ -669,7 +1004,7 @@ object Incremental {
     * [[compactNearDup]]. Read decisions through [[embDecisions]].
     */
   def compactEmbDup(spark: SparkSession, stateDir: String,
-      upToBatch: Long): Unit = {
+      upToBatch: Long): Unit = withLease(stateDir) {
     require(new java.io.File(s"$stateDir/idx").exists(),
       s"no embedding near-dup state under $stateDir")
     foldBatches(spark, stateDir, "idx", "idx_base", upToBatch,
@@ -680,6 +1015,8 @@ object Incremental {
       _.coalesce(4), Nil)
     foldBatches(spark, stateDir, "decisions", "decisions_base", upToBatch,
       _.coalesce(4), Nil)
+    foldBatches(spark, stateDir, "dead", "dead_base", upToBatch,
+      _.coalesce(1), Nil)
     java.nio.file.Files.writeString(
       new java.io.File(stateDir, "_highwater").toPath, upToBatch.toString)
   }
@@ -707,7 +1044,7 @@ object Incremental {
     * nothing to fold. Same contract as [[compactNearDup]].
     */
   def compactContam(spark: SparkSession, stateDir: String,
-      upToBatch: Long): Unit = {
+      upToBatch: Long): Unit = withLease(stateDir) {
     require(new java.io.File(s"$stateDir/tg").exists(),
       s"no decontamination state under $stateDir")
     foldBatches(spark, stateDir, "tg", "tg_base", upToBatch,
@@ -735,7 +1072,7 @@ object Incremental {
     * the strictly-older batch partitions.
     */
   def compactDeltas(spark: SparkSession, deltaDir: String,
-      upToBatch: Long): Unit = {
+      upToBatch: Long): Unit = withLease(deltaDir) {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val d = spark.read.parquet(deltaDir)
     val deltaCols = d.columns.filter(_.startsWith("d_")).toSeq
@@ -838,7 +1175,7 @@ object Incremental {
     */
   def applySpanBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       stateDir: String, n: Int = 15, nGramShards: Int = 16,
-      nDocShards: Int = 16): Unit = {
+      nDocShards: Int = 16): Unit = withLease(stateDir) {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pinLayout(stateDir, s"n=$n,nGramShards=$nGramShards,nDocShards=$nDocShards")
     val gcDir = s"$stateDir/gc"; val covDir = s"$stateDir/cov"
@@ -1143,9 +1480,13 @@ object Incremental {
   //
   // Quantization contract: the caller's enrich produces qv = round(x ×
   // quantScale) per component. The integer gate computes 10⁴·dot² and
-  // thresholdPct²·n2·n2 in int64, so keep per-vector n2 = Σq² ≤ ~3×10⁷
-  // (e.g. dim ≤ 128 at quantScale 1000 with |x| ≤ 0.5) — comfortably
-  // inside int64 with a 30× margin.
+  // thresholdPct²·n2·n2 in int64; by Cauchy–Schwarz dot ≤ √(e_n2·d_n2),
+  // so both sides are ≤ 10⁴·n2max², which fits int64 only while
+  // n2 = Σq² ≤ 3.0×10⁷ (10⁴·(3.0e7)² = 9.0e18 < 2⁶³−1 ≈ 9.22e18, a
+  // ~2.4% margin). E.g. dim ≤ 120 at quantScale 1000 with |x| ≤ 0.5, or
+  // dim 128 with |x| ≤ 0.48. The bound is ENFORCED at runtime: a batch
+  // carrying any n2 above it fails fast instead of silently wrapping
+  // negative (ANSI off) and mis-declaring near-identical vectors.
 
   /** Screen one enriched batch — (doc_id long, qv array<long>) — against
     * the historical sign-bucket index + the in-batch prefix. Keep-first
@@ -1156,14 +1497,16 @@ object Incremental {
     */
   def applyEmbDupBatch(spark: SparkSession, enriched: DataFrame,
       batchId: Long, stateDir: String, nBits: Int = 4,
-      thresholdPct: Int = 80): Unit = {
+      thresholdPct: Int = 80, maxBucket: Int = 1000): Unit =
+    withLease(stateDir) {
     require(nBits >= 1 && nBits <= 16, s"nBits must be in [1,16], got $nBits")
     // a batch at or below the compaction high-water mark was folded into
     // the base partitions — a late replay must be a guarded no-op (same
     // contract as applyNearDupBatch)
     if (batchId <= highwater(stateDir)) return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    pinLayout(stateDir, s"nBits=$nBits,thresholdPct=$thresholdPct")
+    pinLayout(stateDir,
+      s"nBits=$nBits,thresholdPct=$thresholdPct,maxBucket=$maxBucket")
     // bucket = the sign bits of the first nBits quantized components
     // (fixed axis hyperplanes — deterministic and oracle-rederivable)
     def bucketOf(qv: Column): Column =
@@ -1176,29 +1519,79 @@ object Incremental {
       .withColumn("bucket", bucketOf(col("qv")))
       .withColumn("batch", lit(batchId))
       .persist()
-    val buckets = b.select("bucket").distinct()
-      .collect().map(_.getAs[Number](0).longValue).toSeq // ≤ 2^nBits
+    // one action yields the touched buckets (≤ 2^nBits rows), their
+    // in-batch populations (for the maxBucket cap), and the overflow
+    // guard: max n2 must stay ≤ 3.0e7 or the int64 gate below can wrap
+    // (see the quantization contract)
+    val bucketStats = b.groupBy("bucket")
+      .agg(max("n2").as("mxN2"), count(lit(1)).as("bn")).collect()
+    val buckets = bucketStats.map(_.getAs[Number]("bucket").longValue).toSeq
     if (buckets.isEmpty) { b.unpersist(blocking = false); return }
+    val batchPop = bucketStats.map(r => r.getAs[Number]("bucket").longValue ->
+      r.getAs[Number]("bn").longValue).toMap
+    val mxN2 = bucketStats.map(_.getAs[Number]("mxN2").longValue).max
+    require(mxN2 <= 30000000L,
+      s"quantized embedding norm² $mxN2 exceeds the int64-safe bound 3.0e7 " +
+        "(10⁴·dot² would overflow); lower quantScale or dim — see the " +
+        "quantization contract on applyEmbDupBatch")
+    // DEAD buckets — the same maxBucket skew discipline as
+    // [[applyNearDupBatch]] (and the batch path's Dedup.capBuckets): a
+    // sign-bucket whose lifetime population crossed `maxBucket` generates
+    // no candidates from its crossing batch on, and — bucket being a
+    // PARTITION column here — is excluded from the history read by
+    // partition pruning, so its stored population costs nothing. Size
+    // nBits so the expected density n/2^nBits stays well under maxBucket
+    // (nBits ∝ log₂ n — the same growth rule as the pruning note above);
+    // the cap then only ever fires on adversarial skew (near-identical
+    // boilerplate embeddings), which is exactly when it must.
+    def emptyDead = spark.emptyDataFrame.select(lit(0L).as("bucket"),
+      lit(0L).as("pop"), lit(-1L).as("batch")).limit(0)
+    val alreadyDead = parquetIfAny(spark, s"$stateDir/dead")
+      .getOrElse(emptyDead)
+      .unionByName(parquetIfAny(spark, s"$stateDir/dead_base")
+        .getOrElse(emptyDead))
+      .filter(col("batch") < batchId).select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSet // ≤ 2^nBits values
+    val liveBuckets = buckets.filterNot(alreadyDead)
     def emptyIdx = spark.emptyDataFrame.select(lit(0L).as("doc_id"),
       array().cast("array<long>").as("qv"), lit(0L).as("n2"),
       lit(-1L).as("bucket"), lit(-1L).as("batch")).limit(0)
-    // pruned history read: ONLY the batch's buckets, ONLY earlier batches —
-    // both partition filters, so per-batch state access opens the touched
-    // buckets' files and nothing else. Compacted history lives in
-    // idx_base/ (bucket-partitioned, original batch ids as a data column).
+    // pruned history read: ONLY the batch's live buckets, ONLY earlier
+    // batches — both partition filters, so per-batch state access opens
+    // the touched buckets' files and nothing else (dead buckets' files
+    // are never opened again). Compacted history lives in idx_base/
+    // (bucket-partitioned, original batch ids as a data column).
     val hist = parquetIfAny(spark, s"$stateDir/idx").getOrElse(emptyIdx)
-      .filter(col("bucket").isin(buckets: _*) && col("batch") < batchId)
+      .filter(col("bucket").isin(liveBuckets: _*) && col("batch") < batchId)
       .unionByName(parquetIfAny(spark, s"$stateDir/idx_base")
         .getOrElse(emptyIdx)
-        .filter(col("bucket").isin(buckets: _*) && col("batch") < batchId))
-    val earlier = hist.unionByName(b.select("doc_id", "qv", "n2", "bucket", "batch"))
+        .filter(col("bucket").isin(liveBuckets: _*) &&
+          col("batch") < batchId))
+      .persist()
+    // lifetime population per live bucket = complete under-cap history +
+    // the full arriving batch; buckets crossing the cap AT THIS batch die
+    // now (population is monotone, so dead-ness needs no hysteresis). The
+    // count scans only the bucket column of the already-pruned partitions.
+    val histPop = hist.groupBy("bucket").agg(count(lit(1)).as("hn"))
+      .collect().map(r => r.getAs[Number]("bucket").longValue ->
+        r.getAs[Number]("hn").longValue).toMap
+    val newlyDead = liveBuckets.filter(bk =>
+      histPop.getOrElse(bk, 0L) + batchPop.getOrElse(bk, 0L) >
+        maxBucket.toLong)
+    val deadNow = alreadyDead ++ newlyDead
+    def dropDead(df: DataFrame): DataFrame =
+      if (deadNow.isEmpty) df
+      else df.filter(!col("bucket").isin(deadNow.toSeq: _*))
+    val earlier = dropDead(hist
+        .unionByName(b.select("doc_id", "qv", "n2", "bucket", "batch")))
       .select(col("doc_id").as("e_id"), col("qv").as("e_qv"),
         col("n2").as("e_n2"), col("bucket"), col("batch").as("e_batch"))
     // bucket-confined candidates under the order predicate, verified by
     // the exact integer cosine gate (dot and both norms² in the quantized
     // space — no floating point anywhere)
-    val verified = b.select(col("doc_id").as("d_id"), col("qv").as("d_qv"),
-        col("n2").as("d_n2"), col("bucket"), col("batch"))
+    val verified = dropDead(b.select(col("doc_id").as("d_id"),
+        col("qv").as("d_qv"), col("n2").as("d_n2"), col("bucket"),
+        col("batch")))
       .join(earlier, Seq("bucket"))
       .filter(col("e_batch") < col("batch") ||
         (col("e_batch") === col("batch") && col("e_id") < col("d_id")))
@@ -1224,12 +1617,36 @@ object Incremental {
       .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/pairs")
     decisions.coalesce(4).write.mode("overwrite").partitionBy("batch")
       .parquet(s"$stateDir/decisions")
+    // buckets that crossed the cap at this batch, with their population at
+    // death — the dropped-bucket audit surface (crash-retry: recomputed
+    // bit-identically, partition overwritten)
+    if (newlyDead.nonEmpty) {
+      import spark.implicits._
+      newlyDead.map(bk => (bk,
+          histPop.getOrElse(bk, 0L) + batchPop.getOrElse(bk, 0L)))
+        .toDF("bucket", "pop").withColumn("batch", lit(batchId)).coalesce(1)
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$stateDir/dead")
+    }
     b.select("doc_id", "qv", "n2", "bucket", "batch")
       .repartition(math.min(1 << nBits, 32), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket", "batch")
       .parquet(s"$stateDir/idx")
+    hist.unpersist(blocking = false)
     verified.unpersist(blocking = false)
     b.unpersist(blocking = false)
+  }
+
+  /** The embedding screen's dropped-bucket audit: (bucket, pop, batch)
+    * rows for sign-buckets retired by the maxBucket skew guard, with the
+    * population at death (base + live union — survives compaction).
+    */
+  def embDeadBuckets(spark: SparkSession, stateDir: String): DataFrame = {
+    def emptyDead = spark.emptyDataFrame.select(lit(0L).as("bucket"),
+      lit(0L).as("pop"), lit(-1L).as("batch")).limit(0)
+    parquetIfAny(spark, s"$stateDir/dead").getOrElse(emptyDead)
+      .unionByName(parquetIfAny(spark, s"$stateDir/dead_base")
+        .getOrElse(emptyDead))
   }
 
   /** Run the embedding near-dup loop over everything staged in `srcDir`
@@ -1240,9 +1657,10 @@ object Incremental {
   def maintainEmbDup(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
       enrich: DataFrame => DataFrame, nBits: Int = 4,
-      thresholdPct: Int = 80): Unit = {
+      thresholdPct: Int = 80, maxBucket: Int = 1000): Unit = {
     maintainLoop(spark, srcDir, checkpointDir, schema)((bt, id) =>
-      applyEmbDupBatch(spark, enrich(bt), id, stateDir, nBits, thresholdPct))
+      applyEmbDupBatch(spark, enrich(bt), id, stateDir, nBits, thresholdPct,
+        maxBucket))
   }
 
   // ── incremental JOIN materialization (delta-join IVM) ────────────────
@@ -1274,7 +1692,7 @@ object Incremental {
     */
   def applyJoinBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       stateDir: String, keyCol: String, lCols: Seq[String], oCols: Seq[String],
-      nShards: Int = 16): Unit = {
+      nShards: Int = 16): Unit = withLease(stateDir) {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pinLayout(stateDir, s"key=$keyCol,l=${lCols.mkString("+")}," +
       s"o=${oCols.mkString("+")},nShards=$nShards")
@@ -1419,7 +1837,7 @@ object Incremental {
     */
   def applySessionBatch(spark: SparkSession, events: DataFrame, batchId: Long,
       stateDir: String, gapUs: Long = 30L * 60 * 1000000,
-      nShards: Int = 16): Unit = {
+      nShards: Int = 16): Unit = withLease(stateDir) {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pinLayout(stateDir, s"gapUs=$gapUs,nShards=$nShards")
     // batch-local sessionization: one sorted sweep per user over the
@@ -1521,10 +1939,18 @@ object Incremental {
     * "I"/"U" upsert the row image, "D" deletes), `seqCol` (long — the
     * within-batch change order), and any payload columns. Payload columns
     * are pinned at state creation.
+    *
+    * CONTRACT: `seqCol` values must be unique PER KEY within a batch —
+    * the within-batch winner is max(struct(cseq, op, payload…)), so a
+    * duplicated (key, seq) would tie-break lexicographically on op then
+    * payload, which is arbitrary and can diverge from an upstream log's
+    * intent. Enforced: a batch carrying a per-key duplicate seq fails
+    * fast (checked in the same action that collects touched shards).
     */
   def applyCdcBatch(spark: SparkSession, changes: DataFrame, batchId: Long,
       stateDir: String, keyCol: String, opCol: String = "op",
-      seqCol: String = "seq", nShards: Int = 16): Unit = {
+      seqCol: String = "seq", nShards: Int = 16): Unit =
+    withLease(stateDir) {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val payload = changes.columns.toSeq
       .filterNot(c => c == keyCol || c == opCol || c == seqCol)
@@ -1535,14 +1961,24 @@ object Incremental {
       col(opCol).as("op")) ++ payload.map(col): _*)
     val delta = changes
       .groupBy(col(keyCol).cast("long").as(keyCol))
-      .agg(max(winStruct).as("w"))
+      .agg(max(winStruct).as("w"),
+        // per-key seq-uniqueness contract (see scaladoc): any key with
+        // more changes than distinct seqs has an ambiguous winner
+        (count(lit(1)) > countDistinct(col(seqCol).cast("long")))
+          .as("dupseq"))
       .select(Seq(col(keyCol), lit(batchId).as("cbatch"),
-        col("w.cseq").as("cseq"), col("w.op").as("op")) ++
+        col("w.cseq").as("cseq"), col("w.op").as("op"), col("dupseq")) ++
         payload.map(c => col(s"w.$c").as(c)): _*)
       .withColumn("shard", pmod(col(keyCol), lit(nShards)).cast("long"))
       .persist()
-    val touched = delta.select("shard").distinct()
-      .collect().map(_.getAs[Number](0).longValue).toSeq // bounded by nShards
+    // one action: touched shards (bounded by nShards) + the dup-seq guard
+    val shardStats = delta.groupBy("shard")
+      .agg(max(col("dupseq")).as("dup")).collect()
+    val touched = shardStats.map(_.getAs[Number]("shard").longValue).toSeq
+    require(!shardStats.exists(_.getAs[Boolean]("dup")),
+      s"batch $batchId carries duplicate $seqCol values for one key — " +
+        "the per-key winner would tie-break arbitrarily on op/payload; " +
+        "assign unique per-key seqs upstream (applyCdcBatch contract)")
     if (touched.isEmpty) { delta.unpersist(blocking = false); return }
     // zero-row state template with the DELTA's payload types. The stored
     // table KEEPS the op column: a winning D persists as a TOMBSTONE row
@@ -1685,11 +2121,30 @@ object Incremental {
     * isolated vertices don't exist (every vertex arrives on an edge).
     */
   def applyCcBatch(spark: SparkSession, edges: DataFrame, batchId: Long,
-      stateDir: String, nShards: Int = 16): Unit = {
+      stateDir: String, nShards: Int = 16,
+      fwdFoldMin: Long = 1000000L): Unit = withLease(stateDir) {
     if (batchId <= ccApplied(stateDir)) return // committed: replay no-op
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pinLayout(stateDir, s"nShards=$nShards")
     val lblDir = s"$stateDir/lbl"
+    // AUTO-FOLD: bound the forwarding table between manual compactions —
+    // fwd holds one row per root ever merged since the last fold and is
+    // rewritten whole every batch, so a merge-heavy arrival sequence
+    // degrades linearly without a cadence guarantee (round-12 verdict
+    // watch item). When |fwd| exceeds max(fwdFoldMin, |lbl|/8) — the
+    // ratio keeps the amortized fold cost per batch O(merges), flat in
+    // corpus size — fold it into lbl now (compactCc's global path
+    // compression; crash mid-fold re-converges on retry). Both counts
+    // are parquet metadata-only.
+    val applied0 = ccApplied(stateDir)
+    if (applied0 >= 0L) {
+      val fwdCount = fwdSnapshot(spark, stateDir, applied0 + 1).count()
+      if (fwdCount > fwdFoldMin) {
+        val lblCount = parquetIfAny(spark, lblDir).map(_.count())
+          .getOrElse(0L)
+        if (fwdCount > lblCount / 8) compactCc(spark, stateDir, applied0)
+      }
+    }
     val ec = edges.columns
     val e = edges
       .select(col(ec(0)).cast("long").as("a"), col(ec(1)).cast("long").as("b"))
@@ -1712,6 +2167,7 @@ object Incremental {
       .join(bv.select("v"), Seq("v"), "left_semi")
       .select("v", "lbl")
     val fwdPrev = fwdSnapshot(spark, stateDir, batchId).persist()
+    val fwdPrevCount = fwdPrev.count()
     // resolve each endpoint to its current root (≤ 1 hop — fwd is
     // compressed); unknown endpoints root at themselves
     val resolved = bv.select("v", "shard")
@@ -1776,7 +2232,11 @@ object Incremental {
         coalesce(col("m.dst_lbl"), col("f.dst_lbl")).as("dst_lbl"))
       .unionByName(merges)
       .withColumn("batch", lit(batchId))
-    fwdNew.coalesce(1).write.mode("overwrite").partitionBy("batch")
+    // file-count hygiene for the common tiny snapshot, but never a single
+    // writer for a big one: scale the writer count with the (cheap,
+    // cached) previous snapshot size
+    val fwdFiles = math.max(1L, math.min(32L, fwdPrevCount / 500000L)).toInt
+    fwdNew.coalesce(fwdFiles).write.mode("overwrite").partitionBy("batch")
       .parquet(s"$stateDir/fwd")
     // insert new vertices at their PRE-merge root (see the idempotence
     // note above); touched shards rewrite whole under the bmax guard
@@ -1832,9 +2292,9 @@ object Incremental {
     */
   def maintainCc(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String, schema: org.apache.spark.sql.types.StructType,
-      nShards: Int = 16): Unit = {
+      nShards: Int = 16, fwdFoldMin: Long = 1000000L): Unit = {
     maintainLoop(spark, srcDir, checkpointDir, schema)(
-      applyCcBatch(spark, _, _, stateDir, nShards))
+      applyCcBatch(spark, _, _, stateDir, nShards, fwdFoldMin))
   }
 
   /** Fold the forwarding table into the label table (the union-find
@@ -1845,7 +2305,8 @@ object Incremental {
     * no-op, and snapshots at or below `upToBatch` are only deleted after
     * the relabeled table committed).
     */
-  def compactCc(spark: SparkSession, stateDir: String, upToBatch: Long): Unit = {
+  def compactCc(spark: SparkSession, stateDir: String, upToBatch: Long): Unit =
+    withLease(stateDir) {
     require(upToBatch <= ccApplied(stateDir),
       s"cannot compact past the last committed batch (${ccApplied(stateDir)})")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -1923,7 +2384,7 @@ object Incremental {
     */
   def applyContamBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       stateDir: String, n: Int = 4, nGramShards: Int = 16,
-      nDocShards: Int = 16): Unit = {
+      nDocShards: Int = 16): Unit = withLease(stateDir) {
     // a batch at or below the compaction high-water mark had its tg
     // partitions folded into tg_base — a late replay must be a guarded
     // no-op (re-writing them would duplicate the folded postings and

@@ -979,6 +979,164 @@ object ScaleProbe {
       docs.unpersist(blocking = false)
       if (flaggedB) { spark.stop(); sys.exit(1) }
     }
+    // adversarial skew probe (round-12 verdict ask): a third of the corpus
+    // is ONE identical boilerplate doc (the CommonCrawl empty-page regime),
+    // so every band bucket of that text accumulates a third of all
+    // postings. The
+    // CAPPED incremental screen must stay flat per batch: the bucket dies
+    // at its cap-crossing batch, its row groups are skipped from the
+    // pruned read (bucket-sorted files + not-equal pushdown), and no
+    // candidates are generated. The UNCAPPED form is run beside it to
+    // demonstrate the quadratic blowup the cap removes (each batch pays
+    // |batch ∩ bucket| × |history ∩ bucket| candidate pairs) — printed for
+    // the record; the GATE is on the capped run only.
+    if (want("inc_skew")) {
+      val n = 24000
+      val clean = corpus(spark, n).withColumn("source", lit("s"))
+      val boiler = spark.range(n / 2).select(
+        (col("id") + 2000000000L).as("doc_id"),
+        lit("the quick brown fox jumps over the lazy dog again and again")
+          .as("text"), lit("s").as("source"))
+      val docs = clean.unionByName(boiler).persist()
+      docs.count()
+      val bCount = 12
+      var flaggedS = false
+      val results = for (cap <- Seq(1000, Int.MaxValue)) yield {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_probe_skew").toString
+        val walls = (0 until bCount).map { k =>
+          val bt = docs.filter(pmod(col("doc_id"), lit(bCount)) === k)
+            .select(col("doc_id"), col("source"),
+              graft.llm.Dedup.minhashSignature(col("text"),
+                numHashes = 32).as("sig"))
+          val (_, t) = time(graft.streaming.Incremental.applyNearDupBatch(
+            spark, bt, k.toLong, s"$work/state", bands = 16, rowsPerBand = 2,
+            thresholdPct = 70, maxBucket = cap))
+          t
+        }
+        val head3 = walls.take(3).sum / 3
+        val tail3 = walls.takeRight(3).sum / 3
+        val capped = cap != Int.MaxValue
+        val dead = if (capped)
+          graft.streaming.Incremental.ndDeadBuckets(spark, s"$work/state")
+            .count()
+        else 0L
+        val flag = capped && (tail3 > head3 * 2.0 + 0.3 || dead == 0L)
+        if (flag) flaggedS = true
+        println(f"SCALE inc_skew cap=${if (capped) cap.toString else "off"}%-10s " +
+          f"corpus=$n+${n / 2} boiler  " +
+          f"per-batch=[${walls.map(w => f"$w%.2f").mkString(",")}]  " +
+          f"head3=${head3}%5.2f s  tail3=${tail3}%5.2f s  dead=$dead  " +
+          f"${if (flag) "FLAG(capped screen grows or never capped)" else "ok"}")
+        (capped, tail3)
+      }
+      val cappedTail = results.find(_._1).get._2
+      val uncappedTail = results.find(!_._1).get._2
+      println(f"SCALE inc_skew uncapped/capped tail3 ratio = " +
+        f"${uncappedTail / math.max(cappedTail, 0.05)}%5.1f (demonstration)")
+      docs.unpersist(blocking = false)
+      if (flaggedS) { spark.stop(); sys.exit(1) }
+    }
+    // merge-heavy CC probe (round-12 verdict watch item): every batch
+    // merges 20k FRESH vertex pairs, so the forwarding table grows by 20k
+    // roots per batch and, untriggered, is rewritten whole through its
+    // writer every batch — linear degradation. With the auto-fold trigger
+    // the snapshot is folded into lbl whenever it crosses the bound, so
+    // (a) the observed |fwd| stays ≤ trigger + one batch's merges, and
+    // (b) per-batch wall stays flat. Both are gated; the untriggered run
+    // is printed for the record.
+    if (want("cc_merge")) {
+      val bCount = 12
+      val perBatch = 20000L
+      var flaggedC = false
+      val results = for (trigger <- Seq(30000L, Long.MaxValue)) yield {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_probe_ccmerge").toString
+        var maxFwd = 0L
+        val walls = (0 until bCount).map { k =>
+          // batch k: pair edges over its own fresh vertex block
+          val lo = k * 2 * perBatch
+          val ed = spark.range(perBatch).select(
+            (col("id") * 2 + lo).as("a"), (col("id") * 2 + lo + 1).as("b"))
+          val (_, t) = time(graft.streaming.Incremental.applyCcBatch(
+            spark, ed, k.toLong, s"$work/state", fwdFoldMin = trigger))
+          val fwdDir = new java.io.File(s"$work/state/fwd")
+          val latest = Option(fwdDir.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.startsWith("batch="))
+            .map(_.getName.stripPrefix("batch=").toLong)
+          if (latest.nonEmpty)
+            maxFwd = math.max(maxFwd, spark.read
+              .parquet(s"$work/state/fwd/batch=${latest.max}").count())
+          t
+        }
+        val head3 = walls.take(3).sum / 3
+        val tail3 = walls.takeRight(3).sum / 3
+        val triggered = trigger != Long.MaxValue
+        // the auto-fold fires at batch start when |fwd| > max(trigger,
+        // |lbl|/8), so post-batch |fwd| is bounded by that plus one
+        // batch's merges (lbl grows to 2·perBatch·bCount vertices here)
+        val bound = math.max(trigger, 2L * perBatch * bCount / 8) + perBatch
+        val flag = triggered &&
+          (tail3 > head3 * 2.0 + 0.3 || maxFwd > bound)
+        if (flag) flaggedC = true
+        println(f"SCALE cc_merge trigger=${if (triggered) trigger.toString else "off"}%-10s " +
+          f"merges/batch=$perBatch  " +
+          f"per-batch=[${walls.map(w => f"$w%.2f").mkString(",")}]  " +
+          f"head3=${head3}%5.2f s  tail3=${tail3}%5.2f s  maxFwd=$maxFwd  " +
+          f"${if (flag) "FLAG(fwd unbounded or wall grows)" else "ok"}")
+        (triggered, maxFwd)
+      }
+      val unboundedFwd = results.find(!_._1).get._2
+      println(s"SCALE cc_merge untriggered maxFwd = $unboundedFwd " +
+        s"(vs bounded ${results.find(_._1).get._2})")
+      if (flaggedC) { spark.stop(); sys.exit(1) }
+    }
+    // re-shard pruning probe (round-12 verdict ask): a big CDC table at
+    // nShards=4 makes every small batch read ~the whole table (4/4 shards
+    // touched); after reshardCdc to 64 the same batch's partition-pruned
+    // state read opens only its keys' shards. The gate is on bytes READ
+    // per batch (stage input metrics): post-reshard must be ≤ 1/4 of
+    // pre-reshard for a 16× shard growth (conservative — the ideal is
+    // ~1/16, but small batches still pay footers).
+    if (want("reshard")) {
+      val inputBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          inputBytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_probe_reshard").toString
+      val state = s"$work/cdc"
+      val big = spark.range(400000).select(col("id").as("k"),
+        lit("I").as("op"), lit(0L).as("seq"),
+        concat(lit("payload-"), col("id")).as("v"))
+      graft.streaming.Incremental.applyCdcBatch(spark, big, 0L, state, "k",
+        nShards = 4)
+      // keys all ≡ 7 (mod 64): one shard at nShards=64, one at nShards=4 —
+      // the localized-batch regime where shard growth is supposed to bite
+      def smallBatch(b: Long) = spark.range(64).select(
+        (col("id") * 640 + 7).as("k"), lit("U").as("op"), lit(b).as("seq"),
+        lit("upd").as("v"))
+      def measuredApply(b: Long, n: Int): Long = {
+        inputBytes.set(0)
+        graft.streaming.Incremental.applyCdcBatch(spark, smallBatch(b), b,
+          state, "k", nShards = n)
+        Thread.sleep(1000) // listener events drain async
+        inputBytes.get
+      }
+      val preBytes = measuredApply(1L, 4)
+      graft.streaming.Incremental.reshardCdc(spark, state, newNShards = 64)
+      val postBytes = measuredApply(2L, 64)
+      spark.sparkContext.removeSparkListener(listener)
+      val ratio = postBytes.toDouble / math.max(1L, preBytes)
+      val flag = ratio > 0.25
+      println(f"SCALE reshard cdc 4→64 shards  pre=${preBytes / 1048576.0}%7.2f MiB/batch  " +
+        f"post=${postBytes / 1048576.0}%7.2f MiB/batch  ratio=$ratio%5.3f  " +
+        f"${if (flag) "FLAG(reshard did not prune)" else "ok"}")
+      if (flag) { spark.stop(); sys.exit(1) }
+    }
     spark.stop()
   }
 }

@@ -1317,4 +1317,415 @@ class StreamingSpec extends SparkSuite {
     Incremental.applyCcBatch(spark, Seq((6L, 9L)).toDF("a", "b"), 3L, state)
     assert(labels()(9L) == 0L, "post-compaction batch missed the fold")
   }
+
+  test("incremental near-dup maxBucket cap: equals the batch path's drop " +
+      "rule, kills a bucket at its crossing batch, dead buckets stay dead") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_ndcap").toString
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    def docsDf(ids: Seq[Long], text: String) = ids.map(i => (i, text))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    def enrich(bt: org.apache.spark.sql.DataFrame) =
+      bt.select(col("doc_id"), col("source"),
+        graft.llm.Dedup.minhashSignature(col("text"), numHashes = 32)
+          .as("sig"))
+    def apply(state: String, ids: Seq[Long], batch: Long, cap: Int,
+        text: String = boiler): Unit =
+      Incremental.applyNearDupBatch(spark, enrich(docsDf(ids, text)), batch,
+        state, bands = 16, rowsPerBand = 2, thresholdPct = 70,
+        maxBucket = cap)
+    def kept(state: String): Map[Long, Long] =
+      spark.read.parquet(s"$state/decisions").select("doc_id", "kept")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (1) batch-path equivalence on a single arrival: 12 identical docs
+    // over cap 8 — every band bucket has population 12 > 8, so the batch
+    // path's capBuckets drops them all (zero candidates) and the capped
+    // incremental screen must agree: zero pairs, everything kept
+    val batchCands = graft.llm.Dedup.minhashCandidates(
+      docsDf(0L to 11L, boiler), "doc_id", "text",
+      bands = 16, rowsPerBand = 2, maxBucket = 8)
+    assert(batchCands.count() == 0L, "batch path should cap the bucket")
+    val s1 = s"$work/s1"
+    apply(s1, 0L to 11L, 0L, cap = 8)
+    assert(Incremental.parquetIfAny(spark, s"$s1/pairs")
+      .map(_.count()).getOrElse(0L) == 0L)
+    assert(kept(s1).values.forall(_ == 1L), "capped bucket must match nothing")
+    // ...and with the cap ABOVE the population both paths pair them up
+    assert(graft.llm.Dedup.minhashCandidates(docsDf(0L to 11L, boiler),
+      "doc_id", "text", bands = 16, rowsPerBand = 2,
+      maxBucket = 1000).count() > 0L)
+    val s2 = s"$work/s2"
+    apply(s2, 0L to 11L, 0L, cap = 1000)
+    assert(kept(s2) == (0L to 11L).map(i => i -> (if (i == 0L) 1L else 0L))
+      .toMap, "under the cap, keep-first applies")
+    // (2) the crossing batch: pop 5 ≤ 8 pairs normally, then +7 copies
+    // crosses to 12 > 8 — the bucket dies AT that batch (its dupes kept),
+    // and stays dead for later arrivals; the audit table records the death
+    val s3 = s"$work/s3"
+    apply(s3, 0L to 4L, 0L, cap = 8)
+    assert(kept(s3) == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    apply(s3, 20L to 26L, 1L, cap = 8)
+    val k3 = kept(s3)
+    assert((20L to 26L).forall(k3(_) == 1L),
+      "crossing batch must generate no candidates from the dead bucket")
+    val dead1 = Incremental.ndDeadBuckets(spark, s3)
+      .filter(col("batch") === 1L)
+    assert(dead1.count() == 16L, "16 bands × 1 monster bucket die at batch 1")
+    assert(dead1.agg(min("pop"), max("pop")).collect()(0).toSeq ==
+      Seq(12L, 12L), "population at death = 5 history + 7 batch")
+    apply(s3, Seq(30L), 2L, cap = 8)
+    assert(kept(s3)(30L) == 1L, "dead bucket stays dead")
+    assert(Incremental.ndDeadBuckets(spark, s3)
+      .filter(col("batch") === 2L).count() == 0L,
+      "a dead bucket must not be re-recorded")
+    // an under-cap near-dup group in the SAME arrivals still matches
+    apply(s3, Seq(40L, 41L), 3L,
+      cap = 8, text = "one two three four five six seven")
+    assert(kept(s3)(40L) == 1L && kept(s3)(41L) == 0L,
+      "live buckets keep matching while the dead one is excluded")
+    // (3) replay idempotence: re-applying the crossing batch is bit-stable
+    apply(s3, Seq(30L), 2L, cap = 8)
+    assert(kept(s3) == (k3 ++ Map(30L -> 1L, 40L -> 1L, 41L -> 0L)))
+    // (4) compaction folds the dead table and the cap survives the fold
+    Incremental.compactNearDup(spark, s3, upToBatch = 3L)
+    assert(Incremental.ndDeadBuckets(spark, s3).count() == 16L)
+    apply(s3, Seq(50L), 4L, cap = 8)
+    assert(kept(s3)(50L) == 1L, "dead-ness must survive compaction")
+  }
+
+  test("incremental embedding near-dup maxBucket cap: crossing batch kills " +
+      "the sign-bucket, live buckets unaffected, audit recorded") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_embcap").toString
+    val state = s"$work/state"
+    // all-positive first-4 components → bucket 15; near-identical vectors
+    val boilerQv = Seq(100L, 100L, 100L, 100L, 50L, 50L)
+    // bucket 0 (all-negative first 4): a small live near-dup pair
+    val otherQv = Seq(-100L, -100L, -100L, -100L, 80L, 10L)
+    def vecs(ids: Seq[Long], qv: Seq[Long]) =
+      ids.map(i => (i, qv)).toDF("doc_id", "qv")
+    def kept(): Map[Long, Long] =
+      spark.read.parquet(s"$state/decisions").select("doc_id", "kept")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 0: 4 boilerplate copies, pop 4 ≤ 6 → keep-first applies
+    Incremental.applyEmbDupBatch(spark, vecs(0L to 3L, boilerQv), 0L, state,
+      nBits = 4, thresholdPct = 80, maxBucket = 6)
+    assert(kept() == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // batch 1: +6 copies crosses to 10 > 6 — bucket 15 dies AT this batch
+    // (all 6 kept), while the bucket-0 pair in the same batch still matches
+    Incremental.applyEmbDupBatch(spark,
+      vecs(10L to 15L, boilerQv).unionByName(vecs(Seq(20L, 21L), otherQv)),
+      1L, state, nBits = 4, thresholdPct = 80, maxBucket = 6)
+    val k1 = kept()
+    assert((10L to 15L).forall(k1(_) == 1L),
+      "crossing batch must generate no candidates from the dead bucket")
+    assert(k1(20L) == 1L && k1(21L) == 0L, "live bucket still matches")
+    val dead = Incremental.embDeadBuckets(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dead.toSeq == Seq((15L, 10L, 1L)),
+      s"expected bucket 15 dead at batch 1 with pop 10, got ${dead.toSeq}")
+    // batch 2: the dead bucket stays dead; replay is a no-op
+    Incremental.applyEmbDupBatch(spark, vecs(Seq(30L), boilerQv), 2L, state,
+      nBits = 4, thresholdPct = 80, maxBucket = 6)
+    assert(kept()(30L) == 1L, "dead bucket stays dead")
+    Incremental.applyEmbDupBatch(spark, vecs(Seq(30L), boilerQv), 2L, state,
+      nBits = 4, thresholdPct = 80, maxBucket = 6)
+    assert(kept() == k1 ++ Map(30L -> 1L))
+    // compaction folds dead/ and the cap survives the fold
+    Incremental.compactEmbDup(spark, state, upToBatch = 2L)
+    assert(Incremental.embDeadBuckets(spark, state).count() == 1L)
+    Incremental.applyEmbDupBatch(spark, vecs(Seq(40L), boilerQv), 3L, state,
+      nBits = 4, thresholdPct = 80, maxBucket = 6)
+    assert(kept()(40L) == 1L, "dead-ness must survive compaction")
+  }
+
+  test("embedding quantization overflow guard: n2 above the int64-safe " +
+      "bound fails fast instead of wrapping") {
+    import graft.streaming.Incremental
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_embovf").toString
+    // n2 = 128 × 500² = 3.2e7 > 3.0e7 — the documented overflow regime
+    val big = Seq((1L, Seq.fill(128)(500L))).toDF("doc_id", "qv")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.applyEmbDupBatch(spark, big, 0L, s"$work/state")
+    }
+    assert(e.getMessage.contains("int64-safe"))
+  }
+
+  test("single-writer lease: a foreign holder blocks with a clear error, " +
+      "an in-process second thread fails fast, release is exception-safe") {
+    import graft.streaming.Incremental
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_lease").toString
+    val state = s"$work/state"
+    def applyOne(batch: Long): Unit =
+      Incremental.applyCdcBatch(spark,
+        Seq((1L, "I", batch, "a")).toDF("k", "op", "seq", "v"),
+        batch, state, "k")
+    // (1) a stale lease from another (dead) maintainer blocks with the
+    // file to delete; deleting it reclaims the dir
+    new java.io.File(state).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "_lease"), "12345@deadhost")
+    val e1 = intercept[IllegalStateException] { applyOne(0L) }
+    assert(e1.getMessage.contains("leased by '12345@deadhost'"))
+    assert(e1.getMessage.contains("_lease"))
+    new java.io.File(state, "_lease").delete()
+    applyOne(0L) // reclaimed: proceeds and releases
+    assert(!new java.io.File(state, "_lease").exists(),
+      "lease must be released after a successful batch")
+    // (2) concurrent in-process maintainers: one holds, the other errors
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      Incremental.withLease(state) { held.countDown(); release.await() })
+    holder.start(); held.await()
+    val e2 = intercept[IllegalStateException] { applyOne(1L) }
+    assert(e2.getMessage.contains("single-writer"))
+    release.countDown(); holder.join()
+    // (3) an exception inside the body still releases both layers
+    intercept[RuntimeException] {
+      Incremental.withLease(state) { throw new RuntimeException("boom") }
+    }
+    applyOne(1L) // lease is free again
+    assert(Incremental.cdcTable(spark, state, "k").count() == 1L)
+  }
+
+  test("foldBatches double-crash repair: with base retired to _base.old, " +
+      "a re-run folds from the retiree and never deletes it pre-promote") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_fold2").toString
+    val state = s"$work/state"
+    def enrich(ids: Seq[Long]) = ids
+      .map(i => (i, "same boilerplate text for everyone here"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+      .select(col("doc_id"), col("source"),
+        graft.llm.Dedup.minhashSignature(col("text"), numHashes = 32)
+          .as("sig"))
+    Incremental.applyNearDupBatch(spark, enrich(Seq(1L, 2L)), 0L, state,
+      bands = 16, rowsPerBand = 2, thresholdPct = 70)
+    Incremental.compactNearDup(spark, state, upToBatch = 0L)
+    Incremental.applyNearDupBatch(spark, enrich(Seq(3L)), 1L, state,
+      bands = 16, rowsPerBand = 2, thresholdPct = 70)
+    val before = Incremental.ndDecisions(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(before == Set(1L, 2L, 3L))
+    // simulate the prior fold having crashed BETWEEN its two renames: the
+    // base lives only under _<base>.old (the exact double-crash window the
+    // round-13 advice flagged — the old repair deleted the retiree before
+    // promoting, so a second crash lost all folded history)
+    for (base <- Seq("idx_base", "pairs_base", "decisions_base")) {
+      val b = new java.io.File(state, base)
+      assert(b.renameTo(new java.io.File(state, s"_$base.old")),
+        s"test setup: failed to retire $base")
+    }
+    Incremental.compactNearDup(spark, state, upToBatch = 1L)
+    val after = Incremental.ndDecisions(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 2L, 3L),
+      "re-run must recover the folded history from the retiree")
+    for (base <- Seq("idx_base", "pairs_base", "decisions_base")) {
+      assert(!new java.io.File(state, s"_$base.old").exists(),
+        "retiree must be vacuumed after the successful promote")
+      assert(new java.io.File(state, base).exists())
+    }
+  }
+
+  test("IVF centroid refresh: exactness survives the swap, nlist grows, " +
+      "late replay is a no-op, restart-during-swap converges") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_civf_spec").toString
+    val state = s"$work/state"
+    // deterministic 8-dim vectors (hash-driven, like the embeddings table)
+    val vecs = spark.range(120).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(2000)) - 1000) / 1000.0)
+          .cast("float")).as("embedding")).persist()
+    def batchOf(k: Int) = vecs.filter(col("vec_id") % 2 === k)
+    Similarity.applyIvfIndexBatch(spark, batchOf(0), 0L, state,
+      "vec_id", "embedding", nlist = 4)
+    Similarity.applyIvfIndexBatch(spark, batchOf(1), 1L, state,
+      "vec_id", "embedding", nlist = 4)
+    def queryAll(nprobe: Int) = Similarity.queryIvfIndex(spark, state,
+      vecs.limit(30), "vec_id", "embedding", k = 1, nprobe = nprobe)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Similarity.bruteForceTopK(vecs, vecs.limit(30),
+      "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(queryAll(nprobe = 4) == exact)
+    // refresh with nlist growth: still exactly brute force at nprobe=nlist
+    Similarity.compactIvf(spark, state, upToBatch = 1L, newNlist = 6)
+    assert(queryAll(nprobe = 6) == exact,
+      "centroid refresh must be invisible at nprobe = nlist")
+    // late replay of a folded batch: guarded no-op (would otherwise write
+    // stale-centroid assignments over refreshed partitions)
+    Similarity.applyIvfIndexBatch(spark, batchOf(0), 0L, state,
+      "vec_id", "embedding", nlist = 6)
+    assert(queryAll(nprobe = 6) == exact, "late replay must be a no-op")
+    // restart-during-swap: simulate a crash between the two promotes (one
+    // surface retired to _<name>.old, the primary gone) — re-running the
+    // same compact must converge and vacuum the retirees
+    for (name <- Seq("posts", "centroids")) {
+      val d = new java.io.File(state, name)
+      assert(d.renameTo(new java.io.File(state, s"_$name.old")))
+    }
+    Similarity.compactIvf(spark, state, upToBatch = 1L, newNlist = 6)
+    assert(queryAll(nprobe = 6) == exact, "re-run after crash must converge")
+    for (name <- Seq("posts", "centroids")) {
+      assert(new java.io.File(state, name).exists())
+      assert(!new java.io.File(state, s"_$name.old").exists(),
+        "retiree must be vacuumed after the promote")
+    }
+    vecs.unpersist(blocking = false)
+  }
+
+  test("IVF centroid refresh: recall on a DRIFTED corpus recovers to at " +
+      "least the fixed-centroid baseline") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions._
+    // two planted cluster families: batch 0 draws around centers in one
+    // half-space, batch 1 (the drift) around DIFFERENT centers — centroids
+    // trained on batch 0 alone crowd the drifted vectors into few lists,
+    // so recall@5 at nprobe=2 suffers for drifted queries; retraining at
+    // compaction must recover it
+    def family(ids: org.apache.spark.sql.Column, base: Double) =
+      transform(sequence(lit(0), lit(7)), i =>
+        (lit(base) * when(
+            pmod(ids + i.cast("long"), lit(4)) === pmod(ids, lit(4)), 1.0)
+          .otherwise(0.1) +
+          (pmod(xxhash64(ids, i), lit(200)) - 100) / 1000.0).cast("float"))
+    val a = spark.range(300).select(col("id").as("vec_id"),
+      family(col("id"), 1.0).as("embedding"))
+    val b = spark.range(300).select((col("id") + 1000L).as("vec_id"),
+      family(col("id"), -1.0).as("embedding"))
+    val all = a.unionByName(b).persist()
+    val work = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val state = s"$work/state"
+    Similarity.applyIvfIndexBatch(spark, a, 0L, state,
+      "vec_id", "embedding", nlist = 8)
+    Similarity.applyIvfIndexBatch(spark, b, 1L, state,
+      "vec_id", "embedding", nlist = 8)
+    val queries = all.filter(col("vec_id") % 10 === 1) // both families
+    val truth = Similarity.bruteForceTopK(all, queries,
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(): Double = {
+      val got = Similarity.queryIvfIndex(spark, state, queries,
+        "vec_id", "embedding", k = 5, nprobe = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val fixed = recall()
+    Similarity.compactIvf(spark, state, upToBatch = 1L)
+    val refreshed = recall()
+    info(f"recall@5 nprobe=2: fixed=$fixed%.3f refreshed=$refreshed%.3f")
+    assert(refreshed >= fixed,
+      f"refresh must not lose recall: fixed=$fixed%.3f refreshed=$refreshed%.3f")
+    assert(refreshed >= 0.9, f"refreshed recall too low: $refreshed%.3f")
+    all.unpersist(blocking = false)
+  }
+
+  test("compaction-time re-sharding: reads identical across CDC/join/span " +
+      "families, layout pin updates, old count rejected, replay guarded") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_reshard").toString
+    // CDC: build at nShards=4, reshard to 16, table identical, pin moved
+    val cdc = s"$work/cdc"
+    Incremental.applyCdcBatch(spark, (0L until 40L)
+      .map(k => (k, "I", k, s"v$k")).toDF("k", "op", "seq", "v"),
+      0L, cdc, "k", nShards = 4)
+    Incremental.applyCdcBatch(spark,
+      Seq((3L, "U", 0L, "updated"), (7L, "D", 1L, "x"))
+        .toDF("k", "op", "seq", "v"), 1L, cdc, "k", nShards = 4)
+    def cdcRows() = Incremental.cdcTable(spark, cdc, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = cdcRows()
+    Incremental.reshardCdc(spark, cdc, newNShards = 16)
+    assert(cdcRows() == before, "reshard must not change the table")
+    assert(new java.io.File(cdc).listFiles()
+      .count(_.getName.startsWith("shard=")) == 16,
+      "16 shard partitions after reshard")
+    // the pin now requires the new count...
+    val e = intercept[IllegalArgumentException] {
+      Incremental.applyCdcBatch(spark, Seq((100L, "I", 0L, "new"))
+        .toDF("k", "op", "seq", "v"), 2L, cdc, "k", nShards = 4)
+    }
+    assert(e.getMessage.contains("pinned"))
+    // ...and a replay of a pre-reshard batch is guarded (bmax pinned to
+    // the global max at reshard): re-applying batch 1 must be a no-op
+    Incremental.applyCdcBatch(spark,
+      Seq((3L, "U", 0L, "updated"), (7L, "D", 1L, "x"))
+        .toDF("k", "op", "seq", "v"), 1L, cdc, "k", nShards = 16)
+    assert(cdcRows() == before, "pre-reshard replay must be a no-op")
+    // ...and new batches merge correctly at the new layout
+    Incremental.applyCdcBatch(spark, Seq((100L, "I", 0L, "new"))
+      .toDF("k", "op", "seq", "v"), 2L, cdc, "k", nShards = 16)
+    assert(cdcRows() == before + (100L -> "new"))
+    // JOIN MV: all three surfaces reshard together
+    val jn = s"$work/join"
+    val lb = Seq((1L, 10L), (2L, 20L)).toDF("okey", "lv")
+      .withColumn("side", lit("l"))
+    val ob = Seq((1L, 7L)).toDF("okey", "ov").withColumn("side", lit("o"))
+    Incremental.applyJoinBatch(spark,
+      lb.unionByName(ob, allowMissingColumns = true), 0L, jn, "okey",
+      Seq("lv"), Seq("ov"), nShards = 4)
+    val mvBefore = Incremental.joinMv(spark, jn, "okey").collect()
+      .map(_.toSeq).toSet
+    Incremental.reshardJoin(spark, jn, newNShards = 8)
+    assert(Incremental.joinMv(spark, jn, "okey").collect()
+      .map(_.toSeq).toSet == mvBefore)
+    // SPANS: gram + doc surfaces reshard, verdicts identical
+    val sp = s"$work/spans"
+    val docs = Seq((1L, "s", "a b c d e f g h i j k l m n o p q r"),
+      (2L, "s", "a b c d e f g h i j k l m n o p q r"),
+      (3L, "s", "totally different words here nothing shared at all " +
+        "one two three four five six seven"))
+      .toDF("doc_id", "source", "text")
+    Incremental.applySpanBatch(spark, docs, 0L, sp, n = 15,
+      nGramShards = 4, nDocShards = 4)
+    def verdicts() = Incremental.spanVerdicts(spark, sp).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val vBefore = verdicts()
+    Incremental.reshardSpans(spark, sp, newNGramShards = 16,
+      newNDocShards = 8)
+    assert(verdicts() == vBefore, "span verdicts must survive the reshard")
+    Incremental.applySpanBatch(spark, Seq((9L, "s",
+      "a b c d e f g h i j k l m n o p q r"))
+      .toDF("doc_id", "source", "text"), 1L, sp, n = 15,
+      nGramShards = 16, nDocShards = 8)
+    assert(verdicts().contains(9L), "post-reshard batches apply")
+  }
+
+  test("CDC per-key duplicate seq within a batch fails fast (contract)") {
+    import graft.streaming.Incremental
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_cdcdup").toString
+    val bad = Seq((1L, "I", 5L, "a"), (1L, "U", 5L, "b"))
+      .toDF("k", "op", "seq", "v")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.applyCdcBatch(spark, bad, 0L, s"$work/state", "k")
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // distinct seqs on the same key are fine
+    val ok = Seq((1L, "I", 5L, "a"), (1L, "U", 6L, "b"))
+      .toDF("k", "op", "seq", "v")
+    Incremental.applyCdcBatch(spark, ok, 1L, s"$work/state2", "k")
+    assert(Incremental.cdcTable(spark, s"$work/state2", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "b")))
+  }
 }
