@@ -4473,6 +4473,84 @@ object SparkEntry {
       ord(graft.streaming.Incremental.cdcTable(s, s"$work/state",
         "o_orderkey"), "o_orderkey")
     }),
+    "q319_resharded_cdc" -> ((s, dir) => {
+      // RESHARDED incremental CDC — q314's maintained MERGE INTO with a
+      // compaction-time RESHARD between arrivals: the target grows
+      // 16 → 64 shards (shard column recomputed, per-row bmax pinned to
+      // the global max so the replay guard stays exact after rows
+      // migrate, retire-rename swap, layout pin updated), then the third
+      // changeset applies at the new layout. Resharding must be invisible
+      // to the merged table — the oracle is q314's from-scratch per-key
+      // argmax, verbatim, with zero knowledge of the layout change.
+      val work = java.nio.file.Files.createTempDirectory("graft_rshcdc").toString
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      def ch(f: Column, op: String, seq: Int, price: Column) =
+        o.filter(f).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), price.as("o_totalprice"),
+          lit(op).as("op"), lit(seq.toLong).as("seq"))
+      val batches = Seq(
+        ch(col("o_orderkey") % 5 =!= 4, "I", 0, col("o_totalprice")),
+        ch(col("o_orderkey") % 5 === 4, "I", 1, col("o_totalprice"))
+          .unionAll(ch(col("o_orderkey") % 5 === 0, "U", 1,
+            col("o_totalprice") + 1))
+          .unionAll(ch(col("o_orderkey") % 5 === 1, "U", 1,
+            col("o_totalprice"))),
+        ch(col("o_orderkey") % 10 === 0, "U", 2, col("o_totalprice") + 2)
+          .unionAll(ch(col("o_orderkey") % 5 === 1, "D", 2,
+            col("o_totalprice"))))
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      def stage(k: Int): Unit = {
+        batches(k).coalesce(1).write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(now - (2 - k) * 60000L))
+      }
+      stage(0); stage(1)
+      graft.streaming.Incremental.maintainCdc(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", batches(0).schema, "o_orderkey")
+      graft.streaming.Incremental.reshardCdc(s, s"$work/state",
+        newNShards = 64)
+      stage(2)
+      graft.streaming.Incremental.maintainCdc(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", batches(0).schema, "o_orderkey",
+        nShards = 64) // restart at the GROWN layout: only b2
+      ord(graft.streaming.Incremental.cdcTable(s, s"$work/state",
+        "o_orderkey"), "o_orderkey")
+    }),
+    "q320_autofold_cc" -> ((s, dir) => {
+      // AUTO-FOLDED incremental CC — q312's union-find MV driven with
+      // fwdFoldMin = 1, so the forwarding table folds into the label
+      // table (compactCc's global path compression) at nearly every
+      // batch instead of waiting for a manual compaction — the bounded-
+      // |fwd| production cadence. Folding only compresses paths; labels
+      // are arrival-order invariant, so the oracle is q312's from-scratch
+      // recursive min-label closure, verbatim.
+      val work = java.nio.file.Files.createTempDirectory("graft_afcc").toString
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("okey"),
+          col("a.l_partkey").as("id_a"), col("b.l_partkey").as("id_b"))
+      def stage(k: Int, modMs: Long): Unit = {
+        pairs.filter(col("okey") % 3 === k).select("id_a", "id_b")
+          .distinct().coalesce(1).write.parquet(s"$work/src/b$k")
+        new java.io.File(s"$work/src/b$k").listFiles()
+          .foreach(_.setLastModified(modMs))
+      }
+      val now = 1000000000000L + 120000L // fixed epochs pin arrival order
+      stage(0, now - 120000); stage(1, now - 60000)
+      val schema = pairs.select("id_a", "id_b").schema
+      graft.streaming.Incremental.maintainCc(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", schema, fwdFoldMin = 1L)
+      stage(2, now)
+      graft.streaming.Incremental.maintainCc(s, s"$work/src/*",
+        s"$work/state", s"$work/ck", schema,
+        fwdFoldMin = 1L) // restart: only b2, fold-heavy cadence
+      ord(graft.streaming.Incremental.ccLabels(s, s"$work/state"), "id")
+    }),
     "q313_compacted_embdup" -> ((s, dir) => {
       // COMPACTED embedding near-dup — q310's maintained screen with a
       // state COMPACTION between arrivals: batches 0–1 fold into
@@ -9902,24 +9980,7 @@ object SparkEntry {
     // q312: the from-scratch recursive min-label closure over ALL edges —
     // CC of a union is arrival-order invariant, so the oracle knows
     // nothing of the batching or the lazy-relabel state machinery.
-    "q312_incremental_cc" ->
-      """WITH RECURSIVE li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 97 = 0
-        |), pairs AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM li a JOIN li b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |), edges AS (
-        |  SELECT u AS s, v AS d FROM pairs
-        |  UNION ALL
-        |  SELECT v, u FROM pairs
-        |), reach(id, lab) AS (
-        |  SELECT s, s FROM edges
-        |  UNION
-        |  SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
-        |)
-        |SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
-        |ORDER BY id""".stripMargin,
+    "q312_incremental_cc" -> ccMinLabelOracle,
     // q310/q313: full from-scratch re-derivation — quantization, planted
     // duplicates, sign buckets, integer cosine gate, and the (batch, id)
     // keep-first order (batch = vec_id % 3), all in exact integer
@@ -9961,8 +10022,19 @@ object SparkEntry {
     // argmax decides, a winning D deletes; no knowledge of the
     // incremental merge. (Per-key (b, seq) pairs are unique by
     // construction, so no tie-break is needed.)
-    "q314_incremental_cdc" ->
-      """WITH src AS (
+    "q314_incremental_cdc" -> cdcMergeOracle,
+    // q319: resharding must be invisible — q314's oracle verbatim.
+    "q319_resharded_cdc" -> cdcMergeOracle,
+    // q320: auto-folding only compresses paths — q312's oracle verbatim.
+    "q320_autofold_cc" -> ccMinLabelOracle
+  ) ++ oracleSqlRest
+
+  /** From-scratch per-key argmax CDC merge — shared by q314 (maintained
+    * MERGE INTO) and q319 (same, with a mid-stream 16→64 reshard that
+    * must be invisible).
+    */
+  private val cdcMergeOracle: String =
+    """WITH src AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |  FROM orders
         |), ch AS (
@@ -9985,7 +10057,32 @@ object SparkEntry {
         |)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM r WHERE rn = 1 AND op <> 'D'
-        |ORDER BY o_orderkey""".stripMargin,
+        |ORDER BY o_orderkey""".stripMargin
+
+  /** From-scratch recursive min-label CC closure — shared by q312
+    * (maintained union-find MV), q320 (same, with the forwarding table
+    * auto-folded at nearly every batch), and arrival-order invariance.
+    */
+  private val ccMinLabelOracle: String =
+    """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 97 = 0
+        |), pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |), edges AS (
+        |  SELECT u AS s, v AS d FROM pairs
+        |  UNION ALL
+        |  SELECT v, u FROM pairs
+        |), reach(id, lab) AS (
+        |  SELECT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.lab FROM edges e JOIN reach r ON r.id = e.d
+        |)
+        |SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin
+
+  private def oracleSqlRest: Map[String, String] = Map(
     // q311: the oracle is q101's from-scratch decontamination, verbatim —
     // the maintained verdicts must equal it regardless of how the corpus
     // and the benchmark suite were interleaved across arrivals.

@@ -541,6 +541,12 @@ object Similarity {
   def compactIvf(spark: org.apache.spark.sql.SparkSession, stateDir: String,
       upToBatch: Long, newNlist: Int = -1, sampleCap: Int = 200000): Unit =
     graft.streaming.Incremental.withLease(stateDir) {
+    // the whole refresh runs under the _reshard_pending marker: centroids
+    // and posts swap as two surfaces, so any crash between tmp-write and
+    // the final pin leaves them potentially inconsistent — the marker
+    // fails applyIvfIndexBatch fast (via pinLayout) until this same call
+    // re-runs to convergence
+    graft.streaming.Incremental.withReshardMarker(stateDir) {
     import graft.streaming.Incremental.{parquetIfAny, deleteRec}
     def rdOr(name: String) = parquetIfAny(spark, s"$stateDir/$name")
       .orElse(parquetIfAny(spark, s"$stateDir/_$name.old"))
@@ -594,7 +600,7 @@ object Similarity {
       stored.replaceAll("nlist=\\d+", s"nlist=$newNlist"))
     java.nio.file.Files.writeString(
       new java.io.File(stateDir, "_highwater").toPath, upToBatch.toString)
-  }
+  } }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means cluster the embedding space, then inside each

@@ -165,6 +165,14 @@ object Incremental {
   private[graft] def pinLayout(stateDir: String, desc: String): Unit = {
     val dir = new java.io.File(stateDir)
     if (!dir.exists()) dir.mkdirs()
+    // a reshard/re-bucket that crashed between its data swap and its
+    // layout-pin update leaves rows sharded under one count and the pin
+    // claiming another -- a maintainer would then silently prune the wrong
+    // partitions. The pending marker turns that window into a fail-fast.
+    require(!reshardMarkerFile(stateDir).exists(),
+      s"a reshard/re-bucket of $stateDir was interrupted mid-swap -- " +
+        "re-run the same reshard call to convergence before ingesting " +
+        "(its writes are idempotent); the marker clears when it completes")
     val f = new java.io.File(dir, "_layout")
     if (f.exists()) {
       val stored = new String(java.nio.file.Files.readAllBytes(f.toPath)).trim
@@ -746,6 +754,31 @@ object Incremental {
     swapInPlace(parent, name)
   }
 
+  /** Run a reshard/re-bucket body under the `_reshard_pending` marker:
+    * written before the first swap, cleared only after the layout pin is
+    * consistent with the data again. A crash anywhere in between leaves
+    * the marker, and [[pinLayout]] fails every maintainer fast until the
+    * same (idempotent) reshard call is re-run to completion -- without
+    * this, the swap-then-pin window would let a maintainer prune the
+    * wrong partitions silently.
+    */
+  private[graft] def withReshardMarker[T](stateDir: String)(body: => T): T = {
+    val m = reshardMarkerFile(stateDir)
+    java.nio.file.Files.writeString(m.toPath, "pending")
+    val r = body // an exception leaves the marker in place, by design
+    m.delete()
+    r
+  }
+
+  /** The pending marker lives BESIDE the state dir, not inside it: the
+    * flat-table reshards swap the dir itself, and an inside marker would
+    * vanish exactly during the retire-to-promote window it must cover.
+    */
+  private def reshardMarkerFile(stateDir: String): java.io.File = {
+    val d = new java.io.File(stateDir).getAbsoluteFile
+    new java.io.File(d.getParentFile, s"_${d.getName}.reshard_pending")
+  }
+
   /** Update one `k=v` entry in a state dir's `_layout` pin (used by the
     * reshard/re-bucket entry points, atomically with their fold).
     */
@@ -773,12 +806,12 @@ object Incremental {
 
   /** Grow the generic agg MV's shard count ([[applyBatch]] layout). */
   def reshardAgg(spark: SparkSession, stateDir: String, newNShards: Int): Unit =
-    withLease(stateDir) {
+    withLease(stateDir) { withReshardMarker(stateDir) {
       reshardDir(spark, new java.io.File(stateDir).getParent,
         new java.io.File(stateDir).getName, "shard",
         pmod(col("user_id"), lit(newNShards)), Seq("shard"))
       updateLayout(stateDir, "nShards", newNShards)
-    }
+    } }
 
   /** Grow the curation key index's shard count ([[applyCurationBatch]]).
     * The delta stream keeps its historical shard values (its shard column
@@ -786,16 +819,16 @@ object Incremental {
     * pass the new nShards — the layout pin enforces it.
     */
   def reshardCuration(spark: SparkSession, stateDir: String,
-      newNShards: Int): Unit = withLease(stateDir) {
+      newNShards: Int): Unit = withLease(stateDir) { withReshardMarker(stateDir) {
     reshardDir(spark, new java.io.File(stateDir).getParent,
       new java.io.File(stateDir).getName, "shard",
       pmod(xxhash64(col("norm_key")), lit(newNShards)), Seq("shard"))
     updateLayout(stateDir, "nShards", newNShards)
-  }
+  } }
 
   /** Grow the CDC target table's shard count ([[applyCdcBatch]]). */
   def reshardCdc(spark: SparkSession, stateDir: String, newNShards: Int): Unit =
-    withLease(stateDir) {
+    withLease(stateDir) { withReshardMarker(stateDir) {
       val stored = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(stateDir, "_layout").toPath)).trim
       val keyCol = "key=([^,]+)".r.findFirstMatchIn(stored).get.group(1)
@@ -803,22 +836,22 @@ object Incremental {
         new java.io.File(stateDir).getName, "shard",
         pmod(col(keyCol), lit(newNShards)), Seq("shard"))
       updateLayout(stateDir, "nShards", newNShards)
-    }
+    } }
 
   /** Grow the session MV's shard count ([[applySessionBatch]]). */
   def reshardSessions(spark: SparkSession, stateDir: String,
-      newNShards: Int): Unit = withLease(stateDir) {
+      newNShards: Int): Unit = withLease(stateDir) { withReshardMarker(stateDir) {
     reshardDir(spark, new java.io.File(stateDir).getParent,
       new java.io.File(stateDir).getName, "shard",
       pmod(col("user_id"), lit(newNShards)), Seq("shard"))
     updateLayout(stateDir, "nShards", newNShards)
-  }
+  } }
 
   /** Grow the join MV's shard count across all three surfaces
     * ([[applyJoinBatch]]'s l/, o/, mv/).
     */
   def reshardJoin(spark: SparkSession, stateDir: String,
-      newNShards: Int): Unit = withLease(stateDir) {
+      newNShards: Int): Unit = withLease(stateDir) { withReshardMarker(stateDir) {
     val stored = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(stateDir, "_layout").toPath)).trim
     val keyCol = "key=([^,]+)".r.findFirstMatchIn(stored).get.group(1)
@@ -826,22 +859,22 @@ object Incremental {
       reshardDir(spark, stateDir, s, "shard",
         pmod(col(keyCol), lit(newNShards)), Seq("shard"))
     updateLayout(stateDir, "nShards", newNShards)
-  }
+  } }
 
   /** Grow the CC label table's shard count ([[applyCcBatch]]'s lbl/). */
   def reshardCc(spark: SparkSession, stateDir: String, newNShards: Int): Unit =
-    withLease(stateDir) {
+    withLease(stateDir) { withReshardMarker(stateDir) {
       reshardDir(spark, stateDir, "lbl", "shard",
         pmod(col("v"), lit(newNShards)), Seq("shard"))
       updateLayout(stateDir, "nShards", newNShards)
-    }
+    } }
 
   /** Grow the span screen's gram and/or doc shard counts
     * ([[applySpanBatch]]'s gc/ and cov/); pass -1 to leave one unchanged.
     */
   def reshardSpans(spark: SparkSession, stateDir: String,
       newNGramShards: Int = -1, newNDocShards: Int = -1): Unit =
-    withLease(stateDir) {
+    withLease(stateDir) { withReshardMarker(stateDir) {
       if (newNGramShards > 0) {
         reshardDir(spark, stateDir, "gc", "gshard",
           pmod(col("gh"), lit(newNGramShards)), Seq("gshard"))
@@ -852,14 +885,14 @@ object Incremental {
           pmod(col("doc_id"), lit(newNDocShards)), Seq("dshard"))
         updateLayout(stateDir, "nDocShards", newNDocShards)
       }
-    }
+    } }
 
   /** Grow the decontamination screen's gram and/or doc shard counts
     * ([[applyContamBatch]]'s tg/ + tg_base/ + bg/ and ver/).
     */
   def reshardContam(spark: SparkSession, stateDir: String,
       newNGramShards: Int = -1, newNDocShards: Int = -1): Unit =
-    withLease(stateDir) {
+    withLease(stateDir) { withReshardMarker(stateDir) {
       if (newNGramShards > 0) {
         reshardDir(spark, stateDir, "tg", "gshard",
           pmod(col("gh"), lit(newNGramShards)), Seq("gshard", "batch"))
@@ -874,7 +907,7 @@ object Incremental {
           pmod(col("doc_id"), lit(newNDocShards)), Seq("dshard"))
         updateLayout(stateDir, "nDocShards", newNDocShards)
       }
-    }
+    } }
 
   /** Fold one state surface's per-batch partitions ≤ `upToBatch` into base
     * storage (write-then-swap-then-delete; see the compaction contract
@@ -946,6 +979,16 @@ object Incremental {
     */
   def compactNearDup(spark: SparkSession, stateDir: String,
       upToBatch: Long, newNBp: Int = -1): Unit = withLease(stateDir) {
+    // re-bucketing changes the data/pin relationship, so it runs under the
+    // _reshard_pending marker: a crash mid-rebucket fails every maintainer
+    // fast (pinLayout) until this same call is re-run to completion
+    if (newNBp > 0) withReshardMarker(stateDir)(
+      compactNearDupBody(spark, stateDir, upToBatch, newNBp))
+    else compactNearDupBody(spark, stateDir, upToBatch, newNBp)
+  }
+
+  private def compactNearDupBody(spark: SparkSession, stateDir: String,
+      upToBatch: Long, newNBp: Int): Unit = {
     require(new java.io.File(s"$stateDir/idx").exists(),
       s"no near-dup state under $stateDir")
     // RE-BUCKETING (newNBp > 0): the sanctioned path to grow the pruning

@@ -1675,6 +1675,20 @@ class StreamingSpec extends SparkSuite {
     Incremental.applyCdcBatch(spark, Seq((100L, "I", 0L, "new"))
       .toDF("k", "op", "seq", "v"), 2L, cdc, "k", nShards = 16)
     assert(cdcRows() == before + (100L -> "new"))
+    // a reshard that crashed mid-swap leaves the sibling pending marker:
+    // every maintainer must fail fast until the reshard re-runs
+    val marker = new java.io.File(s"$work/_cdc.reshard_pending")
+    java.nio.file.Files.writeString(marker.toPath, "pending")
+    val eP = intercept[IllegalArgumentException] {
+      Incremental.applyCdcBatch(spark, Seq((101L, "I", 0L, "x"))
+        .toDF("k", "op", "seq", "v"), 3L, cdc, "k", nShards = 16)
+    }
+    assert(eP.getMessage.contains("interrupted mid-swap"))
+    Incremental.reshardCdc(spark, cdc, newNShards = 16) // re-run clears it
+    assert(!marker.exists(), "completed reshard must clear the marker")
+    Incremental.applyCdcBatch(spark, Seq((101L, "I", 0L, "x"))
+      .toDF("k", "op", "seq", "v"), 3L, cdc, "k", nShards = 16)
+    assert(cdcRows()(101L) == "x")
     // JOIN MV: all three surfaces reshard together
     val jn = s"$work/join"
     val lb = Seq((1L, 10L), (2L, 20L)).toDF("okey", "lv")
