@@ -225,6 +225,11 @@ object Bench {
           catch { case _: Throwable => -1.0 }
         name -> secs
     }.toMap
+    // settle before the closing canary: the tail just ran up to 80 heavy
+    // queries back-to-back, and their GC/page-cache residue inflates an
+    // immediate sample into a false tail_loaded (round-13 run 2: 1.21 s
+    // right after the remeasure vs 0.37 s before it)
+    Thread.sleep(2000); System.gc()
     val tailCanaryAfter = canaryOnce()
     val tailLoaded = tailCanaryBefore > loadedThreshold ||
       tailCanaryAfter > loadedThreshold
@@ -236,6 +241,9 @@ object Bench {
     val joinNrows = sys.env.getOrElse("SPARK_GRAFT_JOIN_NROWS", (1L << 22).toString).toLong
     spark.stop() // join metric gets a fresh session (see joinThroughputGiBs)
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    Thread.sleep(3000); System.gc() // settle: don't time the join inside
+    // the suite session's teardown/GC residue (round-13 run 2: 0.224 vs
+    // 0.521 GiB/s on the same tree)
     val joinGiBs =
       try joinThroughputGiBs(cpus, joinNrows)
       catch { case _: Throwable => -1.0 }
