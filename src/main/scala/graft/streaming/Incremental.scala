@@ -1624,7 +1624,14 @@ object Incremental {
     val deadNow = alreadyDead ++ newlyDead
     def dropDead(df: DataFrame): DataFrame =
       if (deadNow.isEmpty) df
-      else df.filter(!col("bucket").isin(deadNow.toSeq: _*))
+      else if (deadNow.size <= 1000)
+        df.filter(!col("bucket").isin(deadNow.toSeq: _*))
+      else { // a not-in that large is a codegen hazard (nBits ≤ 16 allows
+        // up to 65536 buckets); anti-join against the tiny dead set
+        import spark.implicits._
+        df.join(broadcast(deadNow.toSeq.toDF("bucket")),
+          Seq("bucket"), "left_anti")
+      }
     val earlier = dropDead(hist
         .unionByName(b.select("doc_id", "qv", "n2", "bucket", "batch")))
       .select(col("doc_id").as("e_id"), col("qv").as("e_qv"),
