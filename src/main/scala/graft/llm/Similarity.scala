@@ -497,6 +497,13 @@ object Similarity {
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
+    // a refresh that crashed between its two surface swaps leaves
+    // centroids and posts potentially inconsistent — refuse to serve
+    // until the same compactIvf call re-runs to convergence
+    require(!graft.streaming.Incremental.reshardMarkerFile(stateDir).exists(),
+      s"an IVF centroid refresh of $stateDir was interrupted mid-swap — " +
+        "re-run the same compactIvf call before querying (centroids and " +
+        "postings may disagree until it completes)")
     val cents = spark.read.parquet(s"$stateDir/centroids").orderBy("cid")
       .collect().map(_.getSeq[Double](1).toArray)
     val qProbed = queries.select(col(idCol).as("query_id"),
@@ -547,7 +554,7 @@ object Similarity {
     // fails applyIvfIndexBatch fast (via pinLayout) until this same call
     // re-runs to convergence
     graft.streaming.Incremental.withReshardMarker(stateDir) {
-    import graft.streaming.Incremental.{parquetIfAny, deleteRec}
+    import graft.streaming.Incremental.parquetIfAny
     def rdOr(name: String) = parquetIfAny(spark, s"$stateDir/$name")
       .orElse(parquetIfAny(spark, s"$stateDir/_$name.old"))
     val posts = rdOr("posts").getOrElse(
@@ -578,24 +585,10 @@ object Similarity {
     centroidsAsTable(spark, cents).coalesce(1)
       .write.mode("overwrite").parquet(s"$stateDir/_centroids.tmp")
     vecs.unpersist(blocking = false)
-    // versioned swap, one surface at a time; a crash between the two is
-    // repaired by re-running (see scaladoc)
-    def promote(name: String): Unit = {
-      val dir = new java.io.File(stateDir, name)
-      val old = new java.io.File(stateDir, s"_$name.old")
-      val tmp = new java.io.File(stateDir, s"_$name.tmp")
-      if (dir.exists()) {
-        // a stale retiree alongside the primary is already superseded;
-        // when the primary is ABSENT the retiree IS the data and must
-        // survive until tmp promotes (the foldBatches repair ordering)
-        if (old.exists()) deleteRec(old)
-        require(dir.renameTo(old), s"failed to retire $dir")
-      }
-      require(tmp.renameTo(dir), s"failed to promote $tmp")
-      deleteRec(old)
-    }
-    promote("centroids")
-    promote("posts")
+    // versioned swap, one surface at a time (the shared retire-rename
+    // discipline); a crash between the two is repaired by re-running
+    graft.streaming.Incremental.swapInPlace(stateDir, "centroids")
+    graft.streaming.Incremental.swapInPlace(stateDir, "posts")
     if (newNlist > 0) java.nio.file.Files.writeString(lf.toPath,
       stored.replaceAll("nlist=\\d+", s"nlist=$newNlist"))
     java.nio.file.Files.writeString(

@@ -740,17 +740,20 @@ object Incremental {
       .parquet(s"$parent/_$name.tmp")
     // flat-table families keep their marker files (_layout, _highwater, …)
     // in the data dir itself — carry them into the replacement before the
-    // swap or the promote would drop the pins
+    // swap or the promote would drop the pins. Merge retiree-first, then
+    // primary (REPLACE_EXISTING): after a mid-swap crash the pins live
+    // only in _<name>.old, while the lease's mkdirs has recreated an
+    // EMPTY primary that must not shadow them; when both hold a file the
+    // primary (current) copy wins.
     val prim = new java.io.File(parent, name)
-    val src = if (prim.exists()) prim else new java.io.File(parent, s"_$name.old")
-    Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("_") &&
-        f.getName != "_SUCCESS")
-      .foreach { f =>
-        java.nio.file.Files.copy(f.toPath,
-          new java.io.File(s"$parent/_$name.tmp", f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    val oldD = new java.io.File(parent, s"_$name.old")
+    for {
+      srcDir <- Seq(oldD, prim)
+      f <- Option(srcDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      if f.isFile && f.getName.startsWith("_") && f.getName != "_SUCCESS"
+    } java.nio.file.Files.copy(f.toPath,
+      new java.io.File(s"$parent/_$name.tmp", f.getName).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     swapInPlace(parent, name)
   }
 
@@ -774,9 +777,25 @@ object Incremental {
     * flat-table reshards swap the dir itself, and an inside marker would
     * vanish exactly during the retire-to-promote window it must cover.
     */
-  private def reshardMarkerFile(stateDir: String): java.io.File = {
+  private[graft] def reshardMarkerFile(stateDir: String): java.io.File = {
     val d = new java.io.File(stateDir).getAbsoluteFile
     new java.io.File(d.getParentFile, s"_${d.getName}.reshard_pending")
+  }
+
+  /** Read a state dir's `_layout` pin, falling back to the retiree
+    * (`_<name>.old/_layout`) — after a flat-table reshard crashed between
+    * its two renames, the primary dir is absent and the pin lives only in
+    * the retiree; without the fallback the recovery re-run itself would
+    * throw on the missing file.
+    */
+  private def readLayout(stateDir: String): String = {
+    val prim = new java.io.File(stateDir, "_layout")
+    val f = if (prim.exists()) prim else {
+      val d = new java.io.File(stateDir).getAbsoluteFile
+      new java.io.File(new java.io.File(d.getParentFile, s"_${d.getName}.old"),
+        "_layout")
+    }
+    new String(java.nio.file.Files.readAllBytes(f.toPath)).trim
   }
 
   /** Update one `k=v` entry in a state dir's `_layout` pin (used by the
@@ -829,9 +848,8 @@ object Incremental {
   /** Grow the CDC target table's shard count ([[applyCdcBatch]]). */
   def reshardCdc(spark: SparkSession, stateDir: String, newNShards: Int): Unit =
     withLease(stateDir) { withReshardMarker(stateDir) {
-      val stored = new String(java.nio.file.Files.readAllBytes(
-        new java.io.File(stateDir, "_layout").toPath)).trim
-      val keyCol = "key=([^,]+)".r.findFirstMatchIn(stored).get.group(1)
+      val keyCol = "key=([^,]+)".r.findFirstMatchIn(readLayout(stateDir))
+        .get.group(1)
       reshardDir(spark, new java.io.File(stateDir).getParent,
         new java.io.File(stateDir).getName, "shard",
         pmod(col(keyCol), lit(newNShards)), Seq("shard"))
@@ -852,9 +870,8 @@ object Incremental {
     */
   def reshardJoin(spark: SparkSession, stateDir: String,
       newNShards: Int): Unit = withLease(stateDir) { withReshardMarker(stateDir) {
-    val stored = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(stateDir, "_layout").toPath)).trim
-    val keyCol = "key=([^,]+)".r.findFirstMatchIn(stored).get.group(1)
+    val keyCol = "key=([^,]+)".r.findFirstMatchIn(readLayout(stateDir))
+      .get.group(1)
     for (s <- Seq("l", "o", "mv"))
       reshardDir(spark, stateDir, s, "shard",
         pmod(col(keyCol), lit(newNShards)), Seq("shard"))

@@ -1689,6 +1689,19 @@ class StreamingSpec extends SparkSuite {
     Incremental.applyCdcBatch(spark, Seq((101L, "I", 0L, "x"))
       .toDF("k", "op", "seq", "v"), 3L, cdc, "k", nShards = 16)
     assert(cdcRows()(101L) == "x")
+    val expect = cdcRows()
+    // worst flat-table crash window: death BETWEEN the two renames — the
+    // state dir is retired to _<name>.old and the primary is gone (with
+    // _layout inside the retiree). The recovery re-run must read the
+    // retiree (data AND layout pin), promote, and clear everything.
+    assert(new java.io.File(cdc)
+      .renameTo(new java.io.File(s"$work/_cdc.old")), "test setup")
+    java.nio.file.Files.writeString(marker.toPath, "pending")
+    Incremental.reshardCdc(spark, cdc, newNShards = 16)
+    assert(cdcRows() == expect, "mid-swap recovery must restore the table")
+    assert(!marker.exists() && !new java.io.File(s"$work/_cdc.old").exists()
+      && new java.io.File(cdc, "_layout").exists(),
+      "recovery must promote, vacuum the retiree, and carry the pin")
     // JOIN MV: all three surfaces reshard together
     val jn = s"$work/join"
     val lb = Seq((1L, 10L), (2L, 20L)).toDF("okey", "lv")
