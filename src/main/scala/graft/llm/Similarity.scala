@@ -497,14 +497,23 @@ object Similarity {
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    // a refresh that crashed between its two surface swaps leaves
-    // centroids and posts potentially inconsistent — refuse to serve
-    // until the same compactIvf call re-runs to convergence
-    require(!graft.streaming.Incremental.reshardMarkerFile(stateDir).exists(),
-      s"an IVF centroid refresh of $stateDir was interrupted mid-swap — " +
-        "re-run the same compactIvf call before querying (centroids and " +
-        "postings may disagree until it completes)")
-    val cents = spark.read.parquet(s"$stateDir/centroids").orderBy("cid")
+    // During a crashed-or-running centroid refresh (the _reshard_pending
+    // marker is up) the PRIMARIES may be mid-swap inconsistent, but the
+    // refresh preserves the retirees as a consistent pre-refresh snapshot
+    // (see compactIvf): serve `_<name>.old` when it exists, the primary
+    // otherwise (a surface the refresh hadn't reached yet is still the
+    // pre-refresh data). Maintainers still fail fast on the marker (via
+    // pinLayout) — only READS fall back; production-correct behavior for
+    // a serving index whose refresh died: stale answers until the reshard
+    // re-runs, never wrong ones.
+    val pending =
+      graft.streaming.Incremental.reshardMarkerFile(stateDir).exists()
+    def surfacePath(name: String): String =
+      if (pending && graft.streaming.Incremental
+          .parquetIfAny(spark, s"$stateDir/_$name.old").isDefined)
+        s"$stateDir/_$name.old"
+      else s"$stateDir/$name"
+    val cents = spark.read.parquet(surfacePath("centroids")).orderBy("cid")
       .collect().map(_.getSeq[Double](1).toArray)
     val qProbed = queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qvec"), l2Norm(col(vecCol)).as("qnorm"))
@@ -514,7 +523,7 @@ object Similarity {
       .drop("probe")
     val probed = qProbed.select("cid").distinct()
       .collect().map(_.getAs[Number](0).intValue) // bounded by nlist
-    val posts = spark.read.parquet(s"$stateDir/posts")
+    val posts = spark.read.parquet(surfacePath("posts"))
       .filter(col("cid").isin(probed.toSeq: _*)) // partition-pruned
     rankTopK(
       qProbed.join(posts, "cid")
@@ -552,9 +561,28 @@ object Similarity {
     // and posts swap as two surfaces, so any crash between tmp-write and
     // the final pin leaves them potentially inconsistent — the marker
     // fails applyIvfIndexBatch fast (via pinLayout) until this same call
-    // re-runs to convergence
+    // re-runs to convergence. READS keep working throughout: the swaps
+    // below PRESERVE the retirees (`_centroids.old` / `_posts.old`) as a
+    // consistent pre-refresh snapshot that [[queryIvfIndex]] serves while
+    // the marker is up; they are deleted only after the marker clears.
+    // `resuming` detects a crashed refresh being re-run — its surviving
+    // retirees ARE that snapshot and must not be clobbered — while a FRESH
+    // refresh first drops stale retirees (left by a crash between a
+    // completed refresh's marker clear and its retiree cleanup) so the
+    // ones it retires are exactly the pre-THIS-refresh generation.
+    val resuming =
+      graft.streaming.Incremental.reshardMarkerFile(stateDir).exists()
     graft.streaming.Incremental.withReshardMarker(stateDir) {
     import graft.streaming.Incremental.parquetIfAny
+    if (!resuming)
+      for (n <- Seq("centroids", "posts")) {
+        val old = new java.io.File(stateDir, s"_$n.old")
+        // only when the primary holds data: a retiree WITHOUT a primary is
+        // not stale — it IS the data (crash between a swap's two renames)
+        if (old.exists() &&
+            parquetIfAny(spark, s"$stateDir/$n").isDefined)
+          graft.streaming.Incremental.deleteRec(old)
+      }
     def rdOr(name: String) = parquetIfAny(spark, s"$stateDir/$name")
       .orElse(parquetIfAny(spark, s"$stateDir/_$name.old"))
     val posts = rdOr("posts").getOrElse(
@@ -586,14 +614,25 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$stateDir/_centroids.tmp")
     vecs.unpersist(blocking = false)
     // versioned swap, one surface at a time (the shared retire-rename
-    // discipline); a crash between the two is repaired by re-running
-    graft.streaming.Incremental.swapInPlace(stateDir, "centroids")
-    graft.streaming.Incremental.swapInPlace(stateDir, "posts")
+    // discipline); a crash between the two is repaired by re-running. The
+    // retirees survive the swap — queryIvfIndex serves them while the
+    // marker is up — and are dropped only after the marker clears below.
+    graft.streaming.Incremental.swapKeepRetiree(stateDir, "centroids")
+    graft.streaming.Incremental.swapKeepRetiree(stateDir, "posts")
     if (newNlist > 0) java.nio.file.Files.writeString(lf.toPath,
       stored.replaceAll("nlist=\\d+", s"nlist=$newNlist"))
     java.nio.file.Files.writeString(
       new java.io.File(stateDir, "_highwater").toPath, upToBatch.toString)
-  } }
+    }
+    // marker is cleared: readers have cut over to the refreshed primaries,
+    // so the pre-refresh snapshot can go. A crash before these deletes
+    // leaves stale retirees with NO marker — readers ignore them (no
+    // marker → primaries) and the next refresh drops them on entry.
+    for (n <- Seq("centroids", "posts")) {
+      val old = new java.io.File(stateDir, s"_$n.old")
+      if (old.exists()) graft.streaming.Incremental.deleteRec(old)
+    }
+  }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means cluster the embedding space, then inside each

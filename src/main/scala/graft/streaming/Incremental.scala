@@ -223,21 +223,55 @@ object Incremental {
     val leaseFile = new java.io.File(key, "_lease")
     if (entry.depth == 1) {
       new java.io.File(key).mkdirs()
-      try java.nio.file.Files.write(leaseFile.toPath,
+      def acquire(): Unit = java.nio.file.Files.write(leaseFile.toPath,
         leaseHolderId.getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE_NEW)
+      try acquire()
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          leases.remove(key)
           val holder = try new String(java.nio.file.Files
             .readAllBytes(leaseFile.toPath), "UTF-8").trim
           catch { case _: java.io.IOException => "unknown" }
-          throw new IllegalStateException(
-            s"state dir $stateDir is leased by '$holder' (this " +
-              s"maintainer is '$leaseHolderId') — state maintenance is " +
-              "single-writer. If the holder is a live maintainer, let it " +
-              s"finish; if it died mid-batch, delete $leaseFile to " +
-              "reclaim (every batch write is crash-idempotent).")
+          // STALE-LEASE RECOVERY (round-13 verdict Next #6): a process
+          // death mid-batch leaves its `_lease`, and every later maintainer
+          // failing fast until a human deletes it turns one crash into an
+          // outage. When the holder is pid@THIS-host, /proc/<pid> is an
+          // authoritative liveness probe: provably dead → break the lease,
+          // log, and take it (every batch write is crash-idempotent, so
+          // the dead holder's partial work is safe to overwrite). A LIVE
+          // pid or a cross-host holder (no liveness oracle from here)
+          // still fails fast. A recycled pid can false-block — the
+          // fail-fast message covers that rare case.
+          val thisHost = java.lang.management.ManagementFactory
+            .getRuntimeMXBean.getName.split("@").lift(1).getOrElse("")
+          val deadSameHost = holder.split("@") match {
+            case Array(pid, host) if host == thisHost && thisHost.nonEmpty &&
+                pid.forall(_.isDigit) =>
+              !new java.io.File(s"/proc/$pid").exists()
+            case _ => false
+          }
+          if (deadSameHost) {
+            System.err.println(s"[lease] breaking stale lease on $stateDir " +
+              s"held by dead process '$holder' (no /proc entry on this host)")
+            leaseFile.delete()
+            try acquire()
+            catch { // lost the re-acquire race to another recoverer
+              case _: java.nio.file.FileAlreadyExistsException =>
+                leases.remove(key)
+                throw new IllegalStateException(
+                  s"state dir $stateDir was re-leased while breaking a " +
+                    "stale lease — another maintainer recovered first; " +
+                    "let it finish")
+            }
+          } else {
+            leases.remove(key)
+            throw new IllegalStateException(
+              s"state dir $stateDir is leased by '$holder' (this " +
+                s"maintainer is '$leaseHolderId') — state maintenance is " +
+                "single-writer. If the holder is a live maintainer, let it " +
+                s"finish; if it died mid-batch, delete $leaseFile to " +
+                "reclaim (every batch write is crash-idempotent).")
+          }
       }
     }
     try body
@@ -531,11 +565,14 @@ object Incremental {
       .filter(col("batch") < batchId).select("bucket").distinct().persist()
     // small in every sane deployment (≤ postings/maxBucket buckets ever
     // die); collect for parquet-pushdown exclusion, fall back to an
-    // anti-join past 1000 values (a not-in that large stops helping the
-    // scan anyway)
+    // anti-join past 256 values. The cutover sits well under the codegen
+    // comfort limit (1000 chained ANDed not-equals was near it): the real
+    // row-group skipping comes from the sorted files' min==max stats, and
+    // 256 pushed not-equals keep that while staying one codegen stage
+    // (FunctionsSpec pins the boundary).
     val deadVals: Option[Seq[Long]] = {
-      val rows = deadDf.limit(1001).collect()
-      if (rows.length <= 1000) Some(rows.map(_.getLong(0)).toSeq) else None
+      val rows = deadDf.limit(257).collect()
+      if (rows.length <= 256) Some(rows.map(_.getLong(0)).toSeq) else None
     }
     def dropDead(df: DataFrame): DataFrame = deadVals match {
       case Some(vs) =>
@@ -558,11 +595,19 @@ object Incremental {
     // buckets crossing the cap AT THIS batch: population = complete
     // under-cap history (dead buckets are excluded from hist, but were
     // counted at their own crossing batch) + the full arriving batch.
-    // The recount scans only the bucket column (parquet prunes the rest)
-    // over the already-pruned partitions, so it is cheap relative to the
-    // candidate join it guards.
-    val newlyDead = hist.select("bucket")
-      .unionByName(dropDead(newIdx.select("bucket")))
+    // The recount is keyed on (doc_id, band, bucket, batch) and
+    // DISTINCTed first: a crash between foldBatches' base promote and its
+    // live-partition delete leaves folded rows readable twice (live +
+    // base) until the fold re-runs its repair, and a raw count would
+    // double such a bucket's population and retire it below its true cap
+    // — permanently, since the dead/ record survives the repair. The
+    // distinct collapses that overlap exactly like foldBatches' own
+    // distinct() does. Cost: a narrow-column shuffle over the
+    // already-pruned partitions, cheap relative to the candidate join it
+    // guards.
+    val newlyDead = hist.select("doc_id", "band", "bucket", "batch")
+      .unionByName(dropDead(newIdx.select("doc_id", "band", "bucket", "batch")))
+      .distinct()
       .groupBy("bucket").agg(count(lit(1)).as("pop"))
       .filter(col("pop") > lit(maxBucket.toLong)).persist()
     def dropNewlyDead(df: DataFrame): DataFrame =
@@ -716,6 +761,26 @@ object Incremental {
     deleteRec(old)
   }
 
+  /** [[swapInPlace]] variant that PRESERVES the retiree as a read-serving
+    * snapshot (Similarity.compactIvf's refresh): the caller deletes
+    * `_<name>.old` itself once its readers no longer need the pre-refresh
+    * pair (after the `_reshard_pending` marker clears). When a retiree
+    * already exists at swap time — a crashed refresh being re-run — it IS
+    * the pre-refresh snapshot readers are being served from, so the
+    * superseded primary (the crashed attempt's partial promote) is dropped
+    * instead of retired over it.
+    */
+  private[graft] def swapKeepRetiree(parent: String, name: String): Unit = {
+    val dir = new java.io.File(parent, name)
+    val old = new java.io.File(parent, s"_$name.old")
+    val tmp = new java.io.File(parent, s"_$name.tmp")
+    if (dir.exists()) {
+      if (old.exists()) deleteRec(dir)
+      else require(dir.renameTo(old), s"failed to retire $dir")
+    }
+    require(tmp.renameTo(dir), s"failed to promote $tmp")
+  }
+
   /** Re-shard one hash-sharded MV surface in place: recompute `shardCol`
     * as `shardOf`, pin every row's bmax (when present) to the table's
     * global max — at the quiescent point where resharding is legal, every
@@ -726,10 +791,10 @@ object Incremental {
     * idempotent). No-op when the surface holds no data yet.
     */
   private def reshardDir(spark: SparkSession, parent: String, name: String,
-      shardCol: String, shardOf: Column, partCols: Seq[String]): Unit = {
+      shardCol: String, shardOf: Column, partCols: Seq[String]): Boolean = {
     val cur = parquetIfAny(spark, s"$parent/$name")
       .orElse(parquetIfAny(spark, s"$parent/_$name.old"))
-      .getOrElse(return)
+      .getOrElse(return false)
     val re0 = cur.withColumn(shardCol, shardOf.cast("long"))
     val re = if (cur.columns.contains("bmax")) {
       val mx = cur.agg(max("bmax")).collect()(0).getAs[Number](0).longValue
@@ -755,6 +820,7 @@ object Incremental {
       new java.io.File(s"$parent/_$name.tmp", f.getName).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     swapInPlace(parent, name)
+    true
   }
 
   /** Run a reshard/re-bucket body under the `_reshard_pending` marker:
@@ -800,14 +866,29 @@ object Incremental {
 
   /** Update one `k=v` entry in a state dir's `_layout` pin (used by the
     * reshard/re-bucket entry points, atomically with their fold).
+    *
+    * A missing pin THROWS rather than no-ops: if it silently skipped, the
+    * reshard would complete and clear its `_reshard_pending` marker with
+    * data at the new shard count but no pin — a later maintainer's
+    * [[pinLayout]] would then create a fresh pin at its own (old) nShards
+    * and read/write the wrong shards silently. Throwing inside
+    * [[withReshardMarker]] leaves the marker in place, so every maintainer
+    * fails fast until the state is repaired. A never-initialized family
+    * has nothing to reshard — run a first batch (which pins the layout)
+    * before growing its shard count.
     */
   private def updateLayout(stateDir: String, key: String, v: Any): Unit = {
     val lf = new java.io.File(stateDir, "_layout")
-    if (lf.exists()) {
-      val stored = new String(java.nio.file.Files.readAllBytes(lf.toPath)).trim
-      java.nio.file.Files.writeString(lf.toPath,
-        stored.replaceAll(s"$key=[^,]*", s"$key=$v"))
-    }
+    require(lf.exists(),
+      s"no _layout pin at $stateDir — resharding requires an initialized " +
+        "state surface (the first applied batch writes the pin); a reshard " +
+        "without one would leave data and pin permanently inconsistent")
+    val stored = new String(java.nio.file.Files.readAllBytes(lf.toPath)).trim
+    require(stored.contains(s"$key="),
+      s"_layout pin at $stateDir [$stored] has no '$key=' entry — wrong " +
+        "reshard entry point for this family")
+    java.nio.file.Files.writeString(lf.toPath,
+      stored.replaceAll(s"$key=[^,]*", s"$key=$v"))
   }
 
   // ── compaction-time RE-SHARDING (round-12 verdict ask) ────────────────
@@ -826,10 +907,10 @@ object Incremental {
   /** Grow the generic agg MV's shard count ([[applyBatch]] layout). */
   def reshardAgg(spark: SparkSession, stateDir: String, newNShards: Int): Unit =
     withLease(stateDir) { withReshardMarker(stateDir) {
-      reshardDir(spark, new java.io.File(stateDir).getParent,
+      if (reshardDir(spark, new java.io.File(stateDir).getParent,
         new java.io.File(stateDir).getName, "shard",
-        pmod(col("user_id"), lit(newNShards)), Seq("shard"))
-      updateLayout(stateDir, "nShards", newNShards)
+        pmod(col("user_id"), lit(newNShards)), Seq("shard")))
+        updateLayout(stateDir, "nShards", newNShards)
     } }
 
   /** Grow the curation key index's shard count ([[applyCurationBatch]]).
@@ -839,10 +920,10 @@ object Incremental {
     */
   def reshardCuration(spark: SparkSession, stateDir: String,
       newNShards: Int): Unit = withLease(stateDir) { withReshardMarker(stateDir) {
-    reshardDir(spark, new java.io.File(stateDir).getParent,
+    if (reshardDir(spark, new java.io.File(stateDir).getParent,
       new java.io.File(stateDir).getName, "shard",
-      pmod(xxhash64(col("norm_key")), lit(newNShards)), Seq("shard"))
-    updateLayout(stateDir, "nShards", newNShards)
+      pmod(xxhash64(col("norm_key")), lit(newNShards)), Seq("shard")))
+      updateLayout(stateDir, "nShards", newNShards)
   } }
 
   /** Grow the CDC target table's shard count ([[applyCdcBatch]]). */
@@ -850,19 +931,19 @@ object Incremental {
     withLease(stateDir) { withReshardMarker(stateDir) {
       val keyCol = "key=([^,]+)".r.findFirstMatchIn(readLayout(stateDir))
         .get.group(1)
-      reshardDir(spark, new java.io.File(stateDir).getParent,
+      if (reshardDir(spark, new java.io.File(stateDir).getParent,
         new java.io.File(stateDir).getName, "shard",
-        pmod(col(keyCol), lit(newNShards)), Seq("shard"))
-      updateLayout(stateDir, "nShards", newNShards)
+        pmod(col(keyCol), lit(newNShards)), Seq("shard")))
+        updateLayout(stateDir, "nShards", newNShards)
     } }
 
   /** Grow the session MV's shard count ([[applySessionBatch]]). */
   def reshardSessions(spark: SparkSession, stateDir: String,
       newNShards: Int): Unit = withLease(stateDir) { withReshardMarker(stateDir) {
-    reshardDir(spark, new java.io.File(stateDir).getParent,
+    if (reshardDir(spark, new java.io.File(stateDir).getParent,
       new java.io.File(stateDir).getName, "shard",
-      pmod(col("user_id"), lit(newNShards)), Seq("shard"))
-    updateLayout(stateDir, "nShards", newNShards)
+      pmod(col("user_id"), lit(newNShards)), Seq("shard")))
+      updateLayout(stateDir, "nShards", newNShards)
   } }
 
   /** Grow the join MV's shard count across all three surfaces
@@ -872,18 +953,18 @@ object Incremental {
       newNShards: Int): Unit = withLease(stateDir) { withReshardMarker(stateDir) {
     val keyCol = "key=([^,]+)".r.findFirstMatchIn(readLayout(stateDir))
       .get.group(1)
-    for (s <- Seq("l", "o", "mv"))
+    val any = Seq("l", "o", "mv").map(s =>
       reshardDir(spark, stateDir, s, "shard",
-        pmod(col(keyCol), lit(newNShards)), Seq("shard"))
-    updateLayout(stateDir, "nShards", newNShards)
+        pmod(col(keyCol), lit(newNShards)), Seq("shard")))
+    if (any.exists(identity)) updateLayout(stateDir, "nShards", newNShards)
   } }
 
   /** Grow the CC label table's shard count ([[applyCcBatch]]'s lbl/). */
   def reshardCc(spark: SparkSession, stateDir: String, newNShards: Int): Unit =
     withLease(stateDir) { withReshardMarker(stateDir) {
-      reshardDir(spark, stateDir, "lbl", "shard",
-        pmod(col("v"), lit(newNShards)), Seq("shard"))
-      updateLayout(stateDir, "nShards", newNShards)
+      if (reshardDir(spark, stateDir, "lbl", "shard",
+        pmod(col("v"), lit(newNShards)), Seq("shard")))
+        updateLayout(stateDir, "nShards", newNShards)
     } }
 
   /** Grow the span screen's gram and/or doc shard counts
@@ -893,14 +974,14 @@ object Incremental {
       newNGramShards: Int = -1, newNDocShards: Int = -1): Unit =
     withLease(stateDir) { withReshardMarker(stateDir) {
       if (newNGramShards > 0) {
-        reshardDir(spark, stateDir, "gc", "gshard",
-          pmod(col("gh"), lit(newNGramShards)), Seq("gshard"))
-        updateLayout(stateDir, "nGramShards", newNGramShards)
+        if (reshardDir(spark, stateDir, "gc", "gshard",
+          pmod(col("gh"), lit(newNGramShards)), Seq("gshard")))
+          updateLayout(stateDir, "nGramShards", newNGramShards)
       }
       if (newNDocShards > 0) {
-        reshardDir(spark, stateDir, "cov", "dshard",
-          pmod(col("doc_id"), lit(newNDocShards)), Seq("dshard"))
-        updateLayout(stateDir, "nDocShards", newNDocShards)
+        if (reshardDir(spark, stateDir, "cov", "dshard",
+          pmod(col("doc_id"), lit(newNDocShards)), Seq("dshard")))
+          updateLayout(stateDir, "nDocShards", newNDocShards)
       }
     } }
 
@@ -911,18 +992,20 @@ object Incremental {
       newNGramShards: Int = -1, newNDocShards: Int = -1): Unit =
     withLease(stateDir) { withReshardMarker(stateDir) {
       if (newNGramShards > 0) {
-        reshardDir(spark, stateDir, "tg", "gshard",
-          pmod(col("gh"), lit(newNGramShards)), Seq("gshard", "batch"))
-        reshardDir(spark, stateDir, "tg_base", "gshard",
-          pmod(col("gh"), lit(newNGramShards)), Seq("gshard"))
-        reshardDir(spark, stateDir, "bg", "gshard",
-          pmod(col("gh"), lit(newNGramShards)), Seq("gshard"))
-        updateLayout(stateDir, "nGramShards", newNGramShards)
+        val any = Seq(
+          reshardDir(spark, stateDir, "tg", "gshard",
+            pmod(col("gh"), lit(newNGramShards)), Seq("gshard", "batch")),
+          reshardDir(spark, stateDir, "tg_base", "gshard",
+            pmod(col("gh"), lit(newNGramShards)), Seq("gshard")),
+          reshardDir(spark, stateDir, "bg", "gshard",
+            pmod(col("gh"), lit(newNGramShards)), Seq("gshard")))
+        if (any.exists(identity))
+          updateLayout(stateDir, "nGramShards", newNGramShards)
       }
       if (newNDocShards > 0) {
-        reshardDir(spark, stateDir, "ver", "dshard",
-          pmod(col("doc_id"), lit(newNDocShards)), Seq("dshard"))
-        updateLayout(stateDir, "nDocShards", newNDocShards)
+        if (reshardDir(spark, stateDir, "ver", "dshard",
+          pmod(col("doc_id"), lit(newNDocShards)), Seq("dshard")))
+          updateLayout(stateDir, "nDocShards", newNDocShards)
       }
     } }
 
@@ -1631,20 +1714,39 @@ object Incremental {
     // lifetime population per live bucket = complete under-cap history +
     // the full arriving batch; buckets crossing the cap AT THIS batch die
     // now (population is monotone, so dead-ness needs no hysteresis). The
-    // count scans only the bucket column of the already-pruned partitions.
-    val histPop = hist.groupBy("bucket").agg(count(lit(1)).as("hn"))
-      .collect().map(r => r.getAs[Number]("bucket").longValue ->
-        r.getAs[Number]("hn").longValue).toMap
+    // recount is DISTINCTed on (doc_id, bucket, batch) first: a crash
+    // between foldBatches' base promote and its live-partition delete
+    // leaves folded rows readable twice (live + base), and a raw count
+    // would retire a bucket below its true cap permanently (the dead/
+    // record survives the fold's repair). maxHistN2 re-checks the int64
+    // overflow contract over HISTORY too — rows written before the guard
+    // existed (or by another writer with a larger quantScale) must not
+    // wrap the 10⁴·dot² gate below just because the arriving batch is
+    // in-bounds. Both ride one narrow-column scan of the already-pruned
+    // partitions.
+    val histAgg = hist.select("doc_id", "bucket", "batch", "n2").distinct()
+      .groupBy("bucket").agg(count(lit(1)).as("hn"), max("n2").as("hMxN2"))
+      .collect()
+    val histPop = histAgg.map(r => r.getAs[Number]("bucket").longValue ->
+      r.getAs[Number]("hn").longValue).toMap
+    val maxHistN2 =
+      if (histAgg.isEmpty) 0L
+      else histAgg.map(_.getAs[Number]("hMxN2").longValue).max
+    require(maxHistN2 <= 30000000L,
+      s"historical quantized norm² $maxHistN2 in $stateDir/idx exceeds the " +
+        "int64-safe bound 3.0e7 — state was written under a different " +
+        "quantization contract; re-quantize or rebuild the index")
     val newlyDead = liveBuckets.filter(bk =>
       histPop.getOrElse(bk, 0L) + batchPop.getOrElse(bk, 0L) >
         maxBucket.toLong)
     val deadNow = alreadyDead ++ newlyDead
     def dropDead(df: DataFrame): DataFrame =
       if (deadNow.isEmpty) df
-      else if (deadNow.size <= 1000)
+      else if (deadNow.size <= 256)
         df.filter(!col("bucket").isin(deadNow.toSeq: _*))
-      else { // a not-in that large is a codegen hazard (nBits ≤ 16 allows
-        // up to 65536 buckets); anti-join against the tiny dead set
+      else { // a larger not-in is a codegen hazard (nBits ≤ 16 allows up
+        // to 65536 buckets) and bucket is a partition column here — the
+        // pruning already happened — so anti-join the tiny dead set
         import spark.implicits._
         df.join(broadcast(deadNow.toSeq.toDF("bucket")),
           Seq("bucket"), "left_anti")

@@ -179,7 +179,10 @@ object ScaleProbe {
           pairs.unpersist()
           (nPairs, found, nPlanted)
         }
-        Thread.sleep(1000) // listener events drain async
+        // drain barrier: a fixed sleep undercounts on a slow listener bus
+        if (!org.apache.spark.sql.graftbridge.ColumnBridge
+          .waitListenerBusEmpty(spark.sparkContext, 30000))
+          System.err.println("[probe] WARN listener bus did not drain in 30s")
         val gib = shuffleWrite.get / math.pow(2, 30)
         println(f"SCALE lsh1m n=$total%8d  minhash_lsh=${t}%6.1f s  shuffle=${gib}%6.2f GiB  recall=$found/$nPlanted  pairs=$nPairs")
         docs.unpersist()
@@ -530,7 +533,10 @@ object ScaleProbe {
         val (pairs, t) = time {
           graft.operators.Spatial.radiusJoin(pts, r).count()
         }
-        Thread.sleep(1000) // listener events drain async
+        // drain barrier: a fixed sleep undercounts on a slow listener bus
+        if (!org.apache.spark.sql.graftbridge.ColumnBridge
+          .waitListenerBusEmpty(spark.sparkContext, 30000))
+          System.err.println("[probe] WARN listener bus did not drain in 30s")
         val gib = shuffleWrite.get / math.pow(2, 30)
         println(f"SCALE spatial n=$n%8d  radius_join=${t}%6.1f s  shuffle=${gib}%6.2f GiB  pairs=$pairs (${pairs.toDouble / n}%4.1f/pt)")
         pts.unpersist()
@@ -1123,7 +1129,10 @@ object ScaleProbe {
         inputBytes.set(0)
         graft.streaming.Incremental.applyCdcBatch(spark, smallBatch(b), b,
           state, "k", nShards = n)
-        Thread.sleep(1000) // listener events drain async
+        // drain barrier: a fixed sleep undercounts on a slow listener bus
+        if (!org.apache.spark.sql.graftbridge.ColumnBridge
+          .waitListenerBusEmpty(spark.sparkContext, 30000))
+          System.err.println("[probe] WARN listener bus did not drain in 30s")
         inputBytes.get
       }
       val preBytes = measuredApply(1L, 4)

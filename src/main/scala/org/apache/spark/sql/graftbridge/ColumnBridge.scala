@@ -17,6 +17,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Block until the async listener bus has delivered all queued events —
+    * `SparkContext.listenerBus` is `private[spark]`. Probes that read
+    * accumulated task metrics from a SparkListener (ScaleProbe's shuffle /
+    * bytes-read gates) need a real drain barrier, not a fixed sleep that a
+    * slow bus can outlast. Returns false if the bus did not drain in time.
+    */
+  def waitListenerBusEmpty(
+      sc: org.apache.spark.SparkContext, timeoutMs: Long): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
+
   /** Wrap a custom LogicalPlan (e.g. graft's AsOfJoinNode) as a DataFrame —
     * the `Dataset.ofRows` constructor is `private[sql]` in Spark 4.
     */

@@ -248,4 +248,34 @@ class FunctionsSpec extends SparkSuite {
       .selectExpr("md5(graft_nfc(s)) AS k").distinct().count()
     assert(keys == 1)
   }
+
+  test("dead-bucket exclusion at the 256-value cutover stays one codegen " +
+      "stage with the not-equals pushed to the scan") {
+    // replicates Incremental.applyNearDupBatch's dropDead literal path at
+    // its exact cutover boundary (256 chained =!= before the anti-join
+    // switch): the ANDed not-equals must stay inside a single whole-stage
+    // span — a codegen split (or fallback) here would put an interpreted
+    // filter on every pruned history read
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cutover").toString
+    try {
+      spark.range(2000)
+        .select((col("id") % 500).as("bucket"), col("id").as("doc_id"))
+        .coalesce(1).write.parquet(s"$dir/t")
+      val base = spark.read.parquet(s"$dir/t")
+      val filtered = (0L until 256L).foldLeft(base)(
+        (d, v) => d.filter(col("bucket") =!= v))
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1)"), s"no codegen span:\n${plan.take(800)}")
+      assert(!plan.contains("*(2)"),
+        s"cutover filter split into multiple codegen stages:\n${plan.take(800)}")
+      assert(plan.contains("PushedFilters"),
+        "not-equals must reach the parquet scan (row-group stats skipping)")
+      // semantics at the boundary: buckets 0..255 excluded, 256..499 kept
+      assert(filtered.count() == 244L * 4)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.streaming.Incremental.deleteRec(new java.io.File(dir))
+    }
+  }
 }

@@ -1495,6 +1495,98 @@ class StreamingSpec extends SparkSuite {
     assert(Incremental.cdcTable(spark, state, "k").count() == 1L)
   }
 
+  test("stale-lease recovery: a provably dead same-host holder is broken " +
+      "and logged, a live same-host pid still blocks, cross-host blocks") {
+    import graft.streaming.Incremental
+    import spark.implicits._
+    assume(new java.io.File("/proc/self").exists(),
+      "liveness probe needs procfs")
+    val work = java.nio.file.Files.createTempDirectory("graft_lease3").toString
+    val state = s"$work/state"
+    def applyOne(batch: Long): Unit =
+      Incremental.applyCdcBatch(spark,
+        Seq((1L, "I", batch, "a")).toDF("k", "op", "seq", "v"),
+        batch, state, "k")
+    val thisHost = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.split("@")(1)
+    new java.io.File(state).mkdirs()
+    // (1) dead pid on THIS host (pid_max caps real pids well below this):
+    // auto-broken, the batch proceeds, lease released after
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "_lease"), s"999999999@$thisHost")
+    applyOne(0L)
+    assert(!new java.io.File(state, "_lease").exists(),
+      "broken-then-taken lease must be released after the batch")
+    assert(Incremental.cdcTable(spark, state, "k").count() == 1L)
+    // (2) a LIVE pid on this host (our own) still blocks
+    val myPid = ProcessHandle.current().pid()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "_lease"), s"$myPid@$thisHost")
+    val e1 = intercept[IllegalStateException] { applyOne(1L) }
+    assert(e1.getMessage.contains("leased by"))
+    new java.io.File(state, "_lease").delete()
+    // (3) a cross-host holder has no liveness oracle here: still blocks
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(state, "_lease"), "12345@some-other-host")
+    val e2 = intercept[IllegalStateException] { applyOne(1L) }
+    assert(e2.getMessage.contains("leased by '12345@some-other-host'"))
+    new java.io.File(state, "_lease").delete()
+    applyOne(1L)
+  }
+
+  test("IVF reads serve the pre-refresh snapshot while a crashed refresh " +
+      "is pending; maintainers fail fast; the re-run swap is still exact") {
+    import graft.llm.Similarity
+    import org.apache.spark.sql.functions._
+    val work =
+      java.nio.file.Files.createTempDirectory("graft_ivf_serve").toString
+    val state = s"$work/state"
+    val vecs = spark.range(100).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(2000)) - 1000) / 1000.0)
+          .cast("float")).as("embedding")).persist()
+    Similarity.applyIvfIndexBatch(spark, vecs.filter(col("vec_id") % 2 === 0),
+      0L, state, "vec_id", "embedding", nlist = 4)
+    Similarity.applyIvfIndexBatch(spark, vecs.filter(col("vec_id") % 2 === 1),
+      1L, state, "vec_id", "embedding", nlist = 4)
+    def answers(nprobe: Int) = Similarity.queryIvfIndex(spark, state,
+      vecs.limit(20), "vec_id", "embedding", k = 1, nprobe = nprobe)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pre = answers(4)
+    // simulate a refresh crashed between its two surface swaps: centroids
+    // already promoted to a DIFFERENT (here: corrupted — every component
+    // negated) generation with the retiree preserved, posts untouched,
+    // the pending marker up. A reader on the primaries would probe the
+    // wrong lists; the retiree fallback must keep it on the pre-refresh
+    // pair.
+    val marker = graft.streaming.Incremental.reshardMarkerFile(state)
+    java.nio.file.Files.writeString(marker.toPath, "pending")
+    val cdir = new java.io.File(state, "centroids")
+    assert(cdir.renameTo(new java.io.File(state, "_centroids.old")))
+    spark.read.parquet(s"$state/_centroids.old")
+      .select(col("cid"), transform(col("centroid"), x => -x).as("centroid"))
+      .coalesce(1).write.parquet(s"$state/centroids")
+    assert(answers(4) == pre,
+      "queries during a crashed refresh must serve the pre-refresh snapshot")
+    // maintainers still fail fast on the marker
+    val e = intercept[IllegalArgumentException](
+      Similarity.applyIvfIndexBatch(spark, vecs.limit(5), 2L, state,
+        "vec_id", "embedding", nlist = 4))
+    assert(e.getMessage.contains("interrupted mid-swap"))
+    // the re-run converges: marker cleared, answers exact at the (grown)
+    // nprobe = nlist, corrupted primary discarded, retirees vacuumed
+    Similarity.compactIvf(spark, state, upToBatch = 1L, newNlist = 5)
+    assert(!marker.exists(), "completed refresh must clear the marker")
+    assert(answers(5) == pre, "re-run refresh must stay exact")
+    for (name <- Seq("posts", "centroids")) {
+      assert(new java.io.File(state, name).exists())
+      assert(!new java.io.File(state, s"_$name.old").exists(),
+        "retiree must be vacuumed once the marker is down")
+    }
+    vecs.unpersist(blocking = false)
+  }
+
   test("foldBatches double-crash repair: with base retired to _base.old, " +
       "a re-run folds from the retiree and never deletes it pre-promote") {
     import graft.streaming.Incremental
