@@ -508,7 +508,8 @@ object Incremental {
 
   def applyNearDupBatch(spark: SparkSession, enriched: DataFrame,
       batchId: Long, stateDir: String, bands: Int, rowsPerBand: Int,
-      thresholdPct: Int, nBp: Int = 32, maxBucket: Int = 1000): Unit =
+      thresholdPct: Int, nBp: Int = 32, maxBucket: Int = 1000,
+      autoCompactMinLive: Int = 8): Unit =
     withLease(stateDir) {
     // a batch at or below the compaction high-water mark was folded into
     // the base partitions — its per-batch partitions no longer exist, so a
@@ -524,6 +525,13 @@ object Incremental {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pinLayout(stateDir, s"bands=$bands,rowsPerBand=$rowsPerBand," +
       s"thresholdPct=$thresholdPct,nBp=$nBp,maxBucket=$maxBucket")
+    // auto-compaction cadence (see the contract above [[compactNearDup]]):
+    // every batch < batchId is checkpoint-committed by the streaming
+    // contract, so folding ≤ batchId-1 here is always legal; the fold is
+    // crash-self-repairing and runs under this maintainer's own lease
+    if (shouldAutoCompact(s"$stateDir/idx", s"$stateDir/idx_base",
+        autoCompactMinLive))
+      compactNearDup(spark, stateDir, batchId - 1)
     val k = bands * rowsPerBand
     val b = enriched
       .select(col("doc_id").cast("long"), col("source"), col("sig"))
@@ -1069,6 +1077,60 @@ object Incremental {
         .filter(_.getName.stripPrefix("batch=").toLong <= upToBatch)
         .foreach(deleteRec)
     }
+  }
+
+  // ── AUTO-COMPACTION CADENCE (round-13 verdict Next #4) ───────────────
+  // CC got a fold trigger (fwdFoldMin); the other per-batch-accumulating
+  // families (near-dup, embedding near-dup, decontamination tg) relied on
+  // a manually invoked compact() — a long-running maintainer accumulated
+  // per-batch partitions until an operator intervened. The trigger below
+  // runs at each apply's entry, on FILE METADATA only (no data scan), and
+  // folds under the maintainer's own re-entrant lease:
+  //   fold when  liveBatches ≥ minLive  AND  liveBytes > baseBytes,
+  //   or unconditionally when liveBatches > 64 (footer-walk bound for
+  //   tiny-batch streams).
+  // The bytes ratio makes the cadence GEOMETRIC in corpus size (folds at
+  // ~doublings, the LSM tiering rule), so total fold work is O(2·corpus)
+  // and the amortized per-batch cost is O(batch) — flat; a fixed
+  // every-k-batches cadence would instead pay O(corpus/k) per batch. Like
+  // CC's fwdFoldMin, the knob is a call parameter, not layout-pinned:
+  // it changes WHEN state folds, never how it is laid out or read, so
+  // differing values across batches are harmless. The non-self-repairing
+  // delta fold (compactDeltas — SUM rows, see its contract) stays
+  // operator-invoked at quiescent points, deliberately. Spans/CDC/
+  // sessions/agg/curation-key surfaces rewrite whole shards per batch and
+  // never accumulate per-batch partitions — nothing to trigger.
+
+  private val autoCompactMaxLive = 64
+
+  /** Distinct `batch=` partition-dir names anywhere under `f` (one level of
+    * hash-prefix nesting or flat). Metadata-only.
+    */
+  private def distinctBatchDirs(f: java.io.File): Set[String] =
+    if (!f.isDirectory) Set.empty
+    else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .flatMap { d =>
+        if (d.isDirectory && d.getName.startsWith("batch=")) Set(d.getName)
+        else distinctBatchDirs(d)
+      }.toSet
+
+  private def parquetBytes(f: java.io.File): Long =
+    if (f.isFile) (if (f.getName.endsWith(".parquet")) f.length() else 0L)
+    else if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(parquetBytes).sum
+    else 0L
+
+  private[graft] def shouldAutoCompact(liveDir: String, baseDir: String,
+      minLive: Int): Boolean = {
+    if (minLive <= 0) return false // explicit opt-out (probes of the
+    // uncompacted regime; operators with their own cadence)
+    val live = new java.io.File(liveDir)
+    val nLive = distinctBatchDirs(live).size
+    if (nLive < minLive) false
+    else if (nLive > autoCompactMaxLive) true
+    else parquetBytes(live) >
+      math.max(1L, parquetBytes(new java.io.File(baseDir)))
   }
 
   /** Fold the near-dup screen's per-batch partitions ≤ `upToBatch` into
@@ -1640,7 +1702,8 @@ object Incremental {
     */
   def applyEmbDupBatch(spark: SparkSession, enriched: DataFrame,
       batchId: Long, stateDir: String, nBits: Int = 4,
-      thresholdPct: Int = 80, maxBucket: Int = 1000): Unit =
+      thresholdPct: Int = 80, maxBucket: Int = 1000,
+      autoCompactMinLive: Int = 8): Unit =
     withLease(stateDir) {
     require(nBits >= 1 && nBits <= 16, s"nBits must be in [1,16], got $nBits")
     // a batch at or below the compaction high-water mark was folded into
@@ -1650,6 +1713,10 @@ object Incremental {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pinLayout(stateDir,
       s"nBits=$nBits,thresholdPct=$thresholdPct,maxBucket=$maxBucket")
+    // auto-compaction cadence (contract above [[compactNearDup]])
+    if (shouldAutoCompact(s"$stateDir/idx", s"$stateDir/idx_base",
+        autoCompactMinLive))
+      compactEmbDup(spark, stateDir, batchId - 1)
     // bucket = the sign bits of the first nBits quantized components
     // (fixed axis hyperplanes — deterministic and oracle-rederivable)
     def bucketOf(qv: Column): Column =
@@ -2553,7 +2620,8 @@ object Incremental {
     */
   def applyContamBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       stateDir: String, n: Int = 4, nGramShards: Int = 16,
-      nDocShards: Int = 16): Unit = withLease(stateDir) {
+      nDocShards: Int = 16, autoCompactMinLive: Int = 8): Unit =
+    withLease(stateDir) {
     // a batch at or below the compaction high-water mark had its tg
     // partitions folded into tg_base — a late replay must be a guarded
     // no-op (re-writing them would duplicate the folded postings and
@@ -2561,6 +2629,10 @@ object Incremental {
     if (batchId <= highwater(stateDir)) return
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     pinLayout(stateDir, s"n=$n,nGramShards=$nGramShards,nDocShards=$nDocShards")
+    // auto-compaction cadence (contract above [[compactNearDup]])
+    if (shouldAutoCompact(s"$stateDir/tg", s"$stateDir/tg_base",
+        autoCompactMinLive))
+      compactContam(spark, stateDir, batchId - 1)
     val bgDir = s"$stateDir/bg"; val tgDir = s"$stateDir/tg"
     val verDir = s"$stateDir/ver"
     val b = batch.select(col("doc_id").cast("long"), col("source"),

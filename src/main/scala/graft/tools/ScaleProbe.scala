@@ -970,7 +970,8 @@ object ScaleProbe {
                 numHashes = 32).as("sig"))
           val (_, t) = time(graft.streaming.Incremental.applyNearDupBatch(
             spark, bt, k.toLong, s"$work/state", bands = 16, rowsPerBand = 2,
-            thresholdPct = 70))
+            thresholdPct = 70, autoCompactMinLive = 0)) // measures the
+            // uncompacted regime (auto_compact probes the triggered one)
           t
         }
         val head3 = walls.take(3).sum / 3
@@ -1017,7 +1018,7 @@ object ScaleProbe {
                 numHashes = 32).as("sig"))
           val (_, t) = time(graft.streaming.Incremental.applyNearDupBatch(
             spark, bt, k.toLong, s"$work/state", bands = 16, rowsPerBand = 2,
-            thresholdPct = 70, maxBucket = cap))
+            thresholdPct = 70, maxBucket = cap, autoCompactMinLive = 0))
           t
         }
         val head3 = walls.take(3).sum / 3
@@ -1042,6 +1043,156 @@ object ScaleProbe {
         f"${uncappedTail / math.max(cappedTail, 0.05)}%5.1f (demonstration)")
       docs.unpersist(blocking = false)
       if (flaggedS) { spark.stop(); sys.exit(1) }
+    }
+    // AUTO-COMPACTION cadence probe (round-13 verdict Next #4): B=24 with
+    // NO manual compact() anywhere — the apply-entry trigger alone must
+    // keep (a) the per-batch wall flat (median of the last 6 vs first 6:
+    // medians, because a fold batch is a legitimate spike the amortized
+    // claim allows), (b) live per-batch partitions BOUNDED (folds fire
+    // geometrically, so the live set never exceeds ~the base's batch
+    // span), and (c) the answers bit-identical to an opted-out run (a
+    // fold changes layout, never results). Spans rides along to prove its
+    // whole-shard-rewrite surfaces never accumulate per-batch partitions
+    // in the first place — nothing to trigger, file count flat by
+    // construction.
+    if (want("auto_compact")) {
+      val n = 24000
+      val bCount = 24
+      def liveBatchDirs(dir: String): Int = {
+        def rec(f: java.io.File): Set[String] =
+          if (!f.isDirectory) Set.empty
+          else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .flatMap(d => if (d.getName.startsWith("batch=")) Set(d.getName)
+                          else rec(d)).toSet
+        rec(new java.io.File(dir)).size
+      }
+      def parquetFiles(dir: String): Int = {
+        def rec(f: java.io.File): Int =
+          if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+          else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .map(rec).sum
+        rec(new java.io.File(dir))
+      }
+      def med(xs: Seq[Double]): Double = {
+        val s = xs.sorted; s(s.size / 2)
+      }
+      var flaggedAc = false
+      def gate(fam: String, walls: Seq[Double], liveAfter: Int,
+          answersEqual: Boolean, folded: Boolean): Unit = {
+        val headM = med(walls.take(6)); val tailM = med(walls.takeRight(6))
+        val flag = tailM > headM * 2.0 + 0.3 || liveAfter > bCount / 2 ||
+          !answersEqual || !folded
+        if (flag) flaggedAc = true
+        println(f"SCALE auto_compact $fam%-8s B=$bCount  " +
+          f"per-batch=[${walls.map(w => f"$w%.2f").mkString(",")}]  " +
+          f"headMed=${headM}%5.2f s  tailMed=${tailM}%5.2f s  " +
+          f"liveAfter=$liveAfter  folded=$folded  equal=$answersEqual  " +
+          f"${if (flag) "FLAG(auto-compaction cadence broken)" else "ok"}")
+      }
+      val docs = corpus(spark, n).withColumn("source", lit("s")).persist()
+      docs.count()
+      // near-dup: triggered run vs opted-out run, decisions must match
+      locally {
+        def run(minLive: Int): (Seq[Double], String) = {
+          val work = java.nio.file.Files
+            .createTempDirectory("graft_probe_ac_nd").toString
+          val walls = (0 until bCount).map { k =>
+            val bt = docs.filter(pmod(col("doc_id"), lit(bCount)) === k)
+              .select(col("doc_id"), col("source"),
+                graft.llm.Dedup.minhashSignature(col("text"),
+                  numHashes = 32).as("sig"))
+            time(graft.streaming.Incremental.applyNearDupBatch(
+              spark, bt, k.toLong, s"$work/state", bands = 16,
+              rowsPerBand = 2, thresholdPct = 70,
+              autoCompactMinLive = minLive))._2
+          }
+          (walls.map(_.toDouble), s"$work/state")
+        }
+        val (wallsOn, stOn) = run(8)
+        val (_, stOff) = run(0)
+        def dec(st: String) = graft.streaming.Incremental
+          .ndDecisions(spark, st)
+          .select("doc_id", "kept").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        gate("neardup", wallsOn, liveBatchDirs(s"$stOn/idx"),
+          dec(stOn) == dec(stOff),
+          graft.streaming.Incremental.highwater(stOn) >= 0L)
+      }
+      // embedding near-dup: same differential
+      locally {
+        val emb = spark.range(n).select(col("id").as("doc_id"), expr(
+          "transform(sequence(0, 63), i -> pmod(xxhash64(id, i), 1001) - 500)")
+          .as("qv")).persist()
+        emb.count()
+        def run(minLive: Int): (Seq[Double], String) = {
+          val work = java.nio.file.Files
+            .createTempDirectory("graft_probe_ac_emb").toString
+          val walls = (0 until bCount).map { k =>
+            time(graft.streaming.Incremental.applyEmbDupBatch(spark,
+              emb.filter(pmod(col("doc_id"), lit(bCount)) === k), k.toLong,
+              s"$work/state", nBits = 8,
+              autoCompactMinLive = minLive))._2
+          }
+          (walls.map(_.toDouble), s"$work/state")
+        }
+        val (wallsOn, stOn) = run(8)
+        val (_, stOff) = run(0)
+        def dec(st: String) = graft.streaming.Incremental
+          .embDecisions(spark, st)
+          .select("doc_id", "kept").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        gate("embdup", wallsOn, liveBatchDirs(s"$stOn/idx"),
+          dec(stOn) == dec(stOff),
+          graft.streaming.Incremental.highwater(stOn) >= 0L)
+        emb.unpersist(blocking = false)
+      }
+      // decontamination tg: same differential
+      locally {
+        val src = docs.select(col("doc_id"), col("source"), col("text"),
+          (col("doc_id") % 25 === 0).as("is_eval")).persist()
+        src.count()
+        def run(minLive: Int): (Seq[Double], String) = {
+          val work = java.nio.file.Files
+            .createTempDirectory("graft_probe_ac_ct").toString
+          val walls = (0 until bCount).map { k =>
+            time(graft.streaming.Incremental.applyContamBatch(spark,
+              src.filter(pmod(col("doc_id"), lit(bCount)) === k), k.toLong,
+              s"$work/state", n = 4,
+              autoCompactMinLive = minLive))._2
+          }
+          (walls.map(_.toDouble), s"$work/state")
+        }
+        val (wallsOn, stOn) = run(8)
+        val (_, stOff) = run(0)
+        def ver(st: String) = graft.streaming.Incremental
+          .contamVerdicts(spark, st)
+          .select("doc_id", "n_matched").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        gate("contam", wallsOn, liveBatchDirs(s"$stOn/tg"),
+          ver(stOn) == ver(stOff),
+          graft.streaming.Incremental.highwater(stOn) >= 0L)
+        src.unpersist(blocking = false)
+      }
+      // spans: whole-shard-rewrite surfaces — per-batch partitions never
+      // accumulate and the parquet file count stays ~bounded by the shard
+      // counts; gated to keep it that way
+      locally {
+        val work = java.nio.file.Files
+          .createTempDirectory("graft_probe_ac_sp").toString
+        val walls = (0 until bCount).map { k =>
+          time(graft.streaming.Incremental.applySpanBatch(spark,
+            docs.filter(pmod(col("doc_id"), lit(bCount)) === k)
+              .select("doc_id", "source", "text"),
+            k.toLong, s"$work/state", n = 15))._2
+        }
+        val files = parquetFiles(s"$work/state")
+        val liveAfter = liveBatchDirs(s"$work/state")
+        // 16 gshards + 16 dshards, ≤ a few files each after 24 rewrites
+        gate("spans", walls.map(_.toDouble), liveAfter,
+          answersEqual = files <= 96, folded = liveAfter == 0)
+      }
+      docs.unpersist(blocking = false)
+      if (flaggedAc) { spark.stop(); sys.exit(1) }
     }
     // merge-heavy CC probe (round-12 verdict watch item): every batch
     // merges 20k FRESH vertex pairs, so the forwarding table grows by 20k
