@@ -151,8 +151,12 @@ object Bench {
     val heavyAbove = sys.env.getOrElse("SPARK_GRAFT_HEAVY_S", "5.0").toDouble
     val wallBudget =
       sys.env.getOrElse("SPARK_GRAFT_WALL_BUDGET", "2400").toDouble
-    val t0Main = System.nanoTime()
-    def elapsed(): Double = (System.nanoTime() - t0Main) / 1e9
+    // elapsed counts from JVM START, not from here: the driver's timeout
+    // covers sbt launch + session init + prewarm too, so the budget must
+    // charge itself for them
+    val jvmStartMs =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    def elapsed(): Double = (System.currentTimeMillis() - jvmStartMs) / 1e3
     // local-iteration filter: SPARK_GRAFT_ONLY=q57_math_more,q43_lang_id
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
 
@@ -228,8 +232,11 @@ object Bench {
           if (overBudget) { // warmup IS the single measurement
             runs1Queries += name; warm
           } else if (nearBudget || warm > heavyAbove) {
+            // best-of-2: heavy (q30x incremental-gate) executions are full
+            // fresh fixture lifecycles, so the warmup is a legitimate
+            // sample, not a cache-priming pass
             runs1Queries += name
-            time(materialize(fn(spark, sfDir)))
+            math.min(warm, time(materialize(fn(spark, sfDir))))
           } else if (warm < warmAsRun1Below) {
             math.min(warm,
               (1 to math.max(1, runs - 1))

@@ -44,7 +44,7 @@ private[graft] object OracleAux {
   @volatile var q304Pairs: Option[Seq[(Long, Long)]] = None // (earlier_id, later_id) verified near-dup
   @volatile var q305Pairs: Option[Seq[(Long, Long)]] = None // q305's near-dup pairs (batch = doc_id % 2)
   @volatile var q307Pairs: Option[Seq[(Long, Long)]] = None // q307's pairs (compacted state, batch = doc_id % 3)
-  @volatile var q321Pairs: Option[Seq[(Long, Long)]] = None // q321's pairs (auto-compacted state, batch = doc_id % 10)
+  @volatile var q321Pairs: Option[Seq[(Long, Long)]] = None // q321's pairs (auto-compacted state, batch = doc_id % 6)
 }
 
 object SparkEntry {
@@ -4554,8 +4554,8 @@ object SparkEntry {
     }),
     "q321_autocompact_neardup" -> ((s, dir) => {
       // AUTO-COMPACTED incremental near-dup — q304's maintained screen
-      // driven for TEN batches with the apply-entry auto-compaction
-      // trigger (autoCompactMinLive = 3) and NO manual compact() call
+      // driven for SIX batches with the apply-entry auto-compaction
+      // trigger (autoCompactMinLive = 2) and NO manual compact() call
       // anywhere: whenever ≥3 live per-batch partition sets outweigh the
       // base in bytes (the LSM doubling rule — geometric folds, amortized
       // O(batch) per batch), the maintainer folds its own state before
@@ -4563,20 +4563,20 @@ object SparkEntry {
       // long-lived-maintainer production regime the manual-compact gates
       // (q307/q313) cannot exercise. The cadence must be invisible: the
       // oracle is q304's from-scratch recompute under the
-      // batch = doc_id % 10 order predicate, with zero knowledge of when
+      // batch = doc_id % 6 order predicate, with zero knowledge of when
       // (or whether) state folded. The query REQUIRES a fold to have
       // fired, so it cannot silently pass in the never-folded regime.
       val work = java.nio.file.Files.createTempDirectory("graft_acnd").toString
       val docs = t(s, dir, "documents").select("doc_id", "source", "text")
       val enrich = (bt: DataFrame) => bt.select(col("doc_id"), col("source"),
         Dedup.minhashSignature(col("text"), numHashes = 32).as("sig"))
-      for (k <- 0 until 10)
+      for (k <- 0 until 6)
         graft.streaming.Incremental.applyNearDupBatch(s,
-          enrich(docs.filter(col("doc_id") % 10 === k)), k.toLong,
+          enrich(docs.filter(col("doc_id") % 6 === k)), k.toLong,
           s"$work/state", bands = 16, rowsPerBand = 2, thresholdPct = 70,
-          autoCompactMinLive = 3)
+          autoCompactMinLive = 2)
       require(graft.streaming.Incremental.highwater(s"$work/state") >= 0L,
-        "auto-compaction must have fired at least once in a 10-batch run")
+        "auto-compaction must have fired at least once in a 6-batch run")
       OracleAux.q321Pairs = Some(graft.streaming.Incremental
         .ndPairs(s, s"$work/state").select("e_id", "d_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq)
@@ -10396,17 +10396,17 @@ object SparkEntry {
            |ORDER BY doc_id""".stripMargin
     }
     // q321: the auto-compaction cadence must be invisible — the SAME
-    // from-scratch recompute as q304, under the ten-way order predicate
-    // (batch = doc_id % 10), over pairs read through the base+live union.
+    // from-scratch recompute as q304, under the six-way order predicate
+    // (batch = doc_id % 6), over pairs read through the base+live union.
     val q321 = OracleAux.q321Pairs.map { pairs =>
       val vals = if (pairs.isEmpty) "(-1,-1)" else values(pairs)
       "q321_autocompact_neardup" ->
         s"""WITH raw(e, d) AS (VALUES $vals),
            |p0 AS (SELECT CAST(e AS BIGINT) AS e, CAST(d AS BIGINT) AS d FROM raw),
            |p AS (SELECT e, d FROM p0
-           |      WHERE (e % 10 < d % 10) OR (e % 10 = d % 10 AND e < d)),
+           |      WHERE (e % 6 < d % 6) OR (e % 6 = d % 6 AND e < d)),
            |m AS (SELECT d AS doc_id,
-           |        min((e % 10) * 10000000000 + e) AS enc
+           |        min((e % 6) * 10000000000 + e) AS enc
            |      FROM p GROUP BY d)
            |SELECT dd.doc_id, dd.source,
            |  CAST(CASE WHEN m.enc IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
