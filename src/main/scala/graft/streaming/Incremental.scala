@@ -103,7 +103,8 @@ object Incremental {
       nShards: Int = 16): DataFrame = {
     maintainLoop(spark, srcDir, checkpointDir, schema)(
       applyBatch(spark, _, _, stateDir, nShards))
-    spark.read.parquet(stateDir).select("user_id", "n", "cents")
+    spark.read.parquet(servingPath(stateDir, stateDir))
+      .select("user_id", "n", "cents")
   }
 
   // ── incremental curation funnel ──────────────────────────────────────
@@ -691,9 +692,12 @@ object Incremental {
   def ndDeadBuckets(spark: SparkSession, stateDir: String): DataFrame = {
     def emptyDead = spark.emptyDataFrame.select(lit(0L).as("bucket"),
       lit(0L).as("pop"), lit(-1L).as("batch")).limit(0)
+    // distinct: a fold crashed between promote and live-delete leaves the
+    // folded rows in both dead/ and dead_base/ — bit-identical, and this
+    // surface is bounded by the dead-bucket count, so collapsing is free
     parquetIfAny(spark, s"$stateDir/dead").getOrElse(emptyDead)
       .unionByName(parquetIfAny(spark, s"$stateDir/dead_base")
-        .getOrElse(emptyDead))
+        .getOrElse(emptyDead)).distinct()
   }
 
   /** Run the near-dup maintenance loop over everything staged in `srcDir`
@@ -870,6 +874,67 @@ object Incremental {
         "_layout")
     }
     new String(java.nio.file.Files.readAllBytes(f.toPath)).trim
+  }
+
+  /** Resolve the path a SERVING read should scan: normally `dir`, but while
+    * the surface's `_reshard_pending` marker is up (a reshard/re-bucket is
+    * running, or crashed mid-swap) and a retiree snapshot `_<name>.old`
+    * holds data, serve the retiree. In the crashed window the primary may
+    * be absent (between [[swapInPlace]]'s two renames) or an empty shell
+    * (a later lease's mkdirs), so a bare read would throw — or worse,
+    * return zero rows as if the MV were empty. The retiree is the
+    * consistent pre-swap snapshot; for a pure reshard it is row-identical
+    * after the shard/bmax columns serving reads drop anyway, so the
+    * fallback serves stale-but-never-wrong answers. MAINTAINERS never take
+    * this path: [[pinLayout]] fails them fast until the interrupted
+    * reshard re-runs to convergence ([[graft.llm.Similarity.queryIvfIndex]]
+    * established the pattern; this extends it to every family's reader).
+    * `markerDir` is the dir the reshard entry point was called with (the
+    * state dir itself for flat families; the family root for families
+    * whose reshard swaps a child dir).
+    */
+  private[graft] def servingPath(markerDir: String, dir: String): String = {
+    if (!reshardMarkerFile(markerDir).exists()) return dir
+    val d = new java.io.File(dir).getAbsoluteFile
+    val old = new java.io.File(d.getParentFile, s"_${d.getName}.old")
+    if (old.exists() && hasParquet(old)) old.getPath else dir
+  }
+
+  /** Footer-stats max of a required integral column across every parquet
+    * file under `dir` (recursive — folded base surfaces nest under
+    * hash-prefix dirs). Metadata-only; `None` when any file lacks stats
+    * for the column or no file holds rows.
+    */
+  private def footerMaxLong(spark: SparkSession, dir: String,
+      column: String): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .toSeq.flatMap(files)
+    var mx = Option.empty[Long]
+    for (f <- files(new java.io.File(dir))) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val maxes =
+        try reader.getFooter.getBlocks.asScala.flatMap { blk =>
+          blk.getColumns.asScala
+            .filter(_.getPath.toDotString == column)
+            .map(_.getStatistics)
+            .map(st => if (st == null || !st.hasNonNullValue) None
+              else st.genericGetMax match {
+                case n: java.lang.Number => Some(n.longValue)
+                case _ => None
+              })
+        } finally reader.close()
+      if (maxes.exists(_.isEmpty)) return None // stats missing: caller falls back
+      maxes.flatten.reduceOption(math.max(_: Long, _: Long)).foreach { m =>
+        mx = Some(mx.fold(m)(math.max(m, _)))
+      }
+    }
+    mx
   }
 
   /** Update one `k=v` entry in a state dir's `_layout` pin (used by the
@@ -1231,8 +1296,25 @@ object Incremental {
     */
   private def baseLiveUnion(spark: SparkSession, stateDir: String,
       sub: String, cols: Seq[String]): DataFrame = {
-    val parts = Seq(s"$stateDir/$sub", s"$stateDir/${sub}_base")
-      .flatMap(parquetIfAny(spark, _))
+    val basePath = s"$stateDir/${sub}_base"
+    val base = parquetIfAny(spark, basePath)
+    // fold-crash double-read guard: live rows at or below the base's fold
+    // high-water are ALREADY in base. Normally none exist (the fold deletes
+    // them after its promote), but a fold that crashed between the promote
+    // and the live-partition delete leaves them double-visible until the
+    // re-run's own distinct() repairs the layout. The filter collapses that
+    // window exactly — folded rows keep their original batch ids — and is
+    // metadata-only: footer stats of base's batch column on one side,
+    // partition pruning of the live batch= dirs on the other; a no-op in
+    // the healthy regime (every live partition is above the fold's upTo).
+    val baseMax = base.flatMap { b =>
+      footerMaxLong(spark, basePath, "batch").orElse(
+        Option(b.agg(max("batch")).collect()(0)).filterNot(_.isNullAt(0))
+          .map(_.getAs[Number](0).longValue))
+    }
+    val parts = (parquetIfAny(spark, s"$stateDir/$sub")
+      .map(df => baseMax.fold(df)(m => df.filter(col("batch") > m))).toSeq ++
+      base.toSeq)
       .map(_.select(cols.head, cols.tail: _*))
     require(parts.nonEmpty, s"no $sub state under $stateDir")
     parts.reduce(_ unionByName _)
@@ -1512,7 +1594,7 @@ object Incremental {
     */
   def spanVerdicts(spark: SparkSession, stateDir: String,
       n: Int = 15): DataFrame =
-    spark.read.parquet(s"$stateDir/cov")
+    spark.read.parquet(servingPath(stateDir, s"$stateDir/cov"))
       .withColumn("covered", expr(
         s"""aggregate(starts, named_struct('a', 0L, 'e', -1L),
            |  (s, x) -> named_struct(
@@ -1641,7 +1723,8 @@ object Incremental {
       n: Int = 15): DataFrame = {
     val head = curationReport(spark, s"$stateDir/delta")
       .select("source", "docs_in", "after_dedup", "after_rules")
-    val surv = spark.read.parquet(s"$stateDir/key")
+    val surv = spark.read
+      .parquet(servingPath(s"$stateDir/key", s"$stateDir/key"))
       .select("doc_id", "source", "n_words", "ok_rules", "ok_clf")
     val sv = surv
       .join(spanVerdicts(spark, s"$stateDir/span", n)
@@ -1880,9 +1963,11 @@ object Incremental {
   def embDeadBuckets(spark: SparkSession, stateDir: String): DataFrame = {
     def emptyDead = spark.emptyDataFrame.select(lit(0L).as("bucket"),
       lit(0L).as("pop"), lit(-1L).as("batch")).limit(0)
+    // distinct: same fold-crash double-visibility collapse as
+    // [[ndDeadBuckets]] — bounded by the dead-bucket count
     parquetIfAny(spark, s"$stateDir/dead").getOrElse(emptyDead)
       .unionByName(parquetIfAny(spark, s"$stateDir/dead_base")
-        .getOrElse(emptyDead))
+        .getOrElse(emptyDead)).distinct()
   }
 
   /** Run the embedding near-dup loop over everything staged in `srcDir`
@@ -2014,7 +2099,7 @@ object Incremental {
 
   /** The materialized join rows: key + both sides' payloads. */
   def joinMv(spark: SparkSession, stateDir: String, keyCol: String): DataFrame = {
-    val df = spark.read.parquet(s"$stateDir/mv")
+    val df = spark.read.parquet(servingPath(stateDir, s"$stateDir/mv"))
     df.select(keyCol, df.columns.toSeq
       .filterNot(Set(keyCol, "bmax", "shard")): _*)
   }
@@ -2136,7 +2221,7 @@ object Incremental {
     * one row per gap-maximal session — a row-local explode of the MV.
     */
   def sessionTable(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(stateDir)
+    spark.read.parquet(servingPath(stateDir, stateDir))
       .select(col("user_id"), explode(col("ivs")).as("iv"))
       .select(col("user_id"), col("iv.s").as("sess_start"),
         col("iv.e").as("sess_end"), col("iv.n").as("n_events"))
@@ -2265,7 +2350,7 @@ object Incremental {
     * change bookkeeping dropped.
     */
   def cdcTable(spark: SparkSession, stateDir: String, keyCol: String): DataFrame = {
-    val df = spark.read.parquet(stateDir)
+    val df = spark.read.parquet(servingPath(stateDir, stateDir))
     df.filter(col("op") =!= "D")
       .select(keyCol, df.columns.toSeq
         .filterNot(Set(keyCol, "cbatch", "cseq", "op", "bmax", "shard")): _*)
@@ -2516,7 +2601,7 @@ object Incremental {
     */
   def ccLabels(spark: SparkSession, stateDir: String): DataFrame = {
     val fwd = fwdSnapshot(spark, stateDir, ccApplied(stateDir) + 1)
-    spark.read.parquet(s"$stateDir/lbl")
+    spark.read.parquet(servingPath(stateDir, s"$stateDir/lbl"))
       .join(fwd, col("lbl") === col("src_lbl"), "left")
       .select(col("v").as("id"),
         coalesce(col("dst_lbl"), col("lbl")).as("cluster_id"))
@@ -2768,7 +2853,7 @@ object Incremental {
     */
   def contamVerdicts(spark: SparkSession, stateDir: String,
       minMatches: Long = 1L): DataFrame =
-    spark.read.parquet(s"$stateDir/ver")
+    spark.read.parquet(servingPath(stateDir, s"$stateDir/ver"))
       .select(col("doc_id"), col("source"), col("n_grams"), col("n_matched"),
         (col("n_matched") >= minMatches).cast("long").as("contaminated"))
 

@@ -1847,4 +1847,99 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "b")))
   }
+
+  test("serving reads survive a crashed reshard (retiree fallback) and a " +
+      "crashed fold (double-visibility guard); maintainers still fail fast") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    // ── flat family (CDC): a reshard crashed BETWEEN its two renames
+    // leaves the marker up and the data only in _cdc.old. A bare read
+    // would throw on the missing primary — or, after a failed maintainer
+    // attempt recreates an empty shell, silently return ZERO rows as if
+    // the MV were empty. Serving reads must fall back to the retiree.
+    val cdc = s"$work/cdc"
+    Incremental.applyCdcBatch(spark, (0L until 30L)
+      .map(k => (k, "I", k, s"v$k")).toDF("k", "op", "seq", "v"),
+      0L, cdc, "k", nShards = 4)
+    def cdcRows() = Incremental.cdcTable(spark, cdc, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = cdcRows()
+    val marker = Incremental.reshardMarkerFile(cdc)
+    java.nio.file.Files.writeString(marker.toPath, "pending")
+    assert(new java.io.File(cdc)
+      .renameTo(new java.io.File(s"$work/_cdc.old")), "test setup")
+    assert(cdcRows() == before,
+      "reads during a crashed reshard must serve the retiree snapshot")
+    // maintainers must NOT serve stale state — fail fast until the re-run
+    val eM = intercept[IllegalArgumentException] {
+      Incremental.applyCdcBatch(spark, Seq((99L, "I", 0L, "x"))
+        .toDF("k", "op", "seq", "v"), 1L, cdc, "k", nShards = 4)
+    }
+    assert(eM.getMessage.contains("interrupted mid-swap"))
+    // ...and the failed attempt's empty primary shell must not shadow the
+    // retiree for readers
+    assert(cdcRows() == before,
+      "an empty primary shell must not shadow the retiree")
+    Incremental.reshardCdc(spark, cdc, newNShards = 8) // recovery re-run
+    assert(!marker.exists() && cdcRows() == before,
+      "recovery must converge and reads must return to the primary")
+    // ── subdir family (CC): lbl/ retired mid-swap under the family marker
+    val cc = s"$work/cc"
+    Incremental.applyCcBatch(spark, Seq((1L, 2L), (3L, 4L)).toDF("a", "b"),
+      0L, cc, nShards = 4)
+    Incremental.applyCcBatch(spark, Seq((2L, 3L)).toDF("a", "b"),
+      1L, cc, nShards = 4)
+    def labels() = Incremental.ccLabels(spark, cc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lBefore = labels()
+    val ccMarker = Incremental.reshardMarkerFile(cc)
+    java.nio.file.Files.writeString(ccMarker.toPath, "pending")
+    assert(new java.io.File(s"$cc/lbl")
+      .renameTo(new java.io.File(s"$cc/_lbl.old")), "test setup")
+    assert(labels() == lBefore,
+      "ccLabels must serve the retiree label table during a crashed reshard")
+    Incremental.reshardCc(spark, cc, newNShards = 8)
+    assert(!ccMarker.exists() && labels() == lBefore)
+    // ── fold-crash double-visibility: a compact that crashed between its
+    // base promote and its live-partition delete leaves folded rows in
+    // BOTH the new base and the live batch dirs. The baseLiveUnion guard
+    // (live batch > footer-max of base's batch column) must collapse the
+    // overlap so ndPairs/ndDecisions stay exact in the window.
+    val docs = graft.tools.ScaleProbe.corpus(spark, 300)
+      .withColumn("source", lit("s")).persist()
+    def enrich(bt: org.apache.spark.sql.DataFrame) =
+      bt.select(col("doc_id"), col("source"),
+        graft.llm.Dedup.minhashSignature(col("text"), numHashes = 32).as("sig"))
+    val nd = s"$work/nd"
+    for (k <- 0 until 2)
+      Incremental.applyNearDupBatch(spark,
+        enrich(docs.filter(pmod(col("doc_id"), lit(2)) === k)), k.toLong,
+        nd, bands = 16, rowsPerBand = 2, thresholdPct = 70)
+    def snap() = (
+      Incremental.ndDecisions(spark, nd).collect().map(_.mkString(",")).toSet,
+      Incremental.ndPairs(spark, nd).collect().map(_.mkString(",")).toSet)
+    val ndBefore = snap()
+    // snapshot the live decision/pair partitions, compact, then restore
+    // them beside the folded base — exactly the crashed-delete window
+    def copyRec(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+          .foreach(f => copyRec(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val saved = s"$work/saved"
+    for (sub <- Seq("decisions", "pairs"))
+      copyRec(new java.io.File(s"$nd/$sub"), new java.io.File(s"$saved/$sub"))
+    Incremental.compactNearDup(spark, nd, upToBatch = 1L)
+    assert(snap() == ndBefore) // healthy compacted reads (guard is a no-op)
+    for (sub <- Seq("decisions", "pairs"))
+      copyRec(new java.io.File(s"$saved/$sub"), new java.io.File(s"$nd/$sub"))
+    assert(snap() == ndBefore,
+      "folded rows double-visible after a crashed fold must read once")
+    docs.unpersist(blocking = false)
+  }
 }
