@@ -346,9 +346,30 @@ object Incremental {
     */
   def applyCurationBatch(spark: SparkSession, enriched: DataFrame, batchId: Long,
       stateDir: String, deltaDir: String, nShards: Int,
-      stages: Seq[String] = Seq("ok_rules", "ok_clf")): Unit =
+      stages: Seq[String] = Seq("ok_rules", "ok_clf"),
+      deltaFoldMaxLive: Int = autoCompactMaxLive): Unit =
     withLease(stateDir) { withLease(deltaDir) {
     require(stages.nonEmpty, "at least one stage flag required")
+    // AUTO-FOLD CADENCE for the delta surface (the last family without
+    // one, enabled by compactDeltas' crash-self-repairing rewrite): fold
+    // when the live batch partitions outnumber `deltaFoldMaxLive`
+    // (metadata-only check). The fold stops at `batchId - 1`: a crashed
+    // previous attempt of THIS batch may have written a partial delta
+    // partition whose state write never committed — folding it would bake
+    // the orphan into the sums before the retry overwrites it. A fold
+    // that itself crashed (marker up) is healed the same way: re-running
+    // the fold converges, after which the append proceeds.
+    if (deltaFoldMaxLive > 0 && (reshardMarkerFile(deltaDir).exists() ||
+        distinctBatchDirs(new java.io.File(deltaDir))
+          .count(_.stripPrefix("batch=").toLong < batchId) > deltaFoldMaxLive))
+      compactDeltas(spark, deltaDir, batchId - 1)
+    // with the cadence disabled, a crashed fold still fails fast like
+    // pinLayout does for the sharded surfaces: appending into the
+    // (possibly empty-shell) primary would strand rows the recovery
+    // re-run's primary-or-retiree read cannot see
+    require(!reshardMarkerFile(deltaDir).exists(),
+      s"a delta fold of $deltaDir was interrupted mid-swap -- re-run " +
+        "compactDeltas to converge before appending")
     // The partition-granular overwrites below REQUIRE dynamic mode (static
     // overwrite deletes ALL historical shard/batch partitions) — set here,
     // not only in the maintain* wrappers, so direct batch callers are safe.
@@ -731,10 +752,12 @@ object Incremental {
   // the near-dup fold a crash there is repaired by re-running the SAME
   // compact call (the fold re-reads remaining partitions plus the
   // already-written base and row-level `distinct()` collapses the
-  // overlap — rows are bit-identical). The delta fold's rows are SUMS, so
-  // its window is not self-repairing — a table format's atomic commit log
-  // is what closes it in production; on plain parquet, quiesce and don't
-  // crash mid-compact.
+  // overlap — rows are bit-identical; serving reads are additionally exact
+  // INSIDE the window via baseLiveUnion's footer-stats guard). The delta
+  // fold's rows are SUMS — not collapsible — so it takes the other route:
+  // a full-surface rewrite promoted by retire-rename under the
+  // _reshard_pending marker (see compactDeltas), the same discipline a
+  // table format's atomic commit log would provide.
 
   private[graft] def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
@@ -1160,11 +1183,12 @@ object Incremental {
   // every-k-batches cadence would instead pay O(corpus/k) per batch. Like
   // CC's fwdFoldMin, the knob is a call parameter, not layout-pinned:
   // it changes WHEN state folds, never how it is laid out or read, so
-  // differing values across batches are harmless. The non-self-repairing
-  // delta fold (compactDeltas — SUM rows, see its contract) stays
-  // operator-invoked at quiescent points, deliberately. Spans/CDC/
-  // sessions/agg/curation-key surfaces rewrite whole shards per batch and
-  // never accumulate per-batch partitions — nothing to trigger.
+  // differing values across batches are harmless. The delta fold
+  // (compactDeltas — SUM rows) has its own cadence at applyCurationBatch's
+  // entry (deltaFoldMaxLive), enabled by its crash-self-repairing
+  // swap-based rewrite. Spans/CDC/sessions/agg/curation-key surfaces
+  // rewrite whole shards per batch and never accumulate per-batch
+  // partitions — nothing to trigger.
 
   private val autoCompactMaxLive = 64
 
@@ -1353,27 +1377,54 @@ object Incremental {
 
   /** Fold the curation delta stream's per-(batch, shard) partitions ≤
     * `upToBatch` into the single partition (upToBatch, shard) — the report
-    * is a SUM over deltas, so folding preserves it exactly. The fold
-    * writes via dynamic partition overwrite (staged commit: the read of
-    * the old files completes before the replacement lands), then deletes
-    * the strictly-older batch partitions.
+    * is a SUM over deltas, so folding preserves it exactly.
+    *
+    * CRASH-SELF-REPAIRING (unlike its first form, which overwrote the fold
+    * target in place and then deleted the older partitions — a crash
+    * between those two steps left the folded sums AND their inputs both
+    * readable, and because the rows are SUMS, not idempotent facts, a
+    * re-run re-summed the double-count instead of repairing it): the fold
+    * now writes the ENTIRE replacement surface (folded partition +
+    * passthrough of batches above `upToBatch` — cheap, the surface is
+    * bounded by batches × sources × shards rows) to `_<name>.tmp` and
+    * promotes it with the [[swapInPlace]] retire-rename under the
+    * `_reshard_pending` marker. A crash anywhere leaves either the intact
+    * primary or the intact retiree; [[curationReport]] serves whichever is
+    * consistent via [[servingPath]], [[applyCurationBatch]] fails fast on
+    * the marker, and re-running this same call converges (it reads
+    * primary-or-retiree and the fold is a pure function of that input).
     */
   def compactDeltas(spark: SparkSession, deltaDir: String,
       upToBatch: Long): Unit = withLease(deltaDir) {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val d = spark.read.parquet(deltaDir)
-    val deltaCols = d.columns.filter(_.startsWith("d_")).toSeq
-    val folded = d.filter(col("batch") <= upToBatch)
-      .groupBy("source", "shard")
-      .agg(sum(deltaCols.head).as(deltaCols.head),
-        deltaCols.tail.map(c => sum(c).as(c)): _*)
-      .withColumn("batch", lit(upToBatch))
-    folded.coalesce(1).write.mode("overwrite").partitionBy("batch", "shard")
-      .parquet(deltaDir)
-    Option(new java.io.File(deltaDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        f.getName.stripPrefix("batch=").toLong < upToBatch)
-      .foreach(deleteRec)
+    val dirF = new java.io.File(deltaDir).getAbsoluteFile
+    val (parent, name) = (dirF.getParentFile.getPath, dirF.getName)
+    // primary-or-retiree: after a crash between the swap's two renames the
+    // data lives only in the retiree (the lease's mkdirs may have left an
+    // empty primary shell, which hasParquet excludes)
+    val cur = parquetIfAny(spark, deltaDir)
+      .orElse(parquetIfAny(spark, s"$parent/_$name.old"))
+    cur.foreach { d => withReshardMarker(deltaDir) {
+      val deltaCols = d.columns.filter(_.startsWith("d_")).toSeq
+      val folded = d.filter(col("batch") <= upToBatch)
+        .groupBy("source", "shard")
+        .agg(sum(deltaCols.head).as(deltaCols.head),
+          deltaCols.tail.map(c => sum(c).as(c)): _*)
+        .withColumn("batch", lit(upToBatch))
+      folded.unionByName(d.filter(col("batch") > upToBatch))
+        .coalesce(1).write.mode("overwrite").partitionBy("batch", "shard")
+        .parquet(s"$parent/_$name.tmp")
+      // carry "_"-prefixed marker files (the lease; any future pins) into
+      // the replacement, retiree-first with the primary winning conflicts
+      // (same contract as reshardDir)
+      for {
+        srcDir <- Seq(new java.io.File(parent, s"_$name.old"), dirF)
+        f <- Option(srcDir.listFiles()).getOrElse(Array.empty[java.io.File])
+        if f.isFile && f.getName.startsWith("_") && f.getName != "_SUCCESS"
+      } java.nio.file.Files.copy(f.toPath,
+        new java.io.File(s"$parent/_$name.tmp", f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      swapInPlace(parent, name)
+    } }
   }
 
   /** Compact any incremental state layout in one call: a composed-funnel
@@ -1632,7 +1683,8 @@ object Incremental {
       sum("d_dedup").as("after_dedup")) ++
       stages.zip(outNames).map { case (st, o) => sum(s"d_$st").as(o) } :+
       sum("d_tokens").as("kept_tokens")
-    spark.read.parquet(deltaDir).groupBy("source").agg(aggs.head, aggs.tail: _*)
+    spark.read.parquet(servingPath(deltaDir, deltaDir))
+      .groupBy("source").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Run the curation maintenance loop over everything currently staged in

@@ -1942,4 +1942,66 @@ class StreamingSpec extends SparkSuite {
       "folded rows double-visible after a crashed fold must read once")
     docs.unpersist(blocking = false)
   }
+
+  test("delta fold: crash-self-repairing swap, retiree-served report, " +
+      "auto-fold cadence bounded and invisible") {
+    import graft.streaming.Incremental
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val work = java.nio.file.Files.createTempDirectory("graft_deltafold").toString
+    def mkBatch(i: Int) = Seq(
+      (i * 10L + 1L, "s0", s"k${i}a", 10L + i, 1L, 1L),
+      (i * 10L + 2L, "s1", s"k${i}b", 20L + i, 1L, (i % 2).toLong))
+      .toDF("doc_id", "source", "norm_key", "n_words", "ok_rules", "ok_clf")
+    def rep(dl: String) = rows(Incremental.curationReport(spark, dl)
+      .orderBy("source")).map(_.mkString(","))
+    // ── crash matrix on a hand-driven surface
+    val key = s"$work/key"; val dl = s"$work/delta"
+    Incremental.applyCurationBatch(spark, mkBatch(0), 0L, key, dl, nShards = 4)
+    Incremental.applyCurationBatch(spark, mkBatch(1), 1L, key, dl, nShards = 4)
+    val before = rep(dl)
+    Incremental.compactDeltas(spark, dl, upToBatch = 1L) // healthy: invisible
+    assert(rep(dl) == before)
+    assert(!new java.io.File(s"$work/_delta.old").exists()) // clean swap
+    // a fold crashed between its two renames: marker up, data only in the
+    // retiree; the report must keep answering, appends must not corrupt
+    val marker = Incremental.reshardMarkerFile(dl)
+    java.nio.file.Files.writeString(marker.toPath, "pending")
+    assert(new java.io.File(dl)
+      .renameTo(new java.io.File(s"$work/_delta.old")), "test setup")
+    assert(rep(dl) == before, "report must serve the retiree mid-crash")
+    val e = intercept[IllegalArgumentException] { // cadence off → fail fast
+      Incremental.applyCurationBatch(spark, mkBatch(2), 2L, key, dl,
+        nShards = 4, deltaFoldMaxLive = 0)
+    }
+    assert(e.getMessage.contains("interrupted mid-swap"))
+    assert(rep(dl) == before,
+      "the failed append's empty shell must not shadow the retiree")
+    // cadence on → the apply heals (re-runs the fold) and then appends
+    Incremental.applyCurationBatch(spark, mkBatch(2), 2L, key, dl, nShards = 4)
+    assert(!marker.exists(), "healing must clear the marker")
+    // the healed surface equals an untouched twin replay of all batches
+    val k2 = s"$work/key2"; val d2 = s"$work/delta2"
+    for (i <- 0 to 2)
+      Incremental.applyCurationBatch(spark, mkBatch(i), i.toLong, k2, d2,
+        nShards = 4)
+    assert(rep(dl) == rep(d2))
+    // ── auto-fold cadence: live partitions bounded, report invisible
+    val ka = s"$work/ka"; val da = s"$work/da"
+    val kb = s"$work/kb"; val db = s"$work/db"
+    for (i <- 0 until 8) {
+      Incremental.applyCurationBatch(spark, mkBatch(i), i.toLong, ka, da,
+        nShards = 4, deltaFoldMaxLive = 2)
+      Incremental.applyCurationBatch(spark, mkBatch(i), i.toLong, kb, db,
+        nShards = 4, deltaFoldMaxLive = 0)
+    }
+    assert(rep(da) == rep(db), "the cadence must be invisible to the report")
+    def liveBatches(d: String) = Option(new java.io.File(d).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(liveBatches(db) == 8) // the opted-out twin accumulates
+    assert(liveBatches(da) <= 4,
+      s"cadence must bound live partitions, got ${liveBatches(da)}")
+  }
 }
