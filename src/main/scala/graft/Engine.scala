@@ -46,6 +46,39 @@ object Engine {
       // bucketed-table warehouse (q111 co-located join) outside the repo
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // ── filesystem-metadata overhead on the maintained-MV state paths ──
+      // (round-14 optimization, guide §6: the per-batch stateful merges are
+      // fs-metadata-bound — ProfInc attributed the q30x floor to the delta
+      // write + dynamic shard overwrite, and BENCH fs-canaries drift 2-16×
+      // on metadata-heavy days. Three cuts, A/B-measured on ProfInc's warm
+      // streaming round: 11.7-13.2 s baseline → 9.2-9.5 s with all three.)
+      //
+      // 1. Partition discovery: past `threshold` partition dirs Spark
+      // launches a DISTRIBUTED listing job per read — a whole job-submit
+      // round trip to list a few hundred local dirs. The incremental state
+      // layouts ((shard|bp) × batch) routinely exceed the default 32 dirs,
+      // so every pruned state read paid one. Driver-side listing is the
+      // right call up to ~10k dirs on any fs with cheap LIST (local, HDFS,
+      // manifest-backed table formats); production object-store deployments
+      // can lower it back via SPARK_GRAFT_LIST_THRESHOLD.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "4096"))
+      // 2. FileOutputCommitter v2: task output moves to the final location
+      // at TASK commit (one rename) instead of being renamed again at JOB
+      // commit (two). Safe here by the same argument that makes retries
+      // safe at all: every state/delta write lands in its own (shard|bp,
+      // batch) partition dir under dynamic overwrite with bmax/marker
+      // replay guards, so a partially-committed job is either invisible
+      // (batch < bmax re-run overwrites) or repaired by the documented
+      // crash-recovery paths. Standard production choice on HDFS-like
+      // stores; object-store deployments swap in a cloud committer anyway.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_COMMITTER_V", "2"))
+      // 3. No _SUCCESS markers: nothing in the engine reads them (replay
+      // guards are bmax/footer-stats based), so each write was paying one
+      // extra file create + one extra entry in every subsequent listing.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+        "false")
 
   /** Build a local session configured the way every graft entry point expects. */
   def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
@@ -61,6 +94,27 @@ object Engine {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.Registry.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Spread a narrow scan across the cluster before heavy per-row work.
+    *
+    * Parquet splits cannot be finer than a ROW GROUP, and a table written
+    * as one file with one row group (the local testdata shape — lineitem
+    * sf0.1 is a single 10.8 MB row group) scans as ONE task no matter what
+    * `maxPartitionBytes`/`minPartitionNum` say. Any expensive map-side
+    * work that runs before the first exchange — tokenize + explode,
+    * per-pair scoring after a broadcast join — then serializes onto one
+    * core. Round-robin repartition ONLY when the frame has fewer
+    * partitions than the session parallelism: at production corpus sizes
+    * the scan already has more partitions, so this is a no-op and never
+    * adds a shuffle at scale (round-14 optimization, guide §2.5/§2.6:
+    * input skew and idle capacity). Row sets are unchanged; the engine's
+    * exact-arithmetic discipline (decimal/integer/quantized sums) makes
+    * the partitioning change invisible to every oracle.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /** The events table with `ts` normalized to a session-zone TimestampType,

@@ -109,7 +109,7 @@ object SparkEntry {
     * broadcast table.
     */
   private def classifierScore(s: SparkSession, docsToks: DataFrame): DataFrame = {
-    val big = docsToks
+    val big = Engine.spread(docsToks)
       .withColumn("__graft_nn", size(col("toks")))
       .filter(col("__graft_nn") > 1)
       .select(col("doc_id"), explode(expr(
@@ -5415,7 +5415,10 @@ object SparkEntry {
       // more than the saved JW work; fuzzyJoin keeps that pre-pass
       // because whole-table repetition there is ~300×.)
       val p = t(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
-      val a = p.toDF("ak", "an", "p_brand", "p_type")
+      // spread the probe side: `part` is one parquet row group locally, so
+      // the broadcast block join's 1.3M-pair JW loop otherwise runs on ONE
+      // task (Engine.spread is a no-op once the scan has real parallelism)
+      val a = Engine.spread(p.toDF("ak", "an", "p_brand", "p_type"))
       val b = p.toDF("bk", "bn", "p_brand", "p_type")
       val pairs = a.join(b, Seq("p_brand", "p_type")).filter(col("ak") < col("bk"))
       ord(pairs.select(col("ak"), col("bk"),

@@ -128,7 +128,7 @@ object Bpe {
       sampleCap: Int = 0): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     requireUsableIdCol(idCol)
-    var cur = df
+    var cur = graft.Engine.spread(df)
       .select(col(idCol), TextFns.portableTokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
@@ -157,7 +157,7 @@ object Bpe {
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     requireUsableIdCol(idCol)
-    var cur = df
+    var cur = graft.Engine.spread(df)
       .select(col(idCol), TextFns.portableTokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)

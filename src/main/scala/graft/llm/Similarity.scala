@@ -22,6 +22,18 @@ object Similarity {
   /** Dot product (native expression; falls back to zip_with-free codegen). */
   def dot(a: Column, b: Column): Column = Registry.dot(a, b)
 
+  /** Spread a small scan across the cluster before a pair loop: the
+    * brute-force/quantized cross joins inherit the SCAN's partitioning, and
+    * a corpus that fits one parquet split runs its whole O(n·q) pair loop
+    * on ONE task (measured: q49's 4M-pair loop single-threaded at sf0.1).
+    * Round-robin repartition ONLY when the input has fewer partitions than
+    * the session's parallelism — at real corpus sizes the scan already has
+    * more, so this is a no-op there and never adds a shuffle at scale.
+    * Row set (and thus every max/struct aggregate downstream) is unchanged.
+    * (round-14 optimization, guide §2.5 input skew / idle capacity)
+    */
+  private def spread(df: DataFrame): DataFrame = graft.Engine.spread(df)
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -47,7 +59,7 @@ object Similarity {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qvec"),
       l2Norm(col(vecCol)).as("qnorm")))
-    val c = corpus.select(
+    val c = spread(corpus).select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       l2Norm(col(vecCol)).as("cnorm"))
     val scored = c.crossJoin(q)
@@ -92,7 +104,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+    val a = spread(df).select(col(idCol).as("id_a"), col(vecCol).as("va"),
       l2Norm(col(vecCol)).as("na"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
       l2Norm(col(vecCol)).as("nb"))
@@ -801,7 +813,7 @@ object Similarity {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(codeCol).as("qa"),
       sqrt(dotInt(col(codeCol), col(codeCol)).cast("double")).as("qn")))
-    val c = codes.select(
+    val c = spread(codes).select(
       col(idCol).as("neighbor_id"), col(codeCol).as("ca"),
       sqrt(dotInt(col(codeCol), col(codeCol)).cast("double")).as("cn"))
     c.crossJoin(q)
@@ -916,15 +928,26 @@ object Similarity {
     val m = books.length
     val subdim = books(0)(0).length
     val cbLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv")))
-    codes.crossJoin(q)
+    // ADC distance TABLE, built once per query on the broadcast side:
+    // dtab[s][cid] = dot(q_s, cb[s][cid]) — m×k doubles per query. The
+    // per-pair score is then m table lookups + adds instead of m
+    // slice-allocations + subdim-wide dots (the "distance table replaces
+    // the sub-dots" form the scale note below always promised). Each table
+    // entry is the IDENTICAL dot expression the per-pair form evaluated,
+    // summed in the same s order, so scores are bit-unchanged.
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(element_at(cbLit, s + 1), c =>
+            dot(slice(col("qv"), s * lit(subdim) + 1, lit(subdim)), c)))
+          .as("dtab")))
+    spread(codes).crossJoin(q)
       .withColumn("score",
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc + dot(
-            slice(col("qv"), s * lit(subdim) + 1, lit(subdim)),
-            element_at(element_at(cbLit, s + 1),
-              element_at(col("codes"), s + 1) + 1))))
+          (acc, s) => acc + element_at(element_at(col("dtab"), s + 1),
+            element_at(col("codes"), s + 1) + 1)))
       .groupBy("query_id")
       .agg(max(struct(col("score"), (-col("vec_id")).as("neg_id"))).as("best"))
       .select(col("query_id"), (-col("best.neg_id")).as("neighbor_id"),
@@ -961,15 +984,22 @@ object Similarity {
         transform(col("book"), b => b.getField("centroid")).as("book"))))
         .as("sb"))
       .select(transform(col("sb"), x => x.getField("book")).as("__graft_books")))
+    // same ADC distance-table form as [[pqTop1]]; here the table is built
+    // per (query × packed-books) row on the tiny broadcast-product side, so
+    // the big coded scan still pays only lookups per pair
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv")))
-    codes.crossJoin(packed).crossJoin(q)
+    val qtab = broadcast(q.crossJoin(packed)
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(element_at(col("__graft_books"), s + 1), c =>
+            dot(slice(col("qv"), s * lit(subdim) + 1, lit(subdim)), c)))
+          .as("dtab")))
+    spread(codes).crossJoin(qtab)
       .withColumn("score",
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (acc, s) => acc + dot(
-            slice(col("qv"), s * lit(subdim) + 1, lit(subdim)),
-            element_at(element_at(col("__graft_books"), s + 1),
-              element_at(col("codes"), s + 1) + 1))))
+          (acc, s) => acc + element_at(element_at(col("dtab"), s + 1),
+            element_at(col("codes"), s + 1) + 1)))
       .groupBy("query_id")
       .agg(max(struct(col("score"), (-col("vec_id")).as("neg_id"))).as("best"))
       .select(col("query_id"), (-col("best.neg_id")).as("neighbor_id"),

@@ -15,8 +15,37 @@ object ProfInc {
     val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Counts jobs/stages/tasks between [[mark]] calls, so each profiled phase
+    * also reports its scheduler footprint (a per-batch stateful merge that
+    * runs 10 tiny jobs pays ~10 job-submit round trips before any work).
+    */
+  private class Footprint extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val sites = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet()
+      val site = Option(j.properties.getProperty("callSite.short")).getOrElse("?")
+      sites.merge(site, 1, (a, b) => a + b)
+    }
+    override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+    }
+    def mark(): (Int, Int, Int) = {
+      val r = (jobs.get, stages.get, tasks.get)
+      import scala.jdk.CollectionConverters._
+      sites.asScala.toSeq.sortBy(-_._2).foreach { case (s, n) =>
+        println(s"PROFINC   site $n x $s") }
+      sites.clear()
+      jobs.set(0); stages.set(0); tasks.set(0); r
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Engine.session(32)
+    val fp = new Footprint
+    spark.sparkContext.addSparkListener(fp)
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.Registry.register(spark)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,6 +80,8 @@ object ProfInc {
         graft.streaming.Incremental.curationReport(spark, s"$w1/delta")
           .collect()
       }
+      org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBusEmpty(spark.sparkContext, 30000)
+      val (dj, dst, dtk) = fp.mark()
       // full q301 shape: staging + 2 maintain calls (streaming) + report
       val w2 = java.nio.file.Files.createTempDirectory("profinc_stream").toString
       val (_, tStage) = time {
@@ -74,6 +105,10 @@ object ProfInc {
       println(f"PROFINC round=$round direct3=${tDirect}%5.2f s | " +
         f"stage=${tStage}%5.2f maintain1=${tM1}%5.2f maintain2=${tM2}%5.2f " +
         f"report=${tRep}%5.2f total=${tStage + tM1 + tM2 + tRep}%5.2f s")
+      org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBusEmpty(spark.sparkContext, 30000)
+      val (j, st, tk) = fp.mark()
+      println(s"PROFINC round=$round footprint: direct3 jobs=$dj stages=$dst " +
+        s"tasks=$dtk | streamed jobs=$j stages=$st tasks=$tk")
     }
     spark.stop()
   }
