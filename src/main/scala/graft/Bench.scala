@@ -438,6 +438,21 @@ object Bench {
     // FIRST "metric":"total" line must not pick this ~3.3 kB line (which a
     // bounded tail buffer can truncate) over the compact record below.
     println(s"""{"metric":"per_query","value":${f(total)},"unit":"sec","total_s":${f(total)},"join_gibs":${f(joinGiBs)},"join_throughput_gibs":${f(joinGiBs)},"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"join_nrows":$joinNrows,"queries":$qsShort}""")
+    // CHUNKED per-query map (round-14 verdict Next #3): the single
+    // per_query line above is ~5 kB at 321 queries, so any bounded tail
+    // capture truncates its head and the whole map is lost to PERF. Each
+    // part line below is a SELF-CONTAINED ≤2 kB JSON record
+    // ("metric":"per_query_part", part i of nparts, full query names), so
+    // whatever subset of lines survives a capture window parses on its
+    // own and a full-stdout consumer reassembles all 321 entries.
+    // Output-only: measurement protocol and all existing lines unchanged.
+    val partSize = 40 // full-name entries ≈ 25-30 B → ~1.2 kB per line
+    val parts = finalResults.grouped(partSize).toSeq
+    parts.zipWithIndex.foreach { case (chunk, pi) =>
+      val m = chunk.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"per_query_part","part":${pi + 1},"nparts":${parts.size},"n_queries":${results.size},"sf":"$sfDir","queries":$m}""")
+    }
     // compact totals-only record LAST: this is the line tail-capture parses.
     // canary: fixed-workload walls sampled every `canary_every` queries
     // (chronological) — a flat array means a clean run; a spike localizes a

@@ -113,6 +113,21 @@ object Engine {
     * the partitioning change invisible to every oracle.
     */
   def spread(df: DataFrame): DataFrame = {
+    // Scan-rooted frames ONLY (round-15 hardening): probing partition count
+    // via `Dataset.rdd` is free on a shuffle-free plan, but under AQE a
+    // frame with upstream exchanges would resolve its final physical plan —
+    // eagerly RUNNING every upstream shuffle stage just to count partitions,
+    // work the real query then repeats. Every intended call site passes a
+    // raw scan/projection; anything wider returns unchanged (the pre-probe
+    // behaviour for frames whose parallelism is already set by an exchange).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrow(plan: LogicalPlan): Boolean = plan match {
+      case _: LeafNode => true
+      case p @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias) =>
+        p.children.forall(narrow)
+      case _ => false
+    }
+    if (!narrow(df.queryExecution.analyzed)) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

@@ -3943,25 +3943,40 @@ object SparkEntry {
       val labeled = cands
         .join(broadcast(lbl.toDF("query_id", "la")), "query_id")
         .join(broadcast(lbl.toDF("neighbor_id", "lb")), "neighbor_id")
-      val pos = Similarity.topKOverCandidates(
-          labeled.filter(col("la") === col("lb"))
-            .select("query_id", "neighbor_id"),
-          e, e, "vec_id", "embedding", k = 1)
+      // SINGLE scored pass (round-15 optimization, guide §2.4): the pos/neg
+      // splits previously each re-joined the vector sides and aggregated
+      // separately — two qVecs/cVecs join passes + two top-1 aggregates +
+      // a pos⋈neg re-join over the same candidate set. Score the whole
+      // labeled set ONCE (norms hoisted into projections, exactly as
+      // topKOverCandidates does), then split pos/neg inside ONE
+      // conditional max-struct aggregate using rankTopK's k=1 tie-break
+      // (cosine desc, neighbor_id asc via the negated id) — per-pair
+      // expressions and choices are bit-identical, and anchors lacking
+      // either side drop exactly like the old inner pos⋈neg join.
+      val qv = e.select(col("vec_id").as("query_id"),
+        col("embedding").as("qvec"), Similarity.l2Norm(col("embedding")).as("qnorm"))
+      val cv = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"), Similarity.l2Norm(col("embedding")).as("cnorm"))
+      val scored = labeled
+        .join(qv, "query_id").join(cv, "neighbor_id")
+        .withColumn("cosine",
+          Similarity.dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      val best = scored.groupBy("query_id").agg(
+          max(when(col("la") === col("lb"),
+            struct(col("cosine"), (-col("neighbor_id")).as("neg_id")))).as("bp"),
+          max(when(col("la") =!= col("lb"),
+            struct(col("cosine"), (-col("neighbor_id")).as("neg_id")))).as("bn"))
+        .filter(col("bp").isNotNull && col("bn").isNotNull)
         .select(col("query_id").as("anchor_id"),
-          col("neighbor_id").as("pos_id"), round(col("cosine"), 4).as("pos_cos"))
-      val neg = Similarity.topKOverCandidates(
-          labeled.filter(col("la") =!= col("lb"))
-            .select("query_id", "neighbor_id"),
-          e, e, "vec_id", "embedding", k = 1)
-        .select(col("query_id").as("anchor_id"),
-          col("neighbor_id").as("neg_id"), round(col("cosine"), 4).as("neg_cos"))
+          (-col("bp.neg_id")).as("pos_id"), round(col("bp.cosine"), 4).as("pos_cos"),
+          (-col("bn.neg_id")).as("neg_id"), round(col("bn.cosine"), 4).as("neg_cos"))
       val media = Multimodal.fromDocuments(t(s, dir, "documents"))
       val keys = Multimodal.payloadStats(media).select("media_id", "digest")
       // finishAndRelease discipline (Dedup.scala): materialize the result
       // once (lineage cut), then unpersist the LSH candidate cache —
       // without this each invocation leaked a persisted frame for the
       // session lifetime.
-      val out = ord(pos.join(neg, "anchor_id")
+      val out = ord(best
         .join(keys.toDF("anchor_id", "caption_key"), "anchor_id")
         .join(keys.toDF("neg_id", "neg_payload_key"), "neg_id")
         .select(col("anchor_id"), col("pos_id"), col("pos_cos"),

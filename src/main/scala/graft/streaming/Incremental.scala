@@ -200,6 +200,68 @@ object Incremental {
   //      dead — the standard lakehouse lock-file discipline. On an object
   //      store, a conditional-put of the same file plays this role.
 
+  // ── micro-batch merge planning mode ───────────────────────────────────
+  // (round-15 optimization, guide §1.2 order-of-operations / §2 shuffle
+  // fixed costs) A state-merge micro-batch is a FIXED-SHAPE plan over a
+  // bounded delta: partition-pruned state read, one or two keyed
+  // aggregates, explicit repartition/coalesce already controlling the
+  // write layout. AQE has nothing to decide there, but its per-exchange
+  // stage-materialization barrier submits every tiny shuffle as its own
+  // job — ProfBatch measured 12–25 jobs per micro-batch with walls of
+  // 0.03–0.4 s each, i.e. fixed scheduling costs dominating; disabling
+  // AQE just for the merge bodies cut the warm per-batch wall ~21%
+  // (curation), ~11% (near-dup), ~5% (span). Serving reads and every
+  // non-merge query keep AQE (Engine.configure). Deployments whose
+  // batches are LARGE enough for runtime skew handling to pay restore it
+  // with SPARK_GRAFT_STATE_AQE=1 — the right setting falls out of batch
+  // volume, not cluster size. The flag is session-global, so while a
+  // merge is in flight a concurrently-planned query on the same session
+  // may also plan without AQE — that affects plan shape only, never
+  // results, and maintainers are single-writer by lease anyway.
+
+  // Applied by [[withLease]] (every merge/compaction entry point runs
+  // under a lease, and ONLY those). A global depth counter makes nested
+  // leases (funnels, auto-compaction under the maintainer's own lease)
+  // and concurrent maintainers of DIFFERENT dirs restore the session
+  // flag exactly once, at the outermost exit — without it, interleaved
+  // save/restore could leave the session's AQE off permanently.
+  private val mergeConfDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var mergeConfSaved = "true"
+  private def withMergeConf[T](body: => T): T = {
+    if (sys.env.get("SPARK_GRAFT_STATE_AQE").contains("1")) return body
+    val spark = SparkSession.active
+    val k = "spark.sql.adaptive.enabled"
+    if (mergeConfDepth.getAndIncrement() == 0) {
+      mergeConfSaved = spark.conf.get(k)
+      spark.conf.set(k, "false")
+    }
+    try body
+    finally if (mergeConfDepth.decrementAndGet() == 0)
+      spark.conf.set(k, mergeConfSaved)
+  }
+
+  /** Run independent per-batch writes concurrently (guide §2.6): Spark
+    * schedules concurrent jobs from one session fine, and these tiny
+    * state-surface writes are commit-latency-bound — overlapping them
+    * back-fills each write's driver-side commit gap with the others'
+    * tasks. Callers pass ONLY writes whose mutual order the crash
+    * contract leaves free; a failure propagates and fails the batch
+    * (partial per-batch partitions are overwritten on retry, as always).
+    */
+  private def runWrites(writes: Seq[() => Unit]): Unit =
+    if (writes.size <= 1) writes.foreach(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(writes.map(w =>
+            scala.concurrent.Future(w()))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    }
+
   private final case class LeaseEntry(thread: Long, depth: Int)
   private val leases =
     new java.util.concurrent.ConcurrentHashMap[String, LeaseEntry]()
@@ -221,6 +283,7 @@ object Incremental {
         s"state dir $stateDir is being maintained by thread " +
           s"$conflictThread of this process — state maintenance is " +
           "single-writer; serialize the maintainers")
+    withMergeConf {
     val leaseFile = new java.io.File(key, "_lease")
     if (entry.depth == 1) {
       new java.io.File(key).mkdirs()
@@ -280,6 +343,7 @@ object Incremental {
       val left = leases.compute(key, (_, v) =>
         if (v == null || v.depth <= 1) null else LeaseEntry(tid, v.depth - 1))
       if (left == null) leaseFile.delete()
+    }
     }
   }
 
@@ -679,16 +743,28 @@ object Incremental {
     // a write-parallelism knob, not a semantic one — a 100 TB deployment
     // raises it with batch volume.
     val files = 4
-    verified.select(col("e_id"), col("d_id")).withColumn("batch", lit(batchId))
-      .coalesce(files)
-      .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/pairs")
-    decisions.coalesce(files).write.mode("overwrite").partitionBy("batch")
-      .parquet(s"$stateDir/decisions")
-    // buckets that crossed the cap at this batch, with their population at
-    // death — the dropped-bucket audit surface (same crash-retry
-    // idempotence: recomputed bit-identically, partition overwritten)
-    newlyDead.withColumn("batch", lit(batchId)).coalesce(1)
-      .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/dead")
+    // pairs/decisions/dead are MUTUALLY independent (all derive from the
+    // persisted verified/newlyDead/b frames) and the crash-ordering
+    // contract only requires all three to land BEFORE the idx partitions —
+    // their order among themselves is free. Submit them concurrently
+    // (guide §2.6 overlap independent jobs) so each write's commit gap
+    // back-fills with the others' tasks; concurrent first-materialization
+    // of a shared persisted frame is safe (block-level cache locks).
+    // (round-15 optimization; ProfBatch A/B below in OPTIMIZATION_r15.md)
+    val writes: Seq[() => Unit] = Seq(
+      () => verified.select(col("e_id"), col("d_id"))
+        .withColumn("batch", lit(batchId)).coalesce(files)
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$stateDir/pairs"),
+      () => decisions.coalesce(files).write.mode("overwrite")
+        .partitionBy("batch").parquet(s"$stateDir/decisions"),
+      // buckets that crossed the cap at this batch, with their population
+      // at death — the dropped-bucket audit surface (same crash-retry
+      // idempotence: recomputed bit-identically, partition overwritten)
+      () => newlyDead.withColumn("batch", lit(batchId)).coalesce(1)
+        .write.mode("overwrite").partitionBy("batch")
+        .parquet(s"$stateDir/dead"))
+    runWrites(writes)
     // the index write routes each bucket prefix to one task so every
     // (bp, batch) partition dir gets ONE file, not one per upstream task;
     // sorting by bucket within each file gives a monster bucket min==max
@@ -1982,23 +2058,29 @@ object Incremental {
       .withColumn("batch", lit(batchId))
     // pairs/decisions first, index last — on a crash-retry earlier batches'
     // partitions are unchanged, every write recomputes bit-identically, and
-    // the per-batch partition overwrite replaces it (see applyNearDupBatch)
-    verified.select(col("e_id"), col("d_id")).withColumn("batch", lit(batchId))
-      .coalesce(4)
-      .write.mode("overwrite").partitionBy("batch").parquet(s"$stateDir/pairs")
-    decisions.coalesce(4).write.mode("overwrite").partitionBy("batch")
-      .parquet(s"$stateDir/decisions")
-    // buckets that crossed the cap at this batch, with their population at
-    // death — the dropped-bucket audit surface (crash-retry: recomputed
-    // bit-identically, partition overwritten)
-    if (newlyDead.nonEmpty) {
-      import spark.implicits._
-      newlyDead.map(bk => (bk,
-          histPop.getOrElse(bk, 0L) + batchPop.getOrElse(bk, 0L)))
-        .toDF("bucket", "pop").withColumn("batch", lit(batchId)).coalesce(1)
+    // the per-batch partition overwrite replaces it (see applyNearDupBatch).
+    // The three pre-index writes are mutually independent — submitted
+    // concurrently so their commit gaps overlap (§2.6, the same round-15
+    // change as applyNearDupBatch).
+    val writes: Seq[() => Unit] = Seq(
+      () => verified.select(col("e_id"), col("d_id"))
+        .withColumn("batch", lit(batchId)).coalesce(4)
         .write.mode("overwrite").partitionBy("batch")
-        .parquet(s"$stateDir/dead")
-    }
+        .parquet(s"$stateDir/pairs"),
+      () => decisions.coalesce(4).write.mode("overwrite")
+        .partitionBy("batch").parquet(s"$stateDir/decisions")) ++
+      // buckets that crossed the cap at this batch, with their population
+      // at death — the dropped-bucket audit surface (crash-retry:
+      // recomputed bit-identically, partition overwritten)
+      (if (newlyDead.isEmpty) Nil else Seq(() => {
+        import spark.implicits._
+        newlyDead.map(bk => (bk,
+            histPop.getOrElse(bk, 0L) + batchPop.getOrElse(bk, 0L)))
+          .toDF("bucket", "pop").withColumn("batch", lit(batchId)).coalesce(1)
+          .write.mode("overwrite").partitionBy("batch")
+          .parquet(s"$stateDir/dead")
+      }: Unit))
+    runWrites(writes)
     b.select("doc_id", "qv", "n2", "bucket", "batch")
       .repartition(math.min(1 << nBits, 32), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket", "batch")

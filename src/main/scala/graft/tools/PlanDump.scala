@@ -23,6 +23,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.Registry.register(spark)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    // NonFatal only, and a nonzero exit when anything failed: a fatal JVM
+    // error (OOM, linkage) must crash the tool, and an evidence run that
+    // dumped nothing must not look like a success to the calling script.
+    var failed = 0
     for (q <- names) {
       try {
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
@@ -30,9 +34,12 @@ object PlanDump {
         java.nio.file.Files.writeString(outDir.resolve(s"${q}_$suffix.txt"), txt)
         println(s"PLANDUMP wrote ${q}_$suffix.txt (${txt.length} chars)")
       } catch {
-        case e: Throwable => println(s"PLANDUMP $q FAILED: ${e.getMessage.take(200)}")
+        case scala.util.control.NonFatal(e) =>
+          failed += 1
+          println(s"PLANDUMP $q FAILED: ${String.valueOf(e.getMessage).take(200)}")
       }
     }
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }
