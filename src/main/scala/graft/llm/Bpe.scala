@@ -157,7 +157,7 @@ object Bpe {
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     requireUsableIdCol(idCol)
-    var cur = graft.Engine.spread(df)
+    var cur = df
       .select(col(idCol), TextFns.portableTokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)

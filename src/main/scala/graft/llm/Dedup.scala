@@ -333,7 +333,7 @@ object Dedup {
       minDocs: Int = 3): DataFrame = {
     require(n > 0, s"n must be positive: $n")
     require(minDocs >= 2, s"minDocs below 2 would mark every position: $minDocs")
-    val toks = graft.Engine.spread(df)
+    val toks = df
       .select(col(idCol), TextFns.portableTokens(col(textCol)).as("__graft_toks"))
       .withColumn("__graft_n", size(col("__graft_toks")))
       .filter(col("__graft_n") > 0)
@@ -419,7 +419,7 @@ object Dedup {
       minCount: Int = 2): DataFrame = {
     require(n > 0, s"n must be positive: $n")
     require(minCount >= 2, s"minCount below 2 would mark every position: $minCount")
-    val toks = graft.Engine.spread(df)
+    val toks = df
       .select(col(idCol), TextFns.portableTokens(col(textCol)).as("__graft_toks"))
       .withColumn("__graft_n", size(col("__graft_toks")))
       .filter(col("__graft_n") > 0)
