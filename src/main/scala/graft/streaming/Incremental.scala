@@ -2221,7 +2221,8 @@ object Incremental {
     }
     // mv BEFORE l BEFORE o: ΔJ derives from the OLD l/o, so a retry at any
     // crash point recomputes it bit-identically (committed surfaces skip
-    // via their own bmax)
+    // via their own bmax). (round-15: concurrent l/o commits were iso
+    // A/B'd — a wash here, the commits are collect-bound — and reverted.)
     commit("mv", lCols ++ oCols, dJ)
     commit("l", lCols, dL)
     commit("o", oCols, dO)
@@ -2933,34 +2934,41 @@ object Incremental {
           r.getAs[Number](1).longValue).toMap
     }
     val freshD = touchedD.filterNot(s => verBmax.get(s).exists(_ >= batchId))
-    // tg FIRST (batch-only data — replays overwrite bit-identically; the
-    // retro read's `batch < batchId` filter keeps a crashed attempt's own
-    // partial partitions invisible to the retry)
-    trainG.select("gh", "doc_id", "gshard").withColumn("batch", lit(batchId))
-      .repartition(math.min(nGramShards, 32), col("gshard"))
-      .write.mode("overwrite").partitionBy("gshard", "batch").parquet(tgDir)
-    if (freshD.nonEmpty) {
-      val verOld = parquetIfAny(spark, verDir)
-        .getOrElse(spark.emptyDataFrame.select(lit(0L).as("doc_id"),
-          lit("").as("source"), lit(0L).as("n_grams"), lit(0L).as("n_matched"),
-          lit(-1L).as("bmax"), lit(-1L).as("dshard")).limit(0))
-        .filter(col("dshard").isin(freshD: _*)) // partition-pruned
-        .select(col("doc_id"), col("source").as("src_o"),
-          col("n_grams").as("ng_o"), col("n_matched").as("nm_o"),
-          col("dshard").as("dsh_o"))
-      val merged = verOld
-        .join(verDelta.filter(col("dshard").isin(freshD: _*)), Seq("doc_id"),
-          "full_outer")
-        .select(col("doc_id"),
-          coalesce(col("src_o"), col("src_d")).as("source"),
-          coalesce(col("ng_o"), col("ng_d")).as("n_grams"),
-          (coalesce(col("nm_o"), lit(0L)) + coalesce(col("dm"), lit(0L)))
-            .as("n_matched"),
-          lit(batchId).as("bmax"),
-          coalesce(col("dsh_o"), col("dshard")).as("dshard"))
-      merged.repartition(col("dshard"))
-        .write.mode("overwrite").partitionBy("dshard").parquet(verDir)
-    }
+    // tg and ver BEFORE bg, but mutually order-free (round-15: submitted
+    // concurrently via runWrites, §2.6): tg is batch-only data — replays
+    // overwrite bit-identically, and the retro read's `batch < batchId`
+    // filter keeps a crashed attempt's own partial partitions invisible
+    // to the retry; ver is bmax-guarded per shard, so whichever of the
+    // two committed before a crash replays as a no-op / identical rewrite.
+    val writes: Seq[() => Unit] = Seq(
+      () => trainG.select("gh", "doc_id", "gshard")
+        .withColumn("batch", lit(batchId))
+        .repartition(math.min(nGramShards, 32), col("gshard"))
+        .write.mode("overwrite").partitionBy("gshard", "batch")
+        .parquet(tgDir)) ++
+      (if (freshD.isEmpty) Nil else Seq(() => {
+        val verOld = parquetIfAny(spark, verDir)
+          .getOrElse(spark.emptyDataFrame.select(lit(0L).as("doc_id"),
+            lit("").as("source"), lit(0L).as("n_grams"), lit(0L).as("n_matched"),
+            lit(-1L).as("bmax"), lit(-1L).as("dshard")).limit(0))
+          .filter(col("dshard").isin(freshD: _*)) // partition-pruned
+          .select(col("doc_id"), col("source").as("src_o"),
+            col("n_grams").as("ng_o"), col("n_matched").as("nm_o"),
+            col("dshard").as("dsh_o"))
+        val merged = verOld
+          .join(verDelta.filter(col("dshard").isin(freshD: _*)), Seq("doc_id"),
+            "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("src_o"), col("src_d")).as("source"),
+            coalesce(col("ng_o"), col("ng_d")).as("n_grams"),
+            (coalesce(col("nm_o"), lit(0L)) + coalesce(col("dm"), lit(0L)))
+              .as("n_matched"),
+            lit(batchId).as("bmax"),
+            coalesce(col("dsh_o"), col("dshard")).as("dshard"))
+        merged.repartition(col("dshard"))
+          .write.mode("overwrite").partitionBy("dshard").parquet(verDir)
+      }: Unit))
+    runWrites(writes)
     // bg LAST: fold the new grams into their shards (old rows pass through
     // — the partition rewrites whole). On a replay after commit the
     // anti-join finds nothing new, so the set is self-guarding.
