@@ -108,8 +108,14 @@ object SparkEntry {
     * score_num = bias·n + Σ x_b·w_b exactly in int64, weights from the
     * broadcast table.
     */
-  private def classifierScore(s: SparkSession, docsToks: DataFrame): DataFrame = {
-    val big = Engine.spread(docsToks)
+  private def classifierScore(s: SparkSession, docsToks: DataFrame,
+      spread: Boolean = true): DataFrame = {
+    // `spread = false` for MICRO-BATCH callers (round-15 iso A/B: the
+    // round-robin exchange wins on the corpus-scale q294/q300 calls -
+    // 0.53 vs 0.62/0.63 s, 2/2 pairs - but costs a per-batch shuffle
+    // inside the incremental enrich where batches are small: q301 was
+    // 2/2 faster without it, q305/q308 a wash)
+    val big = (if (spread) Engine.spread(docsToks) else docsToks)
       .withColumn("__graft_nn", size(col("toks")))
       .filter(col("__graft_nn") > 1)
       .select(col("doc_id"), explode(expr(
@@ -143,7 +149,8 @@ object SparkEntry {
       .withColumn("n_words", size(col("toks")).cast("long"))
       .filter(col("n_words") > 0))
       .withColumn("ok_rules", (gopherReasons === 0L).cast("long"))
-    val score = classifierScore(s, base.select(col("doc_id"), col("toks")))
+    val score = classifierScore(s, base.select(col("doc_id"), col("toks")),
+        spread = false) // micro-batch caller: see classifierScore
       .select("doc_id", "score_num")
     base.join(score, Seq("doc_id"), "left")
       .withColumn("ok_clf", (col("score_num").isNotNull &&
