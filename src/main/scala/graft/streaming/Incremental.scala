@@ -1036,6 +1036,25 @@ object Incremental {
     mx
   }
 
+  /** Exact row count from parquet FOOTERS across every data file under
+    * `dir` (recursive) — zero Spark jobs, zero data reads (round-15: the
+    * CC fold cadence ran a count() JOB per batch for a number the footers
+    * already hold; parquet block row counts are exact by format contract).
+    */
+  private def footerRowCount(spark: SparkSession, dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .toSeq.flatMap(files)
+    files(new java.io.File(dir)).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   /** Update one `k=v` entry in a state dir's `_layout` pin (used by the
     * reshard/re-bucket entry points, atomically with their fold).
     *
@@ -2594,10 +2613,15 @@ object Incremental {
     // are parquet metadata-only.
     val applied0 = ccApplied(stateDir)
     if (applied0 >= 0L) {
-      val fwdCount = fwdSnapshot(spark, stateDir, applied0 + 1).count()
+      // footer row counts: zero Spark jobs (round-15 — these two counts
+      // were a count() job per batch each; snapshots are cumulative, so
+      // the latest committed partition's row count IS |fwd|)
+      val fwdDirs = batchDirsOf(s"$stateDir/fwd").filter(_ < applied0 + 1)
+      val fwdCount =
+        if (fwdDirs.isEmpty) 0L
+        else footerRowCount(spark, s"$stateDir/fwd/batch=${fwdDirs.max}")
       if (fwdCount > fwdFoldMin) {
-        val lblCount = parquetIfAny(spark, lblDir).map(_.count())
-          .getOrElse(0L)
+        val lblCount = footerRowCount(spark, lblDir)
         if (fwdCount > lblCount / 8) compactCc(spark, stateDir, applied0)
       }
     }
@@ -2623,7 +2647,13 @@ object Incremental {
       .join(bv.select("v"), Seq("v"), "left_semi")
       .select("v", "lbl")
     val fwdPrev = fwdSnapshot(spark, stateDir, batchId).persist()
-    val fwdPrevCount = fwdPrev.count()
+    // writer-count sizing from footer metadata (zero jobs; the persist
+    // fills lazily inside the first job that reads fwdPrev)
+    val fwdPrevCount = {
+      val dirs = batchDirsOf(s"$stateDir/fwd").filter(_ < batchId)
+      if (dirs.isEmpty) 0L
+      else footerRowCount(spark, s"$stateDir/fwd/batch=${dirs.max}")
+    }
     // resolve each endpoint to its current root (≤ 1 hop — fwd is
     // compressed); unknown endpoints root at themselves
     val resolved = bv.select("v", "shard")

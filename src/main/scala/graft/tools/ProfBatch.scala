@@ -102,6 +102,15 @@ object ProfBatch {
         }
       org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBusEmpty(spark.sparkContext, 30000)
       log.dump()
+      val edges = graft.Engine.table(spark, sfDir, "embeddings")
+        .select((col("vec_id") % 1600).as("a"), (col("vec_id") % 997).as("b"))
+      for (k <- 0 to 2)
+        time(s"cc_b$k") {
+          graft.streaming.Incremental.applyCcBatch(spark,
+            edges.filter(col("a") % 3 === k), k.toLong, s"$w/cc")
+        }
+      org.apache.spark.sql.graftbridge.ColumnBridge.waitListenerBusEmpty(spark.sparkContext, 30000)
+      log.dump()
     }
     spark.stop()
   }
