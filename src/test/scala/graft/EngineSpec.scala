@@ -85,4 +85,60 @@ class EngineSpec extends SparkSuite {
       .agg(sum(unix_micros(col("ts")))).head().getLong(0)
     assert(back == utc)
   }
+
+  test("Engine.spread is scan-rooted only: a post-shuffle frame returns " +
+    "unchanged and runs NO jobs (round-15 hardening)") {
+    // Under AQE, Dataset.rdd on a frame with upstream exchanges resolves
+    // the final physical plan — eagerly RUNNING the upstream shuffle
+    // stages just to count partitions. The guard must return such frames
+    // untouched without triggering any job.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val shuffled = spark.range(1000)
+        .groupBy((col("id") % 7).as("k")).agg(sum("id").as("s"))
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .waitListenerBusEmpty(spark.sparkContext, 30000)
+      jobs.set(0)
+      val out = Engine.spread(shuffled)
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .waitListenerBusEmpty(spark.sparkContext, 30000)
+      assert(out eq shuffled, "post-shuffle frame must return unchanged")
+      assert(jobs.get == 0,
+        s"spread on a post-shuffle frame materialized ${jobs.get} job(s)")
+      // scan-rooted frames still spread: a 1-partition narrow frame gains
+      // the session parallelism, and the row multiset is unchanged
+      val dir = java.nio.file.Files.createTempDirectory("graft_spread").toString
+      spark.range(100).coalesce(1).write.mode("overwrite").parquet(dir)
+      val narrow = spark.read.parquet(dir).select(col("id"))
+      val sp = Engine.spread(narrow)
+      assert(sp.rdd.getNumPartitions ==
+        spark.sparkContext.defaultParallelism)
+      assert(sp.agg(sum("id")).head().getLong(0) == 4950L)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("state merges run with AQE off and restore the session flag " +
+    "(round-15 merge planning mode)") {
+    import spark.implicits._
+    val k = "spark.sql.adaptive.enabled"
+    assert(spark.conf.get(k) == "true")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mergeconf").toString
+    graft.streaming.Incremental.applyBatch(spark,
+      Seq((1L, 100L), (2L, 250L)).toDF("user_id", "cents"), 0L,
+      s"$dir/state", nShards = 4)
+    // restored exactly once at the outermost lease exit
+    assert(spark.conf.get(k) == "true",
+      "merge body leaked spark.sql.adaptive.enabled=false into the session")
+    // and the merge result is the exact aggregate
+    val rows = spark.read.parquet(s"$dir/state")
+      .select("user_id", "n", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 1L, 100L), (2L, 1L, 250L)))
+  }
 }
